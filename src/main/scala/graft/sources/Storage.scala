@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** The reference's storage verbs (SURVEY.md §2a: put/get/delete/ls/info,
+  * `dfs/client/client.go:767-823`) over a warehouse directory.
+  *
+  * Chunking, 3× replication, placement, pipeline forwarding, checksums
+  * and corrupt-chunk repair (`dfs/client/client.go:335-459`,
+  * `dfs/node/node.go:446-491`) are the filesystem's job in this design:
+  * parquet/text writes split into per-partition files (the chunk
+  * analogue), HDFS replicates, and parquet pages carry CRCs. What
+  * remains engine-level is the verb surface + the metadata catalog, kept
+  * here as one directory per stored name (mirroring the controller's
+  * `fileToChunkToNodesIndex`, `dfs/controller/controller.go:677-700`).
+  */
+final class Storage(spark: SparkSession, warehouse: String) {
+
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pathOf(name: String): Path = new Path(warehouse, name)
+
+  /** put (S2/S3/S4): persist a DataFrame as parquet under `name`.
+    * Like the reference's put (`dfs/controller/controller.go:64-77`),
+    * refuses to overwrite an existing name unless told to.
+    */
+  def put(name: String, df: DataFrame, overwrite: Boolean = false): Unit = {
+    if (!overwrite && exists(name))
+      throw new IllegalArgumentException(
+        s"file with name $name already stored; delete it first")
+    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(pathOf(name).toString)
+  }
+
+  /** put for line-oriented text (the reference's primary layout, S3). */
+  def putText(name: String, lines: Dataset[String],
+      overwrite: Boolean = false): Unit = {
+    if (!overwrite && exists(name))
+      throw new IllegalArgumentException(
+        s"file with name $name already stored; delete it first")
+    lines.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .text(pathOf(name).toString)
+  }
+
+  /** get (S5): parallel split-read of a stored name. */
+  def get(name: String): DataFrame =
+    spark.read.parquet(pathOf(name).toString)
+
+  def getText(name: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(pathOf(name).toString)
+  }
+
+  /** delete (S6): drop the stored name; true iff it existed. */
+  def delete(name: String): Boolean =
+    exists(name) && fs.delete(pathOf(name), true)
+
+  def exists(name: String): Boolean = fs.exists(pathOf(name))
+
+  /** ls (S7): stored names with size and file (chunk-analogue) counts,
+    * like the controller's ls-directory mirror
+    * (`dfs/controller/controller.go:131-149`).
+    */
+  def ls(): Seq[StoredFile] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .filter(_.isDirectory)
+      .map { st =>
+        val summary = fs.getContentSummary(st.getPath)
+        StoredFile(st.getPath.getName, summary.getLength, summary.getFileCount)
+      }
+      .sortBy(_.name)
+  }
+
+  /** info (S8): live parallelism + warehouse totals, the Spark-native
+    * analogue of the controller's active-node/disk report
+    * (`dfs/controller/controller.go:151-167`).
+    */
+  def info(): StorageInfo = {
+    val files = ls()
+    StorageInfo(
+      activeExecutors = spark.sparkContext.statusTracker.getExecutorInfos.length,
+      defaultParallelism = spark.sparkContext.defaultParallelism,
+      storedFiles = files.size,
+      totalBytes = files.map(_.bytes).sum)
+  }
+}
+
+final case class StoredFile(name: String, bytes: Long, numFiles: Long)
+
+final case class StorageInfo(
+    activeExecutors: Int,
+    defaultParallelism: Int,
+    storedFiles: Int,
+    totalBytes: Long)

@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class StorageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshStorage(): Storage =
+    new Storage(spark, Files.createTempDirectory("graft-wh-").toString)
+
+  test("put/get round-trips a DataFrame") {
+    val st = freshStorage()
+    val df = Tables.nation(spark, sf0001)
+    st.put("nation_copy", df)
+    assert(st.get("nation_copy").collect().toSet == df.collect().toSet)
+  }
+
+  test("put refuses to overwrite an existing name (reference semantics)") {
+    val st = freshStorage()
+    st.put("f", Tables.region(spark, sf0001))
+    intercept[IllegalArgumentException] {
+      st.put("f", Tables.region(spark, sf0001))
+    }
+    st.put("f", Tables.region(spark, sf0001), overwrite = true)
+  }
+
+  test("putText/getText round-trips lines") {
+    val st = freshStorage()
+    val lines = Seq("alpha beta", "gamma", "").toDS()
+    st.putText("t", lines)
+    assert(st.getText("t").collect().sorted.toSeq ==
+      lines.collect().sorted.toSeq)
+  }
+
+  test("ls lists stored names with sizes; delete removes them") {
+    val st = freshStorage()
+    assert(st.ls().isEmpty)
+    st.put("a", Tables.region(spark, sf0001))
+    st.put("b", Tables.nation(spark, sf0001))
+    val listing = st.ls()
+    assert(listing.map(_.name) == Seq("a", "b"))
+    assert(listing.forall(_.bytes > 0))
+    assert(st.delete("a"))
+    assert(!st.delete("a"))
+    assert(st.ls().map(_.name) == Seq("b"))
+  }
+
+  test("info reports parallelism and totals") {
+    val st = freshStorage()
+    st.put("x", Tables.region(spark, sf0001))
+    val i = st.info()
+    assert(i.defaultParallelism > 0)
+    assert(i.storedFiles == 1)
+    assert(i.totalBytes > 0)
+  }
+}
