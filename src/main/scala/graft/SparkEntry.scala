@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MapReduceQueries, Relational}
+import graft.operators.{MapReduceQueries, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ MapReduceQueries.queries
+    Relational.queries ++ MapReduceQueries.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ MapReduceQueries.oracles
+    Relational.oracles ++ MapReduceQueries.oracles ++ TextAnalysis.oracles
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions._
+import graft.functions.RollingHash.rollingHash
+import graft.sources.Tables._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token statistics, quality scoring, marker-based language ID, and
+  * document fingerprinting. All per-document computation lowers to
+  * Catalyst built-ins / higher-order functions (plus the codegen'd
+  * [[graft.functions.RollingHash]] expression) — embarrassingly parallel
+  * at 100 TB with no shuffle except the final presentation sort.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private val enMarkers = Seq("the", "a", "of")
+  private val deMarkers = Seq("der", "die", "und")
+  private val esMarkers = Seq("el", "la", "los")
+
+  private def toks = tokens(col("text"))
+
+  /** Per-document token counts: whitespace tokens, non-space chars,
+    * average token length.
+    */
+  def taTokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_nospace"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) /
+          size(toks)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val taTokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS n_nospace,
+      |  (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality score: stopword ratio (fluency proxy) blended with a length
+    * prior — the length/punct/stopword-ratio family of heuristic quality
+    * filters used to pre-filter web corpora.
+    */
+  def taQuality(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords)))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopHits.as("n_stop"),
+        (stopHits.cast(DoubleType) / nTok).as("stop_ratio"),
+        (stopHits.cast(DoubleType) / nTok * lit(0.5) +
+          least(nTok.cast(DoubleType) / lit(200.0), lit(1.0)) * lit(0.5))
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taQualitySql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    val hitsSql = s"len(list_filter($toksSql, x -> x IN $stopList))"
+    s"""SELECT doc_id,
+       |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+       |  CAST($hitsSql AS INTEGER) AS n_stop,
+       |  (CAST($hitsSql AS DOUBLE) / len($toksSql)) AS stop_ratio,
+       |  (CAST($hitsSql AS DOUBLE) / len($toksSql) * 0.5
+       |    + least(CAST(len($toksSql) AS DOUBLE) / 200.0, 1.0) * 0.5) AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-word language ID: count per-language marker hits, predict the
+    * argmax (ties resolved en > de > es, deterministic). An n-gram
+    * heuristic classifier over Catalyst higher-order functions — no UDF.
+    */
+  def taLangid(s: SparkSession, d: String): DataFrame = {
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isInCollection(ws)))
+    val (en, de, es) = (hits(enMarkers), hits(deMarkers), hits(esMarkers))
+    documents(s, d)
+      .select(
+        col("doc_id"), col("lang").as("actual_lang"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"),
+        when(en >= de && en >= es, "en")
+          .when(de >= es, "de").otherwise("es").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taLangidSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    def hits(ws: Seq[String]) =
+      s"len(list_filter($toksSql, x -> x IN ${ws.map(w => s"'$w'").mkString("(", ",", ")")}))"
+    val (en, de, es) = (hits(enMarkers), hits(deMarkers), hits(esMarkers))
+    s"""SELECT doc_id, lang AS actual_lang,
+       |  CAST($en AS INTEGER) AS en_hits,
+       |  CAST($de AS INTEGER) AS de_hits,
+       |  CAST($es AS INTEGER) AS es_hits,
+       |  CASE WHEN $en >= $de AND $en >= $es THEN 'en'
+       |       WHEN $de >= $es THEN 'de' ELSE 'es' END AS pred_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: MD5 of normalized text (exact-dedup key) and
+    * the codegen'd polynomial rolling hash.
+    */
+  def taFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        rollingHash(col("text")).as("fp_roll"))
+      .orderBy(col("doc_id"))
+
+  val taFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(trim(text))) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_split_to_array(text, ''), x -> CAST(ord(x) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_stats" -> taTokenStats _,
+    "ta_quality"     -> taQuality _,
+    "ta_langid"      -> taLangid _,
+    "ta_fingerprint" -> taFingerprint _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_token_stats" -> taTokenStatsSql,
+    "ta_quality"     -> taQualitySql,
+    "ta_langid"      -> taLangidSql,
+    "ta_fingerprint" -> taFingerprintSql,
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4's Column wraps a ColumnNode and the classic Expression bridge
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) is `private[sql]`, so
+  * custom Catalyst expressions need this one-file shim inside the
+  * `org.apache.spark.sql` package — the conventional extension-point
+  * pattern for libraries shipping native expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
