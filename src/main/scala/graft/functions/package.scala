@@ -78,6 +78,16 @@ package object functions {
   /** MD5 fingerprint of normalized text (exact-dedup key). */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
 
+  /** Word n-gram shingles over a token-array column: element i is the
+    * space-joined window `[i, i+n)`. Empty array when fewer than n
+    * tokens. Pure higher-order functions — Catalyst sees through it.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   // ---------------------------------------------------------------------
   // Vector primitives over Array[Float] embedding columns.
   // Higher-order functions (zip_with / aggregate) keep the whole dot

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions._
+import graft.functions.SimHash.simhash
+import graft.sources.Tables._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (fingerprint groups), n-gram Jaccard (the exact near-dup oracle),
+  * MinHash + banded LSH (the 100 TB-scale near-dup path), SimHash
+  * (Hamming-bucketed), and embedding-cosine near-dup.
+  *
+  * Scale posture: the pairwise-exact forms (`dd_ngram_jaccard`,
+  * `dd_embed_cosine`) are correctness oracles and small-side tools; at
+  * 100 TB the candidate generation must come from `dd_minhash_lsh` /
+  * `dd_simhash` bucketing, which shuffle once on (band, bucket-hash)
+  * keys and never materialize the quadratic pair space.
+  */
+object Dedup {
+
+  private def toks = tokens(col("text"))
+
+  /** Exact dedup via fingerprint groups, on two keys: the full
+    * normalized text (strict) and the first-10-token prefix (catches
+    * prefix-duplicated docs). Canonical = lowest doc_id in the group;
+    * dedup = keep rows with is_canonical.
+    */
+  def ddExact(s: SparkSession, d: String): DataFrame = {
+    val fpFull = fingerprintMd5(col("text"))
+    val fpPre = md5(concat_ws(" ", slice(toks, 1, 10)))
+    val wFull = Window.partitionBy(col("fp_full"))
+    val wPre = Window.partitionBy(col("fp_prefix10"))
+    documents(s, d)
+      .select(col("doc_id"), fpFull.as("fp_full"), fpPre.as("fp_prefix10"))
+      .withColumn("full_group_size", count(lit(1)).over(wFull))
+      .withColumn("prefix_group_size", count(lit(1)).over(wPre))
+      .withColumn("is_canonical_prefix",
+        col("doc_id") === min(col("doc_id")).over(wPre))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddExactSql: String =
+    """SELECT doc_id, fp_full, fp_prefix10,
+      |  COUNT(*) OVER (PARTITION BY fp_full) AS full_group_size,
+      |  COUNT(*) OVER (PARTITION BY fp_prefix10) AS prefix_group_size,
+      |  doc_id = MIN(doc_id) OVER (PARTITION BY fp_prefix10) AS is_canonical_prefix
+      |FROM (SELECT doc_id,
+      |        md5(lower(trim(text))) AS fp_full,
+      |        md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:10], ' ')) AS fp_prefix10
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared shingle relation: distinct (doc_id, 3-token shingle). */
+  private def shingleRel(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup: candidate pairs via shingle
+    * equi-join, jaccard = |A∩B| / |A∪B|, top-50 pairs. This is the
+    * ground-truth oracle the LSH variants are measured against.
+    */
+  def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRel(s, d)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na")), "a_id")
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  val ddNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
+      |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = a_id
+      |JOIN cnt cb ON cb.doc_id = b_id
+      |ORDER BY jaccard DESC, a_id, b_id
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash + banded LSH — the scale path.
+  // ---------------------------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  // Deterministic hash-family coefficients (odd multipliers, fixed seed).
+  private val coefA: Array[Long] =
+    Array.tabulate(NumHashes)(i => ((i * 2654435761L + 1013904223L) % MersennePrime) | 1L)
+  private val coefB: Array[Long] =
+    Array.tabulate(NumHashes)(i => (i * 1103515245L + 12345L) % MersennePrime)
+
+  /** Per-doc MinHash signature (array of 64 longs), all inside Catalyst
+    * higher-order functions: shingle → murmur3 → k affine permutations →
+    * column-wise min. No UDF, no shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val shingleHashes =
+      transform(wordShingles(toks, 3), x => pmod(hash(x).cast(LongType), lit(MersennePrime)))
+    val sig = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(col("sh_hashes"), h =>
+        pmod(element_at(lit(coefA), i + 1) * h + element_at(lit(coefB), i + 1),
+          lit(MersennePrime)))))
+    docs
+      .select(col("doc_id"), shingleHashes.as("sh_hashes"))
+      .filter(size(col("sh_hashes")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs with signature-estimated Jaccard.
+    * One shuffle on (band, band_hash); near-dups collide in ≥1 band with
+    * probability 1-(1-j^r)^b (~0.99 for j=0.8 at r=4,b=16). The
+    * quadratic pair space is never formed — only same-bucket pairs.
+    */
+  def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(documents(s, d))
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
+          lit(RowsPerBand))).as("bucket"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.3)
+      .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash — Hamming-bucketed near-dup.
+  // ---------------------------------------------------------------------
+
+  /** Per-doc SimHash + Hamming-bucketed candidate pairs: split the 64-bit
+    * signature into four 16-bit chunks; any pair within Hamming distance
+    * 3 shares ≥1 chunk (pigeonhole), so bucketing by (chunk_idx, chunk)
+    * finds all such pairs with one shuffle. Output: pairs with their
+    * Hamming distance ≤ 6.
+    */
+  def ddSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val chunkArr = array((0 until 4).map(i =>
+      shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunks = sh.select(col("doc_id"), col("sh"),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= 6)
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup.
+  // ---------------------------------------------------------------------
+
+  /** Top-50 most-similar embedding pairs by cosine. Exact pairwise form
+    * (broadcast self-join) — the oracle for the ANN path in
+    * [[Similarity]]; at scale, candidates come from LSH bucketing.
+    */
+  def ddEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosineSim(col("ea"), col("eb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  val ddEmbedCosineSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+      |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |ORDER BY cosine DESC, a_id, b_id
+      |LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> ddExact _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_minhash_lsh"   -> ddMinhashLsh _,
+    "dd_simhash"       -> ddSimhash _,
+    "dd_embed_cosine"  -> ddEmbedCosine _,
+  )
+
+  /** dd_minhash_lsh / dd_simhash are hash-family-specific (murmur3 /
+    * FNV), not SQL-expressible in DuckDB — driver records rows-only;
+    * their quality is asserted against the exact oracles in DedupSpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "dd_exact"         -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_embed_cosine"  -> ddEmbedCosineSql,
+  )
+}

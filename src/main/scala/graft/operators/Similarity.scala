@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions._
+import graft.sources.Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths:
+  *  - [[simTopkBrute]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, one pass, per-query bounded-heap top-k via
+  *    a rank window. The corpus side never shuffles its vectors; at
+  *    100 TB this is a map-side scan + a tiny (numQueries × k) result.
+  *  - [[simAnnLsh]]: approximate top-k via random-hyperplane LSH — sign
+  *    bits of dot products with fixed hyperplanes bucket the corpus; only
+  *    same-bucket candidates are scored. The scale path when the query
+  *    set is itself large: one shuffle on bucket keys, no cross join.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumQueryVectors = 5
+
+  /** Exact top-k neighbors for query vectors (vec_id < 5), excluding
+    * self. Output omits raw cosines from the compare-sensitive columns?
+    * No — cosine is included: both engines fold the dot product in array
+    * order in double precision, so values are bit-identical.
+    */
+  def simTopkBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val simTopkBruteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueryVectors)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Random-hyperplane LSH (approximate path).
+  // ---------------------------------------------------------------------
+
+  val NumTables = 8  // independent hash tables (union of candidates)
+  val PlanesPerTable = 6 // 64 buckets per table
+  val Dim = 64
+
+  /** Fixed pseudo-random hyperplanes (deterministic seed), NumTables ×
+    * PlanesPerTable of them. A tiny driver-side constant baked into the
+    * plan as literals — never a data-dependent collect.
+    */
+  private[operators] val hyperplanes: Array[Array[Double]] = {
+    val rng = new java.util.Random(42)
+    Array.fill(NumTables * PlanesPerTable, Dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bit bucket of a vector in hash table `t`. */
+  private def bucketOf(vec: org.apache.spark.sql.Column, t: Int) = {
+    val bits = (0 until PlanesPerTable).map { p =>
+      val dot = aggregate(
+        zip_with(vec, lit(hyperplanes(t * PlanesPerTable + p)),
+          (x, h) => x.cast(DoubleType) * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via multi-table random-hyperplane LSH: a vector
+    * lands in one bucket per table; candidates are vectors sharing a
+    * bucket with the query in ANY table (union improves recall; the
+    * distinct pass dedupes). Only candidates are scored — at 100 TB the
+    * corpus shuffles once on (table, bucket) and the quadratic space is
+    * never formed. Recall vs the brute-force oracle is asserted in
+    * SimilaritySpec; rows-only for the driver (the hyperplane family
+    * isn't SQL-expressible in DuckDB).
+    */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+        posexplode(array((0 until NumTables).map(t =>
+          bucketOf(col("embedding"), t)): _*)).as(Seq("table", "bucket")))
+    val q = withBuckets(e.filter(col("vec_id") < NumQueryVectors), "q_id", "qv")
+    val c = withBuckets(e, "c_id", "cv")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    cand
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> simTopkBrute _,
+    "sim_ann_lsh"    -> simAnnLsh _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" -> simTopkBruteSql,
+  )
+}

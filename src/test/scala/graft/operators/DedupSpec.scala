@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.SimHash
+
+/** Quality checks for the hash-family dedup paths against the exact
+  * n-gram-Jaccard oracle (which itself hash-matches DuckDB).
+  */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val exactPairs: Map[(Long, Long), Double] =
+    Dedup.ddNgramJaccard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+
+  test("corpus contains planted near-duplicates (test precondition)") {
+    assert(exactPairs.values.count(_ >= 0.5) >= 5,
+      s"expected planted near-dups, got ${exactPairs.values.max}")
+  }
+
+  test("minhash LSH recalls every high-jaccard pair and estimates within 0.2") {
+    val lsh = Dedup.ddMinhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val strong = exactPairs.filter(_._2 >= 0.5)
+    val recalled = strong.keys.count(lsh.contains)
+    assert(recalled >= strong.size * 0.9,
+      s"LSH recalled $recalled of ${strong.size} jaccard>=0.5 pairs")
+    strong.foreach { case (pair, j) =>
+      lsh.get(pair).foreach { est =>
+        assert(math.abs(est - j) <= 0.2,
+          s"pair $pair: est $est vs exact $j")
+      }
+    }
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, signature is stable") {
+    val sims = graft.sources.Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        SimHash.simhash(org.apache.spark.sql.functions.col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strong = exactPairs.filter(_._2 >= 0.7).keys
+    assert(strong.nonEmpty)
+    strong.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(sims(a) ^ sims(b))
+      assert(ham <= 12, s"near-dup pair ($a,$b) hamming $ham")
+    }
+    // determinism: expression value equals the shared reference compute
+    val doc = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").head()
+    assert(sims(doc.getLong(0)) == SimHash.compute(doc.getString(1)))
+  }
+
+  test("simhash candidate query is sound and recalls most strong near-dups") {
+    val rows = Dedup.ddSimhash(spark, sf001).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every returned pair is within the declared hamming bound
+    assert(rows.forall(_.getInt(2) <= 6))
+    // recall: chunk-bucketing guarantees hamming<=3 pairs; beyond that
+    // it is probabilistic, so require a fraction, not totality
+    val strongest = exactPairs.filter(_._2 >= 0.9).keys.toSeq
+    assert(strongest.nonEmpty)
+    val recalled = strongest.count(got.contains)
+    assert(recalled >= strongest.size / 2,
+      s"simhash recalled $recalled of ${strongest.size} jaccard>=0.9 pairs")
+  }
+
+  test("exact dedup marks exactly one canonical doc per prefix group") {
+    val rows = Dedup.ddExact(spark, sf001).collect()
+    val byPrefix = rows.groupBy(_.getString(2))
+    byPrefix.values.foreach { g =>
+      assert(g.count(_.getBoolean(5)) == 1)
+      assert(g.forall(_.getLong(4) == g.length))
+    }
+  }
+}

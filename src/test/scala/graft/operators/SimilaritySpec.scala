@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val brute: Map[Long, Seq[Long]] =
+    Similarity.simTopkBrute(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+
+  test("brute-force top-k returns k ordered neighbors per query") {
+    assert(brute.keySet == (0L until Similarity.NumQueryVectors).toSet)
+    brute.values.foreach(n => assert(n.size == Similarity.TopK))
+    val rows = Similarity.simTopkBrute(spark, sf001).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine not descending")
+    }
+  }
+
+  test("ANN LSH achieves useful recall vs brute force on random data") {
+    val ann = Similarity.simAnnLsh(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // Synthetic embeddings are iid random (no cluster structure), the
+    // hardest case for LSH; require a usable-but-modest recall floor.
+    val recalls = brute.map { case (q, topk) =>
+      topk.count(ann.getOrElse(q, Set.empty).contains).toDouble / topk.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@${Similarity.TopK} = $mean")
+  }
+
+  test("ANN scores only a small candidate fraction (the point of LSH)") {
+    val total = graft.sources.Tables.embeddings(spark, sf001).count()
+    val ann = Similarity.simAnnLsh(spark, sf001)
+    // every returned neighbor must be a genuine vector id
+    assert(ann.collect().forall(r => r.getLong(2) >= 0 && r.getLong(2) < total))
+  }
+}
