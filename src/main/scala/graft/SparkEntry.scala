@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, MapReduceQueries, Relational, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +20,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ MapReduceQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ MapReduceQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles
 }

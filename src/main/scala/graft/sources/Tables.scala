@@ -26,7 +26,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; the legacy flag reads it as a Long of epoch nanos, exposed
+    * here as `ts_ns`. All window math on it uses integer `DIV` — double
+    * division at 1e18 magnitudes would lose precision past 2^53.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumnRenamed("ts", "ts_ns")
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

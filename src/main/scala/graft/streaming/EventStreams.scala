@@ -1,0 +1,216 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.sources.Tables
+
+/** Streaming surface over the `events` table.
+  *
+  * The reference has no data-plane streaming (SURVEY.md §2e — its only
+  * periodic machinery is control-plane heartbeats, `dfs/node/node.go:66-86`);
+  * this module is the Structured-Streaming extension: event-time windows
+  * with watermarks, and stateful sessionization via
+  * `flatMapGroupsWithState`. Every aggregation is expressed so the SAME
+  * logic runs in batch mode (the driver-gated queries below, with DuckDB
+  * oracles) and in streaming mode (EventStreamsSpec drives
+  * readStream → watermark → window → memory sink and checks it equals
+  * the batch answer).
+  *
+  * `ts` is parquet TIMESTAMP(NANOS) → read as Long nanos (`ts_ns`, see
+  * [[Tables.events]]); window math uses integer DIV, exact at any scale.
+  */
+object EventStreams {
+
+  val WindowSec = 300L         // 5-minute tumbling windows
+  val SlideSec = 300L          // slide of the 10-minute sliding window
+  val SlidingWindowSec = 600L
+  val SessionGapNs: Long = 30L * 60 * 1000000000L // 30-minute session gap
+
+  private val NsPerSec = 1000000000L
+
+  // ---------------------------------------------------------------------
+  // Batch-equivalent queries (driver-gated with DuckDB oracles).
+  // ---------------------------------------------------------------------
+
+  /** Tumbling 5-minute window aggregation: the batch form of the
+    * canonical streaming query. Window start as epoch seconds (BIGINT) —
+    * timestamp-type round-tripping between engines is tz-fraught; epoch
+    * integers are not.
+    */
+  def stWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        (expr(s"ts_ns DIV ${WindowSec * NsPerSec}") * WindowSec)
+          .as("win_start_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("win_start_s"), col("event_type"))
+
+  val stWindowAggSql: String =
+    s"""SELECT (epoch_ns(ts) // ${WindowSec * NsPerSec}) * $WindowSec AS win_start_s,
+       |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY win_start_s, event_type""".stripMargin
+
+  /** Sliding 10-minute window with 5-minute slide: each event lands in
+    * two windows (explode of the two candidate starts — exactly what
+    * Spark's `window(slideDuration)` generator lowers to).
+    */
+  def stSlidingWindow(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr(s"ts_ns DIV ${SlideSec * NsPerSec}") * SlideSec
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        explode(array(bucket, bucket - SlideSec)).as("win_start_s"))
+      .groupBy(col("win_start_s"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("win_start_s"))
+  }
+
+  val stSlidingWindowSql: String =
+    s"""SELECT win_start_s, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM (SELECT value,
+       |        unnest([(epoch_ns(ts) // ${SlideSec * NsPerSec}) * $SlideSec,
+       |                (epoch_ns(ts) // ${SlideSec * NsPerSec}) * $SlideSec - $SlideSec]) AS win_start_s
+       |      FROM events) t
+       |GROUP BY win_start_s
+       |ORDER BY win_start_s""".stripMargin
+
+  /** Declarative sessionization (30-min inactivity gap) via lag +
+    * running sum — the batch oracle for the stateful streaming
+    * sessionizer below. One shuffle on user_id; windows run inside each
+    * user partition.
+    */
+  /** DuckDB stores timestamps at microsecond precision (parquet nanos
+    * are truncated on read), so the cross-engine form works in micros.
+    */
+  def stSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapNs / 1000).cast(IntegerType))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_s", expr("(end_us - start_us) DIV 1000000"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val stSessionizeSql: String =
+    s"""SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s
+       |FROM (
+       |  SELECT user_id, ts_us,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
+       |  FROM (
+       |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+       |             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > ${SessionGapNs / 1000}
+       |           THEN 1 ELSE 0 END AS is_new
+       |    FROM events) a) b
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // True streaming forms (driven by EventStreamsSpec).
+  // ---------------------------------------------------------------------
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos via legacy flag
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet directory. */
+  def readEventStream(s: SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventSchema).parquet(path)
+      .withColumnRenamed("ts", "ts_ns")
+  }
+
+  /** Watermarked tumbling-window counts — the streaming twin of
+    * [[stWindowAgg]]. Works on a streaming OR batch DataFrame with
+    * `ts_ns` (watermark is a no-op in batch).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), s"$WindowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (unix_timestamp(col("window.start"))).as("win_start_s"),
+        col("event_type"), col("n"))
+
+  final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long,
+      n_events: Long)
+  private final case class SessState(start: Long, end: Long, n: Long)
+
+  /** Stateful sessionizer via `flatMapGroupsWithState`: per-user state
+    * holds the open session; an event past the gap closes it and emits.
+    * In batch mode each group arrives once and all closed + the final
+    * open session are emitted, which makes it directly comparable to
+    * [[stSessionize]]; in streaming, event-time timeout closes idle
+    * sessions across micro-batches.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_ns - st.end <= SessionGapNs =>
+                cur = Some(SessState(st.start, e.ts_ns, st.n + 1))
+              case Some(st) =>
+                out += SessionOut(userId, st.start, st.end, st.n)
+                cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+              case None =>
+                cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+            }
+          }
+          cur match {
+            case Some(st) =>
+              // batch mode: group is complete, emit the open session too
+              out += SessionOut(userId, st.start, st.end, st.n)
+              state.remove()
+            case None => ()
+          }
+          out.iterator
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_agg"     -> stWindowAgg _,
+    "st_sliding_window" -> stSlidingWindow _,
+    "st_sessionize"     -> stSessionize _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_window_agg"     -> stWindowAggSql,
+    "st_sliding_window" -> stSlidingWindowSql,
+    "st_sessionize"     -> stSessionizeSql,
+  )
+}
