@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, MapReduceQueries, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MapReduceQueries, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ MapReduceQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ EventStreams.queries
+      Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ MapReduceQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles
+      Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
+      Multimodal.oracles
 }
