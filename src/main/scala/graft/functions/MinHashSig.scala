@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature of a shingle set: k affine permutations
+  * `(a_i * h + b_i) mod p` over an FNV-1a-64 base hash of each shingle,
+  * column-wise minimum.
+  *
+  * The pure-HOF formulation (nested `transform`/`array_min` over a
+  * 64-coefficient literal array) is interpreted per element — O(k·n)
+  * boxed ops per row, recomputed at every plan reference; it measured
+  * 126 s on 500 docs. This expression runs the same math as one tight
+  * primitive loop inside codegen: microseconds per row.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSig.signature(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashSig.signature($c));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  val NumHashes = 64
+  val MersennePrime = 2147483647L // 2^31 - 1
+
+  // Deterministic affine family (odd multipliers, fixed constants).
+  val coefA: Array[Long] =
+    Array.tabulate(NumHashes)(i => ((i * 2654435761L + 1013904223L) % MersennePrime) | 1L)
+  val coefB: Array[Long] =
+    Array.tabulate(NumHashes)(i => (i * 1103515245L + 12345L) % MersennePrime)
+
+  /** Base hash of a shingle: FNV-1a-64 folded into [0, p). */
+  def baseHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFF)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    ((h % MersennePrime) + MersennePrime) % MersennePrime
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def signature(shingles: ArrayData): Array[Long] = {
+    val n = shingles.numElements()
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = baseHash(shingles.getUTF8String(j))
+      var i = 0
+      while (i < NumHashes) {
+        val v = (coefA(i) * h + coefB(i)) % MersennePrime
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    mins
+  }
+
+  def minhashSig(c: Column): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+}

@@ -110,33 +110,21 @@ object Dedup {
   // MinHash + banded LSH — the scale path.
   // ---------------------------------------------------------------------
 
-  val NumHashes = 64
+  val NumHashes: Int = graft.functions.MinHashSig.NumHashes
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
-  private val MersennePrime = 2147483647L // 2^31 - 1
 
-  // Deterministic hash-family coefficients (odd multipliers, fixed seed).
-  private val coefA: Array[Long] =
-    Array.tabulate(NumHashes)(i => ((i * 2654435761L + 1013904223L) % MersennePrime) | 1L)
-  private val coefB: Array[Long] =
-    Array.tabulate(NumHashes)(i => (i * 1103515245L + 12345L) % MersennePrime)
-
-  /** Per-doc MinHash signature (array of 64 longs), all inside Catalyst
-    * higher-order functions: shingle → murmur3 → k affine permutations →
-    * column-wise min. No UDF, no shuffle.
+  /** Per-doc MinHash signature (array of 64 longs) via the codegen'd
+    * [[graft.functions.MinHashSig]] expression — one tight loop per row,
+    * no shuffle. (The pure-HOF formulation was interpreted and ~1000×
+    * slower; see the expression's Scaladoc.)
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val shingleHashes =
-      transform(wordShingles(toks, 3), x => pmod(hash(x).cast(LongType), lit(MersennePrime)))
-    val sig = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(col("sh_hashes"), h =>
-        pmod(element_at(lit(coefA), i + 1) * h + element_at(lit(coefB), i + 1),
-          lit(MersennePrime)))))
+  def minhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), shingleHashes.as("sh_hashes"))
-      .filter(size(col("sh_hashes")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
-  }
+      .select(col("doc_id"), wordShingles(toks, 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("shingles")).as("sig"))
 
   /** Banded-LSH candidate pairs with signature-estimated Jaccard.
     * One shuffle on (band, band_hash); near-dups collide in ≥1 band with

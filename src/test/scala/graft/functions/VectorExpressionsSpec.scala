@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+class VectorExpressionsSpec extends SparkTestBase {
+
+  test("codegen'd cosine is bit-identical to the HOF formulation on real vectors") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
+    val b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
+    val pairs = a.join(b, col("a_id") < col("b_id")).limit(2000)
+    val both = pairs.select(
+      cosineSim(col("ea"), col("eb")).as("native"),
+      (dotProductHof(col("ea"), col("eb")) /
+        (l2NormHof(col("ea")) * l2NormHof(col("eb")))).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
+  test("minhash signature expression: interpreted eval matches codegen path") {
+    import spark.implicits._
+    val df = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"))
+      .toDF("shingles")
+    val viaPlan = df.select(MinHashSig.minhashSig(col("shingles")))
+      .collect().map(_.getSeq[Long](0).toVector)
+    val direct = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z")).map { ss =>
+      MinHashSig.signature(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ss.map(org.apache.spark.unsafe.types.UTF8String.fromString))).toVector
+    }
+    assert(viaPlan.toSeq == direct)
+  }
+}
