@@ -85,4 +85,50 @@ object MinHashSig {
 
   def minhashSig(c: Column): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+
+  def sigOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SigOverlap(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Count of equal components between two minhash signatures — the
+  * Jaccard estimator numerator. Native loop instead of an interpreted
+  * `aggregate(zip_with(...))` over every candidate pair.
+  */
+case class SigOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sig_overlap requires two array<long> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(SigOverlap.overlap(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigOverlap.overlap($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_overlap"
+}
+
+object SigOverlap {
+  def overlap(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
 }

@@ -57,7 +57,9 @@ object Dedup {
   /** Shared shingle relation: distinct (doc_id, 3-token shingle). */
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglesExpr
+          .wordShinglesNative(col("text"), 3)).as("sh"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup: candidate pairs via shingle
@@ -121,7 +123,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), wordShingles(toks, 3).as("shingles"))
+      .select(col("doc_id"), graft.functions.WordShinglesExpr
+        .wordShinglesNative(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhashSig(col("shingles")).as("sig"))
@@ -133,23 +136,26 @@ object Dedup {
     */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(documents(s, d))
+    // band rows carry only (doc_id, band, bucket) — signatures are NOT
+    // shuffled through the pair-join/dedup; they re-attach afterwards.
     val bands = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(Bands - 1))).as("band"))
-      .select(col("doc_id"), col("sig"), col("band"),
+      col("doc_id"),
+      explode(sequence(lit(0), lit(Bands - 1))).as("band"),
+      col("sig"))
+      .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
           lit(RowsPerBand))).as("bucket"))
-    val cand = bands.as("a")
+    val candIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cand
+    candIds
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
+        (graft.functions.MinHashSig.sigOverlap(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.3)
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))

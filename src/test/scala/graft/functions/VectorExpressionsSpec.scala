@@ -24,6 +24,18 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("native shingles match the declarative HOF formulation on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val both = docs.select(
+      WordShinglesExpr.wordShinglesNative(col("text"), 3).as("native"),
+      wordShingles(tokens(col("text")), 3).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("minhash signature expression: interpreted eval matches codegen path") {
     import spark.implicits._
     val df = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"))
