@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, MapReduceQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MapReduceQueries, Multimodal, Relational, Relational2, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ MapReduceQueries.queries ++ TextAnalysis.queries ++
+    Relational.queries ++ Relational2.queries ++
+      MapReduceQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Multimodal.queries
 
@@ -27,7 +28,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ MapReduceQueries.oracles ++ TextAnalysis.oracles ++
+    Relational.oracles ++ Relational2.oracles ++
+      MapReduceQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
       Multimodal.oracles
 }

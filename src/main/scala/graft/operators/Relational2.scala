@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables._
+
+/** Second tranche of the relational surface: pivot, cross join,
+  * UNION ALL, IN-subquery, arg-min/max, exact percentiles.
+  */
+object Relational2 {
+
+  /** Pivot linestatus into columns per returnflag (count + exact sum). */
+  def q21Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy(col("l_returnflag"))
+
+  val q21PivotSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Cross join of the two smallest dimensions (25 × 5 rows). */
+  def q22CrossJoin(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q22CrossJoinSql: String =
+    """SELECT r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** UNION ALL with source tags (keeps duplicates, unlike q12's UNION). */
+  def q23UnionAll(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(lit("customer").as("src"), col("c_nationkey").as("nk"))
+    val sp = supplier(s, d)
+      .select(lit("supplier").as("src"), col("s_nationkey").as("nk"))
+    c.unionAll(sp)
+      .groupBy(col("src"), col("nk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("nk"))
+  }
+
+  val q23UnionAllSql: String =
+    """SELECT src, nk, COUNT(*) AS n
+      |FROM (SELECT 'customer' AS src, c_nationkey AS nk FROM customer
+      |      UNION ALL
+      |      SELECT 'supplier' AS src, s_nationkey AS nk FROM supplier) t
+      |GROUP BY src, nk
+      |ORDER BY src, nk""".stripMargin
+
+  /** Uncorrelated IN-subquery: orders from high-balance customers. */
+  def q24InSubquery(s: SparkSession, d: String): DataFrame = {
+    val rich = customer(s, d).filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"))
+    val o = orders(s, d)
+    o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q24InSubquerySql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** arg-min/arg-max per nation. acctbal values duplicate within a
+    * nation at sf0.1, so the ordering key is an exact integer composite
+    * (cents × 10^7 + custkey) — deterministic in both engines (DuckDB
+    * 1.0's arg_max does not accept struct ordering keys).
+    */
+  def q25ArgMinMax(s: SparkSession, d: String): DataFrame = {
+    val key = round(col("c_acctbal") * 100).cast("long") * 10000000L +
+      col("c_custkey")
+    customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), key).as("richest"),
+        min_by(col("c_name"), key).as("poorest"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q25ArgMinMaxSql: String = {
+    val key = "CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey"
+    s"""SELECT c_nationkey,
+       |  arg_max(c_name, $key) AS richest,
+       |  arg_min(c_name, $key) AS poorest,
+       |  ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+  }
+
+  /** Exact interpolated percentiles per returnflag (Spark `percentile`
+    * and DuckDB `quantile_cont` share the (1-d)·lo + d·hi definition).
+    */
+  def q26Percentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  val q26PercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_pivot"       -> q21Pivot _,
+    "q22_cross_join"  -> q22CrossJoin _,
+    "q23_union_all"   -> q23UnionAll _,
+    "q24_in_subquery" -> q24InSubquery _,
+    "q25_argminmax"   -> q25ArgMinMax _,
+    "q26_percentile"  -> q26Percentile _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_pivot"       -> q21PivotSql,
+    "q22_cross_join"  -> q22CrossJoinSql,
+    "q23_union_all"   -> q23UnionAllSql,
+    "q24_in_subquery" -> q24InSubquerySql,
+    "q25_argminmax"   -> q25ArgMinMaxSql,
+    "q26_percentile"  -> q26PercentileSql,
+  )
+}
