@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join: salt the probe side, replicate the build side.
+  *
+  * A shuffled equi-join hash-partitions both sides on the key; a hot key
+  * sends its entire row population to ONE reducer — the classic straggler
+  * at 100 TB. Salting splits each probe-side key into `salts` synthetic
+  * sub-keys and replicates the matching build rows once per salt, so the
+  * hot key's rows spread over `salts` tasks. Results are identical to
+  * the plain join (the salt is dropped after the join).
+  *
+  * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`)
+  * handles moderate skew automatically; explicit salting is the tool
+  * when a single key exceeds what one task can hold, or when the build
+  * side is too big to broadcast but small enough to replicate `salts`×.
+  */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner equi-join `left ⋈ right ON left(key) = right(key)` with the
+    * left (large, skewed) side salted into `salts` sub-keys.
+    */
+  def salted(left: DataFrame, right: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    // deterministic-enough spreading: hash of the whole row modulo salts;
+    // any per-row value works — the salt never affects the join result
+    val saltedLeft = left.withColumn(SaltCol,
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val replicatedRight = right.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft
+      .join(replicatedRight,
+        saltedLeft(key) === replicatedRight(key) &&
+          saltedLeft(SaltCol) === replicatedRight(SaltCol))
+      .drop(SaltCol)
+  }
+
+  /** Convenience: top-N hottest keys of a column (the usual input for
+    * deciding whether salting is warranted).
+    */
+  def keyHistogram(df: DataFrame, key: Column, topN: Int): DataFrame =
+    df.groupBy(key.as("key")).count()
+      .orderBy(col("count").desc, col("key"))
+      .limit(topN)
+}

@@ -44,6 +44,33 @@ final class Storage(spark: SparkSession, warehouse: String) {
       .text(pathOf(name).toString)
   }
 
+  /** put with hash bucketing: pre-shuffles and sorts by `bucketCols`
+    * into `numBuckets` files per partition, registered as an external
+    * table at the warehouse path. Two tables bucketed identically on
+    * their join key co-locate: the join plans with NO Exchange — the
+    * 100 TB answer to "don't shuffle the fact table every query".
+    */
+  def putBucketed(name: String, df: DataFrame, numBuckets: Int,
+      bucketCols: Seq[String], overwrite: Boolean = false): Unit = {
+    if (overwrite) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      delete(name)
+    } else if (exists(name))
+      throw new IllegalArgumentException(
+        s"file with name $name already stored; delete it first")
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", pathOf(name).toString)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Read a bucketed table (bucket metadata lives in the catalog, so the
+    * catalog table — not the bare path — is what preserves co-location).
+    */
+  def getBucketed(name: String): DataFrame = spark.table(name)
+
   /** get (S5): parallel split-read of a stored name. */
   def get(name: String): DataFrame =
     spark.read.parquet(pathOf(name).toString)

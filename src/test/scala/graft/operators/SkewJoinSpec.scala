@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.{Storage, Tables}
+
+class SkewJoinSpec extends SparkTestBase {
+
+  test("salted join returns exactly the plain join's rows") {
+    val l = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val p = Tables.part(spark, sf0001).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = l.join(p, "l_partkey")
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = SkewJoin.salted(l, p, "l_partkey", salts = 8)
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("key histogram surfaces the hottest keys in order") {
+    val h = SkewJoin.keyHistogram(
+      Tables.lineitem(spark, sf0001), col("l_returnflag"), 3).collect()
+    assert(h.length == 3)
+    assert(h.map(_.getLong(1)).toSeq == h.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
+  test("identically-bucketed tables join without an Exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket-").toString
+    val st = new Storage(spark, wh)
+    st.putBucketed("b_orders", Tables.orders(spark, sf0001), 4,
+      Seq("o_custkey"), overwrite = true)
+    st.putBucketed("b_customer", Tables.customer(spark, sf0001)
+      .withColumnRenamed("c_custkey", "o_custkey"), 4,
+      Seq("o_custkey"), overwrite = true)
+    val joined = st.getBucketed("b_orders")
+      .join(st.getBucketed("b_customer").hint("merge"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+}
