@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, MapReduceQueries, Multimodal, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, MapReduceQueries, Multimodal, Relational, Relational2, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++
       MapReduceQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +31,5 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++
       MapReduceQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ AsOfJoin.oracles
 }

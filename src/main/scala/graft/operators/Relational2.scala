@@ -126,7 +126,24 @@ object Relational2 {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch aggregates: HLL++ distinct counts and quantile sketches.
+    * Not SQL-oracle-able (sketch internals are engine-specific) — driver
+    * records rows-only; Relational2Spec bounds the error vs the exact
+    * answers. At 100 TB these replace exact distinct/percentile where a
+    * bounded error buys an order of magnitude less shuffle.
+    */
+  def q27Approx(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_approx"      -> q27Approx _,
     "q21_pivot"       -> q21Pivot _,
     "q22_cross_join"  -> q22CrossJoin _,
     "q23_union_all"   -> q23UnionAll _,

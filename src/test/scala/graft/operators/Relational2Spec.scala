@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class Relational2Spec extends SparkTestBase {
+
+  test("sketch aggregates stay within their error bounds vs exact answers") {
+    val rows = Relational2.q27Approx(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approxN, exactN) = (r.getLong(1), r.getLong(2))
+      // rsd=0.01 is a standard deviation; 3 sigma is the sane bound
+      assert(math.abs(approxN - exactN).toDouble / exactN < 0.03,
+        s"HLL error too large: $approxN vs $exactN")
+      val (approxP, exactP) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(approxP - exactP) / exactP < 0.05,
+        s"approx percentile off: $approxP vs $exactP")
+    }
+  }
+
+  test("as-of join composition agrees with a brute-force per-row scan") {
+    val got = AsOfJoin.stAsofJoin(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // brute force: for every purchase, scan all views of the user
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "user_id", "event_type", "ts_ns DIV 1000 AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view")
+    val purchases = ev.filter(_._3 == "purchase")
+    val expected = purchases.flatMap { case (pid, u, _, pts) =>
+      val prior = views.filter(v => v._2 == u && v._4 <= pts)
+      if (prior.isEmpty) None
+      else {
+        val bestTs = prior.map(_._4).max
+        val bestId = prior.filter(_._4 == bestTs).map(_._1).max
+        Some(pid -> (bestTs, bestId))
+      }
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}
