@@ -142,8 +142,29 @@ object Relational2 {
         expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
       .orderBy(col("l_returnflag"))
 
+  /** The custom bounded-heap top-k operator (graft.plans.TopKPerGroup),
+    * driver-gated against the equivalent window SQL: same rows, found
+    * without sorting any group.
+    */
+  def q28TopkCustom(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      orders(s, d), Seq("o_custkey"),
+      struct(col("o_totalprice"), col("o_orderkey")), 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey").desc)
+
+  val q28TopkCustomSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_approx"      -> q27Approx _,
+    "q28_topk_custom" -> q28TopkCustom _,
     "q21_pivot"       -> q21Pivot _,
     "q22_cross_join"  -> q22CrossJoin _,
     "q23_union_all"   -> q23UnionAll _,
@@ -153,6 +174,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_topk_custom" -> q28TopkCustomSql,
     "q21_pivot"       -> q21PivotSql,
     "q22_cross_join"  -> q22CrossJoinSql,
     "q23_union_all"   -> q23UnionAllSql,
