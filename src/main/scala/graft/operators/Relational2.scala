@@ -111,10 +111,12 @@ object Relational2 {
   def q26Percentile(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.25D, 0.75D))")
+        .as("ps")) // one shared buffer for all three quantiles, not three
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p25"),
+        col("ps").getItem(2).as("p75"))
       .orderBy(col("l_returnflag"))
 
   val q26PercentileSql: String =
@@ -132,15 +134,25 @@ object Relational2 {
     * answers. At 100 TB these replace exact distinct/percentile where a
     * bounded error buys an order of magnitude less shuffle.
     */
-  def q27Approx(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+  def q27Approx(s: SparkSession, d: String): DataFrame = {
+    // sketches and exact-distinct run as SEPARATE aggregates: combining
+    // countDistinct (Expand + sort-based fallback) with
+    // TypedImperativeAggregate sketch buffers in one agg makes Spark
+    // re-serialize the sketch buffers per row — measured 100x slower
+    val sketches = lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+    val exact = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    sketches.join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+        col("approx_p50"), col("exact_p50"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** The custom bounded-heap top-k operator (graft.plans.TopKPerGroup),
     * driver-gated against the equivalent window SQL: same rows, found
