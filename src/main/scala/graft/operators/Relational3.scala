@@ -131,7 +131,38 @@ object Relational3 {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** The navigation-window family: lag/lead/first/last/ntile over each
+    * customer's order history (deterministic total order).
+    */
+  def q35WindowNav(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q35WindowNavSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_window_nav" -> q35WindowNav _,
     "q29_json"       -> q29Json _,
     "q30_array_agg"  -> q30ArrayAgg _,
     "q31_regex"      -> q31Regex _,
@@ -141,6 +172,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_window_nav" -> q35WindowNavSql,
     "q29_json"       -> q29JsonSql,
     "q30_array_agg"  -> q30ArrayAggSql,
     "q31_regex"      -> q31RegexSql,

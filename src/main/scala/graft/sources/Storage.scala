@@ -71,6 +71,42 @@ final class Storage(spark: SparkSession, warehouse: String) {
     */
   def getBucketed(name: String): DataFrame = spark.table(name)
 
+  /** Format-parameterized put/get (the reference stores text and binary;
+    * the engine speaks parquet/csv/json/text — format is a property of
+    * the stored name, recorded in a sidecar like the node's
+    * `meta_<chunk>` files, `dfs/node/node.go:148-174`).
+    */
+  def putAs(name: String, df: DataFrame, format: String,
+      overwrite: Boolean = false): Unit = {
+    if (!overwrite && exists(name))
+      throw new IllegalArgumentException(
+        s"file with name $name already stored; delete it first")
+    val w = df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    (format match {
+      case "csv" => w.option("header", "true")
+      case _ => w
+    }).format(format).save(pathOf(name).toString)
+    val meta = new Path(warehouse, s".meta_$name")
+    val out = fs.create(meta, true)
+    out.write(format.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def getAs(name: String): DataFrame = {
+    val meta = new Path(warehouse, s".meta_$name")
+    val format =
+      if (fs.exists(meta)) {
+        val in = fs.open(meta)
+        val s = new String(in.readAllBytes(), "UTF-8").trim
+        in.close(); s
+      } else "parquet"
+    val r = spark.read
+    (format match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case _ => r
+    }).format(format).load(pathOf(name).toString)
+  }
+
   /** get (S5): parallel split-read of a stored name. */
   def get(name: String): DataFrame =
     spark.read.parquet(pathOf(name).toString)

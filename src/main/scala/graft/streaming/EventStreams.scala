@@ -157,6 +157,18 @@ object EventStreams {
         (unix_timestamp(col("window.start"))).as("win_start_s"),
         col("event_type"), col("n"))
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` — the
+    * streaming twin of `dd_exact`. State holds one entry per key and is
+    * pruned once the watermark passes, so memory is bounded by the
+    * dedup horizon rather than the stream length.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .drop("ts")
+
   final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long,

@@ -49,6 +49,23 @@ class EventStreamsSpec extends SparkTestBase {
     assert(stateful.nonEmpty)
   }
 
+  test("streaming dedup removes duplicate events across micro-batches") {
+    // duplicate the corpus into two input files: every event arrives twice
+    val dir = Files.createTempDirectory("graft-dedup-")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("b.parquet"))
+    val q = streamingDedup(readEventStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    assert(spark.table("dedup_out").count() == total)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == total)
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
