@@ -71,6 +71,21 @@ final class Storage(spark: SparkSession, warehouse: String) {
     */
   def getBucketed(name: String): DataFrame = spark.table(name)
 
+  /** put with hive-style directory partitioning: queries filtering on
+    * the partition columns scan only the matching directories (partition
+    * pruning — `PartitionFilters` in the scan, zero I/O for pruned
+    * partitions). The data-lake layout for 100 TB fact tables.
+    */
+  def putPartitioned(name: String, df: DataFrame, partitionCols: Seq[String],
+      overwrite: Boolean = false): Unit = {
+    if (!overwrite && exists(name))
+      throw new IllegalArgumentException(
+        s"file with name $name already stored; delete it first")
+    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .partitionBy(partitionCols: _*)
+      .parquet(pathOf(name).toString)
+  }
+
   /** Format-parameterized put/get (the reference stores text and binary;
     * the engine speaks parquet/csv/json/text — format is a property of
     * the stored name, recorded in a sidecar like the node's

@@ -157,6 +157,30 @@ object EventStreams {
         (unix_timestamp(col("window.start"))).as("win_start_s"),
         col("event_type"), col("n"))
 
+  /** Stream-stream self-join: purchases joined to same-user views within
+    * the preceding hour. Watermarks on BOTH sides bound the join state:
+    * a view older than (watermark − 1 h) can never match a future
+    * purchase and is evicted. Works identically on a batch frame
+    * (watermarks no-op), which is how the spec oracles it.
+    */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val withTs = events
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val purchases = withTs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = withTs.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+  }
+
   /** Streaming exact dedup: watermark-bounded `dropDuplicates` — the
     * streaming twin of `dd_exact`. State holds one entry per key and is
     * pruned once the watermark passes, so memory is bounded by the

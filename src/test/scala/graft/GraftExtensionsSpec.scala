@@ -30,6 +30,16 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("GraftSession.getOrCreate yields a fully-registered session") {
+    val s = GraftSession.getOrCreate(master = "local[4]")
+    assert(s.sql("SELECT rolling_hash('x')").head().getLong(0) ==
+      RollingHash.reference("x"))
+    val topk = graft.plans.TopK.perGroup(
+      graft.sources.Tables.orders(s, sf0001), Seq("o_custkey"),
+      org.apache.spark.sql.functions.col("o_totalprice"), 1)
+    assert(topk.count() > 0)
+  }
+
   test("wrong arity yields a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -63,6 +63,21 @@ class StorageSpec extends SparkTestBase {
     assert(st.ls().map(_.name).toSet == Set("n_csv", "n_json"))
   }
 
+  test("partitioned writes prune partitions at scan time") {
+    val st = freshStorage()
+    st.putPartitioned("orders_p", Tables.orders(spark, sf0001)
+      .withColumn("status", org.apache.spark.sql.functions.col("o_orderstatus")),
+      Seq("status"))
+    val q = st.get("orders_p")
+      .filter(org.apache.spark.sql.functions.col("status") === "F")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(status"),
+      s"partition filter not pushed:\n$scan")
+    val expect = Tables.orders(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count()
+    assert(q.count() == expect)
+  }
+
   test("info reports parallelism and totals") {
     val st = freshStorage()
     st.put("x", Tables.region(spark, sf0001))

@@ -66,6 +66,21 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == total)
   }
 
+  test("stream-stream join equals the batch join") {
+    val q = purchaseViewJoin(readEventStream(spark, stagedDir()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = purchaseViewJoin(
+      graft.sources.Tables.events(spark, sf0001)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
