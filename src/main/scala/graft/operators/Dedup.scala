@@ -108,6 +108,68 @@ object Dedup {
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin
 
+  /** Applied dedup: the retained corpus after (a) exact prefix-group
+    * dedup (keep lowest doc_id per 10-token-prefix fingerprint) and
+    * (b) near-dup removal (for every pair with 3-gram jaccard ≥ 0.9,
+    * drop the higher doc_id). The rule is deterministic and local, so
+    * the oracle reproduces it exactly; at scale step (b)'s pair source
+    * is the LSH candidates instead of the exact join.
+    */
+  def ddApply(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRel(s, d)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val nearDupDrop = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na")), "a_id")
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb")), "b_id")
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+    val fpPre = md5(concat_ws(" ", slice(toks, 1, 10)))
+    val wPre = Window.partitionBy(col("fp"))
+    val prefixCanonical = documents(s, d)
+      .select(col("doc_id"), fpPre.as("fp"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wPre))
+      .filter(col("keep"))
+      .select(col("doc_id"))
+    prefixCanonical
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val ddApplySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |drop_near AS (
+      |  SELECT DISTINCT b_id AS doc_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN cnt ca ON ca.doc_id = p.a_id
+      |  JOIN cnt cb ON cb.doc_id = p.b_id
+      |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.9),
+      |pfx AS (
+      |  SELECT doc_id,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+      |  FROM (SELECT doc_id,
+      |          md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:10], ' ')) AS fp
+      |        FROM documents) f)
+      |SELECT doc_id FROM pfx
+      |WHERE keep AND doc_id NOT IN (SELECT doc_id FROM drop_near)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // MinHash + banded LSH — the scale path.
   // ---------------------------------------------------------------------
@@ -226,6 +288,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> ddExact _,
+    "dd_apply"         -> ddApply _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
@@ -238,6 +301,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "dd_exact"         -> ddExactSql,
+    "dd_apply"         -> ddApplySql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embed_cosine"  -> ddEmbedCosineSql,
   )

@@ -131,7 +131,26 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Text normalization pass: lowercase, trim, collapse whitespace —
+    * the canonical pre-dedup cleanup stage.
+    */
+  def taNormalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm_text"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("norm_len"))
+      .orderBy(col("doc_id"))
+
+  val taNormalizeSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+      |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS INTEGER) AS norm_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
     "ta_quality"     -> taQuality _,
     "ta_langid"      -> taLangid _,
@@ -139,6 +158,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_normalize"   -> taNormalizeSql,
     "ta_token_stats" -> taTokenStatsSql,
     "ta_quality"     -> taQualitySql,
     "ta_langid"      -> taLangidSql,
