@@ -67,10 +67,10 @@ case class TopKPerGroupExec(
             org.apache.spark.sql.types.StructField("o", orderExpr.dataType))))
       val orderProj = UnsafeProjection.create(Seq(orderExpr), childOutput)
       val heaps = new java.util.HashMap[UnsafeRow,
-        java.util.PriorityQueue[(UnsafeRow, UnsafeRow)]]()
-      val cmp = new java.util.Comparator[(UnsafeRow, UnsafeRow)] {
-        override def compare(a: (UnsafeRow, UnsafeRow),
-            b: (UnsafeRow, UnsafeRow)): Int = rowOrd.compare(a._1, b._1)
+        java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
+      val cmp = new java.util.Comparator[(UnsafeRow, InternalRow)] {
+        override def compare(a: (UnsafeRow, InternalRow),
+            b: (UnsafeRow, InternalRow)): Int = rowOrd.compare(a._1, b._1)
       }
       while (it.hasNext) {
         val row = it.next()
@@ -81,13 +81,14 @@ case class TopKPerGroupExec(
           heaps.put(key.copy(), heap)
         }
         val ordKey = orderProj(row)
+        // row buffers are reused by the upstream iterator — copy on keep
+        // (InternalRow.copy, not an UnsafeRow cast: rows need not be
+        // unsafe for every child plan)
         if (heap.size() < limit) {
-          heap.offer((ordKey.copy(),
-            row.asInstanceOf[UnsafeRow].copy()))
+          heap.offer((ordKey.copy(), row.copy()))
         } else if (rowOrd.compare(ordKey, heap.peek()._1) > 0) {
           heap.poll()
-          heap.offer((ordKey.copy(),
-            row.asInstanceOf[UnsafeRow].copy()))
+          heap.offer((ordKey.copy(), row.copy()))
         }
       }
       import scala.jdk.CollectionConverters._
