@@ -15,13 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // manifest: lets the gate detect rows-only queries that failed (they
+    // have no oracle entry and would otherwise vanish silently)
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+    Files.writeString(Paths.get(s"$outDir/failures.txt"),
+      failures.sorted.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -83,7 +83,9 @@ object Relational2 {
     * 1.0's arg_max does not accept struct ordering keys).
     */
   def q25ArgMinMax(s: SparkSession, d: String): DataFrame = {
-    val key = round(col("c_acctbal") * 100).cast("long") * 10000000L +
+    // cents < 10^7, so cents * 10^11 + custkey is collision-free for
+    // custkey < 10^11 and stays inside Long
+    val key = round(col("c_acctbal") * 100).cast("long") * 100000000000L +
       col("c_custkey")
     customer(s, d)
       .groupBy(col("c_nationkey"))
@@ -95,7 +97,7 @@ object Relational2 {
   }
 
   val q25ArgMinMaxSql: String = {
-    val key = "CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey"
+    val key = "CAST(round(c_acctbal * 100) AS BIGINT) * 100000000000 + c_custkey"
     s"""SELECT c_nationkey,
        |  arg_max(c_name, $key) AS richest,
        |  arg_min(c_name, $key) AS poorest,

@@ -27,10 +27,13 @@ object SkewJoin {
   def salted(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0)
-    // deterministic-enough spreading: hash of the whole row modulo salts;
-    // any per-row value works — the salt never affects the join result
+    // per-ROW salt, not per-value: hashing row contents would send the
+    // degenerate hot case (many IDENTICAL rows under one key) to a
+    // single salt bucket; monotonically_increasing_id cycles every row
+    // through all buckets regardless of payload, and the salt never
+    // affects the join result
     val saltedLeft = left.withColumn(SaltCol,
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft

@@ -33,16 +33,21 @@ object TextAnalysis {
         col("doc_id"),
         size(toks).as("n_tokens"),
         length(regexp_replace(col("text"), "\\s+", "")).as("n_nospace"),
-        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) /
-          size(toks)).as("avg_token_len"))
+        // explicit empty-doc guard: Spark's /0 yields NULL but DuckDB's
+        // yields NaN — an aligned CASE keeps both engines at NULL
+        when(size(toks) > 0,
+          length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) /
+            size(toks)).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   val taTokenStatsSql: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
       |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS n_nospace,
-      |  (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-      |    / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS avg_token_len
+      |  CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
+      |       THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |            / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+      |  END AS avg_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -58,9 +63,10 @@ object TextAnalysis {
         col("doc_id"),
         nTok.as("n_tokens"),
         stopHits.as("n_stop"),
-        (stopHits.cast(DoubleType) / nTok).as("stop_ratio"),
-        (stopHits.cast(DoubleType) / nTok * lit(0.5) +
-          least(nTok.cast(DoubleType) / lit(200.0), lit(1.0)) * lit(0.5))
+        when(nTok > 0, stopHits.cast(DoubleType) / nTok).as("stop_ratio"),
+        when(nTok > 0,
+          stopHits.cast(DoubleType) / nTok * lit(0.5) +
+            least(nTok.cast(DoubleType) / lit(200.0), lit(1.0)) * lit(0.5))
           .as("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -72,9 +78,12 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
        |  CAST($hitsSql AS INTEGER) AS n_stop,
-       |  (CAST($hitsSql AS DOUBLE) / len($toksSql)) AS stop_ratio,
-       |  (CAST($hitsSql AS DOUBLE) / len($toksSql) * 0.5
-       |    + least(CAST(len($toksSql) AS DOUBLE) / 200.0, 1.0) * 0.5) AS quality_score
+       |  CASE WHEN len($toksSql) > 0
+       |       THEN CAST($hitsSql AS DOUBLE) / len($toksSql) END AS stop_ratio,
+       |  CASE WHEN len($toksSql) > 0
+       |       THEN CAST($hitsSql AS DOUBLE) / len($toksSql) * 0.5
+       |            + least(CAST(len($toksSql) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |  END AS quality_score
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }

@@ -131,9 +131,15 @@ final class Storage(spark: SparkSession, warehouse: String) {
     spark.read.textFile(pathOf(name).toString)
   }
 
-  /** delete (S6): drop the stored name; true iff it existed. */
-  def delete(name: String): Boolean =
+  /** delete (S6): drop the stored name (and its format sidecar, so a
+    * later re-put under the same name is not read with a stale format);
+    * true iff it existed.
+    */
+  def delete(name: String): Boolean = {
+    val meta = new Path(warehouse, s".meta_$name")
+    if (fs.exists(meta)) fs.delete(meta, false)
     exists(name) && fs.delete(pathOf(name), true)
+  }
 
   def exists(name: String): Boolean = fs.exists(pathOf(name))
 

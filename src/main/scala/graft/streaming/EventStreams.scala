@@ -26,8 +26,8 @@ import graft.sources.Tables
 object EventStreams {
 
   val WindowSec = 300L         // 5-minute tumbling windows
-  val SlideSec = 300L          // slide of the 10-minute sliding window
-  val SlidingWindowSec = 600L
+  val SlideSec = 300L          // slide of the sliding window
+  val SlidingWindowSec = 600L  // width; buckets-per-event derives from this
   val SessionGapNs: Long = 30L * 60 * 1000000000L // 30-minute session gap
 
   private val NsPerSec = 1000000000L
@@ -63,9 +63,11 @@ object EventStreams {
     */
   def stSlidingWindow(s: SparkSession, d: String): DataFrame = {
     val bucket = expr(s"ts_ns DIV ${SlideSec * NsPerSec}") * SlideSec
+    val nBuckets = (SlidingWindowSec / SlideSec).toInt
     Tables.events(s, d)
       .select(col("event_type"), col("value"),
-        explode(array(bucket, bucket - SlideSec)).as("win_start_s"))
+        explode(array((0 until nBuckets).map(i =>
+          bucket - i * SlideSec): _*)).as("win_start_s"))
       .groupBy(col("win_start_s"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("win_start_s"))
@@ -181,17 +183,20 @@ object EventStreams {
       .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
   }
 
-  /** Streaming exact dedup: watermark-bounded `dropDuplicates` — the
-    * streaming twin of `dd_exact`. State holds one entry per key and is
-    * pruned once the watermark passes, so memory is bounded by the
-    * dedup horizon rather than the stream length.
+  /** Streaming exact dedup: watermark-bounded dedup — the streaming twin
+    * of `dd_exact`. `dropDuplicatesWithinWatermark` prunes each key's
+    * state once the watermark passes its event time (plain
+    * `dropDuplicates` on a non-event-time key would grow state forever),
+    * so memory is bounded by the dedup horizon, not the stream length.
     */
-  def streamingDedup(events: DataFrame): DataFrame =
-    events
+  def streamingDedup(events: DataFrame): DataFrame = {
+    val withTs = events
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    (if (withTs.isStreaming) withTs.dropDuplicatesWithinWatermark("event_id")
+     else withTs.dropDuplicates("event_id"))
       .drop("ts")
+  }
 
   final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double, props: String)
@@ -199,12 +204,14 @@ object EventStreams {
       n_events: Long)
   private final case class SessState(start: Long, end: Long, n: Long)
 
-  /** Stateful sessionizer via `flatMapGroupsWithState`: per-user state
-    * holds the open session; an event past the gap closes it and emits.
-    * In batch mode each group arrives once and all closed + the final
-    * open session are emitted, which makes it directly comparable to
-    * [[stSessionize]]; in streaming, event-time timeout closes idle
-    * sessions across micro-batches.
+  /** Stateful sessionizer via `flatMapGroupsWithState` — BATCH-mode
+    * semantics: each group arrives once, the events are sorted, closed
+    * sessions plus the final open one are emitted, and state is
+    * discarded, making it directly comparable to [[stSessionize]].
+    * A streaming deployment additionally needs `EventTimeTimeout` wiring
+    * (keep the open session in state, emit on timeout) — NOT implemented
+    * here; the streaming-verified operators are the windowed aggregation,
+    * stream-stream join and dedup above.
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -46,6 +46,23 @@ def main():
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     n_ok = n_bad = 0
     failures = []
+    # rows-only queries (no oracle SQL) still must have produced output —
+    # a Spark-side failure is only visible via the manifest
+    manifest = Path(f"{outdir}/queries.txt")
+    if manifest.exists():
+        for name in manifest.read_text().split():
+            if name in oracle:
+                continue
+            qdir = Path(outdir) / name
+            if not qdir.exists():
+                print(f"FAIL {name}: rows-only query produced no output")
+                n_bad += 1; failures.append(name)
+            else:
+                n = con.sql(
+                    f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')"
+                ).fetchone()[0]
+                print(f"ok   {name}  ({n} rows, rows-only)")
+                n_ok += 1
     for name in sorted(oracle):
         spark_dir = Path(outdir) / name
         if not spark_dir.exists():
