@@ -202,7 +202,7 @@ object EventStreams {
       event_type: String, value: Double, props: String)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long,
       n_events: Long)
-  private final case class SessState(start: Long, end: Long, n: Long)
+  final case class SessState(start: Long, end: Long, n: Long)
 
   /** Stateful sessionizer via `flatMapGroupsWithState` — BATCH-mode
     * semantics: each group arrives once, the events are sorted, closed
@@ -240,6 +240,56 @@ object EventStreams {
               out += SessionOut(userId, st.start, st.end, st.n)
               state.remove()
             case None => ()
+          }
+          out.iterator
+      }
+  }
+
+  /** STREAMING sessionizer: the event-time-timeout counterpart of the
+    * batch [[sessionize]]. State holds the open session per user; events
+    * within the gap extend it (closing any session they overrun), and
+    * the session is emitted only when the event-time watermark passes
+    * `session end + gap` — i.e. when no in-order event can extend it.
+    * Requires a watermarked `ts` column upstream.
+    */
+  final case class EventWithTs(event_id: Long, ts_ns: Long, user_id: Long,
+      event_type: String, value: Double, props: String,
+      ts: java.sql.Timestamp)
+
+  def sessionizeStream(events: Dataset[EventWithTs]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventWithTs],
+            state: GroupState[SessState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          if (state.hasTimedOut) {
+            state.getOption.foreach(st =>
+              out += SessionOut(userId, st.start, st.end, st.n))
+            state.remove()
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.ts_ns - st.end <= SessionGapNs =>
+                  cur = Some(SessState(st.start, math.max(st.end, e.ts_ns),
+                    st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(userId, st.start, st.end, st.n)
+                  cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+                case None =>
+                  cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark proves no extender can arrive
+              state.setTimeoutTimestamp(
+                (st.end + SessionGapNs) / 1000000L + 1)
+            }
           }
           out.iterator
       }

@@ -81,6 +81,55 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sessionizer merges a session spanning micro-batches and times out idle ones") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sess-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-sess-stage-")
+      rows.toDF("event_id", "user_id", "ts_ns")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id",
+          "'click' AS event_type", "1.0 AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100) // distinct mtimes → deterministic trigger order
+    }
+    // b1: user1 two events; user2 one event
+    writeBatch("001.parquet",
+      Seq((1L, 1L, t0), (2L, 1L, t0 + min), (10L, 2L, t0)))
+    // b2: user1 extends within the gap (MUST merge, not restart);
+    //     user2 exceeds the gap (closes session 1, opens session 2)
+    writeBatch("002.parquet",
+      Seq((3L, 1L, t0 + 2 * min), (11L, 2L, t0 + 120 * min)))
+    // b3: far-future sentinel pushes the watermark → idle sessions time out
+    writeBatch("003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "0 seconds")
+      .as[EventWithTs]
+    val q = sessionizeStream(es)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, t0, t0 + 2 * min, 3L),          // ONE merged session across b1+b2
+      (2L, t0, t0, 1L),                    // closed by the gap-exceeding event
+      (2L, t0 + 120 * min, t0 + 120 * min, 1L))) // idle-timed-out by sentinel
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
