@@ -37,20 +37,24 @@ package object functions {
 
   /** Exact sum of a product of two double columns (e.g. revenue =
     * extendedprice * (1 - discount)). The product of two scale-6 decimals
-    * is exact at scale 12; the sum stays decimal — casting a scale-12
-    * decimal to double is NOT correctly rounded in DuckDB once the
-    * unscaled value exceeds 2^53, so the result is left as an explicit
-    * DECIMAL(38,12) which both engines carry bit-exactly.
+    * is exact at scale 12; the sum stays decimal until a final cast to
+    * DOUBLE. Spark's decimal→double (BigDecimal.doubleValue) is correctly
+    * rounded; DuckDB's direct decimal→double cast is NOT once the unscaled
+    * value exceeds 2^53, so the SQL mirror round-trips through VARCHAR
+    * (exact digits, then strtod — correctly rounded). A raw decimal output
+    * column would also break the driver's comparator, which reads Spark
+    * parquet decimals as python Decimal objects but DuckDB results as
+    * float64.
     */
   def dsumProd(a: Column, b: Column): Column =
-    sum(dec(a) * dec(b)).cast(DecimalType(38, 12))
+    sum(dec(a) * dec(b)).cast(DoubleType)
 
   /** SQL fragment mirrors, used when composing oracle SQL strings. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(18,6))"
   def dsumSql(e: String): String = s"CAST(SUM(${decSql(e)}) AS DOUBLE)"
   def davgSql(e: String): String = s"(CAST(SUM(${decSql(e)}) AS DOUBLE) / COUNT(*))"
   def dsumProdSql(a: String, b: String): String =
-    s"CAST(SUM(${decSql(a)} * ${decSql(b)}) AS DECIMAL(38,12))"
+    s"CAST(CAST(SUM(${decSql(a)} * ${decSql(b)}) AS VARCHAR) AS DOUBLE)"
 
   // ---------------------------------------------------------------------
   // Text primitives (reference parity: SURVEY.md §2b P1-P8).

@@ -33,18 +33,24 @@ object Relational3 {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** Array aggregation: sorted distinct sets per group. */
+  /** Array aggregation: sorted distinct sets per group. The set is built
+    * as a real array aggregate (collect_set → array_sort) and serialized
+    * to a comma string only at output — raw array columns are unhashable
+    * in the driver's pandas-based comparator (numpy.ndarray cells broke
+    * the round-1 oracle run), and a delimited string compares bit-exactly.
+    */
   def q30ArrayAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
         size(collect_set(col("l_suppkey"))).as("n_supps"))
       .orderBy(col("l_returnflag"))
 
   val q30ArrayAggSql: String =
     """SELECT l_returnflag,
-      |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
       |  CAST(len(list(DISTINCT l_suppkey)) AS INTEGER) AS n_supps
       |FROM lineitem
       |GROUP BY l_returnflag

@@ -23,17 +23,25 @@ object SkewJoin {
 
   /** Inner equi-join `left ⋈ right ON left(key) = right(key)` with the
     * left (large, skewed) side salted into `salts` sub-keys.
+    *
+    * The salt must be DETERMINISTIC per row: a non-deterministic salt
+    * (rand / monotonically_increasing_id) can re-salt rows into different
+    * shuffle partitions when a map task is re-executed after a fetch
+    * failure, dropping or duplicating join rows. `saltBy` names the
+    * columns to hash for the salt — pass a unique row id when you have
+    * one. When empty, ALL left columns are hashed; that is fully
+    * deterministic, but rows that are bit-identical across every column
+    * share a salt bucket (skew relief is then bounded by the number of
+    * distinct rows under the hot key).
     */
   def salted(left: DataFrame, right: DataFrame, key: String,
-      salts: Int): DataFrame = {
+      salts: Int, saltBy: Seq[Column] = Nil): DataFrame = {
     require(salts > 0)
-    // per-ROW salt, not per-value: hashing row contents would send the
-    // degenerate hot case (many IDENTICAL rows under one key) to a
-    // single salt bucket; monotonically_increasing_id cycles every row
-    // through all buckets regardless of payload, and the salt never
-    // affects the join result
+    val saltSrc =
+      if (saltBy.nonEmpty) saltBy
+      else left.columns.toSeq.map(left(_))
     val saltedLeft = left.withColumn(SaltCol,
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(saltSrc: _*), lit(salts.toLong)).cast("int"))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft

@@ -20,7 +20,32 @@ final class Storage(spark: SparkSession, warehouse: String) {
   private def fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pathOf(name: String): Path = new Path(warehouse, name)
+  /** Stored names are flat identifiers: the sidecar scheme
+    * (`.meta_<name>`), `pathOf`, and the SQL statements in the bucketed
+    * verbs all assume no path separators or SQL metacharacters. Reject
+    * anything else up front (every verb funnels through here).
+    */
+  private val NamePattern = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+  private def checkName(name: String): String = name match {
+    case NamePattern() => name
+    case _ => throw new IllegalArgumentException(
+      s"invalid stored name '$name': must match ${NamePattern.regex}")
+  }
+
+  private def pathOf(name: String): Path =
+    new Path(warehouse, checkName(name))
+
+  private def metaOf(name: String): Path =
+    new Path(warehouse, s".meta_${checkName(name)}")
+
+  /** Every put verb clears any stale format sidecar left by an earlier
+    * putAs under the same name — otherwise getAs would read the fresh
+    * data with the old format.
+    */
+  private def dropMeta(name: String): Unit = {
+    val meta = metaOf(name)
+    if (fs.exists(meta)) fs.delete(meta, false)
+  }
 
   /** put (S2/S3/S4): persist a DataFrame as parquet under `name`.
     * Like the reference's put (`dfs/controller/controller.go:64-77`),
@@ -32,6 +57,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
         s"file with name $name already stored; delete it first")
     df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(pathOf(name).toString)
+    dropMeta(name)
   }
 
   /** put for line-oriented text (the reference's primary layout, S3). */
@@ -42,6 +68,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
         s"file with name $name already stored; delete it first")
     lines.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .text(pathOf(name).toString)
+    dropMeta(name)
   }
 
   /** put with hash bucketing: pre-shuffles and sorts by `bucketCols`
@@ -52,8 +79,9 @@ final class Storage(spark: SparkSession, warehouse: String) {
     */
   def putBucketed(name: String, df: DataFrame, numBuckets: Int,
       bucketCols: Seq[String], overwrite: Boolean = false): Unit = {
+    checkName(name)
     if (overwrite) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
       delete(name)
     } else if (exists(name))
       throw new IllegalArgumentException(
@@ -84,6 +112,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
     df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .partitionBy(partitionCols: _*)
       .parquet(pathOf(name).toString)
+    dropMeta(name)
   }
 
   /** Format-parameterized put/get (the reference stores text and binary;
@@ -101,14 +130,13 @@ final class Storage(spark: SparkSession, warehouse: String) {
       case "csv" => w.option("header", "true")
       case _ => w
     }).format(format).save(pathOf(name).toString)
-    val meta = new Path(warehouse, s".meta_$name")
-    val out = fs.create(meta, true)
+    val out = fs.create(metaOf(name), true)
     out.write(format.getBytes("UTF-8"))
     out.close()
   }
 
   def getAs(name: String): DataFrame = {
-    val meta = new Path(warehouse, s".meta_$name")
+    val meta = metaOf(name)
     val format =
       if (fs.exists(meta)) {
         val in = fs.open(meta)
@@ -136,8 +164,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * true iff it existed.
     */
   def delete(name: String): Boolean = {
-    val meta = new Path(warehouse, s".meta_$name")
-    if (fs.exists(meta)) fs.delete(meta, false)
+    dropMeta(name)
     exists(name) && fs.delete(pathOf(name), true)
   }
 

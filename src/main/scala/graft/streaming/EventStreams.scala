@@ -274,9 +274,19 @@ object EventStreams {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
+                // disjoint EARLIER session: an in-watermark but
+                // out-of-order event more than a gap before the open
+                // session's start can never merge with it — emit it as
+                // its own (possibly single-event) session rather than
+                // silently absorbing it into the open one
+                case Some(st) if e.ts_ns < st.start - SessionGapNs =>
+                  out += SessionOut(userId, e.ts_ns, e.ts_ns, 1)
+                // within-gap of the open session on either side: merge,
+                // widening BOTH bounds (an out-of-order event may extend
+                // the session backwards)
                 case Some(st) if e.ts_ns - st.end <= SessionGapNs =>
-                  cur = Some(SessState(st.start, math.max(st.end, e.ts_ns),
-                    st.n + 1))
+                  cur = Some(SessState(math.min(st.start, e.ts_ns),
+                    math.max(st.end, e.ts_ns), st.n + 1))
                 case Some(st) =>
                   out += SessionOut(userId, st.start, st.end, st.n)
                   cur = Some(SessState(e.ts_ns, e.ts_ns, 1))

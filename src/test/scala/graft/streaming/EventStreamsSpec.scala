@@ -130,6 +130,55 @@ class EventStreamsSpec extends SparkTestBase {
       (2L, t0 + 120 * min, t0 + 120 * min, 1L))) // idle-timed-out by sentinel
   }
 
+  test("streaming sessionizer handles in-watermark out-of-order events (nonzero watermark)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sess-ooo-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-sess-ooo-stage-")
+      rows.toDF("event_id", "user_id", "ts_ns")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id",
+          "'click' AS event_type", "1.0 AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100)
+    }
+    // b1: user1 session opens at [t0+60m, t0+62m]
+    writeBatch("001.parquet",
+      Seq((1L, 1L, t0 + 60 * min), (2L, 1L, t0 + 62 * min)))
+    // b2 (out-of-order, within the 2h watermark): t0 is MORE than a gap
+    // before the open session's start → disjoint earlier session;
+    // t0+40m is within the gap of start → must merge and LOWER start
+    writeBatch("002.parquet",
+      Seq((3L, 1L, t0), (4L, 1L, t0 + 40 * min)))
+    // b3: sentinel advances the watermark past end+gap → flush
+    writeBatch("003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .as[EventWithTs]
+    val q = sessionizeStream(es)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("sess_ooo_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, t0, t0, 1L),                        // disjoint earlier session
+      (1L, t0 + 40 * min, t0 + 62 * min, 3L))) // start lowered by merge
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only

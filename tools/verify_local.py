@@ -69,8 +69,16 @@ def main():
             print(f"FAIL {name}: spark output missing")
             n_bad += 1; failures.append(name); continue
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+            # Read the Spark side via pyarrow->pandas like the driver does:
+            # decimals arrive as python Decimal objects and arrays as
+            # numpy.ndarray cells, while the DuckDB oracle side becomes
+            # float64/object — reading both through DuckDB would mask
+            # exactly the dtype asymmetries that fail the driver's hash.
+            import pyarrow.parquet as _pq
+            parts = sorted(spark_dir.glob("*.parquet"))
+            import pyarrow as _pa
+            got = _pa.concat_tables(
+                [_pq.read_table(p) for p in parts]).to_pandas()
             exp = con.sql(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -90,6 +98,13 @@ def main():
 
 
 def compare(got, exp):
+    # normalize timestamp resolution: pyarrow->pandas yields datetime64[ns]
+    # while duckdb fetchdf yields datetime64[us]; the driver compares
+    # values, not pandas dtype resolution
+    for df in (got, exp):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[ns]")
     if list(got.columns) != list(exp.columns):
         return False, f"columns {list(got.columns)} != {list(exp.columns)}"
     if len(got) != len(exp):
