@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature of a shingle set: k affine permutations
-  * `(a_i * h + b_i) mod p` over an FNV-1a-64 base hash of each shingle,
+  * `(a_i * h + b_i) mod p` over an md5-derived base hash of each
+  * shingle (cross-engine computable — see [[MinHashSig.baseHash]]),
   * column-wise minimum.
   *
   * The pure-HOF formulation (nested `transform`/`array_min` over a
@@ -52,18 +53,15 @@ object MinHashSig {
   val coefB: Array[Long] =
     Array.tabulate(NumHashes)(i => (i * 1103515245L + 12345L) % MersennePrime)
 
-  /** Base hash of a shingle: FNV-1a-64 folded into [0, p). */
-  def baseHash(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xFF)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    ((h % MersennePrime) + MersennePrime) % MersennePrime
-  }
+  /** Base hash of a shingle: md5-derived 64 bits folded into [0, p) with
+    * an UNSIGNED mod — DuckDB computes the identical value as
+    * `('0x' || substr(md5(s),1,16))::UBIGINT % 2147483647`, which is what
+    * makes the whole minhash signature (and therefore dd_minhash_lsh's
+    * oracle) SQL-expressible.
+    */
+  def baseHash(s: UTF8String): Long =
+    java.lang.Long.remainderUnsigned(
+      SimHash.md5Hash64(s.getBytes), MersennePrime)
 
   /** Shared by interpreted eval and generated code. */
   def signature(shingles: ArrayData): Array[Long] = {

@@ -192,25 +192,34 @@ object Dedup {
         graft.functions.MinHashSig.minhashSig(col("shingles")).as("sig"))
 
   /** Banded-LSH candidate pairs with signature-estimated Jaccard.
-    * One shuffle on (band, band_hash); near-dups collide in ≥1 band with
-    * probability 1-(1-j^r)^b (~0.99 for j=0.8 at r=4,b=16). The
-    * quadratic pair space is never formed — only same-bucket pairs.
+    * One shuffle on the (band, band-slice) key; near-dups collide in ≥1
+    * band with probability 1-(1-j^r)^b (~0.99 for j=0.8 at r=4,b=16).
+    * The quadratic pair space is never formed — only same-bucket pairs.
+    *
+    * The bucket key is the band's r signature values THEMSELVES (r
+    * long columns), not an engine-specific hash of them: candidates are
+    * then exactly "pairs agreeing on all r rows of some band", which the
+    * DuckDB oracle reproduces — and r longs is already a compact
+    * fixed-width shuffle key, so hashing them first would only save a
+    * few bytes while making the operator unverifiable.
     */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(documents(s, d))
-    // band rows carry only (doc_id, band, bucket) — signatures are NOT
-    // shuffled through the pair-join/dedup; they re-attach afterwards.
+    // band rows carry only (doc_id, band, r key cols) — signatures are
+    // NOT shuffled through the pair-join/dedup; they re-attach after.
+    val keyCols = (0 until RowsPerBand).map(i =>
+      element_at(col("sig"), col("band") * RowsPerBand + i + 1).as(s"k$i"))
     val bands = sigs.select(
       col("doc_id"),
       explode(sequence(lit(0), lit(Bands - 1))).as("band"),
       col("sig"))
-      .select(col("doc_id"), col("band"),
-        hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
-          lit(RowsPerBand))).as("bucket"))
+      .select(col("doc_id") +: col("band") +: keyCols: _*)
+    val joinCond = col("a.band") === col("b.band") &&
+      (0 until RowsPerBand).map(i =>
+        col(s"a.k$i") === col(s"b.k$i")).reduce(_ && _) &&
+      col("a.doc_id") < col("b.doc_id")
     val candIds = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+      .join(bands.as("b"), joinCond)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     candIds
@@ -221,6 +230,56 @@ object Dedup {
           .cast(DoubleType) / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.3)
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB mirror of the full minhash+LSH pipeline: the md5-derived
+    * base hash and the affine coefficient family are embedded as
+    * literals, so signatures — and therefore candidate pairs and the
+    * estimated Jaccard — are bit-identical across engines.
+    */
+  val ddMinhashLshSql: String = {
+    val p = graft.functions.MinHashSig.MersennePrime
+    val sigList = (0 until NumHashes).map { i =>
+      val a = graft.functions.MinHashSig.coefA(i)
+      val b = graft.functions.MinHashSig.coefB(i)
+      s"list_min(list_transform(hl, h -> ($a * h + $b) % $p))"
+    }.mkString("[", ",\n      ", "]")
+    val bandKeys = (0 until RowsPerBand)
+      .map(i => s"sig[band * $RowsPerBand + ${i + 1}] AS k$i").mkString(", ")
+    val keyEq = (0 until RowsPerBand)
+      .map(i => s"a.k$i = b.k$i").mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shs
+       |  FROM toks WHERE len(t) >= 3),
+       |hl AS (
+       |  SELECT doc_id,
+       |    list_transform(shs, s ->
+       |      CAST(CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) % $p AS BIGINT)) AS hl
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, $sigList AS sig
+       |  FROM hl),
+       |bands AS (
+       |  SELECT doc_id, band, $bandKeys
+       |  FROM sig CROSS JOIN range($Bands) r(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    pr -> CASE WHEN pr[1] = pr[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = a_id
+       |JOIN sig sb ON sb.doc_id = b_id
+       |WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    pr -> CASE WHEN pr[1] = pr[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes >= 0.3
+       |ORDER BY est_jaccard DESC, a_id, b_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -234,7 +293,9 @@ object Dedup {
     * Hamming distance ≤ 6.
     */
   def ddSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val sh = documents(s, d)
+      .filter(size(toks) > 0) // token-less docs have no signature
+      .select(col("doc_id"), simhash(col("text")).as("sh"))
     val chunkArr = array((0 until 4).map(i =>
       shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val chunks = sh.select(col("doc_id"), col("sh"),
@@ -250,6 +311,39 @@ object Dedup {
       .filter(col("hamming") <= 6)
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
+
+  /** DuckDB mirror of the simhash pipeline: the md5-derived token hash
+    * gives bit-identical 64-bit signatures in both engines (computed in
+    * UBIGINT on the DuckDB side — same bit pattern as Spark's signed
+    * long), so chunk buckets, candidate pairs, and Hamming distances
+    * all reproduce exactly.
+    */
+  val ddSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+      |  FROM toks),
+      |votes AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN range(64) r(b)
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sh
+      |  FROM votes GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, sh, ci, CAST((sh >> (ci * 16)) & 65535 AS BIGINT) AS chunk
+      |  FROM sig CROSS JOIN range(4) r(ci)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |  FROM chunks a JOIN chunks b
+      |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hamming FROM pairs
+      |WHERE hamming <= 6
+      |ORDER BY hamming, a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Embedding-cosine near-dup.
@@ -295,14 +389,12 @@ object Dedup {
     "dd_embed_cosine"  -> ddEmbedCosine _,
   )
 
-  /** dd_minhash_lsh / dd_simhash are hash-family-specific (murmur3 /
-    * FNV), not SQL-expressible in DuckDB — driver records rows-only;
-    * their quality is asserted against the exact oracles in DedupSpec.
-    */
   val oracles: Map[String, String] = Map(
     "dd_exact"         -> ddExactSql,
     "dd_apply"         -> ddApplySql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_minhash_lsh"   -> ddMinhashLshSql,
+    "dd_simhash"       -> ddSimhashSql,
     "dd_embed_cosine"  -> ddEmbedCosineSql,
   )
 }

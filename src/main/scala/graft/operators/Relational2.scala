@@ -131,9 +131,14 @@ object Relational2 {
       |ORDER BY l_returnflag""".stripMargin
 
   /** Sketch aggregates: HLL++ distinct counts and quantile sketches.
-    * Not SQL-oracle-able (sketch internals are engine-specific) — driver
-    * records rows-only; Relational2Spec bounds the error vs the exact
-    * answers. At 100 TB these replace exact distinct/percentile where a
+    * Sketch VALUES are engine-specific (HLL register layout, quantile
+    * buffer), so the output carries the exact answers plus tolerance
+    * INVARIANTS: booleans asserting each sketch landed within its error
+    * bound. The oracle pins the exact columns and requires the booleans
+    * TRUE — a broken sketch flips a boolean and fails the hash gate,
+    * while the engine-specific raw sketch value stays out of the
+    * compare. Relational2Spec additionally bounds the raw errors. At
+    * 100 TB these sketches replace exact distinct/percentile where a
     * bounded error buys an order of magnitude less shuffle.
     */
   def q27Approx(s: SparkSession, d: String): DataFrame = {
@@ -151,10 +156,23 @@ object Relational2 {
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     sketches.join(broadcast(exact), "l_returnflag")
-      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
-        col("approx_p50"), col("exact_p50"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_p50"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.05).as("approx_orders_ok"),
+        (abs(col("approx_p50") - col("exact_p50"))
+          <= col("exact_p50") * 0.05).as("approx_p50_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  val q27ApproxSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |  TRUE AS approx_orders_ok,
+      |  TRUE AS approx_p50_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** The custom bounded-heap top-k operator (graft.plans.TopKPerGroup),
     * driver-gated against the equivalent window SQL: same rows, found
@@ -188,6 +206,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_approx"      -> q27ApproxSql,
     "q28_topk_custom" -> q28TopkCustomSql,
     "q21_pivot"       -> q21PivotSql,
     "q22_cross_join"  -> q22CrossJoinSql,

@@ -104,8 +104,10 @@ object Similarity {
     * distinct pass dedupes). Only candidates are scored — at 100 TB the
     * corpus shuffles once on (table, bucket) and the quadratic space is
     * never formed. Recall vs the brute-force oracle is asserted in
-    * SimilaritySpec; rows-only for the driver (the hyperplane family
-    * isn't SQL-expressible in DuckDB).
+    * SimilaritySpec; the hyperplanes are fixed literals, so the whole
+    * pipeline is also SQL-expressible and oracle-checked (the DuckDB
+    * mirror embeds the same plane values and folds each dot product in
+    * the same element order — bit-identical buckets and cosines).
     */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -130,6 +132,55 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** DuckDB mirror of [[simAnnLsh]]: hyperplanes as literal DOUBLE[]
+    * rows in a VALUES table, dot products as the same left-to-right
+    * double fold Spark's `aggregate` HOF performs.
+    */
+  val simAnnLshSql: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      (0 until PlanesPerTable).map { p =>
+        val pl = hyperplanes(t * PlanesPerTable + p).mkString("[", ", ", "]")
+        s"($t, $p, $pl::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+    s"""WITH planes(t, p, pl) AS (VALUES
+       |    $planeRows),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, t, p,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(v, pl), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) AS dot
+       |  FROM e CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM buckets c JOIN buckets q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < $NumQueryVectors AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT q_id, c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = c_id)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
@@ -137,5 +188,6 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> simTopkBruteSql,
+    "sim_ann_lsh"    -> simAnnLshSql,
   )
 }
