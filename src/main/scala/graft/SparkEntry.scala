@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, Dedup, MapReduceQueries, Multimodal, Relational, Relational2, Relational3, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, MapReduceQueries, Multimodal, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Relational4.queries ++
       MapReduceQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Multimodal.queries ++ AsOfJoin.queries
@@ -29,6 +30,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      Relational4.oracles ++
       MapReduceQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles

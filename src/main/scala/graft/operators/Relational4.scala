@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables._
+import graft.streaming.EventStreams
+
+/** Fourth relational tranche: binned range join, explicit GROUPING SETS
+  * with grouping_id, deterministic hash sampling, and numeric histogram
+  * binning.
+  */
+object Relational4 {
+
+  /** Events-into-sessions range join: count ALL events (any user) whose
+    * timestamp falls inside each of the first 50 users' sessions — a
+    * pure point-in-interval join with no equi key, lowered through
+    * [[RangeJoin.binned]] so it plans as an equi-join on time bins
+    * instead of a nested-loop. Bin width 1 hour ≈ session scale.
+    */
+  def q36RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sessions = EventStreams.stSessionize(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("session_idx"),
+        col("start_us"), col("end_us"))
+    val points = events(s, d).select(expr("ts_ns DIV 1000").as("ts_us"))
+    RangeJoin.binned(points, "ts_us", sessions, "start_us", "end_us",
+        binWidth = 3600L * 1000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events_in_span"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q36RangeJoinSql: String =
+    s"""WITH sess AS (
+       |  SELECT user_id, session_idx,
+       |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+       |  FROM (
+       |    SELECT user_id, ts_us,
+       |      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
+       |    FROM (
+       |      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |        CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+       |               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > ${EventStreams.SessionGapNs / 1000}
+       |             THEN 1 ELSE 0 END AS is_new
+       |      FROM events) a) b
+       |  WHERE user_id < 50
+       |  GROUP BY user_id, session_idx)
+       |SELECT s.user_id, s.session_idx, COUNT(*) AS n_events_in_span
+       |FROM sess s JOIN (SELECT epoch_us(ts) AS ts_us FROM events) e
+       |  ON e.ts_us BETWEEN s.start_us AND s.end_us
+       |GROUP BY s.user_id, s.session_idx
+       |ORDER BY s.user_id, s.session_idx""".stripMargin
+
+  /** Explicit GROUPING SETS — (flag, status), (flag), () — with
+    * grouping_id distinguishing the aggregation level (Spark and DuckDB
+    * share the bit-vector encoding).
+    */
+  def q37GroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q37GroupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Deterministic 5% hash sample: rows whose md5-bucket of the key
+    * falls below the sampling threshold. Unlike TABLESAMPLE/rand(), the
+    * sample is a pure function of the key — reproducible across engines,
+    * retries, and partitionings (the property that matters when sampling
+    * a 100 TB table for a stats pass), and the md5-derived bucket is
+    * uncorrelated with key order.
+    */
+  def q38HashSample(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(md5Bucket(col("c_custkey").cast("string"), 100) < 5)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  val q38HashSampleSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_sampled,
+       |  ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer
+       |WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 5
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Numeric histogram: equal-width bins over order totalprice (floor
+    * of a double division — the same IEEE op in both engines).
+    */
+  def q39Histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bin"))
+
+  val q39HistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_range_join"    -> q36RangeJoin _,
+    "q37_grouping_sets" -> q37GroupingSets _,
+    "q38_hash_sample"   -> q38HashSample _,
+    "q39_histogram"     -> q39Histogram _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_range_join"    -> q36RangeJoinSql,
+    "q37_grouping_sets" -> q37GroupingSetsSql,
+    "q38_hash_sample"   -> q38HashSampleSql,
+    "q39_histogram"     -> q39HistogramSql,
+  )
+}

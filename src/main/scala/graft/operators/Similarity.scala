@@ -181,13 +181,99 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the cell-probing scale path.
+  // ---------------------------------------------------------------------
+
+  val NumCells = 16  // centroids
+  val NumProbes = 2  // cells probed per query
+
+  /** IVF-style approximate top-k: the corpus is partitioned into cells
+    * by nearest centroid; a query scores only vectors in its `NumProbes`
+    * nearest cells. Centroids here are the first `NumCells` corpus
+    * vectors — a deterministic stand-in for the offline k-means pass a
+    * production index would run; the STRUCTURE is the scale path: cell
+    * assignment is a map-side broadcast join (16 dot products per
+    * vector), cells are the partition key, and a query touches
+    * NumProbes/NumCells of the corpus instead of all of it.
+    */
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    // nearest-centroid assignment (rank 1) / probe list (rank <= NumProbes)
+    def cellRanks(df: DataFrame, idCol: String, vecCol: String) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cos_c").desc, col("cell"))
+      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol))
+        .crossJoin(broadcast(cent))
+        .select(col(idCol), col(vecCol), col("cell"),
+          cosineSim(col(vecCol), col("cv")).as("cos_c"))
+        .withColumn("crank", row_number().over(w))
+    }
+    val assigned = cellRanks(e, "c_id", "cv_c").filter(col("crank") === 1)
+      .select(col("c_id"), col("cv_c"), col("cell"))
+    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors), "q_id", "qv")
+      .filter(col("crank") <= NumProbes)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("qv"), col("cv_c")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val simIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks
+       |           WHERE crank <= $NumProbes AND vec_id < $NumQueryVectors),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
+    "sim_ivf"        -> simIvf _,
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_ann_lsh"    -> simAnnLshSql,
+    "sim_ivf"        -> simIvfSql,
   )
 }

