@@ -24,12 +24,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so first-query JIT cost
-    // doesn't land on a measured number.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup on the smallest SF so first-query JIT and
+    // cold-reader cost don't land on a measured number: touch every
+    // table reader and every native expression family (shingles,
+    // minhash, simhash, vector kernels, window exec, parquet readers).
+    val warm = Seq("q1_agg", "dd_minhash_lsh", "dd_simhash", "sim_ivf",
+      "st_window_agg", "mm_meta", "ta_quality")
+    warm.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query names to bench (repeats allowed), e.g.
+    //   runMain graft.Bench dd_apply dd_apply dd_simhash
+    val selected =
+      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -54,7 +54,14 @@ object Dedup {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
-  /** Shared shingle relation: distinct (doc_id, 3-token shingle). */
+  /** Shared shingle relation: distinct (doc_id, 3-token shingle).
+    * Referenced 2-3 times by each consumer (both pair-join sides +
+    * per-doc counts); the self-join sides shuffle identical subplans on
+    * the same key, so ReuseExchange serves the second side from the
+    * first's shuffle files. An explicit .persist() was MEASURED SLOWER
+    * here (cache materialization cost > the one duplicated aggregate
+    * branch it saves, and it blocks exchange reuse) — don't add one.
+    */
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),

@@ -171,15 +171,68 @@ object Multimodal {
       |      FROM h) t
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      new_w: Int, new_h: Int, resized_bytes: Long)
+
+  /** Resize pass for the `image` rows: fit into a 256×256 box preserving
+    * aspect ratio (integer math — `new = dim * 256 / max(w, h)`), with
+    * the output byte size of an RGB buffer. Decode + resize run in the
+    * same `mapPartitions` batch (a real pipeline fuses them to avoid
+    * re-decoding); the pixel work is the same deterministic stub as
+    * [[decodeStub]], the batching/fusion shape is the real operator.
+    */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(_.media_type == "image")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { row =>
+            val dec = decodeStub(row)
+            val longSide = math.max(dec.width, dec.height)
+            val nw = dec.width * 256 / longSide
+            val nh = dec.height * 256 / longSide
+            ResizedRow(row.doc_id, dec.width, dec.height, nw, nh,
+              nw.toLong * nh * 3)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val mmResizeSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_split_to_array(text, ''), x -> CAST(ord(x) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS rh
+      |  FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+      |dims AS (
+      |  SELECT doc_id,
+      |    CAST(32 + rh % 617 AS INTEGER) AS width,
+      |    CAST(32 + (rh * 31 + 7) % 431 AS INTEGER) AS height
+      |  FROM h)
+      |SELECT doc_id, width, height,
+      |  CAST(width * 256 // greatest(width, height) AS INTEGER) AS new_w,
+      |  CAST(height * 256 // greatest(width, height) AS INTEGER) AS new_h,
+      |  CAST(width * 256 // greatest(width, height) AS BIGINT)
+      |    * (height * 256 // greatest(width, height)) * 3 AS resized_bytes
+      |FROM dims
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"            -> mmMeta _,
     "mm_decode_features" -> mmDecodeFeatures _,
     "mm_frame_sample"    -> mmFrameSample _,
+    "mm_resize"          -> mmResize _,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_meta"            -> mmMetaSql,
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_frame_sample"    -> mmFrameSampleSql,
+    "mm_resize"          -> mmResizeSql,
   )
 }

@@ -107,18 +107,14 @@ object Relational2 {
        |ORDER BY c_nationkey""".stripMargin
   }
 
-  /** Exact interpolated percentiles per returnflag (Spark `percentile`
-    * and DuckDB `quantile_cont` share the (1-d)·lo + d·hi definition).
+  /** Exact interpolated percentiles per returnflag, via the rank-window
+    * formulation ([[Percentiles.exact]]) — same bit-exact answer as
+    * Spark `percentile` / DuckDB `quantile_cont` without collecting
+    * whole groups into aggregate buffers.
     */
   def q26Percentile(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.25D, 0.75D))")
-        .as("ps")) // one shared buffer for all three quantiles, not three
-      .select(col("l_returnflag"),
-        col("ps").getItem(0).as("p50"),
-        col("ps").getItem(1).as("p25"),
-        col("ps").getItem(2).as("p75"))
+    Percentiles.exact(lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p25" -> 0.25, "p75" -> 0.75))
       .orderBy(col("l_returnflag"))
 
   val q26PercentileSql: String =
@@ -150,12 +146,14 @@ object Relational2 {
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+    val exactP50 = Percentiles.exact(lineitem(s, d),
+      "l_returnflag", "l_extendedprice", Seq("exact_p50" -> 0.5))
     val exact = lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-    sketches.join(broadcast(exact), "l_returnflag")
+    sketches.join(broadcast(exactP50), "l_returnflag")
+      .join(broadcast(exact), "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_p50"),
         (abs(col("approx_orders") - col("exact_orders"))
           <= col("exact_orders") * 0.05).as("approx_orders_ok"),
