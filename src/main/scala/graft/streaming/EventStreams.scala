@@ -246,60 +246,67 @@ object EventStreams {
   }
 
   /** STREAMING sessionizer: the event-time-timeout counterpart of the
-    * batch [[sessionize]]. State holds the open session per user; events
-    * within the gap extend it (closing any session they overrun), and
-    * the session is emitted only when the event-time watermark passes
-    * `session end + gap` — i.e. when no in-order event can extend it.
-    * Requires a watermarked `ts` column upstream.
+    * batch [[sessionize]]. State holds ALL open sessions per user (a
+    * small list — sessions still inside the watermark horizon), so
+    * in-watermark out-of-order events merge correctly: an event within
+    * the gap of any open session (on either side) widens it, an event
+    * bridging two sessions fuses them, and a disjoint event opens a new
+    * session. Each session is emitted only once the event-time watermark
+    * passes `session end + gap` — i.e. when no in-watermark event can
+    * still extend it — matching batch [[sessionize]] semantics for all
+    * events the watermark admits. Requires a watermarked `ts` column
+    * upstream. State size is bounded by the watermark delay / gap ratio,
+    * not by stream length.
     */
   final case class EventWithTs(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double, props: String,
       ts: java.sql.Timestamp)
 
+  final case class OpenSessions(sessions: List[SessState])
+
   def sessionizeStream(events: Dataset[EventWithTs]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // a session is final once the watermark passes end+gap: its timeout
+    // tick (ms) is the first watermark value that can no longer extend it
+    def timeoutMs(st: SessState): Long =
+      (st.end + SessionGapNs) / 1000000L + 1
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[EventWithTs],
-            state: GroupState[SessState]) =>
+            state: GroupState[OpenSessions]) =>
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          if (state.hasTimedOut) {
-            state.getOption.foreach(st =>
-              out += SessionOut(userId, st.start, st.end, st.n))
-            state.remove()
-          } else {
+          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (!state.hasTimedOut) {
             val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
-            var cur = state.getOption
             sorted.foreach { e =>
-              cur match {
-                // disjoint EARLIER session: an in-watermark but
-                // out-of-order event more than a gap before the open
-                // session's start can never merge with it — emit it as
-                // its own (possibly single-event) session rather than
-                // silently absorbing it into the open one
-                case Some(st) if e.ts_ns < st.start - SessionGapNs =>
-                  out += SessionOut(userId, e.ts_ns, e.ts_ns, 1)
-                // within-gap of the open session on either side: merge,
-                // widening BOTH bounds (an out-of-order event may extend
-                // the session backwards)
-                case Some(st) if e.ts_ns - st.end <= SessionGapNs =>
-                  cur = Some(SessState(math.min(st.start, e.ts_ns),
-                    math.max(st.end, e.ts_ns), st.n + 1))
-                case Some(st) =>
-                  out += SessionOut(userId, st.start, st.end, st.n)
-                  cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
-                case None =>
-                  cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+              // sessions the event can extend (within gap of either
+              // bound); one event may bridge several → fuse them all
+              val (near, far) = sessions.partition(st =>
+                e.ts_ns >= st.start - SessionGapNs &&
+                  e.ts_ns <= st.end + SessionGapNs)
+              val fused = near.foldLeft(SessState(e.ts_ns, e.ts_ns, 1)) {
+                (acc, st) =>
+                  SessState(math.min(acc.start, st.start),
+                    math.max(acc.end, st.end), acc.n + st.n)
               }
+              sessions = fused :: far
             }
-            cur.foreach { st =>
-              state.update(st)
-              // fire once the watermark proves no extender can arrive
-              state.setTimeoutTimestamp(
-                (st.end + SessionGapNs) / 1000000L + 1)
-            }
+          }
+          // close every session the watermark has passed — both on a
+          // timeout tick and on a data batch (timeouts don't fire in a
+          // trigger where the group also received data)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition(st => timeoutMs(st) <= wmMs)
+          closed.sortBy(_.start).foreach(st =>
+            out += SessionOut(userId, st.start, st.end, st.n))
+          if (open.nonEmpty) {
+            state.update(OpenSessions(open))
+            // fire when the earliest-ending open session becomes final
+            state.setTimeoutTimestamp(open.map(timeoutMs).min)
+          } else {
+            state.remove()
           }
           out.iterator
       }

@@ -179,6 +179,56 @@ class EventStreamsSpec extends SparkTestBase {
       (1L, t0 + 40 * min, t0 + 62 * min, 3L))) // start lowered by merge
   }
 
+  test("streaming sessionizer merges multiple out-of-order events into one earlier session") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sess-ooo2-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-sess-ooo2-stage-")
+      rows.toDF("event_id", "user_id", "ts_ns")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id",
+          "'click' AS event_type", "1.0 AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100)
+    }
+    // b1: user1 session opens at [t0+100m, t0+102m]
+    writeBatch("001.parquet",
+      Seq((1L, 1L, t0 + 100 * min), (2L, 1L, t0 + 102 * min)))
+    // b2 (out-of-order, within the 3h watermark): t0 and t0+10m are both
+    // more than a gap before the open session's start, but within a gap
+    // of EACH OTHER — they must merge into one 2-event earlier session
+    // (the old single-open-session code emitted two singletons eagerly)
+    writeBatch("002.parquet",
+      Seq((3L, 1L, t0), (4L, 1L, t0 + 10 * min)))
+    // b3: sentinel advances the watermark past end+gap → flush all
+    writeBatch("003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "3 hours")
+      .as[EventWithTs]
+    val q = sessionizeStream(es)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo2_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("sess_ooo2_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, t0, t0 + 10 * min, 2L),                 // merged earlier session
+      (1L, t0 + 100 * min, t0 + 102 * min, 2L)))
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
