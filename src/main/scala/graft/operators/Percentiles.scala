@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * one partitioned sort: row_number + count per group, keep only the
   * two rows bracketing each requested percentile position, and
   * interpolate with the same `lower + (higher - lower) * fraction`
-  * arithmetic Spark's aggregate (and DuckDB's quantile_cont) uses — so
-  * results stay bit-identical while per-task state is O(1).
+  * arithmetic Spark's aggregate uses — same answers, O(1) per-task
+  * state. Oracle-checked via [[exactSql]], which mirrors the float ops.
   */
 object Percentiles {
 
@@ -55,5 +55,33 @@ object Percentiles {
       .groupBy(col(group))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(group) +: out: _*)
+  }
+
+  /** DuckDB oracle SQL for [[exact]], replicating its IEEE arithmetic
+    * OP-FOR-OP: `lo + (hi - lo) * frac` with `pos = (n-1)::double * p`.
+    * DuckDB's own `quantile_cont` interpolates in a different operation
+    * order, which diverges from this in the last ulp on some groups
+    * (observed: p25 of lineitem group 'N' at sf0.01) — and the driver's
+    * comparator is exact, so the oracle must do the SAME float ops, not
+    * merely the same math. 0.25/0.5/0.75-style fractions are exactly
+    * representable, so the `p` literal round-trips losslessly.
+    */
+  def exactSql(table: String, group: String, value: String,
+      ps: Seq[(String, Double)]): String = {
+    require(ps.nonEmpty)
+    def pos(p: Double) = s"CAST(n - 1 AS DOUBLE) * $p"
+    val outs = ps.map { case (name, p) =>
+      val lo = s"MAX(CASE WHEN rn = CAST(FLOOR(${pos(p)}) AS BIGINT) THEN v END)"
+      val hi = s"MAX(CASE WHEN rn = CAST(CEIL(${pos(p)}) AS BIGINT) THEN v END)"
+      val frac = s"MAX(${pos(p)} - FLOOR(${pos(p)}))"
+      s"($lo + ($hi - $lo) * $frac) AS $name"
+    }
+    s"""SELECT $group,
+       |  ${outs.mkString(",\n  ")}
+       |FROM (SELECT $group, $value AS v,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY $group ORDER BY $value) AS BIGINT) - 1 AS rn,
+       |        CAST(COUNT(*) OVER (PARTITION BY $group) AS BIGINT) AS n
+       |      FROM $table WHERE $value IS NOT NULL) __ranked
+       |GROUP BY $group""".stripMargin
   }
 }

@@ -118,13 +118,9 @@ object Relational2 {
       .orderBy(col("l_returnflag"))
 
   val q26PercentileSql: String =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_extendedprice, 0.5) AS p50,
-      |  quantile_cont(l_extendedprice, 0.25) AS p25,
-      |  quantile_cont(l_extendedprice, 0.75) AS p75
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+    Percentiles.exactSql("lineitem", "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p25" -> 0.25, "p75" -> 0.75)) +
+      "\nORDER BY l_returnflag"
 
   /** Sketch aggregates: HLL++ distinct counts and quantile sketches.
     * Sketch VALUES are engine-specific (HLL register layout, quantile
@@ -163,14 +159,17 @@ object Relational2 {
   }
 
   val q27ApproxSql: String =
-    """SELECT l_returnflag,
-      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
-      |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
-      |  TRUE AS approx_orders_ok,
-      |  TRUE AS approx_p50_ok
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+    s"""SELECT l.l_returnflag,
+       |  COUNT(DISTINCT l.l_orderkey) AS exact_orders,
+       |  MAX(p.exact_p50) AS exact_p50,
+       |  TRUE AS approx_orders_ok,
+       |  TRUE AS approx_p50_ok
+       |FROM lineitem l
+       |JOIN (${Percentiles.exactSql("lineitem", "l_returnflag",
+                  "l_extendedprice", Seq("exact_p50" -> 0.5))}) p
+       |  ON l.l_returnflag = p.l_returnflag
+       |GROUP BY l.l_returnflag
+       |ORDER BY l.l_returnflag""".stripMargin
 
   /** The custom bounded-heap top-k operator (graft.plans.TopKPerGroup),
     * driver-gated against the equivalent window SQL: same rows, found

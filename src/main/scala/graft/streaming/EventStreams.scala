@@ -266,16 +266,20 @@ object EventStreams {
 
   def sessionizeStream(events: Dataset[EventWithTs]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    // a session is final once the watermark passes end+gap: its timeout
-    // tick (ms) is the first watermark value that can no longer extend it
-    def timeoutMs(st: SessState): Long =
-      (st.end + SessionGapNs) / 1000000L + 1
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[EventWithTs],
             state: GroupState[OpenSessions]) =>
+          // a session is final once the watermark passes end+gap: its
+          // timeout tick (ms) is the first watermark value that can no
+          // longer extend it. Kept as a lambda `val` local to the state
+          // function: a `def` on the EventStreams$ module (or lifted to
+          // it) drags the non-serializable module into the closure →
+          // Task not serializable at runtime.
+          val timeoutMs: SessState => Long =
+            st => (st.end + SessionGapNs) / 1000000L + 1
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
           var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
           if (!state.hasTimedOut) {

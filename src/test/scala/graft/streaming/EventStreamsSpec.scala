@@ -20,6 +20,25 @@ class EventStreamsSpec extends SparkTestBase {
     dir.toString
   }
 
+  /** Drop one single-part parquet file of synthetic events into `dir` —
+    * a micro-batch for a `maxFilesPerTrigger=1` file stream. Rows are
+    * `(event_id, user_id, ts_ns)`. Sleeps so successive batches get
+    * distinct mtimes → deterministic trigger order.
+    */
+  private def writeBatch(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, Long, Long)]): Unit = {
+    val staging = Files.createTempDirectory("graft-sess-stage-")
+    rows.toDF("event_id", "user_id", "ts_ns")
+      .selectExpr("event_id", "ts_ns AS ts", "user_id",
+        "'click' AS event_type", "1.0 AS value", "'' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dir.resolve(name))
+    Thread.sleep(1100)
+  }
+
   test("streaming windowed counts equal the batch answer (readStream → memory sink)") {
     val q = windowedCounts(readEventStream(spark, stagedDir()))
       .writeStream.outputMode("complete")
@@ -86,27 +105,15 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-sess-")
     val t0 = 1704067200L * 1000000000L
     val min = 60L * 1000000000L
-    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
-      val staging = Files.createTempDirectory("graft-sess-stage-")
-      rows.toDF("event_id", "user_id", "ts_ns")
-        .selectExpr("event_id", "ts_ns AS ts", "user_id",
-          "'click' AS event_type", "1.0 AS value", "'' AS props")
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = java.nio.file.Files.list(staging).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, dir.resolve(name))
-      Thread.sleep(1100) // distinct mtimes → deterministic trigger order
-    }
     // b1: user1 two events; user2 one event
-    writeBatch("001.parquet",
+    writeBatch(dir, "001.parquet",
       Seq((1L, 1L, t0), (2L, 1L, t0 + min), (10L, 2L, t0)))
     // b2: user1 extends within the gap (MUST merge, not restart);
     //     user2 exceeds the gap (closes session 1, opens session 2)
-    writeBatch("002.parquet",
+    writeBatch(dir, "002.parquet",
       Seq((3L, 1L, t0 + 2 * min), (11L, 2L, t0 + 120 * min)))
     // b3: far-future sentinel pushes the watermark → idle sessions time out
-    writeBatch("003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+    writeBatch(dir, "003.parquet", Seq((99L, 999L, t0 + 600 * min)))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val es = spark.readStream.schema(eventSchema)
@@ -135,28 +142,16 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-sess-ooo-")
     val t0 = 1704067200L * 1000000000L
     val min = 60L * 1000000000L
-    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
-      val staging = Files.createTempDirectory("graft-sess-ooo-stage-")
-      rows.toDF("event_id", "user_id", "ts_ns")
-        .selectExpr("event_id", "ts_ns AS ts", "user_id",
-          "'click' AS event_type", "1.0 AS value", "'' AS props")
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = java.nio.file.Files.list(staging).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, dir.resolve(name))
-      Thread.sleep(1100)
-    }
     // b1: user1 session opens at [t0+60m, t0+62m]
-    writeBatch("001.parquet",
+    writeBatch(dir, "001.parquet",
       Seq((1L, 1L, t0 + 60 * min), (2L, 1L, t0 + 62 * min)))
     // b2 (out-of-order, within the 2h watermark): t0 is MORE than a gap
     // before the open session's start → disjoint earlier session;
     // t0+40m is within the gap of start → must merge and LOWER start
-    writeBatch("002.parquet",
+    writeBatch(dir, "002.parquet",
       Seq((3L, 1L, t0), (4L, 1L, t0 + 40 * min)))
     // b3: sentinel advances the watermark past end+gap → flush
-    writeBatch("003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+    writeBatch(dir, "003.parquet", Seq((99L, 999L, t0 + 600 * min)))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val es = spark.readStream.schema(eventSchema)
@@ -184,29 +179,17 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-sess-ooo2-")
     val t0 = 1704067200L * 1000000000L
     val min = 60L * 1000000000L
-    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
-      val staging = Files.createTempDirectory("graft-sess-ooo2-stage-")
-      rows.toDF("event_id", "user_id", "ts_ns")
-        .selectExpr("event_id", "ts_ns AS ts", "user_id",
-          "'click' AS event_type", "1.0 AS value", "'' AS props")
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = java.nio.file.Files.list(staging).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, dir.resolve(name))
-      Thread.sleep(1100)
-    }
     // b1: user1 session opens at [t0+100m, t0+102m]
-    writeBatch("001.parquet",
+    writeBatch(dir, "001.parquet",
       Seq((1L, 1L, t0 + 100 * min), (2L, 1L, t0 + 102 * min)))
     // b2 (out-of-order, within the 3h watermark): t0 and t0+10m are both
     // more than a gap before the open session's start, but within a gap
     // of EACH OTHER — they must merge into one 2-event earlier session
     // (the old single-open-session code emitted two singletons eagerly)
-    writeBatch("002.parquet",
+    writeBatch(dir, "002.parquet",
       Seq((3L, 1L, t0), (4L, 1L, t0 + 10 * min)))
     // b3: sentinel advances the watermark past end+gap → flush all
-    writeBatch("003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+    writeBatch(dir, "003.parquet", Seq((99L, 999L, t0 + 600 * min)))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val es = spark.readStream.schema(eventSchema)
