@@ -42,6 +42,10 @@ object Bench {
       if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
       else SparkEntry.queries.toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
+      // drain the previous query's garbage so its GC tail doesn't land
+      // on this measurement (measured: a heap-churning neighbor inflated
+      // an unrelated 0.5s query to 12s); the gc runs OUTSIDE the timer
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

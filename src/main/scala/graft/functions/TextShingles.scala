@@ -78,3 +78,58 @@ object WordShinglesExpr {
   def wordShinglesNative(c: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), n))
 }
+
+/** md5-derived 64-bit hashes of a text's word n-gram shingles, one
+  * native loop per row — the join-key form of [[WordShinglesExpr]].
+  *
+  * A shingle self-join on the raw strings shuffles ~25-byte keys and
+  * compares them byte-wise; hashing each shingle to the first 8 md5
+  * bytes (exactly [[SimHash.md5Hash64]], which DuckDB reproduces as
+  * `('0x' || substr(md5(s),1,16))::UBIGINT`) gives a fixed-width 8-byte
+  * key instead. Because BOTH engines derive the key with the same md5,
+  * results are identical even in the astronomically-unlikely collision
+  * case — a collision produces the same extra pair on both sides.
+  */
+case class WordShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes requires a string argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WordShingleHashesExpr.shingleHashes(
+      input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WordShingleHashesExpr.shingleHashes($c.toString(), $n));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): WordShingleHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+object WordShingleHashesExpr {
+
+  /** Hash of each shingle [[WordShinglesExpr.shingles]] would emit, in
+    * the same order.
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val sh = WordShinglesExpr.shingles(text, n)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      out(i) = SimHash.md5Hash64(sh(i).getBytes)
+      i += 1
+    }
+    out
+  }
+
+  def wordShingleHashesNative(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashesExpr(ColumnBridge.expression(c), n))
+}

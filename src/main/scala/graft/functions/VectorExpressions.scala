@@ -28,16 +28,13 @@ case class DotProductF(left: Expression, right: Expression)
         s"dot_f requires two array<float> arguments, got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    java.lang.Double.valueOf(DotProductF.dot(x, y))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(DotProductF.dot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""${ev.value} = graft.functions.DotProductF.dot(
-         |  $a.toFloatArray(), $b.toFloatArray());""".stripMargin)
+      s"${ev.value} = graft.functions.DotProductF.dot($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -47,13 +44,19 @@ case class DotProductF(left: Expression, right: Expression)
 object DotProductF {
   /** Left-to-right double fold — identical to
     * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)`.
+    *
+    * Reads the Tungsten array in place (`getFloat` is a raw offset
+    * load): the earlier `toFloatArray()` form copied BOTH sides on
+    * EVERY evaluation — ~2 heap allocations per scored pair, which at
+    * 50M pairs (dd_embed_cosine, sf0.1) was tens of GB of young-gen
+    * churn whose GC tail also landed on whatever query ran next.
     */
-  def dot(x: Array[Float], y: Array[Float]): Double = {
-    val n = math.min(x.length, y.length)
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x(i).toDouble * y(i).toDouble
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -70,23 +73,25 @@ case class L2NormF(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(a: Any): Any =
-    java.lang.Double.valueOf(
-      L2NormF.norm(a.asInstanceOf[ArrayData].toFloatArray()))
+    java.lang.Double.valueOf(L2NormF.norm(a.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.L2NormF.norm($a.toFloatArray());")
+      s"${ev.value} = graft.functions.L2NormF.norm($a);")
 
   override protected def withNewChildInternal(c: Expression): L2NormF = copy(c)
   override def prettyName: String = "l2norm_f"
 }
 
 object L2NormF {
-  def norm(x: Array[Float]): Double = {
+  /** In-place fold over the Tungsten array — no per-row copy. */
+  def norm(x: ArrayData): Double = {
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
-    while (i < x.length) {
-      acc += x(i).toDouble * x(i).toDouble
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
       i += 1
     }
     math.sqrt(acc)

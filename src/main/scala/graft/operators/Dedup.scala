@@ -54,20 +54,43 @@ object Dedup {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
-  /** Shared shingle relation: distinct (doc_id, 3-token shingle).
-    * Referenced 2-3 times by each consumer (both pair-join sides +
-    * per-doc counts); the self-join sides shuffle identical subplans on
-    * the same key, so ReuseExchange serves the second side from the
-    * first's shuffle files. An explicit .persist() was MEASURED SLOWER
-    * here (cache materialization cost > the one duplicated aggregate
-    * branch it saves, and it blocks exchange reuse) — don't add one.
+  /** Shared shingle relation: distinct (doc_id, md5-hashed 3-token
+    * shingle). The 8-byte hash ([[graft.functions.WordShingleHashesExpr]])
+    * replaces the raw ~25-byte shingle string as the dedup/join key —
+    * fixed-width shuffle rows, primitive equality; both engines derive
+    * the key with the same md5, so even a collision reproduces
+    * identically. Referenced 2-3 times by each consumer (both pair-join
+    * sides + per-doc counts); the self-join sides shuffle identical
+    * subplans on the same key, so ReuseExchange serves the second side
+    * from the first's shuffle files. An explicit .persist() was MEASURED
+    * SLOWER here (cache materialization cost > the one duplicated
+    * aggregate branch it saves, and it blocks exchange reuse) — don't
+    * add one.
     */
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        explode(graft.functions.WordShinglesExpr
-          .wordShinglesNative(col("text"), 3)).as("sh"))
+        explode(graft.functions.WordShingleHashesExpr
+          .wordShingleHashesNative(col("text"), 3)).as("sh"))
       .distinct()
+
+  /** DuckDB mirror of [[shingleRel]]. The hash stays UBIGINT on the
+    * DuckDB side (a BIGINT cast range-checks instead of reinterpreting
+    * bits): `s` is only ever a join/distinct key inside the CTEs, and
+    * unsigned-vs-signed interpretation of the same 64 bits induces the
+    * same equivalence classes, so candidate pairs are identical.
+    */
+  private val shingleRelSql: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(s0), 1, 16)) AS UBIGINT) AS s
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(t) - 1),
+      |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s0
+      |        FROM toks WHERE len(t) >= 3) raw)""".stripMargin
 
   /** Exact n-gram Jaccard near-dup: candidate pairs via shingle
     * equi-join, jaccard = |A∩B| / |A∪B|, top-50 pairs. This is the
@@ -94,14 +117,7 @@ object Dedup {
   }
 
   val ddNgramJaccardSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(t) - 1),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      |  FROM toks WHERE len(t) >= 3),
+    s"""WITH $shingleRelSql,
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
@@ -150,14 +166,7 @@ object Dedup {
   }
 
   val ddApplySql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(t) - 1),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      |  FROM toks WHERE len(t) >= 3),
+    s"""WITH $shingleRelSql,
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |drop_near AS (
       |  SELECT DISTINCT b_id AS doc_id FROM (
@@ -171,7 +180,7 @@ object Dedup {
       |  SELECT doc_id,
       |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
       |  FROM (SELECT doc_id,
-      |          md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:10], ' ')) AS fp
+      |          md5(array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:10], ' ')) AS fp
       |        FROM documents) f)
       |SELECT doc_id FROM pfx
       |WHERE keep AND doc_id NOT IN (SELECT doc_id FROM drop_near)
@@ -361,12 +370,20 @@ object Dedup {
     * [[Similarity]]; at scale, candidates come from LSH bucketing.
     */
   def ddEmbedCosine(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    // norms once per vector (O(n)), not once per pair (O(n²)): the norm
+    // of a given vector is bit-identical wherever it's computed, so
+    // dot/(na*nb) equals cosineSim(ea, eb) exactly — at a third of the
+    // flops over the quadratic pair space
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        cosineSim(col("ea"), col("eb")).as("cosine"))
+        (VectorExpressions.dotF(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cosine"))
       .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
       .limit(50)
   }

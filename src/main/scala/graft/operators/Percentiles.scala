@@ -57,6 +57,102 @@ object Percentiles {
       .select(col(group) +: out: _*)
   }
 
+  /** Distributed-selection form of [[exact]] — same answers (bitwise:
+    * the same lo/hi rows are selected and the same interpolation
+    * arithmetic runs), but no per-group sort.
+    *
+    * [[exact]]'s rank window shuffles every row into one partition PER
+    * GROUP and sorts it there: with 3 groups, 3 tasks do all the work no
+    * matter how many executors exist — the classic low-cardinality
+    * window trap, fatal at 100 TB. This form finds the two bracketing
+    * rows per percentile by histogram selection instead:
+    *
+    *   1. per-group (n, min, max) — one tiny aggregate;
+    *   2. per-group equi-width bin counts (`numBins` bins) — map-side
+    *      partial aggregation, shuffle of ≤ groups×bins rows;
+    *   3. locate, per requested rank k ∈ {floor,ceil((n-1)·p)}, the bin
+    *      with cumBelow ≤ k < cumBelow+cnt (driver-free, a tiny join);
+    *   4. rank ONLY the rows of the hit bins (≈ n/numBins rows per
+    *      target) and pick offset k−cumBelow.
+    *
+    * Every pass over the data is a pruned column scan with map-side
+    * work; nothing big is ever sorted or shuffled. Rows per hit bin are
+    * ~n/numBins in the worst non-degenerate case; duplicate-heavy
+    * columns collapse bins but equal values make the pick order-free.
+    */
+  def exactSelect(df: DataFrame, group: String, value: String,
+      ps: Seq[(String, Double)], numBins: Int = 4096): DataFrame = {
+    require(ps.nonEmpty)
+    val base = df.filter(col(value).isNotNull).select(col(group), col(value))
+    val stats = base.groupBy(col(group)).agg(
+      count(lit(1)).as("__n"),
+      min(col(value)).as("__mn"),
+      max(col(value)).as("__mx"))
+    def pos(p: Double): Column = (col("__n") - 1L).cast("double") * p
+
+    // requested ranks per group: (name, which, k) — 2·|ps| rows/group
+    val targets = stats.select(
+      col(group), col("__n"),
+      explode(array(ps.flatMap { case (name, p) =>
+        Seq(
+          struct(lit(name).as("nm"), lit("lo").as("wh"),
+            floor(pos(p)).cast("long").as("k")),
+          struct(lit(name).as("nm"), lit("hi").as("wh"),
+            ceil(pos(p)).cast("long").as("k")))
+      }: _*)).as("__t"))
+      .select(col(group), col("__t.nm").as("__nm"),
+        col("__t.wh").as("__wh"), col("__t.k").as("__k"))
+
+    // equi-width bin per row (degenerate all-equal group → bin 0)
+    val width = (col("__mx") - col("__mn")) / numBins
+    val rawBin = floor((col(value) - col("__mn")) / width).cast("long")
+    val binCol = when(col("__mx") === col("__mn"), 0L)
+      .otherwise(least(rawBin, lit(numBins - 1L))).as("__bin")
+    val binned = base.join(broadcast(stats), group)
+      .select(col(group), col(value), binCol)
+
+    // per-bin counts + exclusive running total (≤ numBins rows/group)
+    val wBins = Window.partitionBy(col(group)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = binned.groupBy(col(group), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(wBins), lit(0L)))
+
+    // the bin holding each target rank, and the rank's offset inside it
+    val hit = targets.join(cum, group)
+      .filter(col("__k") >= col("__below") &&
+        col("__k") < col("__below") + col("__cnt"))
+      .select(col(group), col("__nm"), col("__wh"), col("__bin"),
+        (col("__k") - col("__below")).as("__off"))
+
+    // rank only the hit bins' rows; one tiny sorted partition per target
+    val wPick = Window.partitionBy(col(group), col("__nm"), col("__wh"))
+      .orderBy(col(value))
+    val picked = binned.join(broadcast(hit), Seq(group, "__bin"))
+      .withColumn("__rn", row_number().over(wPick).cast("long") - 1L)
+      .filter(col("__rn") === col("__off"))
+
+    // reassemble (lo, hi) per percentile and interpolate — the exact
+    // arithmetic of [[exact]]: lo + (hi - lo) * (pos - floor(pos))
+    val aggs = ps.flatMap { case (name, _) =>
+      Seq(
+        max(when(col("__nm") === name && col("__wh") === "lo", col(value)))
+          .as(s"__lo_$name"),
+        max(when(col("__nm") === name && col("__wh") === "hi", col(value)))
+          .as(s"__hi_$name"))
+    }
+    val out = ps.map { case (name, p) =>
+      (col(s"__lo_$name") +
+        (col(s"__hi_$name") - col(s"__lo_$name")) *
+          (pos(p) - floor(pos(p))))
+        .as(name)
+    }
+    picked.groupBy(col(group))
+      .agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(stats.select(col(group), col("__n"))), group)
+      .select(col(group) +: out: _*)
+  }
+
   /** DuckDB oracle SQL for [[exact]], replicating its IEEE arithmetic
     * OP-FOR-OP: `lo + (hi - lo) * frac` with `pos = (n-1)::double * p`.
     * DuckDB's own `quantile_cont` interpolates in a different operation

@@ -113,7 +113,7 @@ object Relational2 {
     * whole groups into aggregate buffers.
     */
   def q26Percentile(s: SparkSession, d: String): DataFrame =
-    Percentiles.exact(lineitem(s, d), "l_returnflag", "l_extendedprice",
+    Percentiles.exactSelect(lineitem(s, d), "l_returnflag", "l_extendedprice",
         Seq("p50" -> 0.5, "p25" -> 0.25, "p75" -> 0.75))
       .orderBy(col("l_returnflag"))
 
@@ -143,7 +143,7 @@ object Relational2 {
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
-    val exactP50 = Percentiles.exact(lineitem(s, d),
+    val exactP50 = Percentiles.exactSelect(lineitem(s, d),
       "l_returnflag", "l_extendedprice", Seq("exact_p50" -> 0.5))
     val exact = lineitem(s, d)
       .groupBy(col("l_returnflag"))

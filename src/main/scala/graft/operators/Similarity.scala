@@ -32,14 +32,20 @@ object Similarity {
     */
   def simTopkBrute(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
+    // norms once per vector, not once per pair: cosine = dot/(nq*nc) is
+    // the same double math as cosineSim (the norm of a given vector is
+    // bit-identical wherever it's computed), at a third of the flops
     val q = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorExpressions.l2NormF(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      VectorExpressions.l2NormF(col("embedding")).as("cn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosineSim(col("qv"), col("cv")).as("cosine"))
+        (VectorExpressions.dotF(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
@@ -73,30 +79,18 @@ object Similarity {
   // Random-hyperplane LSH (approximate path).
   // ---------------------------------------------------------------------
 
-  val NumTables = 8  // independent hash tables (union of candidates)
-  val PlanesPerTable = 6 // 64 buckets per table
-  val Dim = 64
+  val NumTables: Int = HyperplaneBuckets.NumTables // independent hash tables
+  val PlanesPerTable: Int = HyperplaneBuckets.PlanesPerTable // 64 buckets/table
+  val Dim: Int = HyperplaneBuckets.Dim
 
   /** Fixed pseudo-random hyperplanes (deterministic seed), NumTables ×
-    * PlanesPerTable of them. A tiny driver-side constant baked into the
-    * plan as literals — never a data-dependent collect.
+    * PlanesPerTable of them — owned by the codegen'd
+    * [[HyperplaneBuckets]] expression, re-exported for the oracle SQL
+    * and the spec. A tiny constant baked into the plan as literals —
+    * never a data-dependent collect.
     */
-  private[operators] val hyperplanes: Array[Array[Double]] = {
-    val rng = new java.util.Random(42)
-    Array.fill(NumTables * PlanesPerTable, Dim)(rng.nextDouble() * 2 - 1)
-  }
-
-  /** Sign-bit bucket of a vector in hash table `t`. */
-  private def bucketOf(vec: org.apache.spark.sql.Column, t: Int) = {
-    val bits = (0 until PlanesPerTable).map { p =>
-      val dot = aggregate(
-        zip_with(vec, lit(hyperplanes(t * PlanesPerTable + p)),
-          (x, h) => x.cast(DoubleType) * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  private[operators] val hyperplanes: Array[Array[Double]] =
+    HyperplaneBuckets.hyperplanes
 
   /** Approximate top-k via multi-table random-hyperplane LSH: a vector
     * lands in one bucket per table; candidates are vectors sharing a
@@ -111,21 +105,29 @@ object Similarity {
     */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
+    // all NumTables buckets in ONE codegen'd pass over the vector
+    // (the per-plane HOF formulation was interpreted — 48 boxed
+    // 64-element folds per row, the dominant cost of this query)
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String,
+        normCol: String) =
       df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
-        posexplode(array((0 until NumTables).map(t =>
-          bucketOf(col("embedding"), t)): _*)).as(Seq("table", "bucket")))
-    val q = withBuckets(e.filter(col("vec_id") < NumQueryVectors), "q_id", "qv")
-    val c = withBuckets(e, "c_id", "cv")
+        VectorExpressions.l2NormF(col("embedding")).as(normCol),
+        posexplode(HyperplaneBuckets.hyperplaneBuckets(col("embedding")))
+          .as(Seq("table", "bucket")))
+    val q = withBuckets(e.filter(col("vec_id") < NumQueryVectors),
+      "q_id", "qv", "qn")
+    val c = withBuckets(e, "c_id", "cv", "cn")
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("qv"), col("cv"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"),
+        col("qn"), col("cn"))
       .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     cand
       .select(col("q_id"), col("c_id"),
-        cosineSim(col("qv"), col("cv")).as("cosine"))
+        (VectorExpressions.dotF(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
@@ -200,28 +202,36 @@ object Similarity {
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val cent = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    // nearest-centroid assignment (rank 1) / probe list (rank <= NumProbes)
-    def cellRanks(df: DataFrame, idCol: String, vecCol: String) = {
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        VectorExpressions.l2NormF(col("embedding")).as("cnrm"))
+    // nearest-centroid assignment (rank 1) / probe list (rank <= NumProbes);
+    // norms computed once per vector / per centroid, not per pair
+    def cellRanks(df: DataFrame, idCol: String, vecCol: String,
+        normCol: String) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cos_c").desc, col("cell"))
-      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol))
+      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+        VectorExpressions.l2NormF(col("embedding")).as(normCol))
         .crossJoin(broadcast(cent))
-        .select(col(idCol), col(vecCol), col("cell"),
-          cosineSim(col(vecCol), col("cv")).as("cos_c"))
+        .select(col(idCol), col(vecCol), col(normCol), col("cell"),
+          (VectorExpressions.dotF(col(vecCol), col("cv")) /
+            (col(normCol) * col("cnrm"))).as("cos_c"))
         .withColumn("crank", row_number().over(w))
     }
-    val assigned = cellRanks(e, "c_id", "cv_c").filter(col("crank") === 1)
-      .select(col("c_id"), col("cv_c"), col("cell"))
-    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors), "q_id", "qv")
+    val assigned = cellRanks(e, "c_id", "cv_c", "cn_c")
+      .filter(col("crank") === 1)
+      .select(col("c_id"), col("cv_c"), col("cn_c"), col("cell"))
+    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors),
+      "q_id", "qv", "qn")
       .filter(col("crank") <= NumProbes)
-      .select(col("q_id"), col("qv"), col("cell"))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosineSim(col("qv"), col("cv_c")).as("cosine"))
+        (VectorExpressions.dotF(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn_c"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))

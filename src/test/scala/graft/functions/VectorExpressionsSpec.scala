@@ -36,6 +36,44 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("shingle hashes are the md5Hash64 of each shingle string, in order") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val both = docs.select(
+      WordShingleHashesExpr.wordShingleHashesNative(col("text"), 3).as("hashed"),
+      WordShinglesExpr.wordShinglesNative(col("text"), 3).as("strings"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val expected = r.getSeq[String](1).map(s => SimHash.md5Hash64(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      assert(r.getSeq[Long](0) == expected)
+    }
+  }
+
+  test("hyperplane buckets expression matches the per-plane HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val e = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val hofBuckets = array((0 until HyperplaneBuckets.NumTables).map { t =>
+      (0 until HyperplaneBuckets.PlanesPerTable).map { p =>
+        val plane = HyperplaneBuckets.hyperplanes(
+          t * HyperplaneBuckets.PlanesPerTable + p)
+        val dot = aggregate(
+          zip_with(col("embedding"), lit(plane), (x, h) => x.cast(DoubleType) * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val both = e.select(
+      HyperplaneBuckets.hyperplaneBuckets(col("embedding")).as("native"),
+      hofBuckets.as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
   test("minhash signature expression: interpreted eval matches codegen path") {
     import spark.implicits._
     val df = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"))

@@ -16,6 +16,28 @@ class Relational2Spec extends SparkTestBase {
     }
   }
 
+  test("distributed-selection percentiles are bitwise-equal to the rank-window form") {
+    val ps = Seq("p50" -> 0.5, "p25" -> 0.25, "p75" -> 0.75, "p99" -> 0.99)
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val win = Percentiles.exact(li, "l_returnflag", "l_extendedprice", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.length).map(i => java.lang.Double.doubleToLongBits(r.getDouble(i)))).toMap
+    val sel = Percentiles.exactSelect(li, "l_returnflag", "l_extendedprice", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.length).map(i => java.lang.Double.doubleToLongBits(r.getDouble(i)))).toMap
+    assert(sel == win)
+    assert(sel.nonEmpty)
+  }
+
+  test("distributed-selection percentiles handle single-row and constant groups") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("b", 2.0), ("b", 2.0), ("b", 2.0),
+      ("c", 1.0), ("c", 4.0)).toDF("g", "v")
+    val got = Percentiles.exactSelect(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 5.0, "b" -> 2.0, "c" -> 2.5))
+  }
+
   test("as-of join composition agrees with a brute-force per-row scan") {
     val got = AsOfJoin.stAsofJoin(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
