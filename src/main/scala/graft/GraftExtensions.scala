@@ -38,6 +38,8 @@ object GraftExtensions {
     ("minhash_sig", 1, exprs => MinHashSig(exprs.head)),
     ("sig_overlap", 2, exprs => SigOverlap(exprs(0), exprs(1))),
     ("word_shingles_3", 1, exprs => WordShinglesExpr(exprs.head, 3)),
+    ("word_shingle_hashes_3", 1, exprs => WordShingleHashesExpr(exprs.head, 3)),
+    ("hyperplane_buckets", 1, exprs => HyperplaneBuckets(exprs.head)),
     ("dot_f", 2, exprs => DotProductF(exprs(0), exprs(1))),
     ("l2norm_f", 1, exprs => L2NormF(exprs.head)),
   )

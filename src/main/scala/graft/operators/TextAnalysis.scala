@@ -17,7 +17,9 @@ import graft.sources.Tables._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  /** Shared with [[Pipeline.pipeE2e]]'s quality stage. */
+  val stopwordList = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private val stopwords = stopwordList
   private val enMarkers = Seq("the", "a", "of")
   private val deMarkers = Seq("der", "die", "und")
   private val esMarkers = Seq("el", "la", "los")

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunking covers every token with the configured stride and window") {
+    val got = Pipeline.taChunk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_._1)
+    val nTokens = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id",
+        "size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val n = nTokens(doc)
+      val expected = (n + Pipeline.ChunkStride - 1) / Pipeline.ChunkStride
+      assert(chunks.length == expected, s"doc $doc: ${chunks.length} != $expected")
+      chunks.foreach { case (_, idx, text, ct) =>
+        val start = idx * Pipeline.ChunkStride
+        assert(ct == math.min(Pipeline.ChunkTokens, n - start).toInt)
+        assert(text.split("\\s+").count(_.nonEmpty) == ct)
+      }
+      // strided windows jointly cover all n tokens
+      assert(chunks.map(c => c._2 * Pipeline.ChunkStride + c._4).max >= n)
+    }
+  }
+
+  test("packing offsets are contiguous within a shard and reset across shards") {
+    val rows = Pipeline.taPack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val inOrder = shard.sortBy(_._1)
+      // first doc of a shard starts at offset 0; each next doc starts
+      // where the previous ended
+      assert(inOrder.head._4 == 0L)
+      inOrder.sliding(2).foreach {
+        case Array((_, _, n1, off1, _, _), (_, _, _, off2, _, _)) =>
+          assert(off2 == off1 + n1)
+        case _ => ()
+      }
+      inOrder.foreach { case (_, _, n, off, pack, crosses) =>
+        assert(pack == off / Pipeline.PackBudget)
+        assert(crosses ==
+          (n > 0 && (off + n - 1) / Pipeline.PackBudget != pack))
+      }
+    }
+  }
+
+  test("e2e pipeline stats are consistent with its own stages") {
+    val agg = Pipeline.pipeE2e(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(agg.nonEmpty)
+    // chunks-per-doc >= 1 and sum_chunk_tokens >= n_chunks (every chunk
+    // has at least one token)
+    agg.foreach { case (lang, (docs, chunks, toks)) =>
+      assert(docs >= 1, lang)
+      assert(chunks >= docs, lang)
+      assert(toks >= chunks, lang)
+    }
+    // kept docs never exceed the corpus count per language
+    val langCounts = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    agg.foreach { case (lang, (docs, _, _)) =>
+      assert(docs <= langCounts(lang), lang)
+    }
+  }
+}
