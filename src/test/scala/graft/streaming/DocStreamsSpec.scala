@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+class DocStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val A = "alpha beta gamma delta epsilon zeta"
+  private val B = "one two three four five six seven"
+  private val C = "completely different sentinel text pushing the watermark forward"
+
+  /** One single-part parquet file of (doc_id, text, ts-seconds) docs —
+    * a micro-batch for a maxFilesPerTrigger=1 stream.
+    */
+  private def writeBatch(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, String, Long)]): Unit = {
+    val staging = Files.createTempDirectory("graft-doc-stage-")
+    rows.toDF("doc_id", "text", "sec")
+      .selectExpr("doc_id", "text", "timestamp_seconds(sec) AS ts")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dir.resolve(name))
+    Thread.sleep(1100)
+  }
+
+  test("streaming near-dup drops band-colliding docs within the horizon and readmits after expiry") {
+    val dir = Files.createTempDirectory("graft-neardup-")
+    val t0 = 1704067200L
+    val min = 60L
+    // b1: first copy of A; a too-short doc
+    writeBatch(dir, "001.parquet", Seq((1L, A, t0), (10L, "x y", t0)))
+    // b2: exact near-dup of A (same band → dropped); fresh doc B (kept);
+    //     another short doc (kept — shorts bypass the dedup)
+    writeBatch(dir, "002.parquet",
+      Seq((2L, A, t0 + 10 * min), (3L, B, t0 + 10 * min),
+        (11L, "x y", t0 + 10 * min)))
+    // b3: sentinel far in the future — advances the watermark past
+    //     t0 + 1h
+    writeBatch(dir, "003.parquet", Seq((99L, C, t0 + 300 * min)))
+    // b4: second sentinel — state cleanup runs at end-of-batch with the
+    //     advanced watermark, evicting A's bucket (an existing entry
+    //     dedups regardless of expiry until the cleanup pass removes it)
+    writeBatch(dir, "004.parquet",
+      Seq((98L, "entirely unrelated second sentinel document text", t0 + 305 * min)))
+    // b5: A again, after eviction → readmitted
+    writeBatch(dir, "005.parquet", Seq((4L, A, t0 + 310 * min)))
+
+    val docs = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = DocStreams.streamingNearDup(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val kept = spark.table("neardup_out").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 3L, 11L, 99L, 98L, 4L))
+  }
+
+  test("batch twin dedups on the same band key") {
+    val batch = Seq((1L, A, 0L), (2L, A, 600L), (3L, B, 600L),
+      (10L, "x y", 0L), (11L, "x y", 600L))
+      .toDF("doc_id", "text", "sec")
+      .selectExpr("doc_id", "text", "timestamp_seconds(sec) AS ts")
+    val kept = DocStreams.streamingNearDup(batch)
+      .collect().map(_.getLong(0)).toSet
+    // exactly one of {1,2} survives; both shorts survive; B survives
+    assert(kept.intersect(Set(1L, 2L)).size == 1)
+    assert(Set(3L, 10L, 11L).subsetOf(kept))
+    assert(kept.size == 4)
+  }
+}
