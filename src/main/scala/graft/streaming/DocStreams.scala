@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSig, WordShinglesExpr}
@@ -71,5 +72,121 @@ object DocStreams {
       .unionByName(
         withSh.filter(size(col("__sh")) === 0)
           .select(col("doc_id"), col("text"), col("ts")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Full 16-band voted near-dup — two chained stateful operators.
+  // ---------------------------------------------------------------------
+
+  val VoteBands = 16
+  val VoteRowsPerBand: Int = MinHashSig.NumHashes / VoteBands
+  val VoteHorizonMs: Long = 60L * 60 * 1000 // bucket lifetime: 1 hour
+  val VoteWindowSec = 600L                  // verdict tumbling window
+
+  final case class BandRow(doc_id: Long, ts: java.sql.Timestamp,
+      band: Int, k0: Long, k1: Long, k2: Long, k3: Long)
+  final case class BucketState(firstDoc: Long, lastMs: Long)
+  final case class BandVerdict(doc_id: Long, ts: java.sql.Timestamp,
+      dup: Boolean)
+
+  /** Full-recall streaming near-dup: the 16-band MinHash LSH vote as ONE
+    * streaming query with two chained stateful operators — legal because
+    * `flatMapGroupsWithState` runs in Append mode (only update-mode
+    * fMGWS is barred from downstream aggregation):
+    *
+    *   1. explode each doc into its 16 band keys (map-side);
+    *   2. fMGWS keyed by (band, key rows): a bucket's state is the
+    *      first-seen doc; every later arrival in that bucket emits a
+    *      per-band dup verdict. `EventTimeTimeout` evicts buckets one
+    *      horizon after their last sighting — state is bounded by the
+    *      horizon, as in the batch LSH where the corpus is bounded;
+    *   3. a watermarked tumbling-window aggregation ORs the 16 verdicts
+    *      per doc (a doc's bands all travel in its own micro-batch, so
+    *      the vote is complete within one window) and emits once the
+    *      watermark passes the window.
+    *
+    * A doc is a near-dup iff ANY band bucket had seen a doc before it —
+    * collision probability 1-(1-j^r)^16 (~0.99 at j=0.8, r=4), the same
+    * union [[graft.operators.Dedup.ddMinhashLsh]] uses in batch. Docs
+    * too short to shingle vote `dup = false` through a sentinel band -1
+    * (their degenerate signature must not bucket them together).
+    * Output: `(win_start_s, doc_id, is_dup)`. Works identically on a
+    * batch frame (state starts empty per group; watermarks no-op),
+    * which is how the spec oracles it.
+    */
+  def streamingNearDupVoted(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Spark's global-watermark correctness check conservatively rejects
+    // ANY stateful op feeding another, because a state function COULD
+    // emit rows older than the watermark (late for the downstream
+    // store). This one cannot: every verdict carries the event time of
+    // the row that produced it, in the same micro-batch the row was
+    // admitted — so emissions are never below the watermark and the
+    // downstream window aggregation never discards them.
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val horizonMs = VoteHorizonMs
+    val sig = MinHashSig.minhashSig(
+      WordShinglesExpr.wordShinglesNative(col("text"), 3))
+    val withSig = docs.withWatermark("ts", "1 hour").withColumn("__sig", sig)
+    // (band, r signature rows) per table; band -1 keys on doc_id so
+    // short docs occupy singleton buckets (never dups, never colliding)
+    val keyCols = (0 until VoteRowsPerBand).map(i =>
+      when(col("band") >= 0,
+        element_at(col("__sig"), col("band") * VoteRowsPerBand + i + 1))
+        .otherwise(col("doc_id")).as(s"k$i"))
+    val bands = withSig
+      .select(col("doc_id"), col("ts"), col("__sig"),
+        explode(
+          when(size(expr("filter(__sig, x -> x != 9223372036854775807)")) === 0,
+            array(lit(-1)))
+            .otherwise(array((0 until VoteBands).map(lit(_)): _*))).as("band"))
+      .select(col("doc_id") +: col("ts") +: col("band").cast("int").as("band") +: keyCols: _*)
+      .as[BandRow]
+    // plain Boolean: referencing the Dataset itself inside the state
+    // function would capture it into the closure → Task not serializable
+    val streaming = bands.isStreaming
+    val verdicts = bands
+      .groupByKey(r => (r.band, r.k0, r.k1, r.k2, r.k3))
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long, Long, Long, Long), it: Iterator[BandRow],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer[BandVerdict]()
+              var st = state.getOption
+              rows.foreach { r =>
+                st match {
+                  case Some(s) =>
+                    out += BandVerdict(r.doc_id, r.ts, dup = true)
+                    st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
+                  case None =>
+                    out += BandVerdict(r.doc_id, r.ts, dup = false)
+                    st = Some(BucketState(r.doc_id, r.ts.getTime))
+                }
+              }
+              state.update(st.get)
+              // timeouts exist only under EventTimeTimeout (streaming)
+              if (streaming)
+                state.setTimeoutTimestamp(st.get.lastMs + horizonMs)
+              out.iterator
+            }
+          }
+      }
+    verdicts.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$VoteWindowSec seconds"), col("doc_id"))
+      .agg(max(col("dup")).as("is_dup"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("doc_id"), col("is_dup"))
   }
 }

@@ -63,6 +63,52 @@ class DocStreamsSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 3L, 11L, 99L, 98L, 4L))
   }
 
+  test("voted near-dup: two chained stateful operators, streaming equals batch") {
+    val dir = Files.createTempDirectory("graft-vote-")
+    val t0 = 1704067200L
+    val min = 60L
+    // near-dup of A: one token changed → most (not all) shingles shared
+    val aNear = "alpha beta gamma delta epsilon CHANGED"
+    writeBatch(dir, "001.parquet", Seq((1L, A, t0), (10L, "x y", t0)))
+    writeBatch(dir, "002.parquet",
+      Seq((2L, A, t0 + min), (3L, aNear, t0 + min), (4L, B, t0 + min),
+        (11L, "x y", t0 + min)))
+    // sentinel pushes the watermark past the verdict windows
+    writeBatch(dir, "003.parquet", Seq((99L, C, t0 + 300 * min)))
+
+    val docs = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = DocStreams.streamingNearDupVoted(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vote_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("vote_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+
+    // d1 first copy: kept; d2 exact copy: dup; d4 fresh: kept; shorts:
+    // never dups (singleton buckets)
+    assert(streamed((t0 / 600 * 600, 1L)) == false)
+    assert(streamed(((t0 + min) / 600 * 600, 2L)) == true)
+    assert(streamed(((t0 + min) / 600 * 600, 4L)) == false)
+    assert(streamed((t0 / 600 * 600, 10L)) == false)
+    assert(streamed(((t0 + min) / 600 * 600, 11L)) == false)
+    // the one-token near-dup shares >= 1 of 16 bands with A
+    assert(streamed(((t0 + min) / 600 * 600, 3L)) == true)
+
+    // batch twin on the same rows (sentinel included: batch emits all
+    // windows) agrees wherever streaming emitted
+    val batchRows = Seq((1L, A, t0), (10L, "x y", t0),
+      (2L, A, t0 + min), (3L, aNear, t0 + min), (4L, B, t0 + min),
+      (11L, "x y", t0 + min), (99L, C, t0 + 300 * min))
+      .toDF("doc_id", "text", "sec")
+      .selectExpr("doc_id", "text", "timestamp_seconds(sec) AS ts")
+    val batch = DocStreams.streamingNearDupVoted(batchRows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"key $k") }
+  }
+
   test("batch twin dedups on the same band key") {
     val batch = Seq((1L, A, 0L), (2L, A, 600L), (3L, B, 600L),
       (10L, "x y", 0L), (11L, "x y", 600L))
