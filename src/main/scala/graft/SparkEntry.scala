@@ -13,9 +13,13 @@ import graft.streaming.EventStreams
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end corpus pipeline exercises the engine's
+    * breadth in one plan: quality scoring, fingerprint dedup,
+    * context-window chunking, and grouped aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Pipeline.pipeE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

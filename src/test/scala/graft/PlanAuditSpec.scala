@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression guards: the properties `.explain` review
+  * established for the flagship queries, pinned as assertions so a
+  * refactor that silently degrades the plan (lost pushdown, a join
+  * falling back to nested-loop, a dropped broadcast) fails the build,
+  * not the next 100 TB run.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(SimpleMode)
+
+  test("dimension join broadcasts the small side") {
+    assert(plan("q4_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("scan-level filter pushdown and column pruning reach the parquet reader") {
+    val p = plan("q2_filter_topn")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "expected shipdate pushdown in:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
+    // q1 projects 6 of 11 lineitem columns; pruning must drop the rest
+    val q1 = plan("q1_agg")
+    assert(!q1.contains("l_suppkey") && !q1.contains("l_partkey"),
+      "q1 scan should prune unused columns:\n" + q1)
+  }
+
+  test("declarative window top-k plans through WindowGroupLimit") {
+    assert(plan("q9_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("semi/anti joins plan as semi/anti, shipping keys only") {
+    assert(plan("q7_semi_join").contains("LeftSemi"))
+    assert(plan("q8_anti_join").contains("LeftAnti"))
+  }
+
+  test("LSH candidate joins are equi joins, never nested-loop") {
+    Seq("dd_minhash_lsh", "dd_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must bucket-join, got:\n" + p)
+    }
+  }
+
+  test("custom top-k operator plans with exactly one exchange on the group keys") {
+    val p = plan("q28_topk_custom")
+    assert(p.contains("TopKPerGroup"))
+    // one hash exchange for ClusteredDistribution + the presentation
+    // sort's range exchange — no more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+}
