@@ -142,6 +142,47 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** GPT-style pre-tokenizer regex, restricted to the RE2-safe subset
+    * (no lookahead — DuckDB's regex engine is RE2): contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. Java and RE2 agree on `\p{L}`/`\p{N}` classes and
+    * leftmost-first alternation, so counts match across engines.
+    */
+  val BpeTokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting, whitespace AND BPE-ish: the subword-aware token
+    * count a training pipeline budgets by, next to the whitespace count
+    * quality heuristics use. Pure map-side regex — no shuffle.
+    */
+  def taBpeTokens(s: SparkSession, d: String): DataFrame = {
+    val bpe = size(filter(
+      regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0)),
+      t => !t.rlike("^\\s+$"))) // whitespace runs are separators, not tokens
+    val ws = size(toks)
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        ws.as("n_ws_tokens"),
+        bpe.as("n_bpe_tokens"),
+        when(ws > 0, bpe.cast(DoubleType) / ws).as("bpe_per_ws"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taBpeTokensSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val rxSql = BpeTokenRegex.replace("'", "''") // SQL string-literal quoting
+    val bpeSql = "len(list_filter(regexp_extract_all(text, " +
+      s"'$rxSql'), t -> NOT regexp_matches(t, '^\\s+$$')))"
+    s"""SELECT doc_id,
+       |  CAST(len($toksSql) AS INTEGER) AS n_ws_tokens,
+       |  CAST($bpeSql AS INTEGER) AS n_bpe_tokens,
+       |  CASE WHEN len($toksSql) > 0
+       |       THEN CAST($bpeSql AS DOUBLE) / len($toksSql) END AS bpe_per_ws
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Text normalization pass: lowercase, trim, collapse whitespace —
     * the canonical pre-dedup cleanup stage.
     */
@@ -163,6 +204,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
+    "ta_bpe_tokens"  -> taBpeTokens _,
     "ta_quality"     -> taQuality _,
     "ta_langid"      -> taLangid _,
     "ta_fingerprint" -> taFingerprint _,
@@ -171,6 +213,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "ta_normalize"   -> taNormalizeSql,
     "ta_token_stats" -> taTokenStatsSql,
+    "ta_bpe_tokens"  -> taBpeTokensSql,
     "ta_quality"     -> taQualitySql,
     "ta_langid"      -> taLangidSql,
     "ta_fingerprint" -> taFingerprintSql,
