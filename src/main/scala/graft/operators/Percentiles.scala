@@ -108,7 +108,10 @@ object Percentiles {
     val rawBin = floor((col(value) - col("__mn")) / width).cast("long")
     val binCol = when(col("__mx") === col("__mn"), 0L)
       .otherwise(least(rawBin, lit(numBins - 1L))).as("__bin")
-    val binned = base.join(broadcast(stats), group)
+    // all group-key joins are NULL-SAFE (<=>): a null group is a real
+    // group to groupBy/Window, and an equi-join would silently drop it
+    val statsR = stats.withColumnRenamed(group, "__g")
+    val binned = base.join(broadcast(statsR), col(group) <=> col("__g"))
       .select(col(group), col(value), binCol)
 
     // per-bin counts + exclusive running total (≤ numBins rows/group)
@@ -119,7 +122,8 @@ object Percentiles {
       .withColumn("__below", coalesce(sum(col("__cnt")).over(wBins), lit(0L)))
 
     // the bin holding each target rank, and the rank's offset inside it
-    val hit = targets.join(cum, group)
+    val cumR = cum.withColumnRenamed(group, "__g")
+    val hit = targets.join(cumR, col(group) <=> col("__g"))
       .filter(col("__k") >= col("__below") &&
         col("__k") < col("__below") + col("__cnt"))
       .select(col(group), col("__nm"), col("__wh"), col("__bin"),
@@ -128,7 +132,10 @@ object Percentiles {
     // rank only the hit bins' rows; one tiny sorted partition per target
     val wPick = Window.partitionBy(col(group), col("__nm"), col("__wh"))
       .orderBy(col(value))
-    val picked = binned.join(broadcast(hit), Seq(group, "__bin"))
+    val hitR = hit.withColumnRenamed(group, "__g")
+      .withColumnRenamed("__bin", "__hbin")
+    val picked = binned.join(broadcast(hitR),
+      col(group) <=> col("__g") && col("__bin") === col("__hbin"))
       .withColumn("__rn", row_number().over(wPick).cast("long") - 1L)
       .filter(col("__rn") === col("__off"))
 
@@ -149,7 +156,8 @@ object Percentiles {
     }
     picked.groupBy(col(group))
       .agg(aggs.head, aggs.tail: _*)
-      .join(broadcast(stats.select(col(group), col("__n"))), group)
+      .join(broadcast(statsR.select(col("__g"), col("__n"))),
+        col(group) <=> col("__g"))
       .select(col(group) +: out: _*)
   }
 

@@ -34,38 +34,47 @@ object Pipeline {
 
   private def toks = tokens(col("text"))
 
+  // -- shared chunk-window pieces (the ONE definition of the geometry,
+  //    used by taChunk AND pipeE2e on both engine sides) --------------
+  /** Chunk indices 0..ceil(n/stride)-1 over a token-array column named
+    * `t` (requires `size(t) > 0` upstream).
+    */
+  private def chunkIdx = explode(sequence(lit(0L),
+    expr(s"(size(t) + ${ChunkStride - 1}) DIV $ChunkStride") - 1L))
+  /** The tokens of chunk `start` of column `t`. */
+  private def chunkSlice(start: org.apache.spark.sql.Column) =
+    slice(col("t"), start * ChunkStride + 1, lit(ChunkTokens))
+  private val chunkIdxSql =
+    s"unnest(range((len(t) + ${ChunkStride - 1}) // $ChunkStride))"
+  private def chunkSliceSql(idx: String) =
+    s"t[$idx * $ChunkStride + 1 : $idx * $ChunkStride + $ChunkTokens]"
+
   /** Fixed-size overlapping token windows per document: chunk `i`
     * covers tokens `[i*stride, i*stride + ChunkTokens)`; starts are
     * every `ChunkStride` tokens while inside the document. Pure
     * map-side generation — the 100 TB plan is scan → explode, no
     * exchange before the presentation sort.
     */
-  def taChunk(s: SparkSession, d: String): DataFrame = {
-    val slice_ = (start: org.apache.spark.sql.Column) =>
-      slice(col("t"), start * ChunkStride + 1, lit(ChunkTokens))
+  def taChunk(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) > 0)
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0L),
-          expr(s"(size(t) + ${ChunkStride - 1}) DIV $ChunkStride") - 1L)))
+      .withColumn("chunk_idx", chunkIdx)
       .select(col("doc_id"), col("chunk_idx"),
-        concat_ws(" ", slice_(col("chunk_idx"))).as("chunk_text"),
-        size(slice_(col("chunk_idx"))).as("chunk_tokens"))
+        concat_ws(" ", chunkSlice(col("chunk_idx"))).as("chunk_text"),
+        size(chunkSlice(col("chunk_idx"))).as("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   val taChunkSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
        |  FROM documents),
        |c AS (
-       |  SELECT doc_id, t,
-       |    unnest(range((len(t) + ${ChunkStride - 1}) // $ChunkStride)) AS chunk_idx
+       |  SELECT doc_id, t, $chunkIdxSql AS chunk_idx
        |  FROM toks WHERE len(t) > 0)
        |SELECT doc_id, chunk_idx,
-       |  array_to_string(t[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ') AS chunk_text,
-       |  CAST(len(t[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens]) AS INTEGER) AS chunk_tokens
+       |  array_to_string(${chunkSliceSql("chunk_idx")}, ' ') AS chunk_text,
+       |  CAST(len(${chunkSliceSql("chunk_idx")}) AS INTEGER) AS chunk_tokens
        |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
@@ -120,26 +129,18 @@ object Pipeline {
     * one tiny final aggregate.
     */
   def pipeE2e(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(toks)
-    val stopHits = size(filter(toks,
-      t => t.isInCollection(TextAnalysis.stopwordList)))
-    val quality = stopHits.cast(DoubleType) / nTok * lit(0.5) +
-      least(nTok.cast(DoubleType) / lit(200.0), lit(1.0)) * lit(0.5)
     val wFp = Window.partitionBy(col("fp"))
     val kept = documents(s, d)
-      .filter(nTok > 0 && quality >= QualityMin)
+      .filter(size(toks) > 0 &&
+        TextAnalysis.qualityScore(toks) >= QualityMin)
       .select(col("doc_id"), col("lang"), toks.as("t"),
         md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wFp))
       .filter(col("keep"))
-    val slice_ = (start: org.apache.spark.sql.Column) =>
-      slice(col("t"), start * ChunkStride + 1, lit(ChunkTokens))
     kept
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0L),
-          expr(s"(size(t) + ${ChunkStride - 1}) DIV $ChunkStride") - 1L)))
+      .withColumn("chunk_idx", chunkIdx)
       .select(col("doc_id"), col("lang"),
-        size(slice_(col("chunk_idx"))).as("chunk_tokens"))
+        size(chunkSlice(col("chunk_idx"))).as("chunk_tokens"))
       .groupBy(col("lang"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -150,8 +151,6 @@ object Pipeline {
 
   val pipeE2eSql: String = {
     val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
-    val stopList = TextAnalysis.stopwordList.map(w => s"'$w'").mkString("(", ",", ")")
-    val hitsSql = s"len(list_filter(t, x -> x IN $stopList))"
     s"""WITH toks AS (
        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
        |q AS (
@@ -159,8 +158,7 @@ object Pipeline {
        |    md5(array_to_string(t[1:10], ' ')) AS fp
        |  FROM toks
        |  WHERE len(t) > 0 AND
-       |    CAST($hitsSql AS DOUBLE) / len(t) * 0.5
-       |      + least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 0.5 >= $QualityMin),
+       |    ${TextAnalysis.qualityScoreSql("t")} >= $QualityMin),
        |kept AS (
        |  SELECT doc_id, lang, t
        |  FROM (SELECT doc_id, lang, t,
@@ -169,9 +167,8 @@ object Pipeline {
        |  WHERE keep),
        |chunks AS (
        |  SELECT doc_id, lang,
-       |    len(t[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkTokens]) AS chunk_tokens
-       |  FROM (SELECT doc_id, lang, t,
-       |          unnest(range((len(t) + ${ChunkStride - 1}) // $ChunkStride)) AS ci
+       |    len(${chunkSliceSql("ci")}) AS chunk_tokens
+       |  FROM (SELECT doc_id, lang, t, $chunkIdxSql AS ci
        |        FROM kept) g)
        |SELECT lang,
        |  COUNT(DISTINCT doc_id) AS n_docs,

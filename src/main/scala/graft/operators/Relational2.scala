@@ -129,7 +129,9 @@ object Relational2 {
     * bound. The oracle pins the exact columns and requires the booleans
     * TRUE — a broken sketch flips a boolean and fails the hash gate,
     * while the engine-specific raw sketch value stays out of the
-    * compare. Relational2Spec additionally bounds the raw errors. At
+    * compare. Relational2Spec additionally bounds the raw errors with
+    * approx/exact values recomputed from scratch (independent of these
+    * in-plan flags). At
     * 100 TB these sketches replace exact distinct/percentile where a
     * bounded error buys an order of magnitude less shuffle.
     */

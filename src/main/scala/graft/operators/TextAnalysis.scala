@@ -53,8 +53,28 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Quality score: stopword ratio (fluency proxy) blended with a length
-    * prior — the length/punct/stopword-ratio family of heuristic quality
+  /** Quality score over a token-array column: stopword ratio (fluency
+    * proxy) blended with a length prior. The SINGLE definition of the
+    * formula — [[taQuality]] reports it and [[Pipeline.pipeE2e]] filters
+    * by it, so a weight tweak cannot drift the two apart. NaN/null on
+    * empty docs; callers guard with `size(toks) > 0`.
+    */
+  def qualityScore(toksCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = size(toksCol)
+    val hits = size(filter(toksCol, t => t.isInCollection(stopwordList)))
+    hits.cast(DoubleType) / n * lit(0.5) +
+      least(n.cast(DoubleType) / lit(200.0), lit(1.0)) * lit(0.5)
+  }
+
+  /** DuckDB mirror of [[qualityScore]] over a token-list expression. */
+  def qualityScoreSql(t: String): String = {
+    val stopList = stopwordList.map(w => s"'$w'").mkString("(", ",", ")")
+    s"CAST(len(list_filter($t, x -> x IN $stopList)) AS DOUBLE) / len($t) * 0.5" +
+      s" + least(CAST(len($t) AS DOUBLE) / 200.0, 1.0) * 0.5"
+  }
+
+  /** Quality report: stopword ratio plus the blended [[qualityScore]] —
+    * the length/punct/stopword-ratio family of heuristic quality
     * filters used to pre-filter web corpora.
     */
   def taQuality(s: SparkSession, d: String): DataFrame = {
@@ -66,16 +86,13 @@ object TextAnalysis {
         nTok.as("n_tokens"),
         stopHits.as("n_stop"),
         when(nTok > 0, stopHits.cast(DoubleType) / nTok).as("stop_ratio"),
-        when(nTok > 0,
-          stopHits.cast(DoubleType) / nTok * lit(0.5) +
-            least(nTok.cast(DoubleType) / lit(200.0), lit(1.0)) * lit(0.5))
-          .as("quality_score"))
+        when(nTok > 0, qualityScore(toks)).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
   val taQualitySql: String = {
     val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
-    val stopList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    val stopList = stopwordList.map(w => s"'$w'").mkString("(", ",", ")")
     val hitsSql = s"len(list_filter($toksSql, x -> x IN $stopList))"
     s"""SELECT doc_id,
        |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
@@ -83,8 +100,7 @@ object TextAnalysis {
        |  CASE WHEN len($toksSql) > 0
        |       THEN CAST($hitsSql AS DOUBLE) / len($toksSql) END AS stop_ratio,
        |  CASE WHEN len($toksSql) > 0
-       |       THEN CAST($hitsSql AS DOUBLE) / len($toksSql) * 0.5
-       |            + least(CAST(len($toksSql) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |       THEN ${qualityScoreSql(toksSql)}
        |  END AS quality_score
        |FROM documents
        |ORDER BY doc_id""".stripMargin

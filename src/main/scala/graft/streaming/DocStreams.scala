@@ -51,10 +51,14 @@ object DocStreams {
     * is how the spec oracles it.
     */
   def streamingNearDup(docs: DataFrame): DataFrame = {
+    // null text → empty string → no shingles → the bypass branch (a
+    // bare null would satisfy NEITHER size predicate and silently
+    // vanish from the output)
     val withSh = docs
       .withWatermark("ts", "1 hour")
       .withColumn("__sh",
-        WordShinglesExpr.wordShinglesNative(col("text"), 3))
+        WordShinglesExpr.wordShinglesNative(
+          coalesce(col("text"), lit("")), 3))
     val shingled = withSh.filter(size(col("__sh")) > 0)
     val sigCols = {
       val sig = MinHashSig.minhashSig(col("__sh"))
@@ -124,11 +128,16 @@ object DocStreams {
     // the row that produced it, in the same micro-batch the row was
     // admitted — so emissions are never below the watermark and the
     // downstream window aggregation never discards them.
+    // NOTE: the flag is session-scoped (Spark has no per-query form) and
+    // must still be false when the query STARTS, so it cannot be
+    // save-restored here; calling this function opts the session into
+    // chained-stateful queries — other streaming queries on the session
+    // lose the analysis-time guard and must be validated on their own.
     spark.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val horizonMs = VoteHorizonMs
     val sig = MinHashSig.minhashSig(
-      WordShinglesExpr.wordShinglesNative(col("text"), 3))
+      WordShinglesExpr.wordShinglesNative(coalesce(col("text"), lit("")), 3))
     val withSig = docs.withWatermark("ts", "1 hour").withColumn("__sig", sig)
     // (band, r signature rows) per table; band -1 keys on doc_id so
     // short docs occupy singleton buckets (never dups, never colliding)
@@ -166,10 +175,16 @@ object DocStreams {
               var st = state.getOption
               rows.foreach { r =>
                 st match {
-                  case Some(s) =>
+                  // horizon enforced IN the verdict, not only by lazy
+                  // timeout eviction: a doc more than one horizon after
+                  // the bucket's last sighting opens a fresh bucket, so
+                  // the answer is a pure function of event times — not
+                  // of which micro-batch happened to fire the timeout —
+                  // and batch mode gets the same horizon semantics
+                  case Some(s) if r.ts.getTime - s.lastMs <= horizonMs =>
                     out += BandVerdict(r.doc_id, r.ts, dup = true)
                     st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
-                  case None =>
+                  case _ =>
                     out += BandVerdict(r.doc_id, r.ts, dup = false)
                     st = Some(BucketState(r.doc_id, r.ts.getTime))
                 }

@@ -44,6 +44,19 @@ class PercentilesSpec extends SparkTestBase {
     }
   }
 
+  test("a null group key is a real group, identical to the window form") {
+    val df = Seq((null.asInstanceOf[String], 1.0), (null.asInstanceOf[String], 3.0),
+      (null.asInstanceOf[String], 8.0), ("a", 5.0), ("a", 7.0))
+      .toDF("g", "v")
+    val ps = Seq("p50" -> 0.5)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val win = rows(Percentiles.exact(df, "g", "v", ps))
+    val sel = rows(Percentiles.exactSelect(df, "g", "v", ps))
+    assert(sel == win)
+    assert(sel(None) == 3.0 && sel(Some("a")) == 6.0)
+  }
+
   test("selection percentiles honor a tiny bin count (dense bins exercise the offset path)") {
     val df = randomDataset().toDF("g", "v")
     val ps = Seq("p50" -> 0.5, "p25" -> 0.25)

@@ -16,6 +16,31 @@ class Relational2Spec extends SparkTestBase {
     }
   }
 
+  test("raw sketch errors are bounded, independently of the in-plan tolerance flags") {
+    // recomputed from scratch so a bug in q27Approx's own tolerance
+    // expressions cannot vouch for itself
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("a_n"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a_p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exactN = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("e_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactP = Percentiles.exact(li, "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (g, (aN, aP)) =>
+      // rsd=0.01 is one standard deviation; 3 sigma is the sane bound
+      assert(math.abs(aN - exactN(g)).toDouble / exactN(g) < 0.03,
+        s"HLL error too large for $g: $aN vs ${exactN(g)}")
+      assert(math.abs(aP - exactP(g)) / exactP(g) < 0.05,
+        s"approx percentile off for $g: $aP vs ${exactP(g)}")
+    }
+  }
+
   test("distributed-selection percentiles are bitwise-equal to the rank-window form") {
     val ps = Seq("p50" -> 0.5, "p25" -> 0.25, "p75" -> 0.75, "p99" -> 0.99)
     val li = graft.sources.Tables.lineitem(spark, sf001)
