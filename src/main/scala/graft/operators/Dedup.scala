@@ -138,6 +138,27 @@ object Dedup {
     * the oracle reproduces it exactly; at scale step (b)'s pair source
     * is the LSH candidates instead of the exact join.
     */
+  /** Keep the lowest doc_id per 10-token-prefix fingerprint — the
+    * exact-dedup stage shared by [[ddApply]] and [[ddApplyLsh]].
+    */
+  private def prefixCanonical(s: SparkSession, d: String): DataFrame = {
+    val fpPre = md5(concat_ws(" ", slice(toks, 1, 10)))
+    val wPre = Window.partitionBy(col("fp"))
+    documents(s, d)
+      .select(col("doc_id"), fpPre.as("fp"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wPre))
+      .filter(col("keep"))
+      .select(col("doc_id"))
+  }
+
+  private val pfxCteSql: String =
+    """pfx AS (
+      |  SELECT doc_id,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+      |  FROM (SELECT doc_id,
+      |          md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:10], ' ')) AS fp
+      |        FROM documents) f)""".stripMargin
+
   def ddApply(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRel(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -153,17 +174,42 @@ object Dedup {
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= 0.9)
       .select(col("b_id").as("doc_id")).distinct()
-    val fpPre = md5(concat_ws(" ", slice(toks, 1, 10)))
-    val wPre = Window.partitionBy(col("fp"))
-    val prefixCanonical = documents(s, d)
-      .select(col("doc_id"), fpPre.as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wPre))
-      .filter(col("keep"))
-      .select(col("doc_id"))
-    prefixCanonical
+    prefixCanonical(s, d)
       .join(nearDupDrop, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Applied dedup, SCALE-PATH form: the same retention rule as
+    * [[ddApply]] — prefix-exact dedup, then drop the higher doc_id of
+    * every near-dup pair — but with the near-dup pairs sourced from the
+    * banded-LSH signature estimate (≥ 0.9) instead of the exact
+    * quadratic shingle join. This is the composition that actually runs
+    * at 100 TB; having BOTH gated means the exact form certifies the
+    * rule while this one certifies the scalable pair source.
+    */
+  def ddApplyLsh(s: SparkSession, d: String): DataFrame = {
+    val nearDupDrop = ddMinhashLsh(s, d)
+      .filter(col("est_jaccard") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+    prefixCanonical(s, d)
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: interpolates minhashCtesSql/estJaccardSql, declared further
+  // down the object — an eager val would capture them as null
+  lazy val ddApplyLshSql: String =
+    s"""WITH $minhashCtesSql,
+       |near AS (
+       |  SELECT DISTINCT b_id AS doc_id
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE $estJaccardSql >= 0.9),
+       |$pfxCteSql
+       |SELECT doc_id FROM pfx
+       |WHERE keep AND doc_id NOT IN (SELECT doc_id FROM near)
+       |ORDER BY doc_id""".stripMargin
 
   val ddApplySql: String =
     s"""WITH $shingleRelSql,
@@ -176,12 +222,7 @@ object Dedup {
       |  JOIN cnt ca ON ca.doc_id = p.a_id
       |  JOIN cnt cb ON cb.doc_id = p.b_id
       |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.9),
-      |pfx AS (
-      |  SELECT doc_id,
-      |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
-      |  FROM (SELECT doc_id,
-      |          md5(array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:10], ' ')) AS fp
-      |        FROM documents) f)
+      |$pfxCteSql
       |SELECT doc_id FROM pfx
       |WHERE keep AND doc_id NOT IN (SELECT doc_id FROM drop_near)
       |ORDER BY doc_id""".stripMargin
@@ -248,12 +289,14 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
   }
 
-  /** DuckDB mirror of the full minhash+LSH pipeline: the md5-derived
-    * base hash and the affine coefficient family are embedded as
-    * literals, so signatures — and therefore candidate pairs and the
-    * estimated Jaccard — are bit-identical across engines.
+  /** Shared DuckDB CTE chain for the minhash+LSH pipeline (through the
+    * `cand` and `sig` relations): the md5-derived base hash and the
+    * affine coefficient family are embedded as literals, so signatures
+    * — and therefore candidate pairs and the estimated Jaccard — are
+    * bit-identical across engines. Shared by [[ddMinhashLshSql]] and
+    * [[ddApplyLshSql]].
     */
-  val ddMinhashLshSql: String = {
+  private val minhashCtesSql: String = {
     val p = graft.functions.MinHashSig.MersennePrime
     val sigList = (0 until NumHashes).map { i =>
       val a = graft.functions.MinHashSig.coefA(i)
@@ -264,7 +307,7 @@ object Dedup {
       .map(i => s"sig[band * $RowsPerBand + ${i + 1}] AS k$i").mkString(", ")
     val keyEq = (0 until RowsPerBand)
       .map(i => s"a.k$i = b.k$i").mkString(" AND ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
        |  FROM documents),
        |sh AS (
@@ -286,17 +329,22 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val estJaccardSql: String =
+    s"""CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    pr -> CASE WHEN pr[1] = pr[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes""".stripMargin
+
+  val ddMinhashLshSql: String =
+    s"""WITH $minhashCtesSql
        |SELECT a_id, b_id,
-       |  CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
-       |    pr -> CASE WHEN pr[1] = pr[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est_jaccard
+       |  $estJaccardSql AS est_jaccard
        |FROM cand
        |JOIN sig sa ON sa.doc_id = a_id
        |JOIN sig sb ON sb.doc_id = b_id
-       |WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
-       |    pr -> CASE WHEN pr[1] = pr[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes >= 0.3
+       |WHERE $estJaccardSql >= 0.3
        |ORDER BY est_jaccard DESC, a_id, b_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // SimHash — Hamming-bucketed near-dup.
@@ -407,6 +455,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> ddExact _,
     "dd_apply"         -> ddApply _,
+    "dd_apply_lsh"     -> ddApplyLsh _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
@@ -416,6 +465,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_exact"         -> ddExactSql,
     "dd_apply"         -> ddApplySql,
+    "dd_apply_lsh"     -> ddApplyLshSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh"   -> ddMinhashLshSql,
     "dd_simhash"       -> ddSimhashSql,

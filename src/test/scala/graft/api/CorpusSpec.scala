@@ -1,0 +1,57 @@
+package graft.api
+
+import graft.SparkTestBase
+
+/** The DataFrame-first facade must agree with the gated query registry
+  * wherever they overlap — same Catalyst expressions underneath.
+  */
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  test("facade near-dup pairs equal the gated dd_minhash_lsh pairs") {
+    val api = Corpus.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gated = graft.operators.Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+  }
+
+  test("facade chunking equals the gated ta_chunk rows") {
+    val api = Corpus.chunked(docs)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    val gated = graft.operators.Pipeline.taChunk(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    assert(api == gated)
+  }
+
+  test("fluent ops compose: dedup then quality then chunk") {
+    import Corpus.implicits._
+    val out = docs.exactDeduped().qualityScored().chunked()
+    assert(out.columns.contains("quality_score"))
+    assert(out.count() > 0)
+    // dedup keeps the lowest doc_id per fingerprint
+    val ids = docs.exactDeduped().select("doc_id").collect().map(_.getLong(0)).toSet
+    val fps = docs.select($"doc_id",
+      graft.functions.fingerprintMd5($"text").as("fp")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = fps.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(ids == expect)
+  }
+
+  test("cosine top-k facade equals the gated brute-force query") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val gated = graft.operators.Similarity.simTopkBrute(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(api == gated)
+  }
+}
