@@ -212,6 +212,67 @@ class EventStreamsSpec extends SparkTestBase {
       (1L, t0 + 100 * min, t0 + 102 * min, 2L)))
   }
 
+  test("randomized: streaming sessionizer equals the batch sessionizer under in-watermark disorder") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(777)
+    val dir = Files.createTempDirectory("graft-sess-rand-")
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    // 5 users × ~24 events over 6 hours → natural 30-min-gap sessions
+    val events = (for {
+      u <- 1L to 5L
+      i <- 0 until (18 + rng.nextInt(12))
+    } yield (u * 1000 + i, u, t0 + (rng.nextDouble() * 6 * hour).toLong))
+      .sortBy(_._3)
+    // consecutive time chunks as micro-batches, then move ~15% of
+    // events one batch LATER: they arrive after events with larger ts
+    // (disorder) but stay inside the 2h watermark (batch span ~1h)
+    val nBatches = 6
+    val chunks = events.grouped(
+      math.ceil(events.size / nBatches.toDouble).toInt).toArray
+    val batches = Array.fill(chunks.length)(
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]())
+    chunks.zipWithIndex.foreach { case (chunk, bi) =>
+      chunk.foreach { e =>
+        val target = if (bi + 1 < chunks.length && rng.nextDouble() < 0.15)
+          bi + 1 else bi
+        batches(target) += e
+      }
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      if (b.nonEmpty) writeBatch(dir, f"r${i}%03d.parquet", b.toSeq)
+    }
+    // sentinel far past every session's end+gap → all real sessions emit
+    writeBatch(dir, "zz_sentinel.parquet",
+      Seq((99999L, 999L, t0 + 48 * hour)))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .as[EventWithTs]
+    val q = sessionizeStream(es)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_rand_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("sess_rand_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 999L).toSet
+
+    val batchDs = events.toDF("event_id", "user_id", "ts_ns")
+      .selectExpr("event_id", "ts_ns", "user_id",
+        "'click' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+      .as[Event]
+    val expected = sessionize(batchDs).collect()
+      .map(s => (s.user_id, s.start_ns, s.end_ns, s.n_events)).toSet
+    assert(streamed == expected)
+    assert(streamed.size >= 5)
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
