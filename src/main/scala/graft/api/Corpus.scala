@@ -62,17 +62,18 @@ object Corpus {
 
   /** Fixed-size overlapping context windows: one output row per chunk
     * with `chunk_idx`, `chunk_text`, `chunk_tokens` appended. Pure
-    * map-side generation.
+    * map-side generation; the geometry is [[Pipeline.chunkIdxCol]] /
+    * [[Pipeline.chunkSliceCol]] — the same single definition the gated
+    * queries use.
     */
   def chunked(df: DataFrame, text: String = "text",
       chunkTokens: Int = Pipeline.ChunkTokens,
       stride: Int = Pipeline.ChunkStride): DataFrame = {
     val sliceOf = (start: Column) =>
-      slice(col("__t"), start * stride + 1, lit(chunkTokens))
+      Pipeline.chunkSliceCol("__t", start, chunkTokens, stride)
     df.withColumn("__t", tokens(col(text)))
       .filter(size(col("__t")) > 0)
-      .withColumn("chunk_idx", explode(sequence(lit(0L),
-        expr(s"(size(__t) + ${stride - 1}) DIV $stride") - 1L)))
+      .withColumn("chunk_idx", Pipeline.chunkIdxCol("__t", stride))
       .withColumn("chunk_text", concat_ws(" ", sliceOf(col("chunk_idx"))))
       .withColumn("chunk_tokens", size(sliceOf(col("chunk_idx"))))
       .drop("__t")
@@ -90,58 +91,32 @@ object Corpus {
       .drop("__sh")
 
   /** Banded-LSH near-dup candidate pairs `(a_id, b_id, est_jaccard)`
-    * with signature-estimated Jaccard ≥ `minJaccard`. One shuffle on
-    * the band keys; the quadratic pair space is never formed.
+    * with signature-estimated Jaccard ≥ `minJaccard` — delegates to
+    * [[graft.operators.Dedup.nearDupCandidates]], the one definition of
+    * the banding. One shuffle on the band keys; the quadratic pair
+    * space is never formed. NOTE the recall floor: the fixed 16×4
+    * banding cannot honor thresholds below ~0.3 (it rejects them).
     */
   def nearDupPairs(df: DataFrame, id: String = "doc_id",
-      text: String = "text", minJaccard: Double = 0.3): DataFrame = {
-    import graft.operators.Dedup.{Bands, RowsPerBand}
-    val sigs = minhashSigned(df.select(col(id).as("doc_id"), col(text)), text)
-      .select(col("doc_id"), col("minhash_sig").as("sig"))
-    val keyCols = (0 until RowsPerBand).map(i =>
-      element_at(col("sig"), col("band") * RowsPerBand + i + 1).as(s"k$i"))
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(sequence(lit(0), lit(Bands - 1))).as("band"),
-      col("sig"))
-      .select(col("doc_id") +: col("band") +: keyCols: _*)
-    val joinCond = col("a.band") === col("b.band") &&
-      (0 until RowsPerBand).map(i =>
-        col(s"a.k$i") === col(s"b.k$i")).reduce(_ && _) &&
-      col("a.doc_id") < col("b.doc_id")
-    bands.as("a").join(bands.as("b"), joinCond)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (MinHashSig.sigOverlap(col("sig_a"), col("sig_b"))
-          .cast(DoubleType) / MinHashSig.NumHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minJaccard)
-  }
+      text: String = "text", minJaccard: Double = 0.3): DataFrame =
+    graft.operators.Dedup.nearDupCandidates(
+      df.select(col(id).as("doc_id"), col(text).as("text")), minJaccard)
 
   // ---------------------------------------------------------- embeddings
 
   /** Exact cosine top-k neighbors of each query vector: queries are
-    * broadcast, the corpus never shuffles. Output `(q_id, rank, c_id,
-    * cosine)`.
+    * broadcast, the corpus never shuffles — delegates to
+    * [[graft.operators.Similarity.cosineTopK]]. Output
+    * `(q_id, rank, c_id, cosine)`. Set `excludeSelfIds = false` when
+    * corpus and queries are UNRELATED frames: the default drops
+    * `q_id == c_id` pairs, which is right only when the queries are
+    * drawn from the corpus.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(id).as("q_id"), col(vec).as("__qv"),
-      VectorExpressions.l2NormF(col(vec)).as("__qn"))
-    val c = corpus.select(col(id).as("c_id"), col(vec).as("__cv"),
-      VectorExpressions.l2NormF(col(vec)).as("__cn"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        (VectorExpressions.dotF(col("__qv"), col("__cv")) /
-          (col("__qn") * col("__cn"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
-  }
+      id: String = "vec_id", vec: String = "embedding",
+      excludeSelfIds: Boolean = true): DataFrame =
+    graft.operators.Similarity.cosineTopK(
+      corpus, queries, k, id, vec, excludeSelfIds)
 
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */
   object implicits {

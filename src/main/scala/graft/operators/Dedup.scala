@@ -131,13 +131,6 @@ object Dedup {
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin
 
-  /** Applied dedup: the retained corpus after (a) exact prefix-group
-    * dedup (keep lowest doc_id per 10-token-prefix fingerprint) and
-    * (b) near-dup removal (for every pair with 3-gram jaccard ≥ 0.9,
-    * drop the higher doc_id). The rule is deterministic and local, so
-    * the oracle reproduces it exactly; at scale step (b)'s pair source
-    * is the LSH candidates instead of the exact join.
-    */
   /** Keep the lowest doc_id per 10-token-prefix fingerprint — the
     * exact-dedup stage shared by [[ddApply]] and [[ddApplyLsh]].
     */
@@ -159,6 +152,13 @@ object Dedup {
       |          md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:10], ' ')) AS fp
       |        FROM documents) f)""".stripMargin
 
+  /** Applied dedup: the retained corpus after (a) exact prefix-group
+    * dedup (keep lowest doc_id per 10-token-prefix fingerprint) and
+    * (b) near-dup removal (for every pair with 3-gram jaccard ≥ 0.9,
+    * drop the higher doc_id). The rule is deterministic and local, so
+    * the oracle reproduces it exactly; at scale step (b)'s pair source
+    * is the LSH candidates instead of the exact join ([[ddApplyLsh]]).
+    */
   def ddApply(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRel(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -260,8 +260,23 @@ object Dedup {
     * fixed-width shuffle key, so hashing them first would only save a
     * few bytes while making the operator unverifiable.
     */
-  def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(documents(s, d))
+  /** Frame-parametric core of the banded-LSH pipeline: candidate pairs
+    * `(a_id, b_id, est_jaccard ≥ minJaccard)` over ANY `(doc_id, text)`
+    * frame — shared by the gated [[ddMinhashLsh]] and the
+    * `graft.api.Corpus.nearDupPairs` facade, so the banding scheme has
+    * exactly one definition.
+    *
+    * RECALL FLOOR: candidates come from the fixed Bands×RowsPerBand
+    * banding; a pair with Jaccard j collides in ≥1 band with
+    * probability 1-(1-j^r)^b (≈16% at j=0.1) — a threshold below ~0.3
+    * would silently return a vanishing fraction of the qualifying
+    * pairs, so it is rejected rather than half-honored.
+    */
+  def nearDupCandidates(docs: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    require(minJaccard >= 0.3,
+      s"minJaccard=$minJaccard is below the $Bands×$RowsPerBand banding's " +
+        "recall floor (~0.3); lower thresholds need a wider banding")
+    val sigs = minhashSignatures(docs)
     // band rows carry only (doc_id, band, r key cols) — signatures are
     // NOT shuffled through the pair-join/dedup; they re-attach after.
     val keyCols = (0 until RowsPerBand).map(i =>
@@ -285,9 +300,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (graft.functions.MinHashSig.sigOverlap(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / NumHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.3)
-      .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
+      .filter(col("est_jaccard") >= minJaccard)
   }
+
+  def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
+    nearDupCandidates(documents(s, d))
+      .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
 
   /** Shared DuckDB CTE chain for the minhash+LSH pipeline (through the
     * `cand` and `sig` relations): the md5-derived base hash and the

@@ -35,15 +35,22 @@ object Pipeline {
   private def toks = tokens(col("text"))
 
   // -- shared chunk-window pieces (the ONE definition of the geometry,
-  //    used by taChunk AND pipeE2e on both engine sides) --------------
+  //    used by taChunk, pipeE2e AND graft.api.Corpus.chunked on both
+  //    engine sides) --------------------------------------------------
   /** Chunk indices 0..ceil(n/stride)-1 over a token-array column named
     * `t` (requires `size(t) > 0` upstream).
     */
-  private def chunkIdx = explode(sequence(lit(0L),
-    expr(s"(size(t) + ${ChunkStride - 1}) DIV $ChunkStride") - 1L))
-  /** The tokens of chunk `start` of column `t`. */
+  def chunkIdxCol(t: String, stride: Int = ChunkStride): org.apache.spark.sql.Column =
+    explode(sequence(lit(0L),
+      expr(s"(size($t) + ${stride - 1}) DIV $stride") - 1L))
+  /** The tokens of chunk `start` of token-array column `t`. */
+  def chunkSliceCol(t: String, start: org.apache.spark.sql.Column,
+      chunkTokens: Int = ChunkTokens,
+      stride: Int = ChunkStride): org.apache.spark.sql.Column =
+    slice(col(t), start * stride + 1, lit(chunkTokens))
+  private def chunkIdx = chunkIdxCol("t")
   private def chunkSlice(start: org.apache.spark.sql.Column) =
-    slice(col("t"), start * ChunkStride + 1, lit(ChunkTokens))
+    chunkSliceCol("t", start)
   private val chunkIdxSql =
     s"unnest(range((len(t) + ${ChunkStride - 1}) // $ChunkStride))"
   private def chunkSliceSql(idx: String) =

@@ -30,25 +30,41 @@ object Similarity {
     * No — cosine is included: both engines fold the dot product in array
     * order in double precision, so values are bit-identical.
     */
-  def simTopkBrute(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    // norms once per vector, not once per pair: cosine = dot/(nq*nc) is
-    // the same double math as cosineSim (the norm of a given vector is
-    // bit-identical wherever it's computed), at a third of the flops
-    val q = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        VectorExpressions.l2NormF(col("embedding")).as("qn"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-      VectorExpressions.l2NormF(col("embedding")).as("cn"))
+  /** Frame-parametric exact cosine top-k core: queries broadcast, the
+    * corpus never shuffles; norms computed once per vector, not once
+    * per pair (cosine = dot/(nq·nc) is the same double math as
+    * cosineSim — the norm of a given vector is bit-identical wherever
+    * it's computed — at a third of the flops). Shared by the gated
+    * [[simTopkBrute]] and `graft.api.Corpus.cosineTopK`.
+    *
+    * `excludeSelfIds` drops pairs with `q_id == c_id` — correct when
+    * the queries are drawn FROM the corpus (the gated query's shape);
+    * pass `false` when corpus and queries are unrelated frames whose
+    * ids merely collide.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      excludeSelfIds: Boolean = true): DataFrame = {
+    val q = queries.select(col(id).as("q_id"), col(vec).as("qv"),
+      VectorExpressions.l2NormF(col(vec)).as("qn"))
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("cv"),
+      VectorExpressions.l2NormF(col(vec)).as("cn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    val joinCond =
+      if (excludeSelfIds) col("q_id") =!= col("c_id") else lit(true)
+    c.join(broadcast(q), joinCond)
       .select(col("q_id"), col("c_id"),
         (VectorExpressions.dotF(col("qv"), col("cv")) /
           (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
+  def simTopkBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    cosineTopK(e, e.filter(col("vec_id") < NumQueryVectors), TopK)
       .orderBy(col("q_id"), col("rank"))
   }
 

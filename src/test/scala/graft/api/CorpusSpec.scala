@@ -44,6 +44,20 @@ class CorpusSpec extends SparkTestBase {
     assert(ids == expect)
   }
 
+  test("cosineTopK without self-exclusion ranks each query's own vector first") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val top1 = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 1,
+      excludeSelfIds = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1 == (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("nearDupPairs rejects thresholds below the banding's recall floor") {
+    intercept[IllegalArgumentException] {
+      Corpus.nearDupPairs(docs, minJaccard = 0.1)
+    }
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
