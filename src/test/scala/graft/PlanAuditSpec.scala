@@ -47,6 +47,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("chunking is map-side: its only exchange is the presentation sort") {
+    val p = plan("ta_chunk")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("packing shuffles once for the per-shard window plus the presentation sort") {
+    val p = plan("ta_pack")
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
   test("custom top-k operator plans with exactly one exchange on the group keys") {
     val p = plan("q28_topk_custom")
     assert(p.contains("TopKPerGroup"))
