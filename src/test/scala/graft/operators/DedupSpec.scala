@@ -63,6 +63,18 @@ class DedupSpec extends SparkTestBase {
       s"simhash recalled $recalled of ${strongest.size} jaccard>=0.9 pairs")
   }
 
+  test("LSH-candidate applied dedup retains nearly the same corpus as the exact form") {
+    val exact = Dedup.ddApply(spark, sf001).collect().map(_.getLong(0)).toSet
+    val lsh = Dedup.ddApplyLsh(spark, sf001).collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // est_jaccard vs exact jaccard can disagree near the 0.9 cut in
+    // either direction, but only near it — the retained sets must agree
+    // on ≥ 99% of documents
+    val diff = (exact diff lsh) ++ (lsh diff exact)
+    assert(diff.size <= math.max(1, exact.size / 100),
+      s"exact=${exact.size} lsh=${lsh.size} disagree on ${diff.size}: $diff")
+  }
+
   test("exact dedup marks exactly one canonical doc per prefix group") {
     val rows = Dedup.ddExact(spark, sf001).collect()
     val byPrefix = rows.groupBy(_.getString(2))
