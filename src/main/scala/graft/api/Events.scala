@@ -1,0 +1,53 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.operators.AsOfJoin
+import graft.streaming.{DocStreams, EventStreams}
+
+/** DataFrame/Dataset-first event-stream API: the engine's temporal
+  * operators over ANY frames with the right columns, batch or
+  * streaming. Thin, documented delegates to the same cores the gated
+  * queries run — no second implementation.
+  */
+object Events {
+
+  /** As-of (nearest-prior) join: for every probe row, attach the build
+    * row with the greatest `buildTs <= probeTs` within the same key
+    * (inner semantics). One shuffle on the key, one per-group sort, no
+    * range explosion — see [[graft.operators.AsOfJoin.join]].
+    */
+  def asOfJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, probeTs: String, buildTs: String): DataFrame =
+    AsOfJoin.join(probe, build, probeKey, buildKey, probeTs, buildTs)
+
+  /** Batch sessionization (30-min gap) of a typed event Dataset —
+    * [[graft.streaming.EventStreams.sessionize]].
+    */
+  def sessionize(events: Dataset[EventStreams.Event])
+      : Dataset[EventStreams.SessionOut] =
+    EventStreams.sessionize(events)
+
+  /** STREAMING sessionizer with event-time timeouts (open sessions
+    * merge across micro-batches, emit when the watermark passes
+    * end+gap) — [[graft.streaming.EventStreams.sessionizeStream]].
+    */
+  def sessionizeStream(events: Dataset[EventStreams.EventWithTs])
+      : Dataset[EventStreams.SessionOut] =
+    EventStreams.sessionizeStream(events)
+
+  /** Watermark-bounded streaming exact dedup on `event_id` —
+    * [[graft.streaming.EventStreams.streamingDedup]].
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    EventStreams.streamingDedup(events)
+
+  /** Watermark-bounded streaming NEAR-dup dedup of a `(doc_id, text,
+    * ts)` document stream via one MinHash band —
+    * [[graft.streaming.DocStreams.streamingNearDup]]; the 16-band voted
+    * verdict variant is
+    * [[graft.streaming.DocStreams.streamingNearDupVoted]].
+    */
+  def streamingNearDup(docs: DataFrame): DataFrame =
+    DocStreams.streamingNearDup(docs)
+}
