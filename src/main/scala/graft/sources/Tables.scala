@@ -27,14 +27,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; the legacy flag reads it as a Long of epoch nanos, exposed
-    * here as `ts_ns`. All window math on it uses integer `DIV` — double
-    * division at 1e18 magnitudes would lose precision past 2^53.
+  /** `events.ts` normalized to a Long of epoch nanos (`ts_ns`). The test
+    * corpus is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * without the legacy flag (it then reads as a Long of nanos); an
+    * events table written by a standard engine carries micros-precision
+    * TIMESTAMP instead, which converts via `unix_micros · 1000`. All
+    * window math downstream uses integer `DIV` — double division at
+    * 1e18 magnitudes would lose precision past 2^53.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumnRenamed("ts", "ts_ns")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+      case _ =>
+        // CAST handles TIMESTAMP_NTZ too (reinterpreted in the session
+        // zone, which GraftSession pins to UTC)
+        raw.withColumn("ts_ns",
+          org.apache.spark.sql.functions
+            .expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+          .drop("ts")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
