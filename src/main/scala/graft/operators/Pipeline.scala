@@ -186,15 +186,81 @@ object Pipeline {
        |ORDER BY lang""".stripMargin
   }
 
+  val ContamGram = 8     // n-gram width for contamination checks
+  val EvalBuckets = 20L  // md5 bucket count; bucket 0 = the eval split
+
+  /** Train/eval contamination check: a deterministic ~5% md5-bucket of
+    * documents plays the eval set; for each eval doc, the fraction of
+    * its 8-gram shingles that appear ANYWHERE in the train split. The
+    * decontamination primitive of an LLM data pipeline. Shingles travel
+    * as md5-derived 8-byte hashes (identical in both engines, collisions
+    * included); the train side dedups to one row per distinct shingle,
+    * then one keyed equi-join — no document ever meets another document,
+    * only shingle hashes meet, so it scales like the LSH family.
+    */
+  def taContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isEval =
+      md5Bucket(col("doc_id").cast("string"), EvalBuckets.toInt) === 0
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.WordShingleHashesExpr
+        .wordShingleHashesNative(col("text"), ContamGram)).as("s"))
+      .distinct()
+    val evalSh = sh(docs.filter(isEval))
+    val trainSh = sh(docs.filter(!isEval)).select(col("s")).distinct()
+    val cnt = evalSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hit = evalSh.join(trainSh, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    cnt.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast(DoubleType) /
+          col("n_shingles")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taContaminationSql: String = {
+    val gram = (0 until ContamGram).map(j =>
+      if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(s0), 1, 16)) AS UBIGINT) AS s
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t) - ${ContamGram - 2}),
+       |            i -> $gram)) AS s0
+       |        FROM toks WHERE len(t) >= $ContamGram) r),
+       |flag AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % $EvalBuckets = 0 AS is_eval
+       |  FROM documents),
+       |evalsh AS (SELECT sh.doc_id, s FROM sh JOIN flag USING (doc_id) WHERE is_eval),
+       |trainsh AS (SELECT DISTINCT s FROM sh JOIN flag USING (doc_id) WHERE NOT is_eval),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM evalsh GROUP BY doc_id),
+       |hit AS (SELECT e.doc_id, COUNT(*) AS n_contaminated
+       |        FROM evalsh e JOIN trainsh t ON e.s = t.s GROUP BY e.doc_id)
+       |SELECT c.doc_id,
+       |  CAST(c.n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / c.n_shingles AS contamination
+       |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_chunk" -> taChunk _,
-    "ta_pack"  -> taPack _,
-    "pipe_e2e" -> pipeE2e _,
+    "ta_chunk"         -> taChunk _,
+    "ta_pack"          -> taPack _,
+    "ta_contamination" -> taContamination _,
+    "pipe_e2e"         -> pipeE2e _,
   )
 
   val oracles: Map[String, String] = Map(
-    "ta_chunk" -> taChunkSql,
-    "ta_pack"  -> taPackSql,
-    "pipe_e2e" -> pipeE2eSql,
+    "ta_chunk"         -> taChunkSql,
+    "ta_pack"          -> taPackSql,
+    "ta_contamination" -> taContaminationSql,
+    "pipe_e2e"         -> pipeE2eSql,
   )
 }

@@ -51,6 +51,24 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("contamination covers exactly the eval bucket with rates in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.taContamination(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (n, hit, rate)) =>
+      assert(hit <= n, s"doc $id")
+      assert(rate >= 0.0 && rate <= 1.0, s"doc $id")
+      assert(math.abs(rate - hit.toDouble / n) == 0.0, s"doc $id")
+    }
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .filter(graft.functions.md5Bucket($"doc_id".cast("string"),
+        Pipeline.EvalBuckets.toInt) === 0 &&
+        size(graft.functions.tokens($"text")) >= Pipeline.ContamGram)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == expected)
+  }
+
   test("e2e pipeline stats are consistent with its own stages") {
     val agg = Pipeline.pipeE2e(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
