@@ -102,6 +102,20 @@ object Corpus {
     graft.operators.Dedup.nearDupCandidates(
       df.select(col(id).as("doc_id"), col(text).as("text")), minJaccard)
 
+  /** Train/eval contamination check: per eval doc, the fraction of its
+    * `gram`-gram shingles present anywhere in `train` — delegates to
+    * [[graft.operators.Pipeline.contamination]]. Both frames need
+    * `(id, text)` columns. Shingles travel as 8-byte hashes; documents
+    * never meet documents, only shingle hashes do.
+    */
+  def contamination(train: DataFrame, eval_ : DataFrame,
+      id: String = "doc_id", text: String = "text",
+      gram: Int = Pipeline.ContamGram): DataFrame = {
+    def shaped(df: DataFrame) =
+      df.select(col(id).as("doc_id"), col(text).as("text"))
+    Pipeline.contamination(shaped(train), shaped(eval_), gram)
+  }
+
   // ---------------------------------------------------------- embeddings
 
   /** Exact cosine top-k neighbors of each query vector: queries are

@@ -198,16 +198,19 @@ object Pipeline {
     * then one keyed equi-join — no document ever meets another document,
     * only shingle hashes meet, so it scales like the LSH family.
     */
-  def taContamination(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val isEval =
-      md5Bucket(col("doc_id").cast("string"), EvalBuckets.toInt) === 0
+  /** Frame-parametric contamination core: per eval doc, the fraction of
+    * its n-gram shingles present anywhere in `train`. Both frames need
+    * `(doc_id, text)`. Shared by the gated [[taContamination]] and
+    * `graft.api.Corpus.contamination`.
+    */
+  def contamination(train: DataFrame, eval_ : DataFrame,
+      gram: Int = ContamGram): DataFrame = {
     def sh(df: DataFrame) = df.select(col("doc_id"),
       explode(graft.functions.WordShingleHashesExpr
-        .wordShingleHashesNative(col("text"), ContamGram)).as("s"))
+        .wordShingleHashesNative(col("text"), gram)).as("s"))
       .distinct()
-    val evalSh = sh(docs.filter(isEval))
-    val trainSh = sh(docs.filter(!isEval)).select(col("s")).distinct()
+    val evalSh = sh(eval_)
+    val trainSh = sh(train).select(col("s")).distinct()
     val cnt = evalSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val hit = evalSh.join(trainSh, "s")
@@ -217,6 +220,13 @@ object Pipeline {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)).cast(DoubleType) /
           col("n_shingles")).as("contamination"))
+  }
+
+  def taContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isEval =
+      md5Bucket(col("doc_id").cast("string"), EvalBuckets.toInt) === 0
+    contamination(docs.filter(!isEval), docs.filter(isEval))
       .orderBy(col("doc_id"))
   }
 

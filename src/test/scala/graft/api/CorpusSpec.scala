@@ -44,6 +44,22 @@ class CorpusSpec extends SparkTestBase {
     assert(ids == expect)
   }
 
+  test("contamination facade: an eval doc copied from train is fully contaminated") {
+    import org.apache.spark.sql.functions._
+    val train = docs.limit(50)
+    // eval: one exact copy of a train doc (id-shifted) + one fresh doc
+    val copied = train.limit(1)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val fresh = Seq((2000000L,
+      "completely novel words nowhere else repeated ever in any train document at all"))
+      .toDF("doc_id", "text")
+    val got = Corpus.contamination(train, copied.unionByName(fresh))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size == 2)
+    assert(got.exists { case (id, rate) => id >= 1000000L && id < 2000000L && rate == 1.0 })
+    assert(got(2000000L) == 0.0)
+  }
+
   test("cosineTopK without self-exclusion ranks each query's own vector first") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val top1 = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 1,
