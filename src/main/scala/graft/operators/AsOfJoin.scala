@@ -85,8 +85,34 @@ object AsOfJoin {
       |FROM p ASOF JOIN v ON p.user_id = v.v_user AND p.ts_us >= v.view_us
       |ORDER BY event_id""".stripMargin
 
+  /** The same as-of query through the CUSTOM operator
+    * ([[graft.plans.AsOf.join]] — BinaryNode → Strategy → merge exec)
+    * instead of the union-window composition; the two are gated against
+    * the SAME DuckDB ASOF JOIN oracle, so agreement is machine-checked
+    * every round.
+    */
+  def stAsofCustom(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+      .agg(max(col("event_id")).as("view_event_id"))
+    graft.plans.AsOf.join(purchases, views,
+      probeKey = "user_id", buildKey = "v_user",
+      probeTs = "ts_us", buildTs = "view_us")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us").as("purchase_us"),
+        col("view_us"), col("view_event_id"),
+        (col("ts_us") - col("view_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_asof_join" -> stAsofJoin _)
+    "st_asof_join"   -> stAsofJoin _,
+    "st_asof_custom" -> stAsofCustom _)
   val oracles: Map[String, String] = Map(
-    "st_asof_join" -> stAsofJoinSql)
+    "st_asof_join"   -> stAsofJoinSql,
+    "st_asof_custom" -> stAsofJoinSql)
 }
