@@ -21,6 +21,15 @@ object Events {
       buildKey: String, probeTs: String, buildTs: String): DataFrame =
     AsOfJoin.join(probe, build, probeKey, buildKey, probeTs, buildTs)
 
+  /** The same as-of join through the custom sorted-merge physical
+    * operator ([[graft.plans.AsOf.join]]): two co-partitioned sorted
+    * children and one merge pass — no union padding; output columns are
+    * flat `probe ++ build` instead of an `asof` struct.
+    */
+  def asOfJoinMerge(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, probeTs: String, buildTs: String): DataFrame =
+    graft.plans.AsOf.join(probe, build, probeKey, buildKey, probeTs, buildTs)
+
   /** Batch sessionization (30-min gap) of a typed event Dataset —
     * [[graft.streaming.EventStreams.sessionize]].
     */

@@ -133,7 +133,9 @@ object AsOf {
     * key; probes with no prior build row drop (inner semantics — the
     * contract of `graft.operators.AsOfJoin.join`, which this must and
     * does agree with, see `AsOfPlanSpec`). Column names across the two
-    * sides must be distinct.
+    * sides must be distinct. NULL keys group together and match each
+    * other (grouping semantics, like the window composition) — not SQL
+    * equality, which would drop them.
     */
   def join(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, probeTs: String, buildTs: String): DataFrame = {
