@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, Dedup, MapReduceQueries, Multimodal, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusOps, Dedup, MapReduceQueries, Multimodal, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,8 @@ object SparkEntry {
       Relational4.queries ++
       MapReduceQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
-      Multimodal.queries ++ AsOfJoin.queries ++ Pipeline.queries
+      Multimodal.queries ++ AsOfJoin.queries ++ Pipeline.queries ++
+      CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       Relational4.oracles ++
       MapReduceQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
-      Multimodal.oracles ++ AsOfJoin.oracles ++ Pipeline.oracles
+      Multimodal.oracles ++ AsOfJoin.oracles ++ Pipeline.oracles ++
+      CorpusOps.oracles
 }

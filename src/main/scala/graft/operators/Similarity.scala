@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.functions._
 import graft.sources.Tables._
@@ -291,15 +291,68 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // int8 embedding quantization (the 4× index-shrink pass).
+  // ---------------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x_i|,
+    * q_i = floor(x_i·scale + 0.5) ∈ [-127, 127] — the compression an
+    * ANN index applies before sharding 100 TB of vectors (4× smaller,
+    * SIMD-friendly int8 dot products at query time). Map-side only.
+    * Rounding is floor(x+0.5) (half-up) rather than `round`, because
+    * the two engines disagree on banker's-vs-away rounding but agree
+    * bit-for-bit on floor. The quantized vector is serialized to a CSV
+    * string: raw array output would crash the driver's comparator, and
+    * float→double→quantize arithmetic is identical in both engines so
+    * the strings match exactly.
+    *
+    * The absmax subterm is referenced inside the `transform` lambda;
+    * Catalyst HOFs do no common-subexpression elimination, so it
+    * re-evaluates per element — O(d²) = 4096 cheap ops/row at d = 64,
+    * measured noise next to the md5/shuffle costs (the O(n²)-in-
+    * DOCUMENT-length HOF trap does not apply: d is a constant).
+    */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding")
+    val absmax = array_max(transform(v, x => abs(x.cast(DoubleType))))
+    val scale = lit(127.0) / absmax
+    val q = transform(v, x =>
+      floor(x.cast(DoubleType) * scale + lit(0.5)).cast(IntegerType))
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        absmax.as("absmax"),
+        when(absmax > 0, scale).as("scale"),
+        when(absmax > 0,
+          array_join(transform(q, _.cast("string")), ",")).as("q8"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+      |  FROM embeddings)
+      |SELECT vec_id, absmax,
+      |  CASE WHEN absmax > 0 THEN CAST(127.0 AS DOUBLE) / absmax END AS scale,
+      |  CASE WHEN absmax > 0 THEN array_to_string(
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * (CAST(127.0 AS DOUBLE) / absmax) + 0.5) AS INTEGER)),
+      |    ',') END AS q8
+      |FROM m
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
+    "emb_quantize"   -> embQuantize _,
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,
+    "emb_quantize"   -> embQuantizeSql,
   )
 }

@@ -217,6 +217,80 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Repetition scoring (the Gopher-style repetitiousness filters):
+    * duplicate-word fraction and most-common-2-gram fraction per
+    * document. Highly repetitive documents (boilerplate, scraped spam,
+    * generation loops) score high on both and get filtered before
+    * training. Implementation explodes words/2-grams and aggregates —
+    * two shuffles keyed by (doc_id, term), which at 100 TB is the
+    * standard partial-aggregated wordcount shape (map-side combine
+    * collapses each document's repeats before the exchange, and doc_id
+    * in the key spreads load evenly — no hot keys).
+    */
+  def taRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val words = docs
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"))
+    val grams = docs
+      .select(col("doc_id"), explode(wordShingles(toks, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_n"))
+    docs.select(col("doc_id"))
+      .join(words, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).cast("bigint").as("n_words"),
+        coalesce(col("n_distinct_words"), lit(0L)).cast("bigint")
+          .as("n_distinct_words"),
+        when(col("n_words") > 0,
+          (col("n_words") - col("n_distinct_words")).cast(DoubleType) /
+            col("n_words")).as("dup_word_frac"),
+        coalesce(col("n_grams"), lit(0L)).cast("bigint").as("n_grams"),
+        when(col("n_grams") > 0,
+          col("top_gram_n").cast(DoubleType) / col("n_grams"))
+          .as("top_gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct_words
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w) t
+      |  GROUP BY doc_id),
+      |tokl AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |  FROM documents),
+      |grams0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1 + 1),
+      |    i -> l[i] || ' ' || l[i + 1])) AS g
+      |  FROM tokl WHERE len(l) >= 2),
+      |grams AS (
+      |  SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_gram_n
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams0 GROUP BY doc_id, g) t
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(w.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+      |  CASE WHEN w.n_words > 0
+      |       THEN CAST(w.n_words - w.n_distinct_words AS DOUBLE) / w.n_words
+      |  END AS dup_word_frac,
+      |  CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CASE WHEN g.n_grams > 0
+      |       THEN CAST(g.top_gram_n AS DOUBLE) / g.n_grams
+      |  END AS top_gram_frac
+      |FROM documents d
+      |LEFT JOIN words w ON d.doc_id = w.doc_id
+      |LEFT JOIN grams g ON d.doc_id = g.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
@@ -224,6 +298,7 @@ object TextAnalysis {
     "ta_quality"     -> taQuality _,
     "ta_langid"      -> taLangid _,
     "ta_fingerprint" -> taFingerprint _,
+    "ta_repetition"  -> taRepetition _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,5 +308,6 @@ object TextAnalysis {
     "ta_quality"     -> taQualitySql,
     "ta_langid"      -> taLangidSql,
     "ta_fingerprint" -> taFingerprintSql,
+    "ta_repetition"  -> taRepetitionSql,
   )
 }

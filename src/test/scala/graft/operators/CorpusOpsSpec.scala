@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic properties of the corpus-assembly operators — the guarantees
+  * a training pipeline actually relies on, beyond the DuckDB hash parity
+  * the driver gate checks.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("cp_split: total partition, ~80/10/10, and per-doc stability under corpus changes") {
+    val out = CorpusOps.cpSplit(spark, sf001).collect()
+    val n = out.length
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.values.sum === n, "every document lands in exactly one split")
+    assert(bySplit("train") > n * 0.7 && bySplit("train") < n * 0.9)
+    assert(bySplit("val") > n * 0.05 && bySplit("val") < n * 0.15)
+    assert(bySplit("test") > n * 0.05 && bySplit("test") < n * 0.15)
+
+    // hash-split invariant: a document's split is a pure function of its
+    // id — recomputing on HALF the corpus moves nothing (rand() fails this)
+    val half = CorpusOps.cpSplit(spark, sf001)
+      .filter(col("doc_id") % 2 === 0).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, s) => assert(full(id) === s) }
+  }
+
+  test("cp_stratified: every stratum keeps exactly ceil(rate * size) documents") {
+    val sizes = graft.sources.Tables.documents(spark, sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CorpusOps.cpStratified(spark, sf001).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(kept.keySet === sizes.keySet, "no stratum vanishes")
+    sizes.foreach { case (src, sz) =>
+      assert(kept(src) === math.ceil(sz * CorpusOps.StratRate).toLong,
+        s"stratum $src: kept ${kept(src)} of $sz")
+    }
+  }
+
+  test("cp_shuffle: positions are a permutation and match the naive global window") {
+    val out = CorpusOps.cpShuffle(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = out.length
+    assert(out.map(_._2).sorted.toSeq === (1L to n).toSeq,
+      "pos is exactly 1..N — a permutation, no gaps or dups")
+    // two-phase bucket enumeration == single global sort by the same key
+    val naive = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, pos) => assert(naive(id) === pos) }
+  }
+
+  test("cp_shuffle: no single-partition sort of the corpus (scale posture)") {
+    // the full-data window must be partitioned by the hash bucket; only
+    // the 256-row offset table may use a single-partition window
+    val plan = CorpusOps.cpShuffle(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(b"),
+      s"doc-level row_number must exchange on the bucket key:\n$plan")
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains(", [b")),
+      s"row_number windows must all be bucket-partitioned:\n$docWindows")
+  }
+
+  test("cp_mixture: rate-1.0 domains keep everything; kept counts within binomial bounds") {
+    val rows = CorpusOps.cpMixture(spark, sf001).collect()
+    rows.foreach { r =>
+      val (nDocs, nKept, rate) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(nKept <= nDocs)
+      if (rate == 1.0) assert(nKept === nDocs, s"rate-1.0 source dropped docs: $r")
+      else {
+        // md5 buckets are uniform: expect rate*n within 4 sigma
+        val sigma = math.sqrt(nDocs * rate * (1 - rate))
+        assert(math.abs(nKept - nDocs * rate) <= 4 * sigma + 1,
+          s"${r.getString(0)}: kept $nKept of $nDocs at rate $rate")
+      }
+    }
+  }
+
+  test("emb_quantize: int8 range, absmax maps to ±127, dequantization error ≤ 0.5/scale") {
+    val rows = Similarity.embQuantize(spark, sf001).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { r =>
+      val (id, scale, q8) = (r.getLong(0), r.getDouble(2), r.getString(3))
+      val q = q8.split(",").map(_.toInt)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      assert(q.map(math.abs).max === 127, s"vec $id: absmax element must hit ±127")
+      val orig = vecs(id)
+      assert(q.length === orig.length)
+      q.zip(orig).foreach { case (qi, xi) =>
+        assert(math.abs(qi / scale - xi) <= 0.5 / scale + 1e-12,
+          s"vec $id: dequant error exceeds half a quantization step")
+      }
+    }
+  }
+
+  test("ta_repetition: fractions well-formed and planted repetitive text scores high") {
+    val rows = TextAnalysis.taRepetition(spark, sf001).collect()
+    rows.foreach { r =>
+      val (nw, nd) = (r.getLong(1), r.getLong(2))
+      assert(nd >= 1 && nd <= nw)
+      val dup = r.getDouble(3)
+      assert(dup >= 0.0 && dup < 1.0)
+      if (r.getLong(4) > 0) {
+        val top = r.getDouble(5)
+        assert(top > 0.0 && top <= 1.0)
+        assert(top >= 1.0 / r.getLong(4) - 1e-12)
+      }
+    }
+    // a synthetic loop-generated document must dominate the corpus scores
+    import spark.implicits._
+    val loop = Seq((999999L, ("spam ham " * 50).trim)).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).union(loop)
+    val toks = graft.functions.tokens(col("text"))
+    val scored = docs
+      .select(col("doc_id"), explode(graft.functions.wordShingles(toks, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(999999L) > 0.49, "100x-repeated bigram scores ~0.5")
+    val organicMedian = scored.removed(999999L).values.toSeq.sorted
+      .apply(scored.size / 2)
+    assert(scored(999999L) > 2 * organicMedian,
+      "the generation loop clearly separates from typical organic docs")
+  }
+}
