@@ -98,10 +98,102 @@ object L2NormF {
   }
 }
 
+case class AbsMaxF(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"absmax_f requires an array<float> argument, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Double.valueOf(AbsMaxF.absMax(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.AbsMaxF.absMax($a);")
+
+  override protected def withNewChildInternal(c: Expression): AbsMaxF = copy(c)
+  override def prettyName: String = "absmax_f"
+}
+
+object AbsMaxF {
+  /** max_i |double(x_i)| — same values as
+    * `array_max(transform(v, x => abs(cast(x as double))))` (max is
+    * order-insensitive; the corpus has no NaNs). 0.0 for empty arrays.
+    */
+  def absMax(x: ArrayData): Double = {
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+}
+
+/** Symmetric int8 quantization of a float vector, serialized as a CSV
+  * string: q_i = floor(double(x_i)·(127/absmax) + 0.5). One native pass
+  * per row. The HOF formulation (`transform` with the absmax subterm
+  * inside the lambda) is interpreted AND re-evaluates absmax per
+  * element — measured 11.5 s for 20k vectors vs ~0.1 s here. Callers
+  * must guard absmax > 0 (`when(absMaxF(v) > 0, ...)` — CaseWhen
+  * branches evaluate lazily, and codegen subexpression elimination
+  * shares the absmax across output columns).
+  */
+case class QuantizeI8F(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 requires an array<float> argument, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeI8F.quantizeCsv(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.QuantizeI8F.quantizeCsv($a);")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeI8F =
+    copy(c)
+  override def prettyName: String = "quantize_i8"
+}
+
+object QuantizeI8F {
+  /** Exactly `array_to_string(list_transform(v, x ->
+    * CAST(floor(CAST(x AS DOUBLE) * (127.0/absmax) + 0.5) AS INTEGER)),
+    * ',')` — floor(x+0.5) half-up rounding, identical double ops to the
+    * DuckDB oracle.
+    */
+  def quantizeCsv(x: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = x.numElements()
+    val scale = 127.0 / AbsMaxF.absMax(x)
+    val sb = new java.lang.StringBuilder(n * 5)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(math.floor(x.getFloat(i).toDouble * scale + 0.5).toInt)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
 object VectorExpressions {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2NormF(c: Column): Column =
     ColumnBridge.column(L2NormF(ColumnBridge.expression(c)))
+  def absMaxF(c: Column): Column =
+    ColumnBridge.column(AbsMaxF(ColumnBridge.expression(c)))
+  def quantizeI8F(c: Column): Column =
+    ColumnBridge.column(QuantizeI8F(ColumnBridge.expression(c)))
 }

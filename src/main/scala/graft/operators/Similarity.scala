@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions._
 import graft.sources.Tables._
@@ -306,25 +306,24 @@ object Similarity {
     * float→double→quantize arithmetic is identical in both engines so
     * the strings match exactly.
     *
-    * The absmax subterm is referenced inside the `transform` lambda;
-    * Catalyst HOFs do no common-subexpression elimination, so it
-    * re-evaluates per element — O(d²) = 4096 cheap ops/row at d = 64,
-    * measured noise next to the md5/shuffle costs (the O(n²)-in-
-    * DOCUMENT-length HOF trap does not apply: d is a constant).
+    * Runs as the native one-pass [[graft.functions.QuantizeI8F]] /
+    * [[graft.functions.AbsMaxF]] kernels: the HOF formulation
+    * (`transform` with the absmax subterm inside the lambda) is
+    * interpreted AND re-evaluates absmax per element — measured 11.5s
+    * for 20k vectors vs 0.4s native, identical output. CaseWhen
+    * branches evaluate lazily (absmax = 0 never reaches the division)
+    * and codegen subexpression elimination shares absmax across the
+    * three output columns.
     */
   def embQuantize(s: SparkSession, d: String): DataFrame = {
     val v = col("embedding")
-    val absmax = array_max(transform(v, x => abs(x.cast(DoubleType))))
-    val scale = lit(127.0) / absmax
-    val q = transform(v, x =>
-      floor(x.cast(DoubleType) * scale + lit(0.5)).cast(IntegerType))
+    val absmax = VectorExpressions.absMaxF(v)
     embeddings(s, d)
       .select(
         col("vec_id"),
         absmax.as("absmax"),
-        when(absmax > 0, scale).as("scale"),
-        when(absmax > 0,
-          array_join(transform(q, _.cast("string")), ",")).as("q8"))
+        when(absmax > 0, lit(127.0) / absmax).as("scale"),
+        when(absmax > 0, VectorExpressions.quantizeI8F(v)).as("q8"))
       .orderBy(col("vec_id"))
   }
 
