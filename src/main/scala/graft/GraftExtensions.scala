@@ -42,6 +42,9 @@ object GraftExtensions {
     ("hyperplane_buckets", 1, exprs => HyperplaneBuckets(exprs.head)),
     ("dot_f", 2, exprs => DotProductF(exprs(0), exprs(1))),
     ("l2norm_f", 1, exprs => L2NormF(exprs.head)),
+    ("absmax_f", 1, exprs => AbsMaxF(exprs.head)),
+    ("quantize_i8", 1, exprs => QuantizeI8F(exprs.head)),
+    ("repetition_stats", 1, exprs => RepetitionStatsExpr(exprs.head)),
   )
 
   /** Register every engine function on an already-running session. */

@@ -13,13 +13,21 @@ class GraftExtensionsSpec extends SparkTestBase {
         |              minhash_sig(word_shingles_3('a b c d'))) AS ov,
         |  dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
-        |  l2norm_f(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm
+        |  l2norm_f(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm,
+        |  absmax_f(array(CAST(-3.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS am,
+        |  quantize_i8(array(CAST(-3.0 AS FLOAT), CAST(1.5 AS FLOAT))) AS q8,
+        |  repetition_stats('a b a b a').n_words AS rw,
+        |  repetition_stats('a b a b a').top_gram_n AS rt
         |""".stripMargin).head()
     assert(r.getLong(0) == RollingHash.reference("spark graft"))
     assert(r.getLong(1) == SimHash.compute("a b c"))
     assert(r.getInt(2) == graft.functions.MinHashSig.NumHashes)
     assert(r.getDouble(3) == 11.0)
     assert(r.getDouble(4) == 5.0)
+    assert(r.getDouble(5) == 3.0)
+    assert(r.getString(6) == "-127,64") // floor(1.5*(127/3)+0.5) = 64
+    assert(r.getLong(7) == 5L)
+    assert(r.getLong(8) == 2L) // "a b" occurs twice among 4 bigrams
   }
 
   test("SQL functions compose with table queries") {

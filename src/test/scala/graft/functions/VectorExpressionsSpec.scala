@@ -74,6 +74,56 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("native quantization matches the declarative HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val v = col("embedding")
+    val hofAbsmax = array_max(transform(v, x => abs(x.cast(DoubleType))))
+    val hofQ = array_join(
+      transform(v, x =>
+        floor(x.cast(DoubleType) * (lit(127.0) / hofAbsmax) + lit(0.5))
+          .cast("int").cast("string")), ",")
+    val both = e.select(
+      VectorExpressions.absMaxF(v).as("nm"), hofAbsmax.as("hm"),
+      VectorExpressions.quantizeI8F(v).as("nq"), hofQ.as("hq")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(r.getString(2) == r.getString(3))
+    }
+  }
+
+  test("repetition stats expression matches the explode/groupBy formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val st = RepetitionStatsExpr.repetitionStats(col("text"))
+    val native = docs.select(col("doc_id"), st.getField("n_words"),
+      st.getField("n_distinct_words"), st.getField("n_grams"),
+      st.getField("top_gram_n"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val toks = tokens(col("text"))
+    val words = docs.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(sum("count").as("nw"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val grams = docs.select(col("doc_id"),
+      explode(WordShinglesExpr.wordShinglesNative(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(sum("count").as("ng"), max("count").as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native.nonEmpty)
+    native.foreach { case (id, (nw, nd, ng, top)) =>
+      val (ew, ed) = words.getOrElse(id, (0L, 0L))
+      val (eg, et) = grams.getOrElse(id, (0L, 0L))
+      assert((nw, nd) == (ew, ed), s"doc $id word stats")
+      assert((ng, top) == (eg, et), s"doc $id gram stats")
+    }
+  }
+
   test("minhash signature expression: interpreted eval matches codegen path") {
     import spark.implicits._
     val df = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"))
