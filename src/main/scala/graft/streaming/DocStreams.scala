@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.functions.{MinHashSig, WordShinglesExpr}
+import graft.functions.{tokens, MinHashSig, WordShinglesExpr}
+import graft.operators.{Pipeline, TextAnalysis}
 
 /** Streaming operators over a document stream (`doc_id`, `text`, `ts`)
   * — the continuous-ingestion face of the batch dedup family in
@@ -27,6 +28,60 @@ object DocStreams {
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("ts", TimestampType)))
+
+  val ingestSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("ts", TimestampType)))
+
+  val IngestWindowSec = 600L
+
+  /** Streaming corpus ingestion: the continuous form of the batch
+    * [[graft.operators.Pipeline.pipeE2e]] assembly — quality filter
+    * (same [[TextAnalysis.qualityScore]] formula and threshold), exact
+    * prefix-fingerprint dedup against everything inside the watermark
+    * horizon (`dropDuplicatesWithinWatermark`: one state entry per
+    * distinct in-horizon fingerprint, evicted with the watermark), then
+    * context-window chunking (same [[Pipeline]] chunk geometry) and
+    * per-(tumbling-window, lang) corpus stats, emitted once the
+    * watermark closes each window.
+    *
+    * Two chained stateful operators (dedup → windowed agg) — a
+    * supported chain in Spark 4's multi-stateful-operator model since
+    * both run on event time with the same watermark. `n_docs` counts
+    * chunk 0 of each kept doc instead of `countDistinct` (unsupported
+    * in streaming) — every kept doc emits exactly one chunk 0.
+    * Works identically on a batch frame (plain `dropDuplicates`,
+    * windows all emit), which is how the spec oracles it; batch keeps
+    * an arbitrary group member where streaming keeps the first
+    * arrival, so batch-vs-stream comparisons need duplicates with
+    * identical stats (e.g. exact-duplicate texts).
+    */
+  def ingestPipeline(docs: DataFrame): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val fp = md5(concat_ws(" ", slice(toksCol, 1, 10)))
+    val filtered = docs
+      .withWatermark("ts", "1 hour")
+      .filter(size(toksCol) > 0 &&
+        TextAnalysis.qualityScore(toksCol) >= Pipeline.QualityMin)
+      .select(col("doc_id"), col("lang"), col("ts"),
+        toksCol.as("t"), fp.as("fp"))
+    val deduped =
+      if (filtered.isStreaming) filtered.dropDuplicatesWithinWatermark("fp")
+      else filtered.dropDuplicates("fp")
+    deduped
+      .withColumn("chunk_idx", Pipeline.chunkIdxCol("t"))
+      .select(col("lang"), col("ts"), col("chunk_idx"),
+        size(Pipeline.chunkSliceCol("t", col("chunk_idx"))).as("chunk_tokens"))
+      .groupBy(window(col("ts"), s"$IngestWindowSec seconds"), col("lang"))
+      .agg(
+        sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens").cast(LongType)).as("sum_chunk_tokens"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("lang"), col("n_docs"), col("n_chunks"), col("sum_chunk_tokens"))
+  }
 
   private val bandCols = (0 until BandRows).map(i => s"__b$i")
 

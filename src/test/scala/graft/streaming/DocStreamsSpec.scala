@@ -109,6 +109,66 @@ class DocStreamsSpec extends SparkTestBase {
     streamed.foreach { case (k, v) => assert(batch(k) == v, s"key $k") }
   }
 
+  test("streaming ingestion: quality filter + in-horizon dedup + chunk stats, equals batch twin") {
+    val dir = Files.createTempDirectory("graft-ingest-")
+    val t0 = 1704067200L // window-aligned (t0 % 600 == 0)
+    val min = 60L
+    // stopword-bearing docs pass the 0.15 quality cut (2/6 stopwords
+    // -> 0.18); the all-content doc scores ~0.008 and is filtered
+    val good1 = "the quick a fox jumps over"
+    val good2 = "the big a dog runs fast"
+    val junk = "zzz qqq www"
+    val sentinel = "the a of to in is and the a of the a"
+    def writeIngest(name: String, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-ingest-stage-")
+      rows.toDF("doc_id", "text", "lang", "sec")
+        .selectExpr("doc_id", "text", "lang", "timestamp_seconds(sec) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100)
+    }
+    writeIngest("001.parquet",
+      Seq((1L, good1, "en", t0), (3L, good2, "de", t0), (4L, junk, "en", t0)))
+    // exact duplicate of doc 1 in the same window -> deduped
+    writeIngest("002.parquet", Seq((2L, good1, "en", t0 + min)))
+    // far-future sentinel closes the t0 window
+    writeIngest("003.parquet", Seq((99L, sentinel, "en", t0 + 300 * min)))
+
+    val docs = spark.readStream.schema(DocStreams.ingestSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = DocStreams.ingestPipeline(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("ingest_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // the t0 window: one en doc (1 kept; 2 deduped; 4 filtered), one de
+    assert(streamed((t0, "en")) == ((1L, 1L, 6L)))
+    assert(streamed((t0, "de")) == ((1L, 1L, 6L)))
+
+    // batch twin on the same rows agrees wherever streaming emitted
+    // (duplicates are exact copies, so arbitrary-member dedup choice
+    // cannot change the stats)
+    val batchRows = Seq((1L, good1, "en", t0), (3L, good2, "de", t0),
+      (4L, junk, "en", t0), (2L, good1, "en", t0 + min),
+      (99L, sentinel, "en", t0 + 300 * min))
+      .toDF("doc_id", "text", "lang", "sec")
+      .selectExpr("doc_id", "text", "lang", "timestamp_seconds(sec) AS ts")
+    val batch = DocStreams.ingestPipeline(batchRows).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k") }
+    // batch also emits the sentinel's (open-in-streaming) window
+    assert(batch(((t0 + 300 * min) / 600 * 600, "en"))._1 == 1L)
+  }
+
   test("batch twin dedups on the same band key") {
     val batch = Seq((1L, A, 0L), (2L, A, 600L), (3L, B, 600L),
       (10L, "x y", 0L), (11L, "x y", 600L))
