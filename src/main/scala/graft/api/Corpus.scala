@@ -116,7 +116,81 @@ object Corpus {
     Pipeline.contamination(shaped(train), shaped(eval_), gram)
   }
 
+  // ------------------------------------------------------- bookkeeping
+
+  /** Deterministic train/val/test split: `bucket` (0-99) and `split`
+    * columns keyed on the salted md5 of `id` — pure map-side, and a
+    * row's split never changes as the corpus grows. Delegates to
+    * [[graft.operators.CorpusOps.hashSplit]].
+    */
+  def hashSplit(df: DataFrame, id: String = "doc_id",
+      trainPct: Int = graft.operators.CorpusOps.TrainPct,
+      valPct: Int = graft.operators.CorpusOps.ValPct): DataFrame =
+    graft.operators.CorpusOps.hashSplit(df, id, trainPct, valPct)
+
+  /** Keep exactly ceil(`rate` × stratum size) rows of each `stratum`,
+    * chosen by hash order — domain proportions preserved exactly, no
+    * stratum vanishes. Delegates to
+    * [[graft.operators.CorpusOps.stratifiedSample]].
+    */
+  def stratifiedSampled(df: DataFrame, stratum: String = "source",
+      id: String = "doc_id",
+      rate: Double = graft.operators.CorpusOps.StratRate): DataFrame =
+    graft.operators.CorpusOps.stratifiedSample(df, stratum, id, rate)
+
+  /** Reproducible global shuffle position in `pos` (1..N by md5 order)
+    * via two-phase bucket enumeration — no single-partition sort.
+    * Delegates to [[graft.operators.CorpusOps.globalShuffle]].
+    */
+  def shuffled(df: DataFrame, id: String = "doc_id"): DataFrame =
+    graft.operators.CorpusOps.globalShuffle(df, id)
+
+  /** Domain-mixture downsampling: keep each row with its domain's
+    * probability from `rates` (md5-threshold — deterministic per id,
+    * exact in expectation). Domains absent from `rates` keep
+    * `defaultRate`. Filter is map-side.
+    */
+  def mixtureSampled(df: DataFrame, rates: Map[String, Double],
+      stratum: String = "source", id: String = "doc_id",
+      defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (dom, r)) =>
+      when(col(stratum) === dom, lit(r)).otherwise(acc)
+    }
+    df.filter(graft.operators.CorpusOps.mixtureKept(rate, id))
+  }
+
+  /** Per-document repetition statistics (`n_words`,
+    * `n_distinct_words`, `dup_word_frac`, `n_grams`, `top_gram_frac`)
+    * from the one-pass native kernel — zero shuffles.
+    */
+  def repetitionScored(df: DataFrame, text: String = "text"): DataFrame = {
+    val st = RepetitionStatsExpr.repetitionStats(col(text))
+    df.withColumn("n_words", st.getField("n_words"))
+      .withColumn("n_distinct_words", st.getField("n_distinct_words"))
+      .withColumn("dup_word_frac",
+        when(st.getField("n_words") > 0,
+          (st.getField("n_words") - st.getField("n_distinct_words"))
+            .cast(DoubleType) / st.getField("n_words")))
+      .withColumn("n_grams", st.getField("n_grams"))
+      .withColumn("top_gram_frac",
+        when(st.getField("n_grams") > 0,
+          st.getField("top_gram_n").cast(DoubleType) /
+            st.getField("n_grams")))
+  }
+
   // ---------------------------------------------------------- embeddings
+
+  /** Symmetric int8 quantization of a float-vector column: `absmax`,
+    * `scale` (127/absmax), and the CSV-serialized `q8` vector — native
+    * one-pass kernels, map-side.
+    */
+  def quantizedI8(df: DataFrame, vec: String = "embedding"): DataFrame = {
+    val absmax = VectorExpressions.absMaxF(col(vec))
+    df.withColumn("absmax", absmax)
+      .withColumn("scale", when(absmax > 0, lit(127.0) / absmax))
+      .withColumn("q8",
+        when(absmax > 0, VectorExpressions.quantizeI8F(col(vec))))
+  }
 
   /** Exact cosine top-k neighbors of each query vector: queries are
     * broadcast, the corpus never shuffles — delegates to
@@ -143,6 +217,13 @@ object Corpus {
       def minhashSigned(): DataFrame = Corpus.minhashSigned(df)
       def nearDupPairs(minJaccard: Double = 0.3): DataFrame =
         Corpus.nearDupPairs(df, minJaccard = minJaccard)
+      def hashSplit(): DataFrame = Corpus.hashSplit(df)
+      def stratifiedSampled(): DataFrame = Corpus.stratifiedSampled(df)
+      def shuffled(): DataFrame = Corpus.shuffled(df)
+      def mixtureSampled(rates: Map[String, Double]): DataFrame =
+        Corpus.mixtureSampled(df, rates)
+      def repetitionScored(): DataFrame = Corpus.repetitionScored(df)
+      def quantizedI8(): DataFrame = Corpus.quantizedI8(df)
     }
   }
 }

@@ -42,23 +42,28 @@ object CorpusOps {
   val TrainPct = 80
   val ValPct = 10 // test gets the remainder
 
-  /** Hash-split documents 80/10/10 into train/val/test. The split is a
-    * pure projection of the doc id — adding or removing OTHER documents
-    * never moves a document between splits (the property `rand()`-based
+  /** Frame-parametric core: append `bucket` (0-99) and `split`
+    * (train/val/test) columns keyed on the salted md5 of `id`. The
+    * split is a pure projection of the id — adding or removing OTHER
+    * rows never moves a row between splits (the property `rand()`-based
     * splits lack, and the reason every production pipeline hashes).
-    * Map-side only; at 100 TB this costs one md5 per row.
+    * Map-side only; at 100 TB this costs one md5 per row. Shared by the
+    * gated [[cpSplit]] and `graft.api.Corpus.hashSplit`.
     */
-  def cpSplit(s: SparkSession, d: String): DataFrame = {
-    val b = md5Bucket(concat(lit("split:"), col("doc_id").cast("string")), 100)
-    documents(s, d)
-      .select(
-        col("doc_id"),
-        b.cast(IntegerType).as("bucket"),
-        when(b < TrainPct, "train")
-          .when(b < TrainPct + ValPct, "val")
-          .otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
+  def hashSplit(df: DataFrame, id: String = "doc_id",
+      trainPct: Int = TrainPct, valPct: Int = ValPct): DataFrame = {
+    val b = md5Bucket(concat(lit("split:"), col(id).cast("string")), 100)
+    df.withColumn("bucket", b.cast(IntegerType))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
   }
+
+  def cpSplit(s: SparkSession, d: String): DataFrame =
+    hashSplit(documents(s, d))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
 
   val cpSplitSql: String = {
     val b = s"(('0x' || substr(${saltedKeySql("split", "doc_id")}, 1, 8))::UBIGINT % 100)"
@@ -77,28 +82,35 @@ object CorpusOps {
 
   val StratRate = 0.2
 
-  /** Keep ceil(20%) of each `source` stratum, chosen by hash order — the
-    * per-domain subsample that preserves domain proportions exactly
-    * (uniform hash sampling only preserves them in expectation, which at
-    * small-stratum sizes means entire domains can vanish). One shuffle
-    * on the stratum key; the within-stratum sort is by md5, so the
-    * choice of which documents survive is reproducible. Skewed strata
-    * sort independently (AQE splits oversized partitions).
+  /** Frame-parametric core: keep ceil(`rate`) of each `stratum`, chosen
+    * by hash order — the per-domain subsample that preserves domain
+    * proportions exactly (uniform hash sampling only preserves them in
+    * expectation, which at small-stratum sizes means entire domains can
+    * vanish). One shuffle on the stratum key; the within-stratum sort
+    * is by md5, so the choice of which rows survive is reproducible.
+    * Skewed strata sort independently (AQE splits oversized
+    * partitions). Appends `rk` (hash rank in stratum) and `n_<stratum>`
+    * columns. Shared by [[cpStratified]] and
+    * `graft.api.Corpus.stratifiedSampled`.
     */
-  def cpStratified(s: SparkSession, d: String): DataFrame = {
-    val key = saltedKey("strat", col("doc_id"))
-    val w = Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
-    val cw = Window.partitionBy(col("source"))
-    documents(s, d)
-      .select(col("doc_id"), col("source"), key.as("k"))
+  def stratifiedSample(df: DataFrame, stratum: String = "source",
+      id: String = "doc_id", rate: Double = StratRate): DataFrame = {
+    val key = saltedKey("strat", col(id))
+    val w = Window.partitionBy(col(stratum)).orderBy(col("__k"), col(id))
+    val cw = Window.partitionBy(col(stratum))
+    df.withColumn("__k", key)
       .withColumn("rk", row_number().over(w))
-      .withColumn("n_source", count(lit(1)).over(cw))
-      .filter(col("rk") <= ceil(col("n_source") * lit(StratRate)))
+      .withColumn(s"n_$stratum", count(lit(1)).over(cw))
+      .filter(col("rk") <= ceil(col(s"n_$stratum") * lit(rate)))
+      .drop("__k")
+  }
+
+  def cpStratified(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(documents(s, d))
       .select(col("doc_id"), col("source"),
         col("rk").cast(IntegerType).as("rk"),
         col("n_source").cast(LongType).as("n_source"))
       .orderBy(col("doc_id"))
-  }
 
   val cpStratifiedSql: String =
     s"""SELECT doc_id, source, CAST(rk AS INTEGER) AS rk,
@@ -116,36 +128,42 @@ object CorpusOps {
   // cp_shuffle — deterministic global shuffle (two-phase enumeration).
   // ---------------------------------------------------------------------
 
-  /** Assign every document a global position in a reproducible
-    * pseudo-random order (the training-order shuffle). Semantically this
-    * is `row_number() OVER (ORDER BY md5(id))` — but a global window
-    * collapses to ONE partition, so the implementation is the two-phase
-    * form that survives 100 TB: rank within 256 independent hash buckets
-    * (the bucket is the key's first hex byte, so bucket order refines
-    * key order), then add per-bucket offsets from a broadcast 256-row
-    * cumulative-count table. Each bucket sorts ~1/256 of the corpus in
-    * parallel; no single-machine sort anywhere. The oracle IS the naive
-    * global-window form — the equivalence is what's being checked.
+  /** Frame-parametric core: assign every row a global position `pos` in
+    * a reproducible pseudo-random order (the training-order shuffle).
+    * Semantically this is `row_number() OVER (ORDER BY md5(id))` — but
+    * a global window collapses to ONE partition, so the implementation
+    * is the two-phase form that survives 100 TB: rank within 256
+    * independent hash buckets (the bucket is the key's first hex byte,
+    * so bucket order refines key order), then add per-bucket offsets
+    * from a broadcast 256-row cumulative-count table. Each bucket sorts
+    * ~1/256 of the corpus in parallel; no single-machine sort anywhere.
+    * The oracle IS the naive global-window form — the equivalence is
+    * what's being checked. Shared by [[cpShuffle]] and
+    * `graft.api.Corpus.shuffled`.
     */
-  def cpShuffle(s: SparkSession, d: String): DataFrame = {
-    val ranked = documents(s, d)
-      .select(col("doc_id"),
-        saltedKey("shuf", col("doc_id")).as("k"))
-      .withColumn("b", substring(col("k"), 1, 2))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))))
-    val offsets = ranked.groupBy(col("b"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("off",
+  def globalShuffle(df: DataFrame, id: String = "doc_id"): DataFrame = {
+    val ranked = df
+      .withColumn("__k", saltedKey("shuf", col(id)))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__k"), col(id))))
+    val offsets = ranked.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
         coalesce(
-          sum(col("n")).over(Window.orderBy(col("b"))
+          sum(col("__n")).over(Window.orderBy(col("__b"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("b"), col("off"))
-    ranked.join(broadcast(offsets), Seq("b"))
-      .select(col("doc_id"), (col("off") + col("rk")).cast(LongType).as("pos"))
-      .orderBy(col("doc_id"))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", (col("__off") + col("__rk")).cast(LongType))
+      .drop("__k", "__b", "__rk", "__off")
   }
+
+  def cpShuffle(s: SparkSession, d: String): DataFrame =
+    globalShuffle(documents(s, d))
+      .select(col("doc_id"), col("pos"))
+      .orderBy(col("doc_id"))
 
   val cpShuffleSql: String =
     s"""SELECT doc_id,
@@ -157,6 +175,17 @@ object CorpusOps {
   // ---------------------------------------------------------------------
   // cp_mixture — domain-mixture reweighting.
   // ---------------------------------------------------------------------
+
+  /** Frame-parametric core: the keep/drop decision of mixture
+    * downsampling — row `id` survives iff its salted md5 per-mille
+    * bucket falls under `rate` (a per-row Column, typically derived
+    * from a domain column). Map-side, reproducible. Shared by
+    * [[cpMixture]] and `graft.api.Corpus.mixtureSampled`.
+    */
+  def mixtureKept(rate: org.apache.spark.sql.Column,
+      id: String = "doc_id"): org.apache.spark.sql.Column =
+    md5Bucket(concat(lit("mix:"), col(id).cast("string")), 1000) <
+      (rate * 1000).cast(IntegerType)
 
   /** Downsample each source to its mixture rate (1.0 / 0.5 / 0.25 by
     * source-number mod 3 — a stand-in for the per-domain weights a real
@@ -170,8 +199,7 @@ object CorpusOps {
     val rate = when(srcNum % 3 === 0, 1.0)
       .when(srcNum % 3 === 1, 0.5)
       .otherwise(0.25)
-    val kept = md5Bucket(concat(lit("mix:"), col("doc_id").cast("string")), 1000) <
-      (rate * 1000).cast(IntegerType)
+    val kept = mixtureKept(rate)
     documents(s, d)
       .groupBy(col("source"))
       .agg(

@@ -74,6 +74,61 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("bookkeeping facades equal the gated cp_* queries on the test corpus") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf0001)
+    val split = Corpus.hashSplit(d)
+      .select($"doc_id", $"bucket", $"split").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val gatedSplit = graft.operators.CorpusOps.cpSplit(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(split == gatedSplit)
+
+    val pos = Corpus.shuffled(d).select($"doc_id", $"pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gatedPos = graft.operators.CorpusOps.cpShuffle(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos == gatedPos)
+
+    val strat = Corpus.stratifiedSampled(d).select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val gatedStrat = graft.operators.CorpusOps.cpStratified(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(strat == gatedStrat)
+  }
+
+  test("mixtureSampled: rate-1.0 keeps all, rate-0 drops all, rates apply per domain") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf0001)
+    val n = d.count()
+    assert(Corpus.mixtureSampled(d, Map.empty).count() == n)
+    val sources = d.select($"source").distinct().collect()
+      .map(_.getString(0)).sorted
+    val zeroed = sources.head
+    val out = Corpus.mixtureSampled(d, Map(zeroed -> 0.0))
+    assert(out.filter($"source" === zeroed).count() == 0)
+    assert(out.count() ==
+      n - d.filter($"source" === zeroed).count())
+  }
+
+  test("repetitionScored and quantizedI8 facades append the gated queries' columns") {
+    import org.apache.spark.sql.functions._
+    val rep = Corpus.repetitionScored(
+      graft.sources.Tables.documents(spark, sf0001))
+      .select($"doc_id", $"n_words", $"dup_word_frac", $"top_gram_frac")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gatedRep = graft.operators.TextAnalysis.taRepetition(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == gatedRep)
+
+    val q = Corpus.quantizedI8(graft.sources.Tables.embeddings(spark, sf0001))
+      .select($"vec_id", $"q8").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gatedQ = graft.operators.Similarity.embQuantize(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(q == gatedQ)
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)

@@ -62,11 +62,11 @@ class CorpusOpsSpec extends SparkTestBase {
     // the 256-row offset table may use a single-partition window
     val plan = CorpusOps.cpShuffle(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(b"),
+    assert(plan.contains("hashpartitioning(__b"),
       s"doc-level row_number must exchange on the bucket key:\n$plan")
     val docWindows = plan.linesIterator
       .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
-    assert(docWindows.nonEmpty && docWindows.forall(_.contains(", [b")),
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains(", [__b")),
       s"row_number windows must all be bucket-partitioned:\n$docWindows")
   }
 
