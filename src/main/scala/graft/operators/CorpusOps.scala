@@ -49,6 +49,11 @@ object CorpusOps {
     * splits lack, and the reason every production pipeline hashes).
     * Map-side only; at 100 TB this costs one md5 per row. Shared by the
     * gated [[cpSplit]] and `graft.api.Corpus.hashSplit`.
+    *
+    * Leakage-aware GROUP splits fall out of the same primitive: pass
+    * `id = <group column>` (e.g. `source`) and every row of a group
+    * lands in the same split — near-duplicates within a crawl domain
+    * can then never straddle train and test.
     */
   def hashSplit(df: DataFrame, id: String = "doc_id",
       trainPct: Int = TrainPct, valPct: Int = ValPct): DataFrame = {

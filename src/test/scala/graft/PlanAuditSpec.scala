@@ -59,6 +59,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(shard"), p)
   }
 
+  test("hash split and mixture are map-side: only the presentation exchange") {
+    Seq("cp_split" -> "rangepartitioning", // presentation sort
+      "cp_mixture" -> "hashpartitioning(source").foreach { case (q, kind) =>
+      val p = plan(q)
+      // split: scan -> project -> sort; mixture: scan -> partial agg ->
+      // one keyed exchange -> final agg -> sort
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2 && p.contains(kind),
+        s"$q expected map-side shape with $kind, got:\n$p")
+    }
+    // the split itself must not shuffle data before the sort: no
+    // hashpartitioning exchange at all
+    assert(!plan("cp_split").contains("Exchange hashpartitioning"),
+      "cp_split must not shuffle")
+  }
+
+  test("repetition and quantization run as native kernels with zero data shuffles") {
+    Seq("ta_repetition" -> "repetition_stats",
+      "emb_quantize" -> "quantize_i8").foreach { case (q, kernel) =>
+      val p = plan(q)
+      assert(p.contains(kernel), s"$q must plan the native kernel:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle data:\n$p")
+    }
+  }
+
   test("custom top-k operator plans with exactly one exchange on the group keys") {
     val p = plan("q28_topk_custom")
     assert(p.contains("TopKPerGroup"))

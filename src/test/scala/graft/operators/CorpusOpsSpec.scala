@@ -28,6 +28,16 @@ class CorpusOpsSpec extends SparkTestBase {
     half.foreach { case (id, s) => assert(full(id) === s) }
   }
 
+  test("hashSplit on a group column yields leakage-aware group splits") {
+    val bySource = CorpusOps.hashSplit(
+      graft.sources.Tables.documents(spark, sf001), id = "source")
+      .select(col("source"), col("split")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    bySource.foreach { case (src, splits) =>
+      assert(splits.size === 1, s"source $src straddles splits: $splits")
+    }
+  }
+
   test("cp_stratified: every stratum keeps exactly ceil(rate * size) documents") {
     val sizes = graft.sources.Tables.documents(spark, sf001)
       .groupBy("source").count().collect()
