@@ -126,8 +126,13 @@ object CorpusOps {
        |      ORDER BY ${saltedKeySql("strat", "doc_id")}, doc_id) AS rk,
        |    COUNT(*) OVER (PARTITION BY source) AS n_source
        |  FROM documents) t
-       |WHERE rk <= ceil(n_source * $StratRate)
+       |WHERE rk <= ceil(n_source * CAST($StratRate AS DOUBLE))
        |ORDER BY doc_id""".stripMargin
+  // ^ the DOUBLE cast matters: a bare 0.2 literal is DECIMAL in DuckDB
+  // (exact n/5) while Spark computes in double (0.2 has no exact binary
+  // form) — a stratum size whose double product rounds just above the
+  // exact integer would ceil one higher in Spark than in the oracle.
+  // Mirroring the double arithmetic makes both engines bit-identical.
 
   // ---------------------------------------------------------------------
   // cp_shuffle — deterministic global shuffle (two-phase enumeration).
