@@ -161,36 +161,23 @@ object Corpus {
 
   /** Per-document repetition statistics (`n_words`,
     * `n_distinct_words`, `dup_word_frac`, `n_grams`, `top_gram_frac`)
-    * from the one-pass native kernel — zero shuffles.
+    * from the one-pass native kernel — zero shuffles. Delegates to
+    * [[TextAnalysis.repetitionScored]], the one definition of the
+    * derived fractions.
     */
-  def repetitionScored(df: DataFrame, text: String = "text"): DataFrame = {
-    val st = RepetitionStatsExpr.repetitionStats(col(text))
-    df.withColumn("n_words", st.getField("n_words"))
-      .withColumn("n_distinct_words", st.getField("n_distinct_words"))
-      .withColumn("dup_word_frac",
-        when(st.getField("n_words") > 0,
-          (st.getField("n_words") - st.getField("n_distinct_words"))
-            .cast(DoubleType) / st.getField("n_words")))
-      .withColumn("n_grams", st.getField("n_grams"))
-      .withColumn("top_gram_frac",
-        when(st.getField("n_grams") > 0,
-          st.getField("top_gram_n").cast(DoubleType) /
-            st.getField("n_grams")))
-  }
+  def repetitionScored(df: DataFrame, text: String = "text"): DataFrame =
+    TextAnalysis.repetitionScored(df, text)
 
   // ---------------------------------------------------------- embeddings
 
   /** Symmetric int8 quantization of a float-vector column: `absmax`,
-    * `scale` (127/absmax), and the CSV-serialized `q8` vector — native
-    * one-pass kernels, map-side.
+    * `scale` (127/absmax), and the CSV-serialized `q8` vector —
+    * native one-pass kernel, map-side; scale/q8 null for zero vectors.
+    * Delegates to [[graft.operators.Similarity.quantized]], the one
+    * definition of the quantization columns.
     */
-  def quantizedI8(df: DataFrame, vec: String = "embedding"): DataFrame = {
-    val absmax = VectorExpressions.absMaxF(col(vec))
-    df.withColumn("absmax", absmax)
-      .withColumn("scale", when(absmax > 0, lit(127.0) / absmax))
-      .withColumn("q8",
-        when(absmax > 0, VectorExpressions.quantizeI8F(col(vec))))
-  }
+  def quantizedI8(df: DataFrame, vec: String = "embedding"): DataFrame =
+    graft.operators.Similarity.quantized(df, vec)
 
   /** Exact cosine top-k neighbors of each query vector: queries are
     * broadcast, the corpus never shuffles — delegates to

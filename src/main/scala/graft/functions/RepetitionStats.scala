@@ -20,9 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * form remains the right shape for CROSS-document term statistics;
   * within-document stats never need it.
   *
-  * Tokenization matches [[WordShinglesExpr.shingles]] (whitespace runs,
-  * empties dropped) — the same `split('\s+')` semantics as the DuckDB
-  * oracle.
+  * Tokenization matches [[WordShinglesExpr.shingles]] (whitespace runs
+  * via `Character.isWhitespace`, empties dropped) — equivalent to the
+  * oracle's `split('\s+')` on ASCII-whitespace corpora like this one,
+  * but a SUPERSET on exotic whitespace: `\s` is ASCII-only in both
+  * Java regex and DuckDB's RE2, while `Character.isWhitespace` also
+  * splits on e.g. U+2003. Same caveat as [[WordShinglesExpr]].
   */
 case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
 

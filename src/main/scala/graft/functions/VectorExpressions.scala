@@ -136,18 +136,24 @@ object AbsMaxF {
   }
 }
 
-/** Symmetric int8 quantization of a float vector, serialized as a CSV
-  * string: q_i = floor(double(x_i)·(127/absmax) + 0.5). One native pass
-  * per row. The HOF formulation (`transform` with the absmax subterm
-  * inside the lambda) is interpreted AND re-evaluates absmax per
-  * element — measured 11.5 s for 20k vectors vs ~0.1 s here. Callers
-  * must guard absmax > 0 (`when(absMaxF(v) > 0, ...)` — CaseWhen
-  * branches evaluate lazily, and codegen subexpression elimination
-  * shares the absmax across output columns).
+/** Symmetric int8 quantization of a float vector in ONE native pass,
+  * returned as a struct `(absmax double, scale double?, q8 string?)`
+  * with q_i = floor(double(x_i)·(127/absmax) + 0.5) CSV-serialized in
+  * `q8`. `scale` and `q8` are NULL when absmax ≤ 0 (all-zero or empty
+  * vector) — safe with no caller-side guard, on the Column API and the
+  * SQL surface alike (the earlier string-returning form divided by
+  * zero and emitted "0,0,…" for a zero vector when called outside its
+  * guard). The struct return also means absmax is scanned once per
+  * row, not once per output column; multiple `getField` references in
+  * one projection unify via codegen subexpression elimination.
+  *
+  * The HOF formulation (`transform` with the absmax subterm inside
+  * the lambda) is interpreted AND re-evaluates absmax per element —
+  * measured 11.5 s for 20k vectors vs 0.4 s native, identical output.
   */
 case class QuantizeI8F(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = StringType
+  override def dataType: DataType = QuantizeI8F.schema
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -155,11 +161,11 @@ case class QuantizeI8F(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(a: Any): Any =
-    QuantizeI8F.quantizeCsv(a.asInstanceOf[ArrayData])
+    QuantizeI8F.quantize(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.QuantizeI8F.quantizeCsv($a);")
+      s"${ev.value} = graft.functions.QuantizeI8F.quantize($a);")
 
   override protected def withNewChildInternal(c: Expression): QuantizeI8F =
     copy(c)
@@ -167,14 +173,25 @@ case class QuantizeI8F(child: Expression) extends UnaryExpression {
 }
 
 object QuantizeI8F {
-  /** Exactly `array_to_string(list_transform(v, x ->
+
+  val schema: StructType = StructType(Seq(
+    StructField("absmax", DoubleType, nullable = false),
+    StructField("scale", DoubleType, nullable = true),
+    StructField("q8", StringType, nullable = true)))
+
+  /** `q8` is exactly `array_to_string(list_transform(v, x ->
     * CAST(floor(CAST(x AS DOUBLE) * (127.0/absmax) + 0.5) AS INTEGER)),
-    * ',')` — floor(x+0.5) half-up rounding, identical double ops to the
-    * DuckDB oracle.
+    * ',')` — floor(x+0.5) half-up rounding, identical double ops to
+    * the DuckDB oracle; absmax and the quantized string come from one
+    * fused pass.
     */
-  def quantizeCsv(x: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+  def quantize(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = AbsMaxF.absMax(x)
+    if (m <= 0.0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](m, null, null))
     val n = x.numElements()
-    val scale = 127.0 / AbsMaxF.absMax(x)
+    val scale = 127.0 / m
     val sb = new java.lang.StringBuilder(n * 5)
     var i = 0
     while (i < n) {
@@ -182,7 +199,9 @@ object QuantizeI8F {
       sb.append(math.floor(x.getFloat(i).toDouble * scale + 0.5).toInt)
       i += 1
     }
-    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, scale,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
   }
 }
 

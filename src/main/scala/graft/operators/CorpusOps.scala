@@ -93,10 +93,17 @@ object CorpusOps {
     * expectation, which at small-stratum sizes means entire domains can
     * vanish). One shuffle on the stratum key; the within-stratum sort
     * is by md5, so the choice of which rows survive is reproducible.
-    * Skewed strata sort independently (AQE splits oversized
-    * partitions). Appends `rk` (hash rank in stratum) and `n_<stratum>`
-    * columns. Shared by [[cpStratified]] and
+    * Appends `rk` (hash rank in stratum) and `n_<stratum>` columns.
+    * Shared by [[cpStratified]] and
     * `graft.api.Corpus.stratifiedSampled`.
+    *
+    * SKEW LIMIT: a window partition cannot be split (AQE skew handling
+    * applies to joins, not windows), so a stratum holding most of a
+    * 100 TB corpus funnels through one task's sort. For dominant
+    * strata, switch to the two-pass form: estimate the stratum's
+    * rank-`rate` md5 threshold from a coarse bucket histogram (the
+    * [[Percentiles]] selection pattern), then keep rows below it with
+    * a map-side filter — no per-stratum sort at all.
     */
   def stratifiedSample(df: DataFrame, stratum: String = "source",
       id: String = "doc_id", rate: Double = StratRate): DataFrame = {
@@ -191,11 +198,16 @@ object CorpusOps {
     * bucket falls under `rate` (a per-row Column, typically derived
     * from a domain column). Map-side, reproducible. Shared by
     * [[cpMixture]] and `graft.api.Corpus.mixtureSampled`.
+    *
+    * The per-mille threshold ROUNDS: a bare int cast truncates, and
+    * rates with no exact double form (0.3 × 1000 = 299.999…) would
+    * silently under-sample (0.3 → 299/1000; 0.003 → 2/1000, a 33%
+    * relative error) and diverge from an oracle that rounds.
     */
   def mixtureKept(rate: org.apache.spark.sql.Column,
       id: String = "doc_id"): org.apache.spark.sql.Column =
     md5Bucket(concat(lit("mix:"), col(id).cast("string")), 1000) <
-      (rate * 1000).cast(IntegerType)
+      round(rate * 1000).cast(IntegerType)
 
   /** Downsample each source to its mixture rate (1.0 / 0.5 / 0.25 by
     * source-number mod 3 — a stand-in for the per-domain weights a real
@@ -229,7 +241,7 @@ object CorpusOps {
                  |       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 3 = 1 THEN 0.5
                  |       ELSE 0.25 END""".stripMargin
     val kept = s"(('0x' || substr(${saltedKeySql("mix", "doc_id")}, 1, 8))::UBIGINT % 1000)" +
-      s" < CAST(($rate) * 1000 AS INTEGER)"
+      s" < CAST(round(($rate) * 1000) AS INTEGER)"
     s"""SELECT source,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN $kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

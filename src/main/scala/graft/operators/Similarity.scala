@@ -306,26 +306,29 @@ object Similarity {
     * float→double→quantize arithmetic is identical in both engines so
     * the strings match exactly.
     *
-    * Runs as the native one-pass [[graft.functions.QuantizeI8F]] /
-    * [[graft.functions.AbsMaxF]] kernels: the HOF formulation
+    * Runs as the native one-pass [[graft.functions.QuantizeI8F]]
+    * kernel (struct return: absmax scanned once per row, scale/q8 null
+    * for zero vectors with no caller-side guard): the HOF formulation
     * (`transform` with the absmax subterm inside the lambda) is
     * interpreted AND re-evaluates absmax per element — measured 11.5s
-    * for 20k vectors vs 0.4s native, identical output. CaseWhen
-    * branches evaluate lazily (absmax = 0 never reaches the division)
-    * and codegen subexpression elimination shares absmax across the
-    * three output columns.
+    * for 20k vectors vs 0.4s native, identical output.
     */
-  def embQuantize(s: SparkSession, d: String): DataFrame = {
-    val v = col("embedding")
-    val absmax = VectorExpressions.absMaxF(v)
-    embeddings(s, d)
-      .select(
-        col("vec_id"),
-        absmax.as("absmax"),
-        when(absmax > 0, lit(127.0) / absmax).as("scale"),
-        when(absmax > 0, VectorExpressions.quantizeI8F(v)).as("q8"))
-      .orderBy(col("vec_id"))
+  /** Frame-parametric core: append `absmax`, `scale`, `q8` for a
+    * float-vector column. Shared by the gated [[embQuantize]] and
+    * `graft.api.Corpus.quantizedI8` — the ONE definition of the
+    * quantization columns.
+    */
+  def quantized(df: DataFrame, vec: String = "embedding"): DataFrame = {
+    val st = VectorExpressions.quantizeI8F(col(vec))
+    df.withColumn("absmax", st.getField("absmax"))
+      .withColumn("scale", st.getField("scale"))
+      .withColumn("q8", st.getField("q8"))
   }
+
+  def embQuantize(s: SparkSession, d: String): DataFrame =
+    quantized(embeddings(s, d))
+      .select(col("vec_id"), col("absmax"), col("scale"), col("q8"))
+      .orderBy(col("vec_id"))
 
   val embQuantizeSql: String =
     """WITH m AS (

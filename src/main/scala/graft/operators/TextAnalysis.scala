@@ -221,35 +221,42 @@ object TextAnalysis {
     * duplicate-word fraction and most-common-2-gram fraction per
     * document. Highly repetitive documents (boilerplate, scraped spam,
     * generation loops) score high on both and get filtered before
-    * training. Implementation explodes words/2-grams and aggregates —
-    * ZERO data shuffles: the statistics are doc-local, so the one-pass
-    * native [[graft.functions.RepetitionStatsExpr]] (a per-row hash
-    * map) replaces the explode → groupBy(doc_id, term) formulation,
-    * which shuffled every token of the corpus twice to compute what a
-    * single scan sees (measured 5.5s vs 1.8s on 50k docs; the HOF
-    * shingle form before that was O(tokens²) at 7.7s for 5k). The
-    * shuffled wordcount shape remains correct for CROSS-document term
-    * stats; within-document stats never need it.
+    * training. ZERO data shuffles: the statistics are doc-local, so
+    * the one-pass native [[graft.functions.RepetitionStatsExpr]] (a
+    * per-row hash map) replaces the explode → groupBy(doc_id, term)
+    * formulation, which shuffled every token of the corpus twice to
+    * compute what a single scan sees (measured 5.5s vs 1.8s on 50k
+    * docs; the HOF shingle form before that was O(tokens²) at 7.7s for
+    * 5k). The shuffled wordcount shape remains correct for
+    * CROSS-document term stats; within-document stats never need it.
     */
-  def taRepetition(s: SparkSession, d: String): DataFrame = {
-    val st = graft.functions.RepetitionStatsExpr
-      .repetitionStats(col("text"))
-    // one projection: codegen subexpression elimination computes the
-    // stats struct once per row across the six references
-    documents(s, d)
-      .select(
-        col("doc_id"),
-        st.getField("n_words").as("n_words"),
-        st.getField("n_distinct_words").as("n_distinct_words"),
+  /** Frame-parametric core: append `n_words`, `n_distinct_words`,
+    * `dup_word_frac`, `n_grams`, `top_gram_frac` for a text column —
+    * one projection, so codegen subexpression elimination computes the
+    * stats struct once per row across the references. Shared by the
+    * gated [[taRepetition]] and `graft.api.Corpus.repetitionScored` —
+    * the ONE definition of the derived fractions.
+    */
+  def repetitionScored(df: DataFrame, text: String = "text"): DataFrame = {
+    val st = graft.functions.RepetitionStatsExpr.repetitionStats(col(text))
+    df.withColumn("n_words", st.getField("n_words"))
+      .withColumn("n_distinct_words", st.getField("n_distinct_words"))
+      .withColumn("dup_word_frac",
         when(st.getField("n_words") > 0,
           (st.getField("n_words") - st.getField("n_distinct_words"))
-            .cast(DoubleType) / st.getField("n_words")).as("dup_word_frac"),
-        st.getField("n_grams").as("n_grams"),
+            .cast(DoubleType) / st.getField("n_words")))
+      .withColumn("n_grams", st.getField("n_grams"))
+      .withColumn("top_gram_frac",
         when(st.getField("n_grams") > 0,
           st.getField("top_gram_n").cast(DoubleType) /
-            st.getField("n_grams")).as("top_gram_frac"))
-      .orderBy(col("doc_id"))
+            st.getField("n_grams")))
   }
+
+  def taRepetition(s: SparkSession, d: String): DataFrame =
+    repetitionScored(documents(s, d))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("dup_word_frac"), col("n_grams"), col("top_gram_frac"))
+      .orderBy(col("doc_id"))
 
   val taRepetitionSql: String =
     """WITH toks AS (

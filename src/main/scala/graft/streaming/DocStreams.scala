@@ -52,11 +52,15 @@ object DocStreams {
     * both run on event time with the same watermark. `n_docs` counts
     * chunk 0 of each kept doc instead of `countDistinct` (unsupported
     * in streaming) — every kept doc emits exactly one chunk 0.
-    * Works identically on a batch frame (plain `dropDuplicates`,
-    * windows all emit), which is how the spec oracles it; batch keeps
-    * an arbitrary group member where streaming keeps the first
-    * arrival, so batch-vs-stream comparisons need duplicates with
-    * identical stats (e.g. exact-duplicate texts).
+    * The batch form (plain `dropDuplicates`, windows all emit) matches
+    * streaming ONLY for duplicates within one watermark horizon of
+    * each other: streaming evicts a fingerprint when the watermark
+    * passes it and re-admits a later copy, while batch dedups
+    * globally. Batch also keeps an arbitrary group member where
+    * streaming keeps the first arrival. Batch-vs-stream comparisons
+    * therefore need duplicates with identical stats (e.g.
+    * exact-duplicate texts) arriving within one horizon — the spec's
+    * fixture does both.
     */
   def ingestPipeline(docs: DataFrame): DataFrame = {
     val toksCol = tokens(col("text"))

@@ -15,7 +15,8 @@ class GraftExtensionsSpec extends SparkTestBase {
         |        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
         |  l2norm_f(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm,
         |  absmax_f(array(CAST(-3.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS am,
-        |  quantize_i8(array(CAST(-3.0 AS FLOAT), CAST(1.5 AS FLOAT))) AS q8,
+        |  quantize_i8(array(CAST(-3.0 AS FLOAT), CAST(1.5 AS FLOAT))).q8 AS q8,
+        |  quantize_i8(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))).q8 AS q8zero,
         |  repetition_stats('a b a b a').n_words AS rw,
         |  repetition_stats('a b a b a').top_gram_n AS rt
         |""".stripMargin).head()
@@ -26,8 +27,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 5.0)
     assert(r.getDouble(5) == 3.0)
     assert(r.getString(6) == "-127,64") // floor(1.5*(127/3)+0.5) = 64
-    assert(r.getLong(7) == 5L)
-    assert(r.getLong(8) == 2L) // "a b" occurs twice among 4 bigrams
+    assert(r.isNullAt(7), "zero vector quantizes to NULL, not garbage")
+    assert(r.getLong(8) == 5L)
+    assert(r.getLong(9) == 2L) // "a b" occurs twice among 4 bigrams
   }
 
   test("SQL functions compose with table queries") {

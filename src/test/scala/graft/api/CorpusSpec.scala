@@ -111,21 +111,27 @@ class CorpusSpec extends SparkTestBase {
       n - d.filter($"source" === zeroed).count())
   }
 
-  test("repetitionScored and quantizedI8 facades append the gated queries' columns") {
+  test("repetitionScored and quantizedI8 facades equal the gated queries, every column") {
     import org.apache.spark.sql.functions._
+    def repKey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]))
     val rep = Corpus.repetitionScored(
       graft.sources.Tables.documents(spark, sf0001))
-      .select($"doc_id", $"n_words", $"dup_word_frac", $"top_gram_frac")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select($"doc_id", $"n_words", $"n_distinct_words",
+        $"dup_word_frac", $"n_grams", $"top_gram_frac")
+      .collect().map(repKey).toMap
     val gatedRep = graft.operators.TextAnalysis.taRepetition(spark, sf0001)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(repKey).toMap
     assert(rep == gatedRep)
 
+    def qKey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getString(3))
     val q = Corpus.quantizedI8(graft.sources.Tables.embeddings(spark, sf0001))
-      .select($"vec_id", $"q8").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .select($"vec_id", $"absmax", $"scale", $"q8").collect()
+      .map(qKey).toMap
     val gatedQ = graft.operators.Similarity.embQuantize(spark, sf0001)
-      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      .collect().map(qKey).toMap
     assert(q == gatedQ)
   }
 

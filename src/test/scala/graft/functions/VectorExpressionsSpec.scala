@@ -84,14 +84,22 @@ class VectorExpressionsSpec extends SparkTestBase {
       transform(v, x =>
         floor(x.cast(DoubleType) * (lit(127.0) / hofAbsmax) + lit(0.5))
           .cast("int").cast("string")), ",")
+    val st = VectorExpressions.quantizeI8F(v)
     val both = e.select(
       VectorExpressions.absMaxF(v).as("nm"), hofAbsmax.as("hm"),
-      VectorExpressions.quantizeI8F(v).as("nq"), hofQ.as("hq")).collect()
+      st.getField("q8").as("nq"), hofQ.as("hq"),
+      st.getField("absmax").as("sm"),
+      st.getField("scale").as("sc")).collect()
     assert(both.nonEmpty)
     both.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
       assert(r.getString(2) == r.getString(3))
+      // struct absmax/scale agree with the standalone kernel
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(0)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ==
+        java.lang.Double.doubleToLongBits(127.0 / r.getDouble(0)))
     }
   }
 
