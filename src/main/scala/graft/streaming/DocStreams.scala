@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.functions.{tokens, MinHashSig, WordShinglesExpr}
+import graft.functions.{tokens, MinHashSig, WordShingleHashesExpr, WordShinglesExpr}
 import graft.operators.{Pipeline, TextAnalysis}
 
 /** Streaming operators over a document stream (`doc_id`, `text`, `ts`)
@@ -135,6 +135,44 @@ object DocStreams {
       .unionByName(
         withSh.filter(size(col("__sh")) === 0)
           .select(col("doc_id"), col("text"), col("ts")))
+  }
+
+  /** Streaming decontamination: eval documents arrive as a stream and
+    * are checked against a STATIC train corpus — the nightly-eval-
+    * against-frozen-training-snapshot shape. The train side collapses
+    * once to its distinct 8-gram shingle-hash set; each arriving doc
+    * explodes to its per-doc-distinct hashes (`array_distinct` on the
+    * hash array — map-side, replacing the batch form's post-explode
+    * distinct shuffle), left-joins the train set (stream-STATIC joins
+    * are stateless — no watermark state for the join), and a windowed
+    * per-doc aggregation reassembles `contamination = hits/shingles`
+    * once the watermark closes the window. Same hash family and gram
+    * width as the oracle-gated [[graft.operators.Pipeline.contamination]];
+    * the spec runs both on the same rows. Docs too short to shingle
+    * produce no rows (as in the batch form). Works identically on a
+    * batch eval frame (windows all emit).
+    */
+  def streamingContamination(evalDocs: DataFrame, train: DataFrame,
+      gram: Int = graft.operators.Pipeline.ContamGram): DataFrame = {
+    val trainSh = train
+      .select(explode(WordShingleHashesExpr
+        .wordShingleHashesNative(col("text"), gram)).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val evalSh = evalDocs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(WordShingleHashesExpr
+          .wordShingleHashesNative(col("text"), gram))).as("s"))
+    evalSh.join(trainSh, Seq("s"), "left")
+      .groupBy(window(col("ts"), s"$IngestWindowSec seconds"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contamination"))
   }
 
   // ---------------------------------------------------------------------

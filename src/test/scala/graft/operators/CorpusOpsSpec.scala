@@ -113,6 +113,23 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bookkeeping cores survive degenerate corpora: empty and single-row") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(CorpusOps.hashSplit(empty).count() === 0)
+    assert(CorpusOps.globalShuffle(empty).count() === 0)
+    assert(CorpusOps.stratifiedSample(empty).count() === 0)
+
+    val one = Seq((7L, "src1")).toDF("doc_id", "source")
+    val splitOne = CorpusOps.hashSplit(one).collect()
+    assert(splitOne.length === 1)
+    val shuffled = CorpusOps.globalShuffle(one).collect()
+    assert(shuffled.length === 1 &&
+      shuffled.head.getAs[Long]("pos") === 1L)
+    // ceil(1 * 0.2) = 1: a one-row stratum is kept, never dropped
+    assert(CorpusOps.stratifiedSample(one).count() === 1)
+  }
+
   test("ta_repetition: fractions well-formed and planted repetitive text scores high") {
     val rows = TextAnalysis.taRepetition(spark, sf001).collect()
     rows.foreach { r =>

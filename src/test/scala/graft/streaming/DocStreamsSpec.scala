@@ -169,6 +169,54 @@ class DocStreamsSpec extends SparkTestBase {
     assert(batch(((t0 + 300 * min) / 600 * 600, "en"))._1 == 1L)
   }
 
+  test("streaming contamination against a static train set, equals the batch operator") {
+    val dir = Files.createTempDirectory("graft-contam-")
+    val t0 = 1704067200L
+    val min = 60L
+    // 10-token docs (8-gram shingles need >= 8 tokens)
+    val trainDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "one two three four five six seven eight nine ten"
+    val sentinel = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val train = Seq((100L, trainDoc)).toDF("doc_id", "text")
+
+    def writeEval(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-contam-stage-")
+      rows.toDF("doc_id", "text", "sec")
+        .selectExpr("doc_id", "text", "timestamp_seconds(sec) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100)
+    }
+    // doc 1 is a verbatim train copy (contamination 1.0); doc 2 fresh (0.0)
+    writeEval("001.parquet", Seq((1L, trainDoc, t0), (2L, fresh, t0)))
+    writeEval("002.parquet", Seq((99L, sentinel, t0 + 300 * min)))
+
+    val evalStream = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = DocStreams.streamingContamination(evalStream, train)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("contam_out").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(streamed(1L) == ((3L, 3L, 1.0)), s"train copy fully contaminated: $streamed")
+    assert(streamed(2L) == ((3L, 0L, 0.0)), s"fresh doc untouched: $streamed")
+
+    // agrees with the oracle-gated batch operator on the same frames
+    val evalBatch = Seq((1L, trainDoc), (2L, fresh)).toDF("doc_id", "text")
+    val batch = graft.operators.Pipeline.contamination(train, evalBatch)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    Seq(1L, 2L).foreach(id => assert(batch(id) == streamed(id), s"doc $id"))
+  }
+
   test("batch twin dedups on the same band key") {
     val batch = Seq((1L, A, 0L), (2L, A, 600L), (3L, B, 600L),
       (10L, "x y", 0L), (11L, "x y", 600L))
