@@ -205,10 +205,14 @@ object Pipeline {
     */
   def contamination(train: DataFrame, eval_ : DataFrame,
       gram: Int = ContamGram): DataFrame = {
+    // per-doc shingle dedup is map-side (array_distinct on the hash
+    // array) — each doc_id appears once per frame, so this equals the
+    // post-explode (doc_id, s) distinct that used to shuffle here; the
+    // train side then needs only ONE keyed distinct on the hash itself
+    // (it previously shuffled twice: (doc, s) distinct, then s distinct)
     def sh(df: DataFrame) = df.select(col("doc_id"),
-      explode(graft.functions.WordShingleHashesExpr
-        .wordShingleHashesNative(col("text"), gram)).as("s"))
-      .distinct()
+      explode(array_distinct(graft.functions.WordShingleHashesExpr
+        .wordShingleHashesNative(col("text"), gram))).as("s"))
     val evalSh = sh(eval_)
     val trainSh = sh(train).select(col("s")).distinct()
     val cnt = evalSh.groupBy(col("doc_id"))
