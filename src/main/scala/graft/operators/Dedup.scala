@@ -70,6 +70,13 @@ object Dedup {
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
+        // NOT array_distinct + no .distinct(): that variant was
+        // MEASURED SLOWER at sf0.1 (1.6-2.5s vs 1.1-2.3s for
+        // dd_ngram_jaccard) — the planner already serves the distinct
+        // aggregation from the self-join's own exchange, so map-side
+        // array dedup only adds per-row work here (unlike
+        // Pipeline.contamination, whose eval side never joins on the
+        // pair key and genuinely drops an exchange)
         explode(graft.functions.WordShingleHashesExpr
           .wordShingleHashesNative(col("text"), 3)).as("sh"))
       .distinct()
