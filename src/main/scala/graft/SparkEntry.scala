@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, CorpusOps, Dedup, MapReduceQueries, Multimodal, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, MapReduceQueries, Multimodal, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
       MapReduceQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
+      Dedup.queries ++ Dedup2.queries ++ Similarity.queries ++ EventStreams.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Pipeline.queries ++
       CorpusOps.queries
 
@@ -37,7 +37,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
       MapReduceQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
+      Dedup.oracles ++ Dedup2.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ Pipeline.oracles ++
       CorpusOps.oracles
 }

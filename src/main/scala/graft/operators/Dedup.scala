@@ -67,7 +67,7 @@ object Dedup {
     * aggregate branch it saves, and it blocks exchange reuse) — don't
     * add one.
     */
-  private def shingleRel(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingleRel(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         // NOT array_distinct + no .distinct(): that variant was
@@ -87,7 +87,7 @@ object Dedup {
     * unsigned-vs-signed interpretation of the same 64 bits induces the
     * same equivalence classes, so candidate pairs are identical.
     */
-  private val shingleRelSql: String =
+  private[operators] val shingleRelSql: String =
     """toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
       |  FROM documents),
@@ -99,11 +99,12 @@ object Dedup {
       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s0
       |        FROM toks WHERE len(t) >= 3) raw)""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup: candidate pairs via shingle
-    * equi-join, jaccard = |A∩B| / |A∪B|, top-50 pairs. This is the
-    * ground-truth oracle the LSH variants are measured against.
+  /** All candidate pairs with their exact 3-gram Jaccard — the shared
+    * core of [[ddNgramJaccard]] (top-50 view) and the connected-
+    * components clustering in [[Dedup2.ddCluster]] (thresholded edge
+    * list). Unordered and unlimited; consumers add their own view.
     */
-  def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  private[operators] def jaccardPairsAll(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRel(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -119,22 +120,39 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"),
         (col("common").cast(DoubleType) /
           (col("na") + col("nb") - col("common"))).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
   }
 
-  val ddNgramJaccardSql: String =
-    s"""WITH $shingleRelSql,
+  /** DuckDB CTE chain mirroring [[jaccardPairsAll]] (through relation
+    * `pj(a_id, b_id, common, na, nb, jaccard)`), shared by the
+    * ngram-jaccard and cluster oracles.
+    */
+  private[operators] val jaccardPairsCtesSql: String =
+    s"""$shingleRelSql,
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
-      |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
-      |FROM pairs
-      |JOIN cnt ca ON ca.doc_id = a_id
-      |JOIN cnt cb ON cb.doc_id = b_id
+      |  GROUP BY 1, 2),
+      |pj AS (
+      |  SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
+      |    CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id)""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup: candidate pairs via shingle
+    * equi-join, jaccard = |A∩B| / |A∪B|, top-50 pairs. This is the
+    * ground-truth oracle the LSH variants are measured against.
+    */
+  def ddNgramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairsAll(s, d)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+
+  val ddNgramJaccardSql: String =
+    s"""WITH $jaccardPairsCtesSql
+      |SELECT a_id, b_id, common, na, nb, jaccard
+      |FROM pj
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin
 

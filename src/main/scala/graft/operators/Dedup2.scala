@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables._
+
+/** Second dedup family: span-level duplicate detection (the
+  * suffix-array-style "duplicated substring" pass of Lee et al.,
+  * *Deduplicating Training Data Makes Language Models Better*) and
+  * connected-components duplicate CLUSTERS (the union-find pass every
+  * production corpus dedup — FineWeb, Dolma — runs over its near-dup
+  * pairs, instead of the pair-local "drop the higher id" rule).
+  *
+  * The reference engine has no analogue (its only dedup surface is
+  * exact key grouping via MapReduce, `dfs/wordcountjob.go:16-39`);
+  * both operators are part of the prompt-mandated training-data
+  * pipeline surface.
+  */
+object Dedup2 {
+
+  /** Token length of the fixed window used for span detection. Lee et
+    * al. use 50 BPE tokens; 10 whitespace tokens plays the same role
+    * on this corpus's shorter documents.
+    */
+  val SpanWindow = 10
+
+  /** Duplicated-span detection: every position whose [[SpanWindow]]-token
+    * window occurs more than once in the corpus (in ANY document —
+    * including again in the same one) is a duplicated position; maximal
+    * runs of consecutive duplicated positions are the duplicated spans,
+    * reported as token ranges `[span_start, span_end]` (1-based,
+    * inclusive). Top-100 by span length.
+    *
+    * Shape: one codegen'd loop per row produces positional window
+    * hashes (no O(n²) HOF re-evaluation), then exactly two shuffles —
+    * one by window hash (the `count over (partition by h)` marking
+    * duplicated windows), one by doc_id (the gaps-and-islands
+    * coalescing). Nothing quadratic is ever formed: a window repeated
+    * k times costs k rows, not k² pairs, which is what makes this the
+    * 100 TB form of substring dedup (the suffix-array original is a
+    * single-machine algorithm). Skewed hash groups (a boilerplate
+    * window repeated millions of times) are split by AQE; only the
+    * count survives the window, not the group contents.
+    */
+  def ddSpans(s: SparkSession, d: String): DataFrame = {
+    val win = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordShingleHashesExpr
+          .wordShingleHashesNative(col("text"), SpanWindow))
+          .as(Seq("pos0", "h")))
+      // 1-based positions, widened to long to match the oracle's BIGINT
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("h"))
+    val dup = win
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") > 1)
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - row_number) within a doc
+    val isl = dup.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    isl.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (SpanWindow - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + SpanWindow).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"), col("n_windows"))
+      .orderBy(col("span_len").desc, col("doc_id"), col("span_start"))
+      .limit(100)
+  }
+
+  /** DuckDB mirror: the two same-length `unnest`s in one SELECT zip
+    * positionally, giving (pos, window-hash) rows; the window hash is
+    * the same first-8-md5-bytes value as
+    * [[graft.functions.WordShingleHashesExpr]] (unsigned vs signed
+    * reinterpretation of the same 64 bits induces identical equality
+    * classes).
+    */
+  val ddSpansSql: String = {
+    val w = SpanWindow
+    val cat = (0 until w).map(j =>
+      if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(t) - ${w - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(t) - ${w - 2}),
+       |      i -> CAST(('0x' || substr(md5($cat), 1, 16)) AS UBIGINT))) AS h
+       |  FROM toks WHERE len(t) >= $w),
+       |dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM w) z
+       |  WHERE occ > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end,
+       |  MAX(pos) - MIN(pos) + $w AS span_len, COUNT(*) AS n_windows
+       |FROM isl
+       |GROUP BY doc_id, grp
+       |ORDER BY span_len DESC, doc_id, span_start
+       |LIMIT 100""".stripMargin
+  }
+
+  /** Near-dup pairs at/above this exact-Jaccard threshold become the
+    * edges of the duplicate graph.
+    */
+  val ClusterThreshold = 0.8
+
+  /** Connected components of an undirected edge list by iterated
+    * min-label propagation: `comp(v) ← min(comp(v), min over neighbors
+    * comp(u))` until fixpoint. Deterministic (min is order-free);
+    * rounds = graph diameter, and near-dup components are
+    * near-cliques, so 2–3 rounds in practice. Each round is one
+    * shuffle (the groupBy); `localCheckpoint` cuts the growing lineage
+    * so round N's plan doesn't replay rounds 1..N-1 (on a cluster,
+    * `checkpoint` to reliable storage instead). At 100 TB-scale graphs
+    * with long chains, swap the body for large-star/small-star
+    * (Kiveris et al., *Connected Components in MapReduce and Beyond*) —
+    * same fixpoint contract, logarithmic rounds.
+    *
+    * @param edges two long columns `a_id`, `b_id`; undirected.
+    * @return one row per vertex: `id`, `comp` (min vertex id in its
+    *         component).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var comp = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val viaNbr = und.join(comp, und("dst") === comp("id"))
+        .select(und("src").as("id"), col("comp"))
+      val next = comp.union(viaNbr)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(comp.as("c"), col("n.id") === col("c.id"))
+        .filter(col("n.comp") =!= col("c.comp"))
+        .isEmpty
+      comp = next
+      rounds += 1
+    }
+    und.unpersist()
+    comp
+  }
+
+  /** Duplicate clusters: connected components over the exact-Jaccard
+    * near-dup graph at ≥ [[ClusterThreshold]]. One row per clustered
+    * doc with its component id (min doc_id in the cluster — the
+    * canonical survivor), the cluster size, and the canonical flag.
+    * The pair-local rule ([[Dedup.ddApply]]'s "drop the higher id of
+    * each pair") over-drops on chains A~B~C where A≁C; components keep
+    * exactly one doc per transitive group. At scale the edge list
+    * comes from [[Dedup.nearDupCandidates]] (banded LSH) instead of
+    * the exact quadratic join — the clustering is source-agnostic.
+    */
+  def ddCluster(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.jaccardPairsAll(s, d)
+      .filter(col("jaccard") >= ClusterThreshold)
+      .select(col("a_id"), col("b_id"))
+    val comp = connectedComponents(edges)
+    val sizes = comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(broadcast(sizes), "comp")
+      .select(col("id").as("doc_id"), col("comp"), col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy(col("comp"), col("doc_id"))
+  }
+
+  /** DuckDB mirror: the min-reachable-id fixpoint as a recursive CTE
+    * (`UNION` dedups, so the closure terminates). Exact on the same
+    * edge list, so components match the propagation loop's exactly.
+    */
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtesSql},
+       |edges AS (SELECT a_id, b_id FROM pj WHERE jaccard >= $ClusterThreshold),
+       |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |        UNION ALL SELECT b_id, a_id FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM und),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.src AS id, reach.r
+       |  FROM reach JOIN und u ON u.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+       |SELECT c.id AS doc_id, c.comp, sz.cluster_size,
+       |  c.id = c.comp AS is_canonical
+       |FROM comp c JOIN sz USING (comp)
+       |ORDER BY comp, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_spans"   -> ddSpans _,
+    "dd_cluster" -> ddCluster _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_spans"   -> ddSpansSql,
+    "dd_cluster" -> ddClusterSql,
+  )
+}

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions._
 import graft.functions.RollingHash.rollingHash
@@ -292,6 +293,59 @@ object TextAnalysis {
       |LEFT JOIN grams g ON d.doc_id = g.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-doc top-5 terms by tf-idf. The idf uses the smoothed RATIO
+    * `(N+1)/(df+1)` with no logarithm: `ln` is not guaranteed
+    * correctly-rounded (libm vs DuckDB may differ in the last ulp and
+    * break the cross-engine hash), while cast/divide/multiply are all
+    * IEEE-exact-rounded, so this score is bit-identical across engines
+    * — and induces the same ranking as the log form (log is
+    * monotonic). Shape: tf = one map-side-combined groupBy; df = a
+    * second groupBy over the (already small) tf relation; idf table
+    * broadcast. At 100 TB the vocabulary may exceed the broadcast
+    * threshold — the join key (term) is the tf relation's own grouping
+    * key, so the fallback shuffle join reuses tf's partitioning.
+    */
+  def taTfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast(DoubleType) *
+          ((col("n_docs").cast(DoubleType) + 1.0) /
+            (col("df").cast(DoubleType) + 1.0))).as("tfidf"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val taTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) *
+      |      ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
+      |WHERE rnk <= 5
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
@@ -300,6 +354,7 @@ object TextAnalysis {
     "ta_langid"      -> taLangid _,
     "ta_fingerprint" -> taFingerprint _,
     "ta_repetition"  -> taRepetition _,
+    "ta_tfidf"       -> taTfidf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,5 +365,6 @@ object TextAnalysis {
     "ta_langid"      -> taLangidSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_repetition"  -> taRepetitionSql,
+    "ta_tfidf"       -> taTfidfSql,
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+/** Semantics checks for the span-dedup / cluster-dedup family that the
+  * DuckDB oracle can't express: the generic connected-components
+  * contract on synthetic graphs (chains, where the pair-local drop
+  * rule over-drops), and an independent single-threaded re-derivation
+  * of the duplicated-span output.
+  */
+class Dedup2Spec extends SparkTestBase {
+
+  test("connectedComponents: chain, triangle, and isolated pair resolve to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 NOT an edge), triangle 20-21-22, pair 30-31
+    val edges = Seq((2L, 1L), (2L, 3L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 30L)).toDF("a_id", "b_id")
+    val comp = Dedup2.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents: long path needs multiple propagation rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-9: min label must travel the full diameter
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup2.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(comp(_) == 0L))
+  }
+
+  test("dd_cluster: components are edge-closed, canonical is the min id, sizes agree") {
+    val edges = Dedup.jaccardPairsAll(spark, sf001)
+      .filter(col("jaccard") >= Dedup2.ClusterThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup2.ddCluster(spark, sf001).collect()
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edges.nonEmpty && rows.nonEmpty)
+    // every edge endpoint is clustered, and both ends share a component
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+    }
+    // component label = min member; exactly one canonical per component
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (c, members) =>
+      assert(members.map(_.getLong(0)).min == c)
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.size))
+    }
+  }
+
+  test("dd_cluster keeps chain-interior docs the pair-local rule would over-drop") {
+    // the pair-local rule (ddApply) drops the higher id of EVERY pair;
+    // components keep one doc per transitive group — so the number of
+    // retained docs (canonicals) must be <= drops of the pair rule's
+    // survivors on the same edge set, and every component keeps exactly
+    // one doc regardless of chain shape
+    val rows = Dedup2.ddCluster(spark, sf001).collect()
+    val nComponents = rows.map(_.getLong(1)).distinct.length
+    assert(rows.count(_.getBoolean(3)) == nComponents)
+  }
+
+  test("dd_spans matches a single-threaded re-derivation on sf0.001") {
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val k = Dedup2.SpanWindow
+    // positional window hashes, single-threaded
+    val winRows = texts.flatMap { case (id, t) =>
+      graft.functions.WordShingleHashesExpr.shingleHashes(t, k)
+        .zipWithIndex.map { case (h, i) => (id, i + 1L, h) }
+    }
+    val occ = winRows.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = winRows.filter(r => occ(r._3) > 1)
+    val expected = dup.groupBy(_._1).toSeq.flatMap { case (id, rs) =>
+      val ps = rs.map(_._2).sorted
+      // coalesce consecutive positions into islands
+      val islands = ps.foldLeft(List.empty[List[Long]]) {
+        case (acc, p) => acc match {
+          case cur :: rest if cur.head == p - 1 => (p :: cur) :: rest
+          case _ => List(p) :: acc
+        }
+      }
+      islands.map(isl => (id, isl.min, isl.max + k - 1,
+        isl.max - isl.min + k, isl.size.toLong))
+    }
+    val expectedTop = expected
+      .sortBy { case (id, st, _, len, _) => (-len, id, st) }.take(100)
+    val got = Dedup2.ddSpans(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expectedTop)
+  }
+
+  test("ta_tfidf: ranks are 1..5 per doc, scores non-increasing, formula spot-check") {
+    val rows = TextAnalysis.taTfidf(spark, sf0001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(5))
+      assert(ordered.map(_.getLong(5)).toSeq == (1L to ordered.length))
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => a.getDouble(4) >= b.getDouble(4)
+        case _ => true
+      })
+    }
+    // spot-check the smoothed-ratio score on one row
+    val n = graft.sources.Tables.documents(spark, sf0001).count()
+    val r0 = rows.head
+    val want = r0.getLong(2).toDouble * ((n + 1.0) / (r0.getLong(3) + 1.0))
+    assert(r0.getDouble(4) == want)
+  }
+}
