@@ -339,7 +339,7 @@ object Dedup {
     * bit-identical across engines. Shared by [[ddMinhashLshSql]] and
     * [[ddApplyLshSql]].
     */
-  private val minhashCtesSql: String = {
+  private[operators] val minhashCtesSql: String = {
     val p = graft.functions.MinHashSig.MersennePrime
     val sigList = (0 until NumHashes).map { i =>
       val a = graft.functions.MinHashSig.coefA(i)
@@ -375,7 +375,7 @@ object Dedup {
        |    ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  private val estJaccardSql: String =
+  private[operators] val estJaccardSql: String =
     s"""CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
        |    pr -> CASE WHEN pr[1] = pr[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes""".stripMargin
 

@@ -166,10 +166,31 @@ object Dedup2 {
     * comes from [[Dedup.nearDupCandidates]] (banded LSH) instead of
     * the exact quadratic join — the clustering is source-agnostic.
     */
-  def ddCluster(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.jaccardPairsAll(s, d)
+  def ddCluster(s: SparkSession, d: String): DataFrame =
+    clusterize(Dedup.jaccardPairsAll(s, d)
       .filter(col("jaccard") >= ClusterThreshold)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id")))
+
+  /** Duplicate clusters, SCALE-PATH form: the same clustering as
+    * [[ddCluster]] but with edges from the banded-LSH signature
+    * estimate instead of the exact quadratic shingle join — the
+    * composition that runs at 100 TB, where a corpus whose docs are
+    * duplicated k times makes the exact pair join blow up k²-fold (the
+    * 10× replica probe measured 56 s vs 2.4 s for the exact form at
+    * sf0.1). Mirrors the [[Dedup.ddApply]]/[[Dedup.ddApplyLsh]] split:
+    * the exact form certifies the clustering rule, this one certifies
+    * the scalable edge source.
+    */
+  def ddClusterLsh(s: SparkSession, d: String): DataFrame =
+    clusterize(Dedup.nearDupCandidates(documents(s, d))
+      .filter(col("est_jaccard") >= ClusterThreshold)
+      .select(col("a_id"), col("b_id")))
+
+  /** Components + per-cluster bookkeeping over an `(a_id, b_id)` edge
+    * list: one row per clustered doc with its component id, cluster
+    * size, and canonical flag (id == component min).
+    */
+  private def clusterize(edges: DataFrame): DataFrame = {
     val comp = connectedComponents(edges)
     val sizes = comp.groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -201,13 +222,42 @@ object Dedup2 {
        |FROM comp c JOIN sz USING (comp)
        |ORDER BY comp, doc_id""".stripMargin
 
+  /** DuckDB mirror of [[ddClusterLsh]]: edges from the shared minhash
+    * CTE chain (bit-identical signatures, hence identical candidate
+    * pairs and estimates), then the same recursive-CTE fixpoint as
+    * [[ddClusterSql]].
+    */
+  val ddClusterLshSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashCtesSql},
+       |edges AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE ${Dedup.estJaccardSql} >= $ClusterThreshold),
+       |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |        UNION ALL SELECT b_id, a_id FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM und),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.src AS id, reach.r
+       |  FROM reach JOIN und u ON u.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+       |SELECT c.id AS doc_id, c.comp, sz.cluster_size,
+       |  c.id = c.comp AS is_canonical
+       |FROM comp c JOIN sz USING (comp)
+       |ORDER BY comp, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_spans"   -> ddSpans _,
-    "dd_cluster" -> ddCluster _,
+    "dd_spans"       -> ddSpans _,
+    "dd_cluster"     -> ddCluster _,
+    "dd_cluster_lsh" -> ddClusterLsh _,
   )
 
   val oracles: Map[String, String] = Map(
-    "dd_spans"   -> ddSpansSql,
-    "dd_cluster" -> ddClusterSql,
+    "dd_spans"       -> ddSpansSql,
+    "dd_cluster"     -> ddClusterSql,
+    "dd_cluster_lsh" -> ddClusterLshSql,
   )
 }

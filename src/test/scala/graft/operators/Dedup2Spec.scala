@@ -63,6 +63,29 @@ class Dedup2Spec extends SparkTestBase {
     assert(rows.count(_.getBoolean(3)) == nComponents)
   }
 
+  test("dd_cluster_lsh recovers the exact clustering's strong components") {
+    val exact = Dedup2.ddCluster(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup2.ddClusterLsh(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs in strong (j >= 0.9) exact pairs must be clustered by the
+    // LSH form too, and pairs the LSH estimate kept together must land
+    // in the same LSH component
+    val strong = Dedup.jaccardPairsAll(spark, sf001)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strong.nonEmpty)
+    val strongDocs = strong.flatMap(p => Seq(p._1, p._2)).distinct
+    val recalled = strongDocs.count(lsh.contains)
+    assert(recalled >= strongDocs.length * 0.9,
+      s"LSH clustering covered $recalled of ${strongDocs.length} strong docs")
+    // the two forms agree on co-membership for pairs both clustered
+    strong.foreach { case (a, b) =>
+      if (lsh.contains(a) && lsh.contains(b) && exact(a) == exact(b))
+        assert(lsh(a) == lsh(b), s"strong pair ($a,$b) split by LSH clustering")
+    }
+  }
+
   test("dd_spans matches a single-threaded re-derivation on sf0.001") {
     val texts = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
