@@ -102,6 +102,48 @@ object Corpus {
     graft.operators.Dedup.nearDupCandidates(
       df.select(col(id).as("doc_id"), col(text).as("text")), minJaccard)
 
+  /** Maximal duplicated token spans (Lee-et-al-style substring dedup):
+    * one row per span `(doc_id, span_start, span_end, span_len,
+    * n_windows)` — positions whose `window`-token context occurs more
+    * than once anywhere in the corpus, coalesced into maximal runs.
+    * Delegates to [[graft.operators.Dedup2.duplicatedSpans]]; nothing
+    * quadratic (a window repeated k times costs k rows, not k² pairs).
+    */
+  def duplicatedSpans(df: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      window: Int = graft.operators.Dedup2.SpanWindow): DataFrame =
+    graft.operators.Dedup2.duplicatedSpans(
+      df.select(col(id).as("doc_id"), col(text).as("text")), window)
+
+  /** Duplicate clusters: connected components over the banded-LSH
+    * near-dup graph at estimated Jaccard ≥ `threshold` — one row per
+    * clustered doc `(doc_id, comp, cluster_size, is_canonical)`, where
+    * `comp` is the min doc_id of the component (the canonical
+    * survivor). The transitive closure keeps exactly one doc per chain
+    * A~B~C even when A≁C, which the pair-local "drop the higher id"
+    * rule over-drops. Edge source is the scalable LSH banding
+    * ([[nearDupPairs]]), so thresholds below its ~0.3 recall floor are
+    * rejected; pass a handmade edge frame to
+    * [[graft.operators.Dedup2.clusterize]] directly for other graphs.
+    */
+  def dupClusters(df: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      threshold: Double = graft.operators.Dedup2.ClusterThreshold): DataFrame =
+    graft.operators.Dedup2.clusterize(
+      nearDupPairs(df, id, text, threshold)
+        .select(col("a_id"), col("b_id")))
+
+  /** Per-doc top-`topK` terms by tf-idf `(doc_id, term, tf, df, tfidf,
+    * rnk)` — the smoothed-ratio idf of
+    * [[graft.operators.TextAnalysis.tfidfTopTerms]] (log-free, so the
+    * score is bit-identical across engines; same ranking as the log
+    * form).
+    */
+  def tfidfTopTerms(df: DataFrame, id: String = "doc_id",
+      text: String = "text", topK: Int = 5): DataFrame =
+    graft.operators.TextAnalysis.tfidfTopTerms(
+      df.select(col(id).as("doc_id"), col(text).as("text")), topK)
+
   /** Train/eval contamination check: per eval doc, the fraction of its
     * `gram`-gram shingles present anywhere in `train` — delegates to
     * [[graft.operators.Pipeline.contamination]]. Both frames need
@@ -204,6 +246,10 @@ object Corpus {
       def minhashSigned(): DataFrame = Corpus.minhashSigned(df)
       def nearDupPairs(minJaccard: Double = 0.3): DataFrame =
         Corpus.nearDupPairs(df, minJaccard = minJaccard)
+      def duplicatedSpans(): DataFrame = Corpus.duplicatedSpans(df)
+      def dupClusters(): DataFrame = Corpus.dupClusters(df)
+      def tfidfTopTerms(topK: Int = 5): DataFrame =
+        Corpus.tfidfTopTerms(df, topK = topK)
       def hashSplit(): DataFrame = Corpus.hashSplit(df)
       def stratifiedSampled(): DataFrame = Corpus.stratifiedSampled(df)
       def shuffled(): DataFrame = Corpus.shuffled(df)

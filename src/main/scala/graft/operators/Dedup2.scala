@@ -45,11 +45,21 @@ object Dedup2 {
     * window repeated millions of times) are split by AQE; only the
     * count survives the window, not the group contents.
     */
-  def ddSpans(s: SparkSession, d: String): DataFrame = {
-    val win = documents(s, d)
+  def ddSpans(s: SparkSession, d: String): DataFrame =
+    duplicatedSpans(documents(s, d))
+      .orderBy(col("span_len").desc, col("doc_id"), col("span_start"))
+      .limit(100)
+
+  /** Frame-parametric core of [[ddSpans]]: all maximal duplicated spans
+    * (unordered, unlimited) over ANY `(doc_id, text)` frame — shared by
+    * the gated query and the `graft.api.Corpus.duplicatedSpans` facade.
+    */
+  def duplicatedSpans(docs: DataFrame,
+      window: Int = SpanWindow): DataFrame = {
+    val win = docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordShingleHashesExpr
-          .wordShingleHashesNative(col("text"), SpanWindow))
+          .wordShingleHashesNative(col("text"), window))
           .as(Seq("pos0", "h")))
       // 1-based positions, widened to long to match the oracle's BIGINT
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
@@ -64,13 +74,11 @@ object Dedup2 {
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
     isl.groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (SpanWindow - 1)).as("span_end"),
-        (max(col("pos")) - min(col("pos")) + SpanWindow).as("span_len"),
+        (max(col("pos")) + (window - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + window).as("span_len"),
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_len"), col("n_windows"))
-      .orderBy(col("span_len").desc, col("doc_id"), col("span_start"))
-      .limit(100)
   }
 
   /** DuckDB mirror: the two same-length `unnest`s in one SELECT zip
@@ -188,9 +196,11 @@ object Dedup2 {
 
   /** Components + per-cluster bookkeeping over an `(a_id, b_id)` edge
     * list: one row per clustered doc with its component id, cluster
-    * size, and canonical flag (id == component min).
+    * size, and canonical flag (id == component min). Public — this is
+    * the edge-source-agnostic clustering the `graft.api.Corpus` facade
+    * exposes over caller-supplied pair frames.
     */
-  private def clusterize(edges: DataFrame): DataFrame = {
+  def clusterize(edges: DataFrame): DataFrame = {
     val comp = connectedComponents(edges)
     val sizes = comp.groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -305,12 +305,19 @@ object TextAnalysis {
     * threshold — the join key (term) is the tf relation's own grouping
     * key, so the fallback shuffle join reuses tf's partitioning.
     */
-  def taTfidf(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
+  def taTfidf(s: SparkSession, d: String): DataFrame =
+    tfidfTopTerms(documents(s, d)).orderBy(col("doc_id"), col("rnk"))
+
+  /** Frame-parametric core of [[taTfidf]]: per-doc top-`topK` terms by
+    * tf-idf over ANY `(doc_id, text)` frame — shared by the gated query
+    * and the `graft.api.Corpus.tfidfTopTerms` facade.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(broadcast(df), "term")
       .crossJoin(broadcast(nDocs))
@@ -322,8 +329,7 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("term"))).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .orderBy(col("doc_id"), col("rnk"))
+      .filter(col("rnk") <= topK)
   }
 
   val taTfidfSql: String =

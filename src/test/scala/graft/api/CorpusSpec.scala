@@ -135,6 +135,38 @@ class CorpusSpec extends SparkTestBase {
     assert(q == gatedQ)
   }
 
+  test("duplicatedSpans facade equals the gated dd_spans rows (unlimited form)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    val api = Corpus.duplicatedSpans(docs).collect().map(key).toMap
+    // gated form is the top-100 view of the same spans
+    val gated = graft.operators.Dedup2.ddSpans(spark, sf0001)
+      .collect().map(key).toMap
+    assert(gated.nonEmpty)
+    assert(gated.forall { case (k, v) => api.get(k).contains(v) })
+  }
+
+  test("dupClusters facade equals clusterize over the gated LSH edges") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val api = Corpus.dupClusters(docs).collect().map(key).toMap
+    val gated = graft.operators.Dedup2.ddClusterLsh(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+  }
+
+  test("tfidfTopTerms facade equals the gated ta_tfidf rows") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+    val api = Corpus.tfidfTopTerms(docs).collect().map(key).toMap
+    val gated = graft.operators.TextAnalysis.taTfidf(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
