@@ -144,6 +144,16 @@ object Corpus {
     graft.operators.TextAnalysis.tfidfTopTerms(
       df.select(col(id).as("doc_id"), col(text).as("text")), topK)
 
+  /** PII scrubbing: appends `n_urls`, `n_emails`, `n_ips`,
+    * `n_phones` and the scrubbed `redacted` text — sequential
+    * redaction (URL → email → IP → phone), each count taken on the
+    * previous step's output so an entity inside an earlier, longer
+    * match never double-counts. Delegates to
+    * [[graft.operators.Pii.piiScrubbed]]; pure map-side.
+    */
+  def piiScrubbed(df: DataFrame, text: String = "text"): DataFrame =
+    graft.operators.Pii.piiScrubbed(df, text)
+
   /** Train/eval contamination check: per eval doc, the fraction of its
     * `gram`-gram shingles present anywhere in `train` — delegates to
     * [[graft.operators.Pipeline.contamination]]. Both frames need
@@ -250,6 +260,7 @@ object Corpus {
       def dupClusters(): DataFrame = Corpus.dupClusters(df)
       def tfidfTopTerms(topK: Int = 5): DataFrame =
         Corpus.tfidfTopTerms(df, topK = topK)
+      def piiScrubbed(): DataFrame = Corpus.piiScrubbed(df)
       def hashSplit(): DataFrame = Corpus.hashSplit(df)
       def stratifiedSampled(): DataFrame = Corpus.stratifiedSampled(df)
       def shuffled(): DataFrame = Corpus.shuffled(df)
