@@ -115,6 +115,66 @@ final class Storage(spark: SparkSession, warehouse: String) {
     dropMeta(name)
   }
 
+  /** put with range-clustering: rows are range-partitioned on
+    * `clusterCols` into `numFiles` files and sorted within each, so
+    * every file covers a disjoint key range and parquet's row-group
+    * min/max stats turn predicates on those columns into file/row-group
+    * skipping — the sort-based half of the data-layout story
+    * ([[putPartitioned]] being the directory half). The 100 TB use:
+    * cluster the fact table on its hottest filter key; scans with a
+    * range predicate touch only the files whose stats overlap it.
+    */
+  def putClustered(name: String, df: DataFrame, clusterCols: Seq[String],
+      numFiles: Int, overwrite: Boolean = false): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val cols = clusterCols.map(df.col)
+    put(name,
+      df.repartitionByRange(numFiles, cols: _*)
+        .sortWithinPartitions(cols: _*),
+      overwrite)
+  }
+
+  /** Rewrite a stored parquet name into files of ~`targetFileBytes`
+    * (the small-files compaction every long-lived 100 TB table needs:
+    * streaming ingest and fine-grained partitions accrete kilobyte
+    * files whose per-file open/footer cost comes to dominate scans —
+    * the same knob the reference exposes as its cluster-wide 15 MB
+    * `chunk_size`, `dfs/scripts/start-cluster.sh:5`). File count is
+    * sized from the CURRENT stored bytes, the rewrite goes to a hidden
+    * temp dir, and the swap is two filesystem renames — a concurrent
+    * reader sees the old layout, a brief absence, or the new layout,
+    * never a half-written mix. Refuses
+    * bucketed names (their file layout IS the bucket metadata) and
+    * non-parquet sidecar formats.
+    *
+    * @return the number of data files after compaction (markers like
+    *         `_SUCCESS` excluded).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    if (!exists(name))
+      throw new IllegalArgumentException(s"no stored name '$name'")
+    if (spark.catalog.tableExists(checkName(name)))
+      throw new IllegalArgumentException(
+        s"'$name' is a bucketed table; compacting would drop its bucket layout")
+    if (fs.exists(metaOf(name)))
+      throw new IllegalArgumentException(
+        s"'$name' has a non-parquet sidecar format; compact supports parquet puts")
+    val bytes = fs.getContentSummary(pathOf(name)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp = new Path(warehouse, s".compact_tmp_$name")
+    fs.delete(tmp, true)
+    get(name).repartition(nFiles.toInt).write.parquet(tmp.toString)
+    val old = new Path(warehouse, s".compact_old_$name")
+    fs.delete(old, true)
+    if (!fs.rename(pathOf(name), old) || !fs.rename(tmp, pathOf(name)))
+      throw new IllegalStateException(s"compaction swap failed for '$name'")
+    fs.delete(old, true)
+    fs.listStatus(pathOf(name))
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-")).toLong
+  }
+
   /** Format-parameterized put/get (the reference stores text and binary;
     * the engine speaks parquet/csv/json/text — format is a property of
     * the stored name, recorded in a sidecar like the node's
@@ -178,7 +238,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
     val root = new Path(warehouse)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toIndexedSeq
-      .filter(_.isDirectory)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
       .map { st =>
         val summary = fs.getContentSummary(st.getPath)
         StoredFile(st.getPath.getName, summary.getLength, summary.getFileCount)

@@ -78,6 +78,49 @@ class StorageSpec extends SparkTestBase {
     assert(q.count() == expect)
   }
 
+  test("compact rewrites many small files into the target count, same rows") {
+    val st = freshStorage()
+    val df = Tables.orders(spark, sf0001)
+    st.put("o_small", df.repartition(37))
+    assert(st.ls().head.numFiles >= 37)
+    val bytes = st.ls().head.bytes
+    // target ~half the stored bytes → exactly 2 files
+    val n = st.compact("o_small", targetFileBytes = (bytes + 1) / 2)
+    assert(n == 2)
+    assert(st.get("o_small").collect().toSet == df.collect().toSet)
+    // temp/old dirs are gone and hidden from ls
+    assert(st.ls().map(_.name) == Seq("o_small"))
+  }
+
+  test("compact refuses missing names and non-parquet formats") {
+    val st = freshStorage()
+    intercept[IllegalArgumentException] { st.compact("nope") }
+    st.putAs("c", Tables.region(spark, sf0001), "csv")
+    intercept[IllegalArgumentException] { st.compact("c") }
+  }
+
+  test("putClustered writes disjoint key ranges with parquet stats that skip files") {
+    import org.apache.spark.sql.functions._
+    val st = freshStorage()
+    val df = Tables.orders(spark, sf0001)
+    st.putClustered("o_clust", df, Seq("o_orderkey"), numFiles = 4)
+    // every part file covers a key range disjoint from the others
+    val ranges = st.get("o_clust").inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.size == 4)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    })
+    // rows survive and a range predicate still answers exactly
+    val k = df.agg(expr("percentile(o_orderkey, 0.5)")).head.getDouble(0).toLong
+    assert(st.get("o_clust").filter(col("o_orderkey") <= k).count() ==
+      df.filter(col("o_orderkey") <= k).count())
+  }
+
   test("info reports parallelism and totals") {
     val st = freshStorage()
     st.put("x", Tables.region(spark, sf0001))
