@@ -43,26 +43,38 @@ object Pii {
     */
   val PhoneRe = "\\d{3}-\\d{4}"
 
+  /** The redaction passes, IN ORDER (longest/most-structured first —
+    * see the sequential-redaction note on the object), each with its
+    * count column name and placeholder token. The single definition
+    * behind [[piiScrubbed]] and [[redacted]].
+    */
+  val Passes: Seq[(String, String, String)] = Seq(
+    (UrlRe, "[URL]", "n_urls"),
+    (EmailRe, "[EMAIL]", "n_emails"),
+    (IpRe, "[IP]", "n_ips"),
+    (PhoneRe, "[PHONE]", "n_phones"))
+
+  /** The scrubbed form of a text column — all four passes applied, no
+    * counts. Stateless and map-side, so it drops into batch AND
+    * streaming plans unchanged.
+    */
+  def redacted(text: Column): Column =
+    Passes.foldLeft(text) { case (c, (re, tok, _)) =>
+      regexp_replace(c, re, tok)
+    }
+
   /** Append PII count columns (`n_urls`, `n_emails`, `n_ips`,
     * `n_phones`) and the scrubbed text (`redacted`) to any frame with
     * a `text` column. Counts follow the sequential-redaction
     * semantics documented on the object.
     */
   def piiScrubbed(df: DataFrame, text: String = "text"): DataFrame = {
-    val t0 = col(text)
-    df
-      .withColumn("n_urls", regexp_count(t0, lit(UrlRe)).cast(LongType))
-      .withColumn("__r1", regexp_replace(t0, UrlRe, "[URL]"))
-      .withColumn("n_emails",
-        regexp_count(col("__r1"), lit(EmailRe)).cast(LongType))
-      .withColumn("__r2", regexp_replace(col("__r1"), EmailRe, "[EMAIL]"))
-      .withColumn("n_ips",
-        regexp_count(col("__r2"), lit(IpRe)).cast(LongType))
-      .withColumn("__r3", regexp_replace(col("__r2"), IpRe, "[IP]"))
-      .withColumn("n_phones",
-        regexp_count(col("__r3"), lit(PhoneRe)).cast(LongType))
-      .withColumn("redacted", regexp_replace(col("__r3"), PhoneRe, "[PHONE]"))
-      .drop("__r1", "__r2", "__r3")
+    val (out, scrubbed) = Passes.foldLeft((df, col(text))) {
+      case ((d, cur), (re, tok, cname)) =>
+        (d.withColumn(cname, regexp_count(cur, lit(re)).cast(LongType)),
+          regexp_replace(cur, re, tok))
+    }
+    out.withColumn("redacted", scrubbed)
   }
 
   /** Deterministic PII injection for the gated query: the synthetic

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.functions.{tokens, MinHashSig, WordShingleHashesExpr, WordShinglesExpr}
-import graft.operators.{Pipeline, TextAnalysis}
+import graft.operators.{Pii, Pipeline, TextAnalysis}
 
 /** Streaming operators over a document stream (`doc_id`, `text`, `ts`)
   * — the continuous-ingestion face of the batch dedup family in
@@ -38,7 +38,10 @@ object DocStreams {
   val IngestWindowSec = 600L
 
   /** Streaming corpus ingestion: the continuous form of the batch
-    * [[graft.operators.Pipeline.pipeE2e]] assembly — quality filter
+    * [[graft.operators.Pipeline.pipeE2e]] assembly — PII scrub first
+    * ([[Pii.redacted]], stateless, so nothing downstream of ingest
+    * ever sees a raw entity; identity on PII-free text, which is why
+    * the batch oracle needs no mirror), then quality filter
     * (same [[TextAnalysis.qualityScore]] formula and threshold), exact
     * prefix-fingerprint dedup against everything inside the watermark
     * horizon (`dropDuplicatesWithinWatermark`: one state entry per
@@ -66,6 +69,7 @@ object DocStreams {
     val toksCol = tokens(col("text"))
     val fp = md5(concat_ws(" ", slice(toksCol, 1, 10)))
     val filtered = docs
+      .withColumn("text", Pii.redacted(col("text")))
       .withWatermark("ts", "1 hour")
       .filter(size(toksCol) > 0 &&
         TextAnalysis.qualityScore(toksCol) >= Pipeline.QualityMin)

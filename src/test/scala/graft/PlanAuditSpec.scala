@@ -85,6 +85,13 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("PII scrub is scan-bound: the only exchange is the presentation sort") {
+    val p = plan("ta_pii")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("custom top-k operator plans with exactly one exchange on the group keys") {
     val p = plan("q28_topk_custom")
     assert(p.contains("TopKPerGroup"))

@@ -169,6 +169,45 @@ class DocStreamsSpec extends SparkTestBase {
     assert(batch(((t0 + 300 * min) / 600 * 600, "en"))._1 == 1L)
   }
 
+  test("ingest scrubs PII before dedup: docs differing only in an email unify") {
+    val dir = Files.createTempDirectory("graft-ingest-pii-")
+    val t0 = 1704067200L
+    val min = 60L
+    // same text module the email; after [EMAIL] redaction the prefix
+    // fingerprints match, so the second doc dedups against the first
+    val withA = "the quick a fox jumps over bob@corp.io"
+    val withB = "the quick a fox jumps over alice@example.org"
+    def write(name: String, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-ingest-pii-stage-")
+      rows.toDF("doc_id", "text", "lang", "sec")
+        .selectExpr("doc_id", "text", "lang", "timestamp_seconds(sec) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100)
+    }
+    write("001.parquet", Seq((1L, withA, "en", t0)))
+    write("002.parquet", Seq((2L, withB, "en", t0 + min)))
+    write("003.parquet",
+      Seq((99L, "the a of to in is and the a of the a", "en", t0 + 300 * min)))
+
+    val docs = spark.readStream.schema(DocStreams.ingestSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = DocStreams.ingestPipeline(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_pii_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("ingest_pii_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // one doc survives (7 tokens incl. the [EMAIL] placeholder)
+    assert(streamed((t0, "en")) == ((1L, 1L, 7L)))
+  }
+
   test("streaming contamination against a static train set, equals the batch operator") {
     val dir = Files.createTempDirectory("graft-contam-")
     val t0 = 1704067200L
