@@ -45,6 +45,12 @@ object GraftExtensions {
     ("absmax_f", 1, exprs => AbsMaxF(exprs.head)),
     ("quantize_i8", 1, exprs => QuantizeI8F(exprs.head)),
     ("repetition_stats", 1, exprs => RepetitionStatsExpr(exprs.head)),
+    ("space_saving_topk", 2, exprs => {
+      require(exprs(1).foldable,
+        "space_saving_topk capacity must be a literal")
+      SpaceSavingTopK(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue)
+    }),
   )
 
   /** Register every engine function on an already-running session. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, MapReduceQueries, Multimodal, Pii, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, HeavyHitters, MapReduceQueries, Multimodal, Pii, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,7 @@ object SparkEntry {
       MapReduceQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Dedup2.queries ++ Similarity.queries ++ EventStreams.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Pipeline.queries ++
-      CorpusOps.queries ++ Pii.queries
+      CorpusOps.queries ++ Pii.queries ++ HeavyHitters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +39,5 @@ object SparkEntry {
       MapReduceQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Dedup2.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ Pipeline.oracles ++
-      CorpusOps.oracles ++ Pii.oracles
+      CorpusOps.oracles ++ Pii.oracles ++ HeavyHitters.oracles
 }
