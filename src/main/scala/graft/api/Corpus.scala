@@ -144,6 +144,21 @@ object Corpus {
     graft.operators.TextAnalysis.tfidfTopTerms(
       df.select(col(id).as("doc_id"), col(text).as("text")), topK)
 
+  /** Heavy-hitter terms via the space-saving sketch: one row per
+    * sketch counter `(term, est, err)`, est desc — every term with
+    * true count > total/`k` guaranteed present, `est`/`est - err`
+    * bracketing its true count. Map-side partials ship ≤ `k` counters
+    * per partition; the vocabulary never crosses the shuffle
+    * (delegates to [[graft.functions.SpaceSavingTopK]]).
+    */
+  def heavyHitters(df: DataFrame, text: String = "text",
+      k: Int = graft.operators.HeavyHitters.Capacity): DataFrame =
+    df.select(explode(graft.functions.tokens(col(text))).as("term"))
+      .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("term"), col("e.est").as("est"),
+        col("e.err").as("err"))
+
   /** PII scrubbing: appends `n_urls`, `n_emails`, `n_ips`,
     * `n_phones` and the scrubbed `redacted` text — sequential
     * redaction (URL → email → IP → phone), each count taken on the
@@ -261,6 +276,8 @@ object Corpus {
       def tfidfTopTerms(topK: Int = 5): DataFrame =
         Corpus.tfidfTopTerms(df, topK = topK)
       def piiScrubbed(): DataFrame = Corpus.piiScrubbed(df)
+      def heavyHitters(k: Int = graft.operators.HeavyHitters.Capacity)
+          : DataFrame = Corpus.heavyHitters(df, k = k)
       def hashSplit(): DataFrame = Corpus.hashSplit(df)
       def stratifiedSampled(): DataFrame = Corpus.stratifiedSampled(df)
       def shuffled(): DataFrame = Corpus.shuffled(df)

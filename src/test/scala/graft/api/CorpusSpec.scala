@@ -167,6 +167,18 @@ class CorpusSpec extends SparkTestBase {
     assert(api.nonEmpty)
   }
 
+  test("heavyHitters facade: exact below capacity, and its entries match exact counts") {
+    import org.apache.spark.sql.functions._
+    val exact = docs
+      .select(explode(graft.functions.tokens($"text")).as("term"))
+      .groupBy($"term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = Corpus.heavyHitters(docs, k = exact.size + 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // capacity above the vocabulary: sketch IS the exact wordcount
+    assert(sk == exact.map { case (t, c) => t -> ((c, 0L)) })
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
