@@ -141,6 +141,31 @@ object DocStreams {
           .select(col("doc_id"), col("text"), col("ts")))
   }
 
+  /** Per-window heavy-hitter terms over the document stream: the
+    * space-saving sketch ([[graft.functions.SpaceSavingTopK]]) as a
+    * watermarked event-time window aggregation — its partials live in
+    * the streaming state store (≤ `k` counters per open window, NOT
+    * the window's vocabulary), merge across micro-batches by the
+    * mergeable-summaries rule, and each window's sketch emits once the
+    * watermark closes it. One row per (window, counter):
+    * `(win_start_s, term, est, err)`, est desc within a window. Works
+    * identically on a batch frame (windows all emit) — with capacity
+    * above the window's vocabulary both modes are the exact wordcount,
+    * which is how the spec pins streaming == batch without
+    * arrival-order variance.
+    */
+  def windowedHeavyHitters(docs: DataFrame,
+      k: Int = graft.operators.HeavyHitters.Capacity): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(tokens(col("text"))).as("term"))
+      .groupBy(window(col("ts"), s"$IngestWindowSec seconds"))
+      .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        explode(col("sk")).as("e"))
+      .select(col("win_start_s"), col("e.term").as("term"),
+        col("e.est").as("est"), col("e.err").as("err"))
+
   /** Streaming decontamination: eval documents arrive as a stream and
     * are checked against a STATIC train corpus — the nightly-eval-
     * against-frozen-training-snapshot shape. The train side collapses

@@ -208,6 +208,54 @@ class DocStreamsSpec extends SparkTestBase {
     assert(streamed((t0, "en")) == ((1L, 1L, 7L)))
   }
 
+  test("windowed heavy hitters: streaming sketch equals the batch twin on closed windows") {
+    val dir = Files.createTempDirectory("graft-hh-")
+    val t0 = 1704067200L
+    val min = 60L
+    val rows1 = Seq((1L, "alpha alpha beta", t0),
+      (2L, "alpha gamma", t0 + min))
+    val rows2 = Seq((3L, "beta beta beta delta", t0 + 2 * min))
+    val sentinel = Seq((99L, "omega", t0 + 300 * min))
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-hh-stage-")
+      rows.toDF("doc_id", "text", "sec")
+        .selectExpr("doc_id", "text", "timestamp_seconds(sec) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      Thread.sleep(1100)
+    }
+    write("001.parquet", rows1)
+    write("002.parquet", rows2)
+    write("003.parquet", sentinel)
+
+    val docs = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = DocStreams.windowedHeavyHitters(docs, k = 16)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hh_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val streamed = keyed(spark.table("hh_out").collect())
+    // k=16 over a 5-term vocabulary: the sketch is the exact wordcount
+    assert(streamed == Map(
+      (t0, "alpha") -> ((3L, 0L)), (t0, "beta") -> ((4L, 0L)),
+      (t0, "gamma") -> ((1L, 0L)), (t0, "delta") -> ((1L, 0L))))
+    // batch twin agrees on the closed window (and also emits the open one)
+    val batch = keyed(DocStreams.windowedHeavyHitters(
+      (rows1 ++ rows2 ++ sentinel).toDF("doc_id", "text", "sec")
+        .selectExpr("doc_id", "text", "timestamp_seconds(sec) AS ts"), k = 16)
+      .collect())
+    streamed.foreach { case (k0, v) => assert(batch(k0) == v, s"$k0") }
+    assert(batch((t0 + 300 * min) / 600 * 600, "omega") == ((1L, 0L)))
+  }
+
   test("streaming contamination against a static train set, equals the batch operator") {
     val dir = Files.createTempDirectory("graft-contam-")
     val t0 = 1704067200L
