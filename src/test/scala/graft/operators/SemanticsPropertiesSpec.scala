@@ -85,6 +85,38 @@ class SemanticsPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("space-saving invariants hold under any stream split and merge order") {
+    import graft.functions.SpaceSavingSummary
+    val k = 8
+    val stream: Gen[List[String]] =
+      Gen.listOf(Gen.chooseNum(0, 19).map(i => s"t$i"))
+    val cuts: Gen[List[Int]] = Gen.listOf(Gen.chooseNum(0, 1000))
+    forAll(stream, cuts) { (s, rawCuts) =>
+      val truth = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = s.size.toLong
+      // split the stream at arbitrary points, summarize each piece,
+      // left-fold-merge the summaries
+      val bounds = (0 :: rawCuts.map(c => if (s.isEmpty) 0 else c % (s.size + 1)))
+        .distinct.sorted :+ s.size
+      val pieces = bounds.zip(bounds.tail).map { case (a, b) => s.slice(a, b) }
+      val merged = pieces.map { p =>
+        val sum = new SpaceSavingSummary(k)
+        p.foreach(sum.add)
+        sum
+      }.reduceLeft(_.mergeIn(_))
+      assert(merged.counters.size <= k)
+      merged.counters.foreach { case (t, arr) =>
+        val c = truth.getOrElse(t, 0L)
+        assert(arr(0) >= c, s"$t est ${arr(0)} < true $c")
+        assert(arr(0) - arr(1) <= c, s"$t est-err ${arr(0) - arr(1)} > true $c")
+      }
+      truth.foreach { case (t, c) =>
+        if (c * k > n) assert(merged.counters.contains(t),
+          s"$t with count $c > n/k=${n.toDouble / k} missing")
+      }
+    }
+  }
+
   test("minhash signature is permutation-family-deterministic and monotone under union") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
