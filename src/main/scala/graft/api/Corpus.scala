@@ -237,6 +237,20 @@ object Corpus {
 
   // ---------------------------------------------------------- embeddings
 
+  /** Semantic duplicate clusters (SemDeDup-style): connected
+    * components over cosine-similarity edges in embedding space, with
+    * candidates from the multi-table hyperplane-LSH buckets — the
+    * corpus shuffles once on (table, bucket), the quadratic pair
+    * space is never formed. One row per clustered vector `(vec_id,
+    * comp, cluster_size, is_canonical)`. Delegates to
+    * [[graft.operators.Dedup2.semanticClusters]].
+    */
+  def semanticDupClusters(df: DataFrame, id: String = "vec_id",
+      vec: String = "embedding",
+      threshold: Double = graft.operators.Dedup2.SemanticThreshold): DataFrame =
+    graft.operators.Dedup2.semanticClusters(
+      df.select(col(id).as("vec_id"), col(vec).as("embedding")), threshold)
+
   /** Symmetric int8 quantization of a float-vector column: `absmax`,
     * `scale` (127/absmax), and the CSV-serialized `q8` vector —
     * native one-pass kernel, map-side; scale/q8 null for zero vectors.
@@ -285,6 +299,7 @@ object Corpus {
         Corpus.mixtureSampled(df, rates)
       def repetitionScored(): DataFrame = Corpus.repetitionScored(df)
       def quantizedI8(): DataFrame = Corpus.quantizedI8(df)
+      def semanticDupClusters(): DataFrame = Corpus.semanticDupClusters(df)
     }
   }
 }

@@ -198,26 +198,27 @@ object Dedup2 {
     * list: one row per clustered doc with its component id, cluster
     * size, and canonical flag (id == component min). Public — this is
     * the edge-source-agnostic clustering the `graft.api.Corpus` facade
-    * exposes over caller-supplied pair frames.
+    * exposes over caller-supplied pair frames. `idName` names the
+    * output id column (`doc_id` for documents, `vec_id` for the
+    * semantic-dedup forms).
     */
-  def clusterize(edges: DataFrame): DataFrame = {
+  def clusterize(edges: DataFrame, idName: String = "doc_id"): DataFrame = {
     val comp = connectedComponents(edges)
     val sizes = comp.groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(broadcast(sizes), "comp")
-      .select(col("id").as("doc_id"), col("comp"), col("cluster_size"),
+      .select(col("id").as(idName), col("comp"), col("cluster_size"),
         (col("id") === col("comp")).as("is_canonical"))
-      .orderBy(col("comp"), col("doc_id"))
+      .orderBy(col("comp"), col(idName))
   }
 
-  /** DuckDB mirror: the min-reachable-id fixpoint as a recursive CTE
-    * (`UNION` dedups, so the closure terminates). Exact on the same
-    * edge list, so components match the propagation loop's exactly.
+  /** The recursive-CTE min-reachable-id fixpoint + final projection,
+    * shared by every clustering oracle; expects a CTE named `edges`
+    * with `(a_id, b_id)` in scope. `UNION` dedups, so the closure
+    * terminates.
     */
-  val ddClusterSql: String =
-    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtesSql},
-       |edges AS (SELECT a_id, b_id FROM pj WHERE jaccard >= $ClusterThreshold),
-       |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+  private def componentsTailSql(outId: String): String =
+    s"""und AS (SELECT a_id AS src, b_id AS dst FROM edges
        |        UNION ALL SELECT b_id, a_id FROM edges),
        |nodes AS (SELECT DISTINCT src AS id FROM und),
        |reach AS (
@@ -227,10 +228,19 @@ object Dedup2 {
        |  FROM reach JOIN und u ON u.dst = reach.id),
        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
        |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
-       |SELECT c.id AS doc_id, c.comp, sz.cluster_size,
+       |SELECT c.id AS $outId, c.comp, sz.cluster_size,
        |  c.id = c.comp AS is_canonical
        |FROM comp c JOIN sz USING (comp)
-       |ORDER BY comp, doc_id""".stripMargin
+       |ORDER BY comp, $outId""".stripMargin
+
+  /** DuckDB mirror: the min-reachable-id fixpoint as a recursive CTE
+    * (`UNION` dedups, so the closure terminates). Exact on the same
+    * edge list, so components match the propagation loop's exactly.
+    */
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtesSql},
+       |edges AS (SELECT a_id, b_id FROM pj WHERE jaccard >= $ClusterThreshold),
+       |${componentsTailSql("doc_id")}""".stripMargin
 
   /** DuckDB mirror of [[ddClusterLsh]]: edges from the shared minhash
     * CTE chain (bit-identical signatures, hence identical candidate
@@ -244,30 +254,126 @@ object Dedup2 {
        |  JOIN sig sa ON sa.doc_id = a_id
        |  JOIN sig sb ON sb.doc_id = b_id
        |  WHERE ${Dedup.estJaccardSql} >= $ClusterThreshold),
-       |und AS (SELECT a_id AS src, b_id AS dst FROM edges
-       |        UNION ALL SELECT b_id, a_id FROM edges),
-       |nodes AS (SELECT DISTINCT src AS id FROM und),
-       |reach AS (
-       |  SELECT id, id AS r FROM nodes
-       |  UNION
-       |  SELECT u.src AS id, reach.r
-       |  FROM reach JOIN und u ON u.dst = reach.id),
-       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
-       |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
-       |SELECT c.id AS doc_id, c.comp, sz.cluster_size,
-       |  c.id = c.comp AS is_canonical
-       |FROM comp c JOIN sz USING (comp)
-       |ORDER BY comp, doc_id""".stripMargin
+       |${componentsTailSql("doc_id")}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Semantic dedup (SemDeDup, Abbas et al.): duplicate clusters in
+  // EMBEDDING space — connected components over cosine-similarity
+  // edges, keep the min-id representative per component.
+  // ---------------------------------------------------------------------
+
+  /** Cosine threshold for a semantic-duplicate edge. Production
+    * SemDeDup thresholds sit near 0.95+ on real embeddings; this
+    * corpus's vectors are iid random (max pair cosine ≈ 0.51, per
+    * TESTDATA), so the gated queries use a threshold that yields a
+    * non-trivial graph — the CLUSTERING is what's certified, the
+    * threshold is a parameter.
+    */
+  val SemanticThreshold = 0.4
+
+  /** Exact-edge semantic dedup: all-pairs cosine ≥
+    * [[SemanticThreshold]] (the same bit-exact left-fold kernels as
+    * `dd_embed_cosine`) → connected components. The quadratic edge
+    * source is the certification arm; [[ddSemanticLsh]] is the scale
+    * arm.
+    */
+  def ddSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val edges = a.join(b, col("a_id") < col("b_id"))
+      .filter(graft.functions.VectorExpressions.dotF(col("ea"), col("eb")) /
+        (col("na") * col("nb")) >= SemanticThreshold)
+      .select(col("a_id"), col("b_id"))
+    clusterize(edges, "vec_id")
+  }
+
+  /** Semantic dedup, SCALE-PATH form: candidate pairs from the
+    * multi-table hyperplane-LSH buckets ([[graft.functions
+    * .HyperplaneBuckets]] — vectors sharing a bucket in ANY table),
+    * scored exactly, thresholded, clustered. One shuffle on (table,
+    * bucket); the quadratic pair space is never formed. Recall
+    * follows the bucket-collision probability (high for the
+    * near-parallel vectors real semantic dups are; low at this
+    * corpus's random-vector cosines — documented, and certified
+    * exactly by the oracle either way since the hyperplanes embed as
+    * literals).
+    */
+  def ddSemanticLsh(s: SparkSession, d: String): DataFrame =
+    semanticClusters(embeddings(s, d))
+
+  /** Frame-parametric core of [[ddSemanticLsh]] over ANY `(vec_id,
+    * embedding)` frame — the form `graft.api.Corpus.semanticDupClusters`
+    * exposes.
+    */
+  def semanticClusters(e: DataFrame,
+      threshold: Double = SemanticThreshold): DataFrame = {
+    val b = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"),
+      posexplode(graft.functions.HyperplaneBuckets
+        .hyperplaneBuckets(col("embedding"))).as(Seq("table", "bucket")))
+    val edges = b.as("a")
+      .join(b.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(graft.functions.VectorExpressions.dotF(col("ea"), col("eb")) /
+        (col("na") * col("nb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    clusterize(edges, "vec_id")
+  }
+
+  private val semanticEdgeSql: String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(ea.v, eb.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (ea.nrm * eb.nrm) >= CAST(0.4 AS DOUBLE)""".stripMargin
+
+  val ddSemanticSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |edges AS (
+       |  SELECT ea.vec_id AS a_id, eb.vec_id AS b_id
+       |  FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id
+       |  WHERE $semanticEdgeSql),
+       |${componentsTailSql("vec_id")}""".stripMargin
+
+  val ddSemanticLshSql: String =
+    s"""WITH RECURSIVE ${Similarity.bucketsCtesSql},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |edges AS (
+       |  SELECT a_id, b_id
+       |  FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+       |  WHERE $semanticEdgeSql),
+       |${componentsTailSql("vec_id")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_spans"       -> ddSpans _,
-    "dd_cluster"     -> ddCluster _,
-    "dd_cluster_lsh" -> ddClusterLsh _,
+    "dd_spans"        -> ddSpans _,
+    "dd_cluster"      -> ddCluster _,
+    "dd_cluster_lsh"  -> ddClusterLsh _,
+    "dd_semantic"     -> ddSemantic _,
+    "dd_semantic_lsh" -> ddSemanticLsh _,
   )
 
   val oracles: Map[String, String] = Map(
-    "dd_spans"       -> ddSpansSql,
-    "dd_cluster"     -> ddClusterSql,
-    "dd_cluster_lsh" -> ddClusterLshSql,
+    "dd_spans"        -> ddSpansSql,
+    "dd_cluster"      -> ddClusterSql,
+    "dd_cluster_lsh"  -> ddClusterLshSql,
+    "dd_semantic"     -> ddSemanticSql,
+    "dd_semantic_lsh" -> ddSemanticLshSql,
   )
 }

@@ -150,18 +150,21 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** DuckDB mirror of [[simAnnLsh]]: hyperplanes as literal DOUBLE[]
-    * rows in a VALUES table, dot products as the same left-to-right
-    * double fold Spark's `aggregate` HOF performs.
+  /** Shared DuckDB CTE chain for the hyperplane-LSH pipeline (through
+    * relations `e(vec_id, v, nrm)` and `buckets(vec_id, t, bucket)`):
+    * hyperplanes as literal DOUBLE[] rows in a VALUES table, dot
+    * products as the same left-to-right double fold Spark's kernels
+    * perform — bit-identical buckets and cosines. Shared by
+    * [[simAnnLshSql]] and the semantic-dedup oracle in [[Dedup2]].
     */
-  val simAnnLshSql: String = {
+  private[operators] val bucketsCtesSql: String = {
     val planeRows = (0 until NumTables).flatMap { t =>
       (0 until PlanesPerTable).map { p =>
         val pl = hyperplanes(t * PlanesPerTable + p).mkString("[", ", ", "]")
         s"($t, $p, $pl::DOUBLE[])"
       }
     }.mkString(",\n    ")
-    s"""WITH planes(t, p, pl) AS (VALUES
+    s"""planes(t, p, pl) AS (VALUES
        |    $planeRows),
        |e AS (
        |  SELECT vec_id,
@@ -179,7 +182,12 @@ object Similarity {
        |buckets AS (
        |  SELECT vec_id, t,
        |    SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
-       |  FROM dots GROUP BY vec_id, t),
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[simAnnLsh]], on the shared [[bucketsCtesSql]]. */
+  val simAnnLshSql: String = {
+    s"""WITH $bucketsCtesSql,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
        |  FROM buckets c JOIN buckets q ON c.t = q.t AND c.bucket = q.bucket

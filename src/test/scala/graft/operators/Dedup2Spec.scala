@@ -118,6 +118,47 @@ class Dedup2Spec extends SparkTestBase {
     assert(got == expectedTop)
   }
 
+  test("dd_semantic: components are closed over the exact cosine edges") {
+    import graft.functions.VectorExpressions
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val edges = a.join(b, col("a_id") < col("b_id"))
+      .filter(VectorExpressions.dotF(col("ea"), col("eb")) /
+        (col("na") * col("nb")) >= Dedup2.SemanticThreshold)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val rows = Dedup2.ddSemantic(spark, sf0001).collect()
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { case (x, y) =>
+      assert(comp(x) == comp(y), s"edge ($x,$y) split across components")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0)) // label is a component min
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)))
+    }
+  }
+
+  test("dd_semantic_lsh components refine the exact semantic components") {
+    // bucket candidates are a subset of all pairs, so every LSH edge is
+    // an exact edge and each LSH component sits inside ONE exact one
+    val exact = Dedup2.ddSemantic(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup2.ddSemanticLsh(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.nonEmpty)
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(exact).toSet.size == 1,
+        s"LSH component ${members.keys} spans exact components")
+    }
+  }
+
   test("ta_tfidf: ranks are 1..5 per doc, scores non-increasing, formula spot-check") {
     val rows = TextAnalysis.taTfidf(spark, sf0001).collect()
     val byDoc = rows.groupBy(_.getLong(0))
