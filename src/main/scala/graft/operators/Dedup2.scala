@@ -311,19 +311,28 @@ object Dedup2 {
     */
   def semanticClusters(e: DataFrame,
       threshold: Double = SemanticThreshold): DataFrame = {
-    val b = e.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"),
+    // bucket rows carry ONLY (vec_id, table, bucket) — vectors are NOT
+    // shuffled through the pair-join/dedup, they re-attach after (the
+    // same narrow-candidates shape as Dedup.nearDupCandidates; the
+    // wide-row variant measured 5× slower at the 10× probe, where each
+    // candidate pair dragged two 64-float arrays through the shuffle)
+    val bk = e.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBuckets
         .hyperplaneBuckets(col("embedding"))).as(Seq("table", "bucket")))
-    val edges = b.as("a")
-      .join(b.as("b"),
+    val candIds = bk.as("a")
+      .join(bk.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    val edges = candIds
+      .join(withNorm.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na")), "a_id")
+      .join(withNorm.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "b_id")
       .filter(graft.functions.VectorExpressions.dotF(col("ea"), col("eb")) /
         (col("na") * col("nb")) >= threshold)
       .select(col("a_id"), col("b_id"))
