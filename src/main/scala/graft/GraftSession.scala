@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOT set here: spark.sql.optimizer.runtime.bloomFilter.enabled —
+      // already true by Spark default (10 GB fact-scan threshold), and
+      // PlanAuditSpec pins that the injection actually fires. This is
+      // the bloom filter the reference declared and never built
+      // (`dfs/controller/controller.go:686-688`).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

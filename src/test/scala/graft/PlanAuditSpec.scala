@@ -85,6 +85,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // GraftSession enables these for engine users; set them on the
+    // shared test session just for this audit (broadcast disabled so
+    // the join actually shuffles — at real scale the fact side always
+    // does)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.col
+      val o = graft.sources.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = graft.sources.Tables.lineitem(spark, sf0001)
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .queryExecution.explainString(SimpleMode)
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("PII scrub is scan-bound: the only exchange is the presentation sort") {
     val p = plan("ta_pii")
     assert("Exchange".r.findAllIn(p).size == 1, p)
