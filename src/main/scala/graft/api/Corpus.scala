@@ -159,6 +159,16 @@ object Corpus {
       .select(col("e.term").as("term"), col("e.est").as("est"),
         col("e.err").as("err"))
 
+  /** Unigram-frequency quality scores `(doc_id, n_tokens, freq_sum,
+    * mean_freq)` — the CCNet-style "how ordinary is this vocabulary"
+    * proxy, exact integers end-to-end with one final division.
+    * Delegates to [[graft.operators.TextAnalysis.unigramScored]].
+    */
+  def unigramScored(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.unigramScored(
+      df.select(col(id).as("doc_id"), col(text).as("text")))
+
   /** PII scrubbing: appends `n_urls`, `n_emails`, `n_ips`,
     * `n_phones` and the scrubbed `redacted` text — sequential
     * redaction (URL → email → IP → phone), each count taken on the
@@ -292,6 +302,7 @@ object Corpus {
       def piiScrubbed(): DataFrame = Corpus.piiScrubbed(df)
       def heavyHitters(k: Int = graft.operators.HeavyHitters.Capacity)
           : DataFrame = Corpus.heavyHitters(df, k = k)
+      def unigramScored(): DataFrame = Corpus.unigramScored(df)
       def hashSplit(): DataFrame = Corpus.hashSplit(df)
       def stratifiedSampled(): DataFrame = Corpus.stratifiedSampled(df)
       def shuffled(): DataFrame = Corpus.shuffled(df)

@@ -352,6 +352,47 @@ object TextAnalysis {
       |WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Unigram-frequency document score — the cheap CCNet-style quality
+    * proxy: how "ordinary" a document's vocabulary is under the
+    * corpus's own unigram distribution. Per doc: token count, the sum
+    * of each token's corpus frequency (exact integers end to end), and
+    * their ratio (ONE division of two exact integers — IEEE-identical
+    * across engines, no log, no running double sum). Low mean_freq =
+    * rare-vocabulary doc (jargon, noise, other-language); high = stock
+    * phrasing. Shape: one groupBy(term) for counts, a term-keyed join
+    * that reuses that aggregation's partitioning, one groupBy(doc_id)
+    * with map-side partials. Token-less docs produce no row (nothing
+    * to score).
+    */
+  def taUnigramScore(s: SparkSession, d: String): DataFrame =
+    unigramScored(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[taUnigramScore]] over ANY
+    * `(doc_id, text)` frame.
+    */
+  def unigramScored(docs: DataFrame): DataFrame = {
+    val tokRel = docs.select(col("doc_id"), explode(toks).as("term"))
+    val cnt = tokRel.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    tokRel.join(cnt, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("freq_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+        (col("freq_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("mean_freq"))
+  }
+
+  val taUnigramScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(cnt) AS BIGINT) AS freq_sum,
+      |  CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq
+      |FROM toks JOIN cnt USING (term)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
@@ -361,6 +402,7 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprint _,
     "ta_repetition"  -> taRepetition _,
     "ta_tfidf"       -> taTfidf _,
+    "ta_unigram_score" -> taUnigramScore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +414,6 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprintSql,
     "ta_repetition"  -> taRepetitionSql,
     "ta_tfidf"       -> taTfidfSql,
+    "ta_unigram_score" -> taUnigramScoreSql,
   )
 }

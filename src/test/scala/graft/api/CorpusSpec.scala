@@ -179,6 +179,26 @@ class CorpusSpec extends SparkTestBase {
     assert(sk == exact.map { case (t, c) => t -> ((c, 0L)) })
   }
 
+  test("unigramScored facade equals the gated query and a hand computation") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))
+    val api = Corpus.unigramScored(docs).collect().map(key).toMap
+    val gated = graft.operators.TextAnalysis.taUnigramScore(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated && api.nonEmpty)
+    // hand-compute on the collected corpus
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> graft.operators.MapReduce.fields(r.getString(1)))
+    val freq = texts.flatMap(_._2).groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    texts.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+      val fs = ts.map(freq).sum
+      assert(api(id) == ((ts.length.toLong, fs,
+        fs.toDouble / ts.length.toDouble)), s"doc $id")
+    }
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
