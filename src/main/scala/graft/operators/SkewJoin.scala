@@ -52,10 +52,40 @@ object SkewJoin {
   }
 
   /** Convenience: top-N hottest keys of a column (the usual input for
-    * deciding whether salting is warranted).
+    * deciding whether salting is warranted). Exact — shuffles every
+    * distinct key; for the 100 TB pre-flight use [[skewReport]].
     */
   def keyHistogram(df: DataFrame, key: Column, topN: Int): DataFrame =
     df.groupBy(key.as("key")).count()
       .orderBy(col("count").desc, col("key"))
       .limit(topN)
+
+  /** Skew pre-flight at scale: the heavy join keys and each one's
+    * share of the frame, via the space-saving sketch
+    * ([[graft.functions.SpaceSavingTopK]]) — ≤ `k` counters per
+    * partition cross the shuffle, never the key space, so this runs
+    * as a cheap scan-shaped pass over a 100 TB fact table BEFORE
+    * committing to a join strategy. One row per sketch counter:
+    * `(key, est, err, est_share)` with `est`/`est - err` bracketing
+    * the key's true count and every key above fraction 1/k of the
+    * rows guaranteed present. A key whose share approaches one task's
+    * capacity is the [[salted]] candidate (salt factor ≈ est_share ×
+    * shuffle partitions, rounded up). Composite keys concat with a
+    * \\u0001 separator.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String], k: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    val keyed = df.select(
+      concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+        .as("key"))
+    val total = keyed.agg(count(lit(1)).as("n"))
+    keyed
+      .agg(graft.functions.SpaceSaving.topK(col("key"), k).as("sk"))
+      .crossJoin(broadcast(total))
+      .select(explode(col("sk")).as("e"), col("n"))
+      .select(col("e.term").as("key"), col("e.est").as("est"),
+        col("e.err").as("err"),
+        (col("e.est").cast("double") / col("n").cast("double"))
+          .as("est_share"))
+  }
 }

@@ -124,6 +124,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("space-saving aggregate plans as partial+final object aggregation, no Expand") {
+    val p = plan("ta_heavy_hitters")
+    // partial summaries merge through the shuffle — two object-agg
+    // levels for the sketch, and no Expand anywhere (the
+    // countDistinct-with-sketch trap)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("custom top-k operator plans with exactly one exchange on the group keys") {
     val p = plan("q28_topk_custom")
     assert(p.contains("TopKPerGroup"))

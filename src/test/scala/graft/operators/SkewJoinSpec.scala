@@ -29,6 +29,27 @@ class SkewJoinSpec extends SparkTestBase {
     assert(h.map(_.getLong(1)).toSeq == h.map(_.getLong(1)).sorted.reverse.toSeq)
   }
 
+  test("skew report brackets the exact shares and flags the hot key") {
+    import spark.implicits._
+    // 60% one hot key (disjoint from the thin range), the rest spread
+    val rows = Seq.fill(600)(1000L) ++ (0L until 400L)
+    val df = scala.util.Random.shuffle(rows).toDF("k").repartition(5)
+    val rep = SkewJoin.skewReport(df, Seq("k"), k = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (est, err, share) = rep("1000")
+    assert(est >= 600L && est - err <= 600L)
+    assert(share == est.toDouble / 1000.0)
+    assert(rep.values.forall(_._1 >= 1L))
+    // hot key dominates the report
+    assert(rep.maxBy(_._2._1)._1 == "1000")
+    // exact counts bracketed for every reported key
+    rep.foreach { case (key, (e, er, _)) =>
+      val truth = rows.count(_.toString == key).toLong
+      assert(e >= truth && e - er <= truth, s"key $key")
+    }
+  }
+
   test("identically-bucketed tables join without an Exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket-").toString
     val st = new Storage(spark, wh)
