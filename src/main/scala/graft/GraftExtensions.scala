@@ -46,10 +46,10 @@ object GraftExtensions {
     ("quantize_i8", 1, exprs => QuantizeI8F(exprs.head)),
     ("repetition_stats", 1, exprs => RepetitionStatsExpr(exprs.head)),
     ("space_saving_topk", 2, exprs => {
-      require(exprs(1).foldable,
-        "space_saving_topk capacity must be a literal")
-      SpaceSavingTopK(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue)
+      val cap = if (exprs(1).foldable) exprs(1).eval() else null
+      require(cap.isInstanceOf[Number],
+        "space_saving_topk capacity must be an integer literal")
+      SpaceSavingTopK(exprs(0), cap.asInstanceOf[Number].intValue)
     }),
   )
 

@@ -153,11 +153,9 @@ object Corpus {
     */
   def heavyHitters(df: DataFrame, text: String = "text",
       k: Int = graft.operators.HeavyHitters.Capacity): DataFrame =
-    df.select(explode(graft.functions.tokens(col(text))).as("term"))
-      .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk"))
-      .select(explode(col("sk")).as("e"))
-      .select(col("e.term").as("term"), col("e.est").as("est"),
-        col("e.err").as("err"))
+    graft.functions.SpaceSaving.unpacked(
+      df.select(explode(graft.functions.tokens(col(text))).as("term"))
+        .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk")))
 
   /** Unigram-frequency quality scores `(doc_id, n_tokens, freq_sum,
     * mean_freq)` — the CCNet-style "how ordinary is this vocabulary"

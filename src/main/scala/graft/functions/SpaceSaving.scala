@@ -164,4 +164,16 @@ object SpaceSaving {
   def topK(c: Column, k: Int): Column =
     ColumnBridge.column(
       SpaceSavingTopK(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Explode a sketch column named `sk` into one row per counter
+    * `(keep..., term, est, err)` — the single definition of the
+    * unpack every sketch consumer shares.
+    */
+  def unpacked(df: org.apache.spark.sql.DataFrame, keep: String*)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    df.select(keep.map(col) :+ explode(col("sk")).as("e"): _*)
+      .select(keep.map(col) ++ Seq(col("e.term").as("term"),
+        col("e.est").as("est"), col("e.err").as("err")): _*)
+  }
 }

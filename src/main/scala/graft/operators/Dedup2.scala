@@ -342,7 +342,7 @@ object Dedup2 {
   private val semanticEdgeSql: String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(list_zip(ea.v, eb.v), pr -> pr[1] * pr[2])),
-       |      (acc, x) -> acc + x) / (ea.nrm * eb.nrm) >= CAST(0.4 AS DOUBLE)""".stripMargin
+       |      (acc, x) -> acc + x) / (ea.nrm * eb.nrm) >= CAST($SemanticThreshold AS DOUBLE)""".stripMargin
 
   val ddSemanticSql: String =
     s"""WITH RECURSIVE e AS (

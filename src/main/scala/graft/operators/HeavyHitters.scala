@@ -33,11 +33,8 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, col("term"))
       .limit(TopN)
     val total = toks.agg(count(lit(1)).as("n"))
-    val sketch = toks
-      .agg(SpaceSaving.topK(col("term"), Capacity).as("sk"))
-      .select(explode(col("sk")).as("e"))
-      .select(col("e.term").as("term"), col("e.est").as("est"),
-        col("e.err").as("err"))
+    val sketch = SpaceSaving.unpacked(
+      toks.agg(SpaceSaving.topK(col("term"), Capacity).as("sk")))
     exactTop
       .crossJoin(broadcast(total))
       .join(broadcast(sketch), Seq("term"), "left")

@@ -70,22 +70,22 @@ object SkewJoin {
     * the key's true count and every key above fraction 1/k of the
     * rows guaranteed present. A key whose share approaches one task's
     * capacity is the [[salted]] candidate (salt factor ≈ est_share ×
-    * shuffle partitions, rounded up). Composite keys concat with a
-    * \\u0001 separator.
+    * shuffle partitions, rounded up). Composite keys join their parts
+    * with \\u0001 (nulls rendered as a sentinel, so `(a, null)` cannot
+    * collide with `(a, "")`). ONE scan: the sketch and the row count
+    * come from the same aggregation.
     */
   def skewReport(df: DataFrame, keyCols: Seq[String], k: Int = 64): DataFrame = {
     require(keyCols.nonEmpty, "skewReport needs at least one key column")
     val keyed = df.select(
-      concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+      concat_ws("\u0001",
+        keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
         .as("key"))
-    val total = keyed.agg(count(lit(1)).as("n"))
-    keyed
-      .agg(graft.functions.SpaceSaving.topK(col("key"), k).as("sk"))
-      .crossJoin(broadcast(total))
-      .select(explode(col("sk")).as("e"), col("n"))
-      .select(col("e.term").as("key"), col("e.est").as("est"),
-        col("e.err").as("err"),
-        (col("e.est").cast("double") / col("n").cast("double"))
+    graft.functions.SpaceSaving.unpacked(
+      keyed.agg(graft.functions.SpaceSaving.topK(col("key"), k).as("sk"),
+        count(lit(1)).as("n")), "n")
+      .select(col("term").as("key"), col("est"), col("err"),
+        (col("est").cast("double") / col("n").cast("double"))
           .as("est_share"))
   }
 }

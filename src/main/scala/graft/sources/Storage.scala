@@ -143,9 +143,12 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * sized from the CURRENT stored bytes, the rewrite goes to a hidden
     * temp dir, and the swap is two filesystem renames — a concurrent
     * reader sees the old layout, a brief absence, or the new layout,
-    * never a half-written mix. Refuses
-    * bucketed names (their file layout IS the bucket metadata) and
-    * non-parquet sidecar formats.
+    * never a half-written mix (a failed swap rolls the first rename
+    * back). Refuses bucketed names (their file layout IS the bucket
+    * metadata), hive-partitioned trees (compact within partitions
+    * instead), and non-parquet sidecar formats. A [[putClustered]]
+    * name compacts but loses its range clustering — re-cluster with
+    * putClustered if the sort layout matters.
     *
     * @return the number of data files after compaction (markers like
     *         `_SUCCESS` excluded).
@@ -155,21 +158,36 @@ final class Storage(spark: SparkSession, warehouse: String) {
       s"targetFileBytes must be positive, got $targetFileBytes")
     if (!exists(name))
       throw new IllegalArgumentException(s"no stored name '$name'")
-    if (spark.catalog.tableExists(checkName(name)))
+    // tableExists alone also matches temp views; only a persistent
+    // catalog table means the name was written bucketed
+    if (spark.catalog.tableExists(checkName(name)) &&
+        spark.catalog.getTable(name).tableType != "TEMPORARY")
       throw new IllegalArgumentException(
         s"'$name' is a bucketed table; compacting would drop its bucket layout")
     if (fs.exists(metaOf(name)))
       throw new IllegalArgumentException(
         s"'$name' has a non-parquet sidecar format; compact supports parquet puts")
+    // a hive-partitioned tree (putPartitioned) shows as subdirectories;
+    // a flat rewrite would silently destroy its partition pruning
+    if (fs.listStatus(pathOf(name)).exists(_.isDirectory))
+      throw new IllegalArgumentException(
+        s"'$name' is hive-partitioned; compact within partitions instead " +
+          "of flattening the layout")
     val bytes = fs.getContentSummary(pathOf(name)).getLength
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val nFiles = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes))
     val tmp = new Path(warehouse, s".compact_tmp_$name")
     fs.delete(tmp, true)
     get(name).repartition(nFiles.toInt).write.parquet(tmp.toString)
     val old = new Path(warehouse, s".compact_old_$name")
     fs.delete(old, true)
-    if (!fs.rename(pathOf(name), old) || !fs.rename(tmp, pathOf(name)))
+    if (!fs.rename(pathOf(name), old))
       throw new IllegalStateException(s"compaction swap failed for '$name'")
+    if (!fs.rename(tmp, pathOf(name))) {
+      // roll the first rename back so the stored name never vanishes
+      fs.rename(old, pathOf(name))
+      throw new IllegalStateException(s"compaction swap failed for '$name'")
+    }
     fs.delete(old, true)
     fs.listStatus(pathOf(name))
       .count(st => st.isFile && st.getPath.getName.startsWith("part-")).toLong

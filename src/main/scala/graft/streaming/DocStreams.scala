@@ -156,15 +156,15 @@ object DocStreams {
     */
   def windowedHeavyHitters(docs: DataFrame,
       k: Int = graft.operators.HeavyHitters.Capacity): DataFrame =
-    docs
-      .withWatermark("ts", "1 hour")
-      .select(col("ts"), explode(tokens(col("text"))).as("term"))
-      .groupBy(window(col("ts"), s"$IngestWindowSec seconds"))
-      .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk"))
-      .select(unix_timestamp(col("window.start")).as("win_start_s"),
-        explode(col("sk")).as("e"))
-      .select(col("win_start_s"), col("e.term").as("term"),
-        col("e.est").as("est"), col("e.err").as("err"))
+    graft.functions.SpaceSaving.unpacked(
+      docs
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), explode(tokens(col("text"))).as("term"))
+        .groupBy(window(col("ts"), s"$IngestWindowSec seconds"))
+        .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+          col("sk")),
+      "win_start_s")
 
   /** Streaming decontamination: eval documents arrive as a stream and
     * are checked against a STATIC train corpus — the nightly-eval-

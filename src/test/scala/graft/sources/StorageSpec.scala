@@ -92,11 +92,16 @@ class StorageSpec extends SparkTestBase {
     assert(st.ls().map(_.name) == Seq("o_small"))
   }
 
-  test("compact refuses missing names and non-parquet formats") {
+  test("compact refuses missing names, non-parquet formats, and partitioned trees") {
     val st = freshStorage()
     intercept[IllegalArgumentException] { st.compact("nope") }
     st.putAs("c", Tables.region(spark, sf0001), "csv")
     intercept[IllegalArgumentException] { st.compact("c") }
+    st.putPartitioned("p", Tables.orders(spark, sf0001)
+      .withColumn("st", org.apache.spark.sql.functions.col("o_orderstatus")),
+      Seq("st"))
+    val e = intercept[IllegalArgumentException] { st.compact("p") }
+    assert(e.getMessage.contains("hive-partitioned"))
   }
 
   test("putClustered writes disjoint key ranges with parquet stats that skip files") {
