@@ -85,6 +85,66 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == total)
   }
 
+  test("dedup state survives a checkpointed restart") {
+    val dir = Files.createTempDirectory("graft-restart-")
+    val cp = Files.createTempDirectory("graft-restart-cp-")
+    val out = Files.createTempDirectory("graft-restart-out-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def run(): Unit = {
+      val q = streamingDedup(readEventStream(spark, dir.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(dir, "001.parquet", Seq((1L, 1L, t0), (2L, 1L, t0), (3L, 2L, t0)))
+    run()
+    // event 2 arrives AGAIN after the restart — only the checkpointed
+    // state store can know it was already emitted
+    writeBatch(dir, "002.parquet", Seq((2L, 1L, t0), (4L, 3L, t0 + min)))
+    run()
+    val ids = spark.read.parquet(out.toString)
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("sessionizer state survives a restart: one session spans the stop/start") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-restart-sess-")
+    val cp = Files.createTempDirectory("graft-restart-sess-cp-")
+    val out = Files.createTempDirectory("graft-restart-sess-out-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def run(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val es = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        .withWatermark("ts", "0 seconds")
+        .as[EventWithTs]
+      val q = sessionizeStream(es)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    writeBatch(dir, "001.parquet", Seq((1L, 1L, t0), (2L, 1L, t0 + min)))
+    run() // session open in state at shutdown
+    // the in-gap extension arrives only AFTER the restart; the merged
+    // session must still come out as ONE row
+    writeBatch(dir, "002.parquet", Seq((3L, 1L, t0 + 2 * min)))
+    writeBatch(dir, "003.parquet", Seq((99L, 999L, t0 + 600 * min)))
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, t0, t0 + 2 * min, 3L)))
+  }
+
   test("stream-stream join equals the batch join") {
     val q = purchaseViewJoin(readEventStream(spark, stagedDir()))
       .writeStream.outputMode("append")
