@@ -316,15 +316,83 @@ object EventStreams {
       }
   }
 
+  /** Streaming as-of enrichment: each purchase joined to the LATEST
+    * same-user view at-or-before it within a 1-hour lookback — the
+    * continuous form of the as-of join ([[graft.operators.AsOfJoin]]).
+    * Two chained stateful operators: a stream-stream interval join
+    * (state bounded by BOTH watermarks — a view older than
+    * watermark − 1 h can never match a future purchase and is
+    * evicted) feeding a windowed `max_by` that picks the newest
+    * matching view per purchase once the watermark closes its window.
+    * The join emits rows carrying the current batch's purchase event
+    * time, never below the watermark, so the chain is safe — the
+    * session-scoped correctness flag is lowered with the same
+    * justification as [[DocStreams.streamingNearDupVoted]].
+    * Tie on view time breaks by the higher view id (the struct
+    * ordering), deterministically. Works identically on a batch frame
+    * (watermarks no-op; windows all emit), which is both the spec's
+    * oracle and the gated `st_asof_enrich` form.
+    */
+  def latestViewBeforePurchase(events: DataFrame): DataFrame = {
+    if (events.isStreaming)
+      events.sparkSession.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val withTs = events
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val purchases = withTs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = withTs.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .groupBy(window(col("p_ts"), s"$WindowSec seconds"),
+        col("p_id"), col("p_user"))
+      .agg(
+        max_by(col("v_id"), struct(col("v_ts"), col("v_id")))
+          .as("last_view_id"),
+        max(col("v_ts")).as("last_view_ts"))
+      .select(col("p_id"), col("p_user").as("user_id"),
+        col("last_view_id"),
+        unix_micros(col("last_view_ts")).as("last_view_us"))
+  }
+
+  def stAsofEnrich(s: SparkSession, d: String): DataFrame =
+    latestViewBeforePurchase(Tables.events(s, d)).orderBy(col("p_id"))
+
+  /** DuckDB mirror: arg_max over a HUGEINT total-order key (micros ×
+    * 10⁶ + view id — BIGINT would overflow at epoch-micros scale);
+    * DuckDB truncates the parquet nanos to micros on read, the same
+    * value as `ts_ns DIV 1000`.
+    */
+  val stAsofEnrichSql: String =
+    """SELECT p.event_id AS p_id, p.user_id,
+      |  arg_max(v.event_id,
+      |    CAST(epoch_us(v.ts) AS HUGEINT) * 1000000 + v.event_id) AS last_view_id,
+      |  MAX(epoch_us(v.ts)) AS last_view_us
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |GROUP BY 1, 2
+      |ORDER BY p_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg"     -> stWindowAgg _,
     "st_sliding_window" -> stSlidingWindow _,
     "st_sessionize"     -> stSessionize _,
+    "st_asof_enrich"    -> stAsofEnrich _,
   )
 
   val oracles: Map[String, String] = Map(
     "st_window_agg"     -> stWindowAggSql,
     "st_sliding_window" -> stSlidingWindowSql,
     "st_sessionize"     -> stSessionizeSql,
+    "st_asof_enrich"    -> stAsofEnrichSql,
   )
 }

@@ -145,6 +145,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got == Set((1L, t0, t0 + 2 * min, 3L)))
   }
 
+  test("streaming as-of enrichment equals batch and a hand computation") {
+    val q = latestViewBeforePurchase(readEventStream(spark, stagedDir()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val streamed = keyed(spark.table("asof_out").collect())
+    val batch = keyed(latestViewBeforePurchase(
+      graft.sources.Tables.events(spark, sf0001)).collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // independent single-threaded re-derivation
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3) / 1000))
+    val views = ev.filter(_._3 == "view")
+    val expect = ev.filter(_._3 == "purchase").flatMap { case (pid, u, _, pus) =>
+      val cand = views.filter(v => v._2 == u &&
+        v._4 >= pus - 3600000000L && v._4 <= pus)
+      if (cand.isEmpty) None
+      else {
+        val best = cand.maxBy(v => (v._4, v._1))
+        Some(pid -> ((u, best._1, best._4)))
+      }
+    }.toMap
+    assert(streamed == expect)
+  }
+
   test("stream-stream join equals the batch join") {
     val q = purchaseViewJoin(readEventStream(spark, stagedDir()))
       .writeStream.outputMode("append")
