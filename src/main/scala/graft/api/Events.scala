@@ -59,4 +59,12 @@ object Events {
     */
   def streamingNearDup(docs: DataFrame): DataFrame =
     DocStreams.streamingNearDup(docs)
+
+  /** Streaming as-of enrichment (latest same-user view at-or-before
+    * each purchase, 1-hour lookback): stream-stream interval join
+    * chained into a windowed max_by; batch frames give the same rows —
+    * [[graft.streaming.EventStreams.latestViewBeforePurchase]].
+    */
+  def latestViewBeforePurchase(events: DataFrame): DataFrame =
+    EventStreams.latestViewBeforePurchase(events)
 }
