@@ -222,11 +222,67 @@ object Multimodal {
       |FROM dims
       |ORDER BY doc_id""".stripMargin
 
+  final case class AudioWindowRow(doc_id: Long, win_idx: Long,
+      n_samples: Int, energy: Long)
+
+  /** Windowed energy for the `audio` rows: the payload bytes stand in
+    * for PCM samples (the stub decode — a real deployment swaps in the
+    * codec and keeps this framing), cut into fixed
+    * [[AudioWindowBytes]]-sample windows, each emitting its sample
+    * count and the integer energy Σ(s−128)² — the map-side 1→N frame
+    * shape of every audio featurizer (VAD, loudness, fingerprinting).
+    * Integer math end to end, so the oracle reproduces it exactly.
+    */
+  val AudioWindowBytes = 400
+
+  def mmAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(_.media_type == "audio")
+      .flatMap { row =>
+        val bytes = row.payload
+        val nWins = (bytes.length + AudioWindowBytes - 1) / AudioWindowBytes
+        (0 until nWins).map { w =>
+          val start = w * AudioWindowBytes
+          val end = math.min(start + AudioWindowBytes, bytes.length)
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val v = (bytes(i) & 0xFF).toLong - 128L
+            e += v * v
+            i += 1
+          }
+          AudioWindowRow(row.doc_id, w.toLong, end - start, e)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  val mmAudioEnergySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_split_to_array(text, ''), x -> CAST(ord(x) AS BIGINT)) AS bs
+       |  FROM documents
+       |  WHERE CAST(doc_id % 3 AS INTEGER) = 1),
+       |w AS (
+       |  SELECT doc_id, bs,
+       |    unnest(range(0, (len(bs) + ${AudioWindowBytes - 1}) // $AudioWindowBytes)) AS win_idx
+       |  FROM b)
+       |SELECT doc_id, win_idx,
+       |  CAST(LEAST((win_idx + 1) * $AudioWindowBytes, len(bs)) - win_idx * $AudioWindowBytes AS INTEGER) AS n_samples,
+       |  CAST(list_sum(list_transform(
+       |    bs[win_idx * $AudioWindowBytes + 1 : LEAST((win_idx + 1) * $AudioWindowBytes, len(bs))],
+       |    v -> (v - 128) * (v - 128))) AS BIGINT) AS energy
+       |FROM w
+       |ORDER BY doc_id, win_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"            -> mmMeta _,
     "mm_decode_features" -> mmDecodeFeatures _,
     "mm_frame_sample"    -> mmFrameSample _,
     "mm_resize"          -> mmResize _,
+    "mm_audio_energy"    -> mmAudioEnergy _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,5 +290,6 @@ object Multimodal {
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_frame_sample"    -> mmFrameSampleSql,
     "mm_resize"          -> mmResizeSql,
+    "mm_audio_energy"    -> mmAudioEnergySql,
   )
 }

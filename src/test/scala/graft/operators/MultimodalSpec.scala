@@ -29,4 +29,28 @@ class MultimodalSpec extends SparkTestBase {
       assert(idxs == idxs.indices.map(_ * 5L))
     }
   }
+
+  test("audio windows tile each payload exactly and energies match a re-derivation") {
+    val byId = Multimodal.mediaTable(spark, sf0001)
+      .filter(_.media_type == "audio").collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    val rows = Multimodal.mmAudioEnergy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, ws) =>
+      val bytes = byId(id)
+      val sorted = ws.sortBy(_.getLong(1))
+      // windows tile the payload: indices 0..n-1, sample counts sum to len
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        sorted.indices.map(_.toLong))
+      assert(sorted.map(_.getInt(2)).sum == bytes.length)
+      sorted.foreach { w =>
+        val start = w.getLong(1).toInt * Multimodal.AudioWindowBytes
+        val end = math.min(start + Multimodal.AudioWindowBytes, bytes.length)
+        val want = (start until end).map { i =>
+          val v = (bytes(i) & 0xFF).toLong - 128L; v * v
+        }.sum
+        assert(w.getLong(3) == want, s"doc $id win ${w.getLong(1)}")
+      }
+    }
+  }
 }
