@@ -157,6 +157,15 @@ object Corpus {
       df.select(explode(graft.functions.tokens(col(text))).as("term"))
         .agg(graft.functions.SpaceSaving.topK(col("term"), k).as("sk")))
 
+  /** ANALYZE-style column profile `(col_name, n_rows, n_nonnull,
+    * n_distinct, min_s, max_s)` — delegates to
+    * [[graft.operators.Relational4.columnProfile]]. The stats
+    * pre-flight for layout/join decisions; see [[graft.operators
+    * .SkewJoin.skewReport]] for the skew-specific companion.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.Relational4.columnProfile(df, cols)
+
   /** Unigram-frequency quality scores `(doc_id, n_tokens, freq_sum,
     * mean_freq)` — the CCNet-style "how ordinary is this vocabulary"
     * proxy, exact integers end-to-end with one final division.

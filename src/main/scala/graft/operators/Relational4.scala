@@ -117,11 +117,52 @@ object Relational4 {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  /** ANALYZE-style column profile over ANY frame: one output row per
+    * profiled column — row count, non-null count, exact distinct
+    * count, and min/max rendered as strings. The stats pre-flight
+    * behind join-strategy and layout decisions (broadcastability,
+    * clustering key choice, null-rate sanity). One aggregation pass;
+    * the exact distincts expand the input once per column — for a
+    * quick look at a 100 TB table, sample first (`q38_hash_sample`)
+    * or swap in `approx_count_distinct`.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_s"), col(s"mx_$c").as("max_s"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.n_rows"), col("s.n_nonnull"),
+        col("s.n_distinct"), col("s.min_s"), col("s.max_s"))
+  }
+
+  private val ProfileCols = Seq("l_orderkey", "l_returnflag", "l_suppkey")
+
+  def q40ColumnStats(s: SparkSession, d: String): DataFrame =
+    columnProfile(lineitem(s, d), ProfileCols).orderBy(col("col_name"))
+
+  val q40ColumnStatsSql: String =
+    ProfileCols.sorted.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s,
+         |  CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_range_join"    -> q36RangeJoin _,
     "q37_grouping_sets" -> q37GroupingSets _,
     "q38_hash_sample"   -> q38HashSample _,
     "q39_histogram"     -> q39Histogram _,
+    "q40_column_stats"  -> q40ColumnStats _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,5 +170,6 @@ object Relational4 {
     "q37_grouping_sets" -> q37GroupingSetsSql,
     "q38_hash_sample"   -> q38HashSampleSql,
     "q39_histogram"     -> q39HistogramSql,
+    "q40_column_stats"  -> q40ColumnStatsSql,
   )
 }

@@ -84,4 +84,17 @@ class Relational2Spec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("column profile counts nulls and distincts on a frame with gaps") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (null, "b"), (2L, null), (3L, "b"))
+      .toDF("k", "s")
+    val got = Relational4.columnProfile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(got("k") == ((5L, 4L, 3L, "1", "3")))
+    assert(got("s") == ((5L, 4L, 2L, "a", "b")))
+  }
 }
