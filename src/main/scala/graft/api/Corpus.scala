@@ -160,8 +160,9 @@ object Corpus {
   /** ANALYZE-style column profile `(col_name, n_rows, n_nonnull,
     * n_distinct, min_s, max_s)` — delegates to
     * [[graft.operators.Relational4.columnProfile]]. The stats
-    * pre-flight for layout/join decisions; see [[graft.operators
-    * .SkewJoin.skewReport]] for the skew-specific companion.
+    * pre-flight for layout/join decisions;
+    * [[graft.operators.SkewJoin.skewReport]] is the skew-specific
+    * companion.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     graft.operators.Relational4.columnProfile(df, cols)

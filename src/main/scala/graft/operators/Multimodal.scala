@@ -225,6 +225,8 @@ object Multimodal {
   final case class AudioWindowRow(doc_id: Long, win_idx: Long,
       n_samples: Int, energy: Long)
 
+  val AudioWindowBytes = 400
+
   /** Windowed energy for the `audio` rows: the payload bytes stand in
     * for PCM samples (the stub decode — a real deployment swaps in the
     * codec and keeps this framing), cut into fixed
@@ -233,8 +235,6 @@ object Multimodal {
     * shape of every audio featurizer (VAD, loudness, fingerprinting).
     * Integer math end to end, so the oracle reproduces it exactly.
     */
-  val AudioWindowBytes = 400
-
   def mmAudioEnergy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)

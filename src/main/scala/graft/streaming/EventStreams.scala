@@ -165,7 +165,17 @@ object EventStreams {
     * purchase and is evicted. Works identically on a batch frame
     * (watermarks no-op), which is how the spec oracles it.
     */
-  def purchaseViewJoin(events: DataFrame): DataFrame = {
+  def purchaseViewJoin(events: DataFrame): DataFrame =
+    purchaseViewInterval(events)
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+
+  /** The watermarked purchase/view split + 1-hour interval join itself
+    * — ONE definition of the lookback, watermark delays, and join
+    * predicate, shared by [[purchaseViewJoin]] and
+    * [[latestViewBeforePurchase]]. Output: `(p_id, p_user, p_ts, v_id,
+    * v_ts)`.
+    */
+  private def purchaseViewInterval(events: DataFrame): DataFrame = {
     val withTs = events
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     val purchases = withTs.filter(col("event_type") === "purchase")
@@ -180,7 +190,8 @@ object EventStreams {
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") <= col("p_ts"))
-      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"),
+        col("v_ts"))
   }
 
   /** Streaming exact dedup: watermark-bounded dedup — the streaming twin
@@ -329,28 +340,18 @@ object EventStreams {
     * session-scoped correctness flag is lowered with the same
     * justification as [[DocStreams.streamingNearDupVoted]].
     * Tie on view time breaks by the higher view id (the struct
-    * ordering), deterministically. Works identically on a batch frame
-    * (watermarks no-op; windows all emit), which is both the spec's
-    * oracle and the gated `st_asof_enrich` form.
+    * ordering), deterministically. On a batch frame the same plan runs
+    * with watermarks as no-ops and EVERY window emitting; a bounded
+    * streaming run emits the batch rows restricted to windows the
+    * final watermark closes (append mode withholds the unfinalizable
+    * tail) — which is exactly what the spec asserts. The gated
+    * `st_asof_enrich` form is the batch run.
     */
   def latestViewBeforePurchase(events: DataFrame): DataFrame = {
     if (events.isStreaming)
       events.sparkSession.conf.set(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    val withTs = events
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-    val purchases = withTs.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val views = withTs.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-    purchases.join(views,
-        col("p_user") === col("v_user") &&
-          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("v_ts") <= col("p_ts"))
+    purchaseViewInterval(events)
       .groupBy(window(col("p_ts"), s"$WindowSec seconds"),
         col("p_id"), col("p_user"))
       .agg(
@@ -365,15 +366,17 @@ object EventStreams {
   def stAsofEnrich(s: SparkSession, d: String): DataFrame =
     latestViewBeforePurchase(Tables.events(s, d)).orderBy(col("p_id"))
 
-  /** DuckDB mirror: arg_max over a HUGEINT total-order key (micros ×
-    * 10⁶ + view id — BIGINT would overflow at epoch-micros scale);
-    * DuckDB truncates the parquet nanos to micros on read, the same
-    * value as `ts_ns DIV 1000`.
+  /** DuckDB mirror: arg_max over a HUGEINT total-order key — micros ×
+    * 10¹² + view id, lexicographic (ts, id) as long as ids stay below
+    * 10¹² (they are ~10⁷ even in the shifted-id 10× probes; BIGINT
+    * would overflow at epoch-micros scale, hence HUGEINT). DuckDB
+    * truncates the parquet nanos to micros on read, the same value as
+    * `ts_ns DIV 1000`.
     */
   val stAsofEnrichSql: String =
     """SELECT p.event_id AS p_id, p.user_id,
       |  arg_max(v.event_id,
-      |    CAST(epoch_us(v.ts) AS HUGEINT) * 1000000 + v.event_id) AS last_view_id,
+      |    CAST(epoch_us(v.ts) AS HUGEINT) * 1000000000000 + v.event_id) AS last_view_id,
       |  MAX(epoch_us(v.ts)) AS last_view_us
       |FROM events p JOIN events v
       |  ON p.user_id = v.user_id

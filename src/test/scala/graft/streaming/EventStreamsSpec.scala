@@ -157,13 +157,12 @@ class EventStreamsSpec extends SparkTestBase {
     val streamed = keyed(spark.table("asof_out").collect())
     val batch = keyed(latestViewBeforePurchase(
       graft.sources.Tables.events(spark, sf0001)).collect())
-    assert(streamed == batch)
-    assert(streamed.nonEmpty)
-    // independent single-threaded re-derivation
+    // independent single-threaded re-derivation of the batch answer
     val ev = graft.sources.Tables.events(spark, sf0001)
       .select("event_id", "user_id", "event_type", "ts_ns").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3) / 1000))
     val views = ev.filter(_._3 == "view")
+    val purchUs = ev.filter(_._3 == "purchase").map(e => e._1 -> e._4).toMap
     val expect = ev.filter(_._3 == "purchase").flatMap { case (pid, u, _, pus) =>
       val cand = views.filter(v => v._2 == u &&
         v._4 >= pus - 3600000000L && v._4 <= pus)
@@ -173,7 +172,17 @@ class EventStreamsSpec extends SparkTestBase {
         Some(pid -> ((u, best._1, best._4)))
       }
     }.toMap
-    assert(streamed == expect)
+    assert(batch == expect)
+    assert(batch.nonEmpty)
+    // streaming emits exactly the batch rows whose purchase window the
+    // FINAL watermark closed (append mode withholds the unfinalizable
+    // tail); the global watermark is the min across both branches
+    val wmFinal = math.min(purchUs.values.max, views.map(_._4).max) -
+      3600000000L
+    val closed = batch.filter { case (pid, _) =>
+      (purchUs(pid) / 300000000L + 1) * 300000000L <= wmFinal
+    }
+    assert(streamed == closed)
   }
 
   test("stream-stream join equals the batch join") {
