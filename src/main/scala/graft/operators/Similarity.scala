@@ -223,29 +223,40 @@ object Similarity {
     * vector), cells are the partition key, and a query touches
     * NumProbes/NumCells of the corpus instead of all of it.
     */
-  def simIvf(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val cent = e.filter(col("vec_id") < NumCells)
+  /** First-NumCells centroid table for the IVF queries — the
+    * deterministic stand-in for an offline k-means pass (see
+    * [[simIvf]]).
+    */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
         VectorExpressions.l2NormF(col("embedding")).as("cnrm"))
-    // nearest-centroid assignment (rank 1) / probe list (rank <= NumProbes);
-    // norms computed once per vector / per centroid, not per pair
-    def cellRanks(df: DataFrame, idCol: String, vecCol: String,
-        normCol: String) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cos_c").desc, col("cell"))
-      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
-        VectorExpressions.l2NormF(col("embedding")).as(normCol))
-        .crossJoin(broadcast(cent))
-        .select(col(idCol), col(vecCol), col(normCol), col("cell"),
-          (VectorExpressions.dotF(col(vecCol), col("cv")) /
-            (col(normCol) * col("cnrm"))).as("cos_c"))
-        .withColumn("crank", row_number().over(w))
-    }
-    val assigned = cellRanks(e, "c_id", "cv_c", "cn_c")
+
+  /** Nearest-centroid ranking: each vector of `df` scored against every
+    * (broadcast) centroid, `crank` = 1 for its home cell, ≤ NumProbes
+    * for its probe list. Norms computed once per vector / per centroid,
+    * not once per pair. Shared by [[simIvf]] and [[simKnnJoin]].
+    */
+  private def cellRanks(df: DataFrame, cent: DataFrame, idCol: String,
+      vecCol: String, normCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos_c").desc, col("cell"))
+    df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+      VectorExpressions.l2NormF(col("embedding")).as(normCol))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col(vecCol), col(normCol), col("cell"),
+        (VectorExpressions.dotF(col(vecCol), col("cv")) /
+          (col(normCol) * col("cnrm"))).as("cos_c"))
+      .withColumn("crank", row_number().over(w))
+  }
+
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = ivfCentroids(e)
+    val assigned = cellRanks(e, cent, "c_id", "cv_c", "cn_c")
       .filter(col("crank") === 1)
       .select(col("c_id"), col("cv_c"), col("cn_c"), col("cell"))
-    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors),
+    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors), cent,
       "q_id", "qv", "qn")
       .filter(col("crank") <= NumProbes)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
@@ -297,6 +308,87 @@ object Similarity {
        |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
        |      FROM scored) t
        |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // kNN self-join — every vector's neighbor list (the all-pairs form).
+  // ---------------------------------------------------------------------
+
+  val KnnK = 5
+
+  /** kNN self-join: EVERY corpus vector's top-[[KnnK]] neighbors — the
+    * all-pairs shape behind embedding-dedup graphs and retrieval
+    * training sets, where the "query set" is the corpus itself and
+    * broadcasting it ([[simTopkBrute]]) is no longer an option. IVF
+    * cell probing bounds the work: vectors are assigned to their home
+    * cell, each probes its [[NumProbes]] nearest cells, and only
+    * same-cell pairs are scored — a SHUFFLE join on the cell key (both
+    * sides are corpus-sized; nothing is broadcast), touching
+    * NumProbes/NumCells of the quadratic pair space. At 100 TB the
+    * centroid count scales with the corpus (cells sized to fit an
+    * executor), AQE splits any hot cell, and the per-vector top-k is a
+    * rank window inside each cell-pair partition — never a global sort.
+    * Like [[simIvf]], approximate by construction (a true neighbor in
+    * an unprobed cell is missed); recall vs the brute-force oracle is
+    * asserted in SimilaritySpec, and the pipeline is deterministic, so
+    * the DuckDB mirror reproduces it exactly.
+    */
+  def simKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = ivfCentroids(e)
+    val assigned = cellRanks(e, cent, "c_id", "cv_c", "cn_c")
+      .filter(col("crank") === 1)
+      .select(col("c_id"), col("cv_c"), col("cn_c"), col("cell"))
+    val probes = cellRanks(e, cent, "q_id", "qv", "qn")
+      .filter(col("crank") <= NumProbes)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorExpressions.dotF(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn_c"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val simKnnJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks WHERE crank <= $NumProbes),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $KnnK
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -356,6 +448,7 @@ object Similarity {
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
+    "sim_knn_join"   -> simKnnJoin _,
     "emb_quantize"   -> embQuantize _,
   )
 
@@ -363,6 +456,7 @@ object Similarity {
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,
+    "sim_knn_join"   -> simKnnJoinSql,
     "emb_quantize"   -> embQuantizeSql,
   )
 }

@@ -327,6 +327,74 @@ object EventStreams {
       }
   }
 
+  /** CDC-style latest-by-key snapshot (batch form): each user's most
+    * recent event — max over the (ts, event_id) total order, carried
+    * with its payload columns via ONE `max(struct(...))` aggregate
+    * (struct ordering is lexicographic and (ts_us, event_id) is unique,
+    * so the trailing fields never decide). The canonical "compact a
+    * changelog to current state" operator: one shuffle on the key,
+    * partial max on the map side, output size = |keys| regardless of
+    * changelog length. [[latestByKeyStream]] is the continuously-
+    * maintained twin.
+    */
+  def stLatestByKey(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(
+        expr("ts_ns DIV 1000").as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))).as("last"))
+      .select(col("user_id"), col("last.last_ts_us"),
+        col("last.last_event_id"), col("last.last_event_type"),
+        col("last.last_value"))
+      .orderBy(col("user_id"))
+
+  /** DuckDB mirror: arg_max over the same HUGEINT (ts, id) total-order
+    * key as [[stAsofEnrichSql]] — micros × 10¹² + event id (ids stay
+    * far below 10¹²; BIGINT would overflow at epoch-micros scale).
+    */
+  val stLatestByKeySql: String =
+    """SELECT user_id,
+      |  MAX(epoch_us(ts)) AS last_ts_us,
+      |  arg_max(event_id,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS last_event_id,
+      |  arg_max(event_type,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS last_event_type,
+      |  arg_max(value,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS last_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  final case class LatestOut(user_id: Long, last_ts_ns: Long,
+      last_event_id: Long, last_event_type: String, last_value: Double)
+
+  /** Continuously-maintained latest-by-key: `mapGroupsWithState` keeps
+    * ONE row of state per key (the current winner of the (ts_ns,
+    * event_id) order) and re-emits it whenever a batch touches the key
+    * — Update output mode, the streaming materialization of
+    * [[stLatestByKey]]. No timeout and no watermark: a CDC snapshot is
+    * permanent state by design (the state size is the key cardinality,
+    * not the stream length). Runs identically on a batch Dataset
+    * (each group arrives once, state is fresh) — how the spec oracles
+    * it against the aggregate form.
+    */
+  def latestByKeyStream(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestOut, LatestOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LatestOut]) =>
+          val incoming = it.map(e =>
+            LatestOut(userId, e.ts_ns, e.event_id, e.event_type, e.value))
+          val best = (state.getOption.iterator ++ incoming).maxBy(o =>
+            (o.last_ts_ns, o.last_event_id))
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming as-of enrichment: each purchase joined to the LATEST
     * same-user view at-or-before it within a 1-hour lookback — the
     * continuous form of the as-of join ([[graft.operators.AsOfJoin]]).
@@ -390,6 +458,7 @@ object EventStreams {
     "st_sliding_window" -> stSlidingWindow _,
     "st_sessionize"     -> stSessionize _,
     "st_asof_enrich"    -> stAsofEnrich _,
+    "st_latest_by_key"  -> stLatestByKey _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +466,6 @@ object EventStreams {
     "st_sliding_window" -> stSlidingWindowSql,
     "st_sessionize"     -> stSessionizeSql,
     "st_asof_enrich"    -> stAsofEnrichSql,
+    "st_latest_by_key"  -> stLatestByKeySql,
   )
 }

@@ -140,4 +140,32 @@ class PlanAuditSpec extends SparkTestBase {
     // sort's range exchange — no more
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("correlated EXISTS plans as one hash semi-join, never nested-loop") {
+    val p = plan("q41_exists_correlated")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("kNN self-join scores candidates through the cell equi-join, not a pair cross-join") {
+    val p = plan("sim_knn_join")
+    // the corpus×corpus side must join on the cell key (the centroid
+    // assignment is an intentional broadcast cross-join of 16 rows —
+    // BNLJ against a BroadcastExchange — so only a CartesianProduct,
+    // i.e. a non-broadcast cross of two big sides, is forbidden)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(cell"), p)
+    // per-vector top-k must prune inside each partition before the
+    // window, never global-sort the scored pairs
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("latest-by-key compacts map-side: partial max(struct) before the one exchange") {
+    val p = plan("st_latest_by_key")
+    // partial_max on the map side — the changelog compacts before it
+    // ships; one hash exchange on the key + the presentation sort
+    assert(p.contains("partial_max"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

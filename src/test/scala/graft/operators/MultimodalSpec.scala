@@ -30,6 +30,62 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("blockhash is perceptual: identical bytes → distance 0, one flipped byte → small distance") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes("UTF-8")
+    val same = Multimodal.blockHash64(base.clone())
+    assert(Multimodal.blockHash64(base) == same)
+    // flip one byte: at most a couple of block means cross the global
+    // mean, so the signatures stay within a few bits of each other —
+    // the property that makes Hamming bucketing meaningful
+    val tweaked = base.clone(); tweaked(100) = 'X'.toByte
+    val d = java.lang.Long.bitCount(
+      Multimodal.blockHash64(base) ^ Multimodal.blockHash64(tweaked))
+    assert(d <= 6, s"one-byte change moved $d bits")
+    // and an unrelated payload is far away
+    val other = ("entirely different content with other words repeated " * 18)
+      .getBytes("UTF-8")
+    val far = java.lang.Long.bitCount(
+      Multimodal.blockHash64(base) ^ Multimodal.blockHash64(other))
+    assert(far > 6, s"unrelated payloads only $far bits apart")
+  }
+
+  test("phash near-dup finds every planted re-encode pair and nothing else") {
+    val rows = Multimodal.mmPhashDup(spark, sf0001).collect()
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 6)
+    }
+    // re-derive signatures (originals + planted variants) directly
+    val imgs = Multimodal.mediaTable(spark, sf0001)
+      .filter(_.media_type == "image").collect()
+    val sigs = imgs.flatMap { r =>
+      val orig = r.doc_id -> Multimodal.blockHash64(r.payload)
+      if (r.payload.length < 8) Seq(orig)
+      else {
+        val v = r.payload.clone()
+        val mid = v.length / 2
+        v(mid) = 'X'.toByte; v(mid + 1) = 'X'.toByte; v(mid + 2) = 'X'.toByte
+        Seq(orig, (r.doc_id + Multimodal.PhashVariantOffset) ->
+          Multimodal.blockHash64(v))
+      }
+    }.toMap
+    rows.foreach { r =>
+      val want = java.lang.Long.bitCount(
+        sigs(r.getLong(0)) ^ sigs(r.getLong(1)))
+      assert(r.getInt(2) == want)
+    }
+    // recall: every planted (doc, variant) pair must be recovered —
+    // they differ in one payload block, so they share ≥1 chunk and
+    // sit within the threshold
+    val planted = imgs.filter(_.payload.length >= 8)
+      .map(r => (r.doc_id, r.doc_id + Multimodal.PhashVariantOffset)).toSet
+    assert(planted.subsetOf(keys.toSet),
+      s"missing ${planted.size - keys.toSet.count(planted)} planted pairs")
+    assert(rows.nonEmpty)
+  }
+
   test("audio windows tile each payload exactly and energies match a re-derivation") {
     val byId = Multimodal.mediaTable(spark, sf0001)
       .filter(_.media_type == "audio").collect()

@@ -47,6 +47,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < total))
   }
 
+  test("kNN self-join gives every vector an ordered neighbor list from its probed cells") {
+    val rows = Similarity.simKnnJoin(spark, sf001).collect()
+    val total = graft.sources.Tables.embeddings(spark, sf001).count()
+    val byQ = rows.groupBy(_.getLong(0))
+    // with 500 vectors in 16 cells and 2 probes, every vector has
+    // candidates — the neighbor list must cover the whole corpus
+    assert(byQ.keySet.size == total)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= Similarity.KnnK)
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine not descending")
+      rs.foreach(r => assert(r.getLong(0) != r.getLong(2), "self pair"))
+    }
+    // for the brute-oracled query vectors, the kNN join's rank-1
+    // neighbor can never beat the exact rank-1 cosine
+    val bruteBest = Similarity.simTopkBrute(spark, sf001).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    byQ.filter(q => bruteBest.contains(q._1)).foreach { case (q, rs) =>
+      val best = rs.minBy(_.getInt(1)).getDouble(3)
+      assert(best <= bruteBest(q) + 1e-12)
+    }
+  }
+
   test("ANN scores only a small candidate fraction (the point of LSH)") {
     val total = graft.sources.Tables.embeddings(spark, sf001).count()
     val ann = Similarity.simAnnLsh(spark, sf001)

@@ -373,6 +373,56 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed.size >= 5)
   }
 
+  test("latest-by-key stateful stream equals the batch aggregate form") {
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+      .as[Event]
+    val stateful = latestByKeyStream(events).collect()
+      .map(o => o.user_id ->
+        ((o.last_ts_ns / 1000, o.last_event_id, o.last_event_type,
+          o.last_value))).toMap
+    val batch = stLatestByKey(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(stateful == batch)
+    assert(stateful.nonEmpty)
+  }
+
+  test("latest-by-key stream maintains the snapshot across micro-batches (late keys don't regress)") {
+    val dir = Files.createTempDirectory("graft-latest-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // b1: user1 arrives out of order inside the batch; user2 one event
+    writeBatch(dir, "001.parquet",
+      Seq((1L, 1L, t0 + min), (2L, 1L, t0), (10L, 2L, t0)))
+    // b2: user1 advances; user2 receives a LATE (older) event — the
+    // snapshot must not regress to it
+    writeBatch(dir, "002.parquet",
+      Seq((3L, 1L, t0 + 2 * min), (11L, 2L, t0 - min)))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .as[Event]
+    val q = latestByKeyStream(es)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode re-emits a key's current winner whenever a batch
+    // touches it; winners only advance, so the max emitted row per key
+    // IS the final snapshot
+    val finalSnap = spark.table("latest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(r => (r._2, r._3)).max }
+    assert(finalSnap == Map(
+      1L -> ((t0 + 2 * min, 3L)),
+      2L -> ((t0, 10L))))
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
