@@ -292,6 +292,26 @@ object Corpus {
     graft.operators.Similarity.cosineTopK(
       corpus, queries, k, id, vec, excludeSelfIds)
 
+  /** kNN self-join: EVERY vector's top-`k` neighbors via IVF cell
+    * probing — a shuffle equi-join on the cell key (nothing broadcast;
+    * the quadratic pair space is never formed), the all-pairs shape
+    * behind embedding-dedup graphs and retrieval training sets.
+    * Centroids default to the `numCells` lowest-id vectors (the
+    * deterministic stand-in for an offline k-means pass); pass a real
+    * centroid frame via [[graft.operators.Similarity.knnJoinWithCentroids]].
+    * Output `(q_id, rank, c_id, cosine)`; approximate by construction
+    * (a true neighbor in an unprobed cell is missed).
+    */
+  def knnJoin(df: DataFrame, k: Int = graft.operators.Similarity.KnnK,
+      id: String = "vec_id", vec: String = "embedding",
+      numCells: Int = graft.operators.Similarity.NumCells): DataFrame = {
+    val corpus = df.select(col(id).as("vec_id"), col(vec).as("embedding"))
+    val cent = corpus.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        graft.functions.VectorExpressions.l2NormF(col("embedding")).as("cnrm"))
+    graft.operators.Similarity.knnJoinWithCentroids(corpus, cent, k)
+  }
+
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */
   object implicits {
     implicit class CorpusOps(private val df: DataFrame) {
@@ -319,6 +339,8 @@ object Corpus {
       def repetitionScored(): DataFrame = Corpus.repetitionScored(df)
       def quantizedI8(): DataFrame = Corpus.quantizedI8(df)
       def semanticDupClusters(): DataFrame = Corpus.semanticDupClusters(df)
+      def knnJoin(k: Int = graft.operators.Similarity.KnnK): DataFrame =
+        Corpus.knnJoin(df, k = k)
     }
   }
 }

@@ -67,4 +67,22 @@ object Events {
     */
   def latestViewBeforePurchase(events: DataFrame): DataFrame =
     EventStreams.latestViewBeforePurchase(events)
+
+  /** CDC latest-by-key compaction (batch): one row per `key` holding
+    * the lexicographic max of `cols` — put the event-time / version
+    * columns first with a unique tiebreaker; trailing payload columns
+    * ride along. Map-side partial max, one shuffle on the key —
+    * [[graft.streaming.EventStreams.latestByKey]].
+    */
+  def latestByKey(df: DataFrame, key: String, cols: Seq[String]): DataFrame =
+    EventStreams.latestByKey(df, key, cols)
+
+  /** Continuously-maintained CDC snapshot: one state row per key holding
+    * the latest event by (ts, id); update-mode re-emission on every
+    * touched key — [[graft.streaming.EventStreams.latestByKeyStream]].
+    * The batch aggregate form is the gated `st_latest_by_key`.
+    */
+  def latestByKeyStream(events: Dataset[EventStreams.Event])
+      : Dataset[EventStreams.LatestOut] =
+    EventStreams.latestByKeyStream(events)
 }

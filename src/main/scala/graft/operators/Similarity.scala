@@ -333,14 +333,18 @@ object Similarity {
     * asserted in SimilaritySpec, and the pipeline is deterministic, so
     * the DuckDB mirror reproduces it exactly.
     */
-  def simKnnJoin(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val cent = ivfCentroids(e)
-    val assigned = cellRanks(e, cent, "c_id", "cv_c", "cn_c")
+  /** Frame-parametric kNN-join core: neighbor lists for a `(vec_id,
+    * embedding)` corpus against a given `(cell, cv, cnrm)` centroid
+    * table — the ONE definition of the probe/assign/score pipeline,
+    * shared by the gated [[simKnnJoin]] and `graft.api.Corpus.knnJoin`.
+    */
+  def knnJoinWithCentroids(corpus: DataFrame, cent: DataFrame,
+      k: Int, numProbes: Int = NumProbes): DataFrame = {
+    val assigned = cellRanks(corpus, cent, "c_id", "cv_c", "cn_c")
       .filter(col("crank") === 1)
       .select(col("c_id"), col("cv_c"), col("cn_c"), col("cell"))
-    val probes = cellRanks(e, cent, "q_id", "qv", "qn")
-      .filter(col("crank") <= NumProbes)
+    val probes = cellRanks(corpus, cent, "q_id", "qv", "qn")
+      .filter(col("crank") <= numProbes)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
@@ -350,9 +354,14 @@ object Similarity {
         (VectorExpressions.dotF(col("qv"), col("cv_c")) /
           (col("qn") * col("cn_c"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  def simKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    knnJoinWithCentroids(e, ivfCentroids(e), KnnK)
   }
 
   val simKnnJoinSql: String =

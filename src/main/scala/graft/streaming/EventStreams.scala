@@ -337,17 +337,27 @@ object EventStreams {
     * changelog length. [[latestByKeyStream]] is the continuously-
     * maintained twin.
     */
+  /** Frame-parametric latest-by-key core: one row per `key` holding the
+    * lexicographic max of `cols` (put the ordering columns first; a
+    * unique tiebreaker among them makes the trailing payload columns
+    * deterministic). The ONE definition shared by the gated
+    * [[stLatestByKey]] and `graft.api.Events.latestByKey`.
+    */
+  def latestByKey(df: DataFrame, key: String, cols: Seq[String]): DataFrame =
+    df.groupBy(col(key))
+      .agg(max(struct(cols.map(col): _*)).as("__last"))
+      .select(col(key) +: cols.map(c => col(s"__last.$c").as(c)): _*)
+
   def stLatestByKey(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("user_id"))
-      .agg(max(struct(
+    latestByKey(
+      Tables.events(s, d).select(
+        col("user_id"),
         expr("ts_ns DIV 1000").as("last_ts_us"),
         col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"),
-        col("value").as("last_value"))).as("last"))
-      .select(col("user_id"), col("last.last_ts_us"),
-        col("last.last_event_id"), col("last.last_event_type"),
-        col("last.last_value"))
+        col("value").as("last_value")),
+      "user_id",
+      Seq("last_ts_us", "last_event_id", "last_event_type", "last_value"))
       .orderBy(col("user_id"))
 
   /** DuckDB mirror: arg_max over the same HUGEINT (ts, id) total-order

@@ -209,4 +209,29 @@ class CorpusSpec extends SparkTestBase {
         (r.getLong(2), r.getDouble(3))).toMap
     assert(api == gated)
   }
+
+  test("kNN-join facade equals the gated sim_knn_join") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))
+    // the facade's default centroids (lowest-id vectors) coincide with
+    // the gated query's vec_id < NumCells filter on this corpus
+    val api = Corpus.knnJoin(e).collect().map(key).toMap
+    val gated = graft.operators.Similarity.simKnnJoin(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+  }
+
+  test("latest-by-key facade compacts a changelog to its per-key maxima") {
+    val events = Events.latestByKey(
+      Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 20L, 99L, "c"),
+        (2L, 5L, 50L, "d"))
+        .toDF("k", "ts", "ver", "payload"),
+      "k", Seq("ts", "ver", "payload"))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // key 1: ts ties at 20 → ver breaks it; payload rides along
+    assert(events == Map(1L -> ((20L, 101L, "b")), 2L -> ((5L, 50L, "d"))))
+  }
 }
