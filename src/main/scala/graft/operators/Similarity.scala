@@ -326,7 +326,9 @@ object Similarity {
     * sides are corpus-sized; nothing is broadcast), touching
     * NumProbes/NumCells of the quadratic pair space. At 100 TB the
     * centroid count scales with the corpus (cells sized to fit an
-    * executor), AQE splits any hot cell, and the per-vector top-k is a
+    * executor — MEASURED at the 10× probe: a fixed 16 cells blows up
+    * 155× while cells ∝ corpus restore a near-linear 6.5×; see
+    * SCALING.md), AQE splits any hot cell, and the per-vector top-k is a
     * rank window inside each cell-pair partition — never a global sort.
     * Like [[simIvf]], approximate by construction (a true neighbor in
     * an unprobed cell is missed); recall vs the brute-force oracle is
