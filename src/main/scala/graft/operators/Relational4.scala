@@ -185,6 +185,79 @@ object Relational4 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Time-RANGE window frame: for each lineitem of the first 20
+    * suppliers, the supplier's total shipped quantity over the
+    * TRAILING 30 DAYS (`RANGE BETWEEN 30d PRECEDING AND CURRENT ROW`
+    * on epoch seconds) — the value-based frame the rows-based running
+    * window (`q10`) can't express: ties in ship time all see the same
+    * frame, and gaps shrink it. The sum runs in DECIMAL(18,6) and
+    * casts to double at the end: frame sums stay far below 2^53
+    * unscaled, where BOTH engines' decimal→double casts are exact.
+    * One shuffle on the supplier key; frames evaluate inside each
+    * partition.
+    */
+  def q42RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_s"))
+      .rangeBetween(-30L * 86400, 0)
+    lineitem(s, d)
+      .filter(col("l_suppkey") < 20)
+      // NTZ→TIMESTAMP reinterprets in the session zone (pinned UTC),
+      // matching DuckDB's epoch() over the same naive timestamp
+      .withColumn("ship_s", expr("unix_seconds(CAST(l_shipdate AS TIMESTAMP))"))
+      .withColumn("qty_30d",
+        sum(dec(col("l_quantity"))).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_s"), col("qty_30d"))
+      .orderBy(col("l_suppkey"), col("ship_s"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  val q42RangeFrameSql: String =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_s,
+       |  CAST(SUM(${decSql("l_quantity")}) OVER (
+       |    PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+       |    RANGE BETWEEN ${30L * 86400} PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS qty_30d
+       |FROM lineitem
+       |WHERE l_suppkey < 20
+       |ORDER BY l_suppkey, ship_s, l_orderkey, l_linenumber""".stripMargin
+
+  /** The rank-family window functions not exercised elsewhere — ntile
+    * buckets, percent_rank, cume_dist, dense_rank — over one
+    * partitioned order with a unique tiebreaker (so every rank is
+    * deterministic, and the percent_rank/cume_dist divisions are the
+    * same IEEE op on the same integers in both engines).
+    */
+  def q43WindowRanks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
+  val q43WindowRanksSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_range_join"          -> q36RangeJoin _,
     "q37_grouping_sets"       -> q37GroupingSets _,
@@ -192,6 +265,8 @@ object Relational4 {
     "q39_histogram"           -> q39Histogram _,
     "q40_column_stats"        -> q40ColumnStats _,
     "q41_exists_correlated"   -> q41ExistsCorrelated _,
+    "q42_range_frame"         -> q42RangeFrame _,
+    "q43_window_ranks"        -> q43WindowRanks _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +276,7 @@ object Relational4 {
     "q39_histogram"           -> q39HistogramSql,
     "q40_column_stats"        -> q40ColumnStatsSql,
     "q41_exists_correlated"   -> q41ExistsCorrelatedSql,
+    "q42_range_frame"         -> q42RangeFrameSql,
+    "q43_window_ranks"        -> q43WindowRanksSql,
   )
 }

@@ -179,18 +179,71 @@ final class Storage(spark: SparkSession, warehouse: String) {
     val tmp = new Path(warehouse, s".compact_tmp_$name")
     fs.delete(tmp, true)
     get(name).repartition(nFiles.toInt).write.parquet(tmp.toString)
-    val old = new Path(warehouse, s".compact_old_$name")
+    swapInto(name, tmp)
+    fs.listStatus(pathOf(name))
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-")).toLong
+  }
+
+  /** Two-rename atomic swap of a fully-written `tmp` dir into `name`:
+    * a concurrent reader sees the old layout, a brief absence, or the
+    * new layout, never a half-written mix (a failed second rename rolls
+    * the first back). Shared by [[compact]] and [[upsert]].
+    */
+  private def swapInto(name: String, tmp: Path): Unit = {
+    val old = new Path(warehouse, s".swap_old_$name")
     fs.delete(old, true)
     if (!fs.rename(pathOf(name), old))
-      throw new IllegalStateException(s"compaction swap failed for '$name'")
+      throw new IllegalStateException(s"swap failed for '$name'")
     if (!fs.rename(tmp, pathOf(name))) {
       // roll the first rename back so the stored name never vanishes
       fs.rename(old, pathOf(name))
-      throw new IllegalStateException(s"compaction swap failed for '$name'")
+      throw new IllegalStateException(s"swap failed for '$name'")
     }
     fs.delete(old, true)
-    fs.listStatus(pathOf(name))
-      .count(st => st.isFile && st.getPath.getName.startsWith("part-")).toLong
+  }
+
+  /** MERGE-style upsert: apply a changelog frame to a stored parquet
+    * snapshot, keeping ONE row per `key` — the lexicographic max over
+    * `orderCols` (put the version/event-time columns first; ties fall
+    * through to the remaining payload columns, so include a unique
+    * version for full determinism). Rows whose key is absent from the
+    * changelog survive unchanged; new keys insert; no tombstones (model
+    * deletes as a payload flag and filter on read). The compaction is
+    * [[graft.streaming.EventStreams.latestByKey]] — one shuffle on the
+    * key, map-side partial max, so the rewrite cost is the snapshot
+    * scan + one keyed exchange regardless of changelog length. The
+    * rewrite lands in a temp dir and swaps in atomically like
+    * [[compact]] (same layout restrictions: flat parquet names only).
+    */
+  def upsert(name: String, updates: DataFrame, key: String,
+      orderCols: Seq[String]): Unit = {
+    if (!exists(name))
+      throw new IllegalArgumentException(s"no stored name '$name'")
+    if (spark.catalog.tableExists(checkName(name)) &&
+        spark.catalog.getTable(name).tableType != "TEMPORARY")
+      throw new IllegalArgumentException(
+        s"'$name' is a bucketed table; upsert would drop its bucket layout")
+    if (fs.exists(metaOf(name)))
+      throw new IllegalArgumentException(
+        s"'$name' has a non-parquet sidecar format; upsert supports parquet puts")
+    if (fs.listStatus(pathOf(name)).exists(_.isDirectory))
+      throw new IllegalArgumentException(
+        s"'$name' is hive-partitioned; upsert per partition instead")
+    val current = get(name)
+    val carried = current.columns.filterNot(_ == key).toSeq
+    require(orderCols.nonEmpty && orderCols.forall(carried.contains),
+      s"orderCols must be non-key columns of '$name', got $orderCols")
+    // orderCols lead the struct; every other column rides along (and
+    // breaks any remaining ties deterministically)
+    val cols = orderCols ++ carried.filterNot(orderCols.contains)
+    val merged = graft.streaming.EventStreams.latestByKey(
+      current.unionByName(updates.select(current.columns.map(updates.col): _*)),
+      key, cols)
+    val tmp = new Path(warehouse, s".upsert_tmp_$name")
+    fs.delete(tmp, true)
+    merged.select(current.columns.map(merged.col): _*)
+      .write.parquet(tmp.toString)
+    swapInto(name, tmp)
   }
 
   /** Format-parameterized put/get (the reference stores text and binary;

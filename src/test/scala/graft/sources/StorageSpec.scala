@@ -34,6 +34,41 @@ class StorageSpec extends SparkTestBase {
       lines.collect().sorted.toSeq)
   }
 
+  test("upsert merges a changelog: updates win by version, absent keys survive, new keys insert") {
+    val st = freshStorage()
+    st.put("snap", Seq(
+      (1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("k", "ver", "payload"))
+    st.upsert("snap", Seq(
+      (1L, 11L, "a2"),   // newer version → replaces
+      (2L, 9L, "stale"), // OLDER version → must NOT regress the snapshot
+      (4L, 10L, "d"))    // new key → inserts
+      .toDF("k", "ver", "payload"),
+      "k", Seq("ver"))
+    val got = st.get("snap").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((11L, "a2")), 2L -> ((10L, "b")),
+      3L -> ((10L, "c")), 4L -> ((10L, "d"))))
+    // idempotent: re-applying the same changelog changes nothing
+    st.upsert("snap", Seq((1L, 11L, "a2")).toDF("k", "ver", "payload"),
+      "k", Seq("ver"))
+    assert(st.get("snap").count() == 4)
+  }
+
+  test("upsert refuses missing names and non-column orderCols") {
+    val st = freshStorage()
+    intercept[IllegalArgumentException] {
+      st.upsert("nope", Seq((1L, 1L, "x")).toDF("k", "ver", "payload"),
+        "k", Seq("ver"))
+    }
+    st.put("s", Seq((1L, 1L, "x")).toDF("k", "ver", "payload"))
+    intercept[IllegalArgumentException] {
+      st.upsert("s", Seq((1L, 1L, "x")).toDF("k", "ver", "payload"),
+        "k", Seq("k")) // the key can't be its own ordering column
+    }
+  }
+
   test("ls lists stored names with sizes; delete removes them") {
     val st = freshStorage()
     assert(st.ls().isEmpty)
