@@ -230,6 +230,16 @@ object Corpus {
   def shuffled(df: DataFrame, id: String = "doc_id"): DataFrame =
     graft.operators.CorpusOps.globalShuffle(df, id)
 
+  /** Token-exact subsample: keep docs in reproducible shuffled order
+    * until `budgetTokens` fills (greedy cut — the doc straddling the
+    * budget is kept). Two-phase running sum, no single-partition
+    * window. Delegates to [[graft.operators.CorpusOps.tokenBudget]].
+    */
+  def tokenBudget(df: DataFrame, budgetTokens: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    graft.operators.CorpusOps.tokenBudget(
+      df, org.apache.spark.sql.functions.lit(budgetTokens), id, text)
+
   /** Domain-mixture downsampling: keep each row with its domain's
     * probability from `rates` (md5-threshold — deterministic per id,
     * exact in expectation). Domains absent from `rates` keep

@@ -190,6 +190,80 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cp_token_budget — token-exact subsampling.
+  // ---------------------------------------------------------------------
+
+  val BudgetFrac = 0.4
+
+  /** Frame-parametric core: keep documents, in reproducible shuffled
+    * order, until a global token budget fills — "give me exactly N
+    * training tokens" (the greedy cut: every doc that STARTS under the
+    * budget is kept, so the kept total may overshoot by at most one
+    * doc). Appends `n_tokens` and `cum_tokens` (running total through
+    * this doc in cut order).
+    *
+    * Semantically the cut is `SUM(n_tokens) OVER (ORDER BY md5(id))` —
+    * a global running sum, which would collapse to one partition; the
+    * implementation is the same two-phase form as [[globalShuffle]]:
+    * running sums within 256 hash buckets of the sort key + a broadcast
+    * 256-row cumulative token-offset table. Shared by [[cpTokenBudget]]
+    * and `graft.api.Corpus.tokenBudget`.
+    */
+  def tokenBudget(df: DataFrame, budgetTokens: org.apache.spark.sql.Column,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val ranked = df
+      .withColumn("n_tokens", size(tokens(col(text))).cast(LongType))
+      .withColumn("__k", saltedKey("budget", col(id)))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+      .withColumn("__cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("__b")).orderBy(col("__k"), col(id))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = ranked.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__n"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__n")).over(Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_tokens", col("__off") + col("__cum"))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .drop("__k", "__b", "__cum", "__off")
+  }
+
+  /** Gated form: budget = `floor(0.4 × corpus tokens)` (a scalar
+    * aggregate broadcast into the cut — the fraction makes the query
+    * discriminating at every scale factor).
+    */
+  def cpTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val budget = docs
+      .agg(floor(lit(BudgetFrac) *
+        sum(size(tokens(col("text"))).cast(LongType))).as("__budget"))
+    tokenBudget(docs.crossJoin(broadcast(budget)), col("__budget"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpTokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    ${saltedKeySql("budget", "doc_id")} AS k
+       |  FROM documents),
+       |tot AS (SELECT floor(CAST($BudgetFrac AS DOUBLE) * SUM(n_tokens)) AS budget FROM t),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens
+       |FROM r, tot
+       |WHERE cum_tokens - n_tokens < budget
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cp_mixture — domain-mixture reweighting.
   // ---------------------------------------------------------------------
 
@@ -253,16 +327,18 @@ object CorpusOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cp_split"      -> cpSplit _,
-    "cp_stratified" -> cpStratified _,
-    "cp_shuffle"    -> cpShuffle _,
-    "cp_mixture"    -> cpMixture _,
+    "cp_split"        -> cpSplit _,
+    "cp_stratified"   -> cpStratified _,
+    "cp_shuffle"      -> cpShuffle _,
+    "cp_mixture"      -> cpMixture _,
+    "cp_token_budget" -> cpTokenBudget _,
   )
 
   val oracles: Map[String, String] = Map(
-    "cp_split"      -> cpSplitSql,
-    "cp_stratified" -> cpStratifiedSql,
-    "cp_shuffle"    -> cpShuffleSql,
-    "cp_mixture"    -> cpMixtureSql,
+    "cp_split"        -> cpSplitSql,
+    "cp_stratified"   -> cpStratifiedSql,
+    "cp_shuffle"      -> cpShuffleSql,
+    "cp_mixture"      -> cpMixtureSql,
+    "cp_token_budget" -> cpTokenBudgetSql,
   )
 }

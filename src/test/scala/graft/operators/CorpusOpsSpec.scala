@@ -80,6 +80,38 @@ class CorpusOpsSpec extends SparkTestBase {
       s"row_number windows must all be bucket-partitioned:\n$docWindows")
   }
 
+  test("cp_token_budget: greedy cut equals the naive global running sum; budget respected") {
+    val out = CorpusOps.cpTokenBudget(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // hand-compute the greedy cut on the collected corpus
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = docs.map { case (id, t) =>
+      (id, t.split("\\s+").count(_.nonEmpty).toLong, md5hex(s"budget:$id"))
+    }
+    val budget = math.floor(0.4 * toks.map(_._2).sum).toLong
+    var cum = 0L
+    val expect = toks.sortBy(x => (x._3, x._1)).flatMap { case (id, n, _) =>
+      val before = cum; cum += n
+      if (before < budget) Some(id -> (n, cum)) else None
+    }.toMap
+    assert(out.map(_._1).toSet == expect.keySet)
+    out.foreach { case (id, n, c) => assert(expect(id) == ((n, c)), s"doc $id") }
+    // budget respected: every kept doc STARTS under the budget
+    out.foreach { case (_, n, c) => assert(c - n < budget) }
+  }
+
+  test("cp_token_budget: no single-partition running sum of the corpus (scale posture)") {
+    val plan = CorpusOps.cpTokenBudget(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__b"),
+      s"doc-level running sum must exchange on the bucket key:\n$plan")
+  }
+
   test("cp_mixture: rate-1.0 domains keep everything; kept counts within binomial bounds") {
     val rows = CorpusOps.cpMixture(spark, sf001).collect()
     rows.foreach { r =>
