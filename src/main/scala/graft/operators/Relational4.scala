@@ -121,25 +121,29 @@ object Relational4 {
     * profiled column — row count, non-null count, exact distinct
     * count, and min/max rendered as strings. The stats pre-flight
     * behind join-strategy and layout decisions (broadcastability,
-    * clustering key choice, null-rate sanity). One aggregation pass;
-    * the exact distincts expand the input once per column — for a
-    * quick look at a 100 TB table, sample first (`q38_hash_sample`)
-    * or swap in `approx_count_distinct`.
+    * clustering key choice, null-rate sanity).
+    *
+    * One THIN aggregation per column, unioned — each leg scans only
+    * its own column (pruned at the parquet reader) and its exact
+    * countDistinct Expands ×2, where the single-pass all-columns form
+    * Expands the full multi-column scan ×(n+1): MEASURED 3.0 s → 0.5 s
+    * for 3 lineitem columns at sf0.1, and the gap widens with column
+    * count. For a quick look at a 100 TB table, sample first
+    * (`q38_hash_sample`) or swap in `approx_count_distinct`.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
-        lit(c).as("col_name"), col("n_rows"),
-        col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
-        col(s"mn_$c").as("min_s"), col(s"mx_$c").as("max_s"))): _*)).as("s"))
-      .select(col("s.col_name"), col("s.n_rows"), col("s.n_nonnull"),
-        col("s.n_distinct"), col("s.min_s"), col("s.max_s"))
+    cols.map { c =>
+      df.select(col(c)).agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+    }.reduce(_ unionByName _)
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_s"), col("max_s"))
   }
 
   private val ProfileCols = Seq("l_orderkey", "l_returnflag", "l_suppkey")
