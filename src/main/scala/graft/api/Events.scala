@@ -68,6 +68,15 @@ object Events {
   def latestViewBeforePurchase(events: DataFrame): DataFrame =
     EventStreams.latestViewBeforePurchase(events)
 
+  /** LEFT OUTER stream-stream interval join: every purchase appears,
+    * with null view columns when its 1-hour lookback holds no same-user
+    * view — unmatched rows emit once the watermark proves no match can
+    * arrive. [[graft.streaming.EventStreams.purchaseViewJoinOuter]];
+    * the inner form backs the gated join queries.
+    */
+  def purchaseViewJoinOuter(events: DataFrame): DataFrame =
+    EventStreams.purchaseViewJoinOuter(events)
+
   /** CDC latest-by-key compaction (batch): one row per `key` holding
     * the lexicographic max of `cols` — put the event-time / version
     * columns first with a unique tiebreaker; trailing payload columns

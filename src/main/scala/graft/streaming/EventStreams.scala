@@ -169,13 +169,27 @@ object EventStreams {
     purchaseViewInterval(events)
       .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
 
+  /** LEFT OUTER stream-stream interval join: like [[purchaseViewJoin]]
+    * but a purchase with NO same-user view in its 1-hour lookback still
+    * emits, with a null `v_id` — the "every purchase must appear in the
+    * funnel report" form. In streaming, the null row can only emit once
+    * the watermark proves no matching view can still arrive (state
+    * eviction time), so unmatched purchases surface with watermark
+    * latency; matched rows emit as in the inner join. Same state bounds:
+    * both sides' watermarks plus the interval condition.
+    */
+  def purchaseViewJoinOuter(events: DataFrame): DataFrame =
+    purchaseViewInterval(events, "left_outer")
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+
   /** The watermarked purchase/view split + 1-hour interval join itself
     * — ONE definition of the lookback, watermark delays, and join
     * predicate, shared by [[purchaseViewJoin]] and
     * [[latestViewBeforePurchase]]. Output: `(p_id, p_user, p_ts, v_id,
     * v_ts)`.
     */
-  private def purchaseViewInterval(events: DataFrame): DataFrame = {
+  private def purchaseViewInterval(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val withTs = events
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     val purchases = withTs.filter(col("event_type") === "purchase")
@@ -189,7 +203,8 @@ object EventStreams {
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("p_ts"))
+        col("v_ts") <= col("p_ts"),
+      joinType)
       .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"),
         col("v_ts"))
   }

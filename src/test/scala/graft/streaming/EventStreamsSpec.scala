@@ -26,11 +26,18 @@ class EventStreamsSpec extends SparkTestBase {
     * distinct mtimes → deterministic trigger order.
     */
   private def writeBatch(dir: java.nio.file.Path, name: String,
-      rows: Seq[(Long, Long, Long)]): Unit = {
+      rows: Seq[(Long, Long, Long)]): Unit =
+    writeTypedBatch(dir, name, rows.map(r => (r._1, r._2, r._3, "click")))
+
+  /** Like [[writeBatch]] but with a per-row event_type (for the
+    * purchase/view join tests).
+    */
+  private def writeTypedBatch(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit = {
     val staging = Files.createTempDirectory("graft-sess-stage-")
-    rows.toDF("event_id", "user_id", "ts_ns")
+    rows.toDF("event_id", "user_id", "ts_ns", "event_type")
       .selectExpr("event_id", "ts_ns AS ts", "user_id",
-        "'click' AS event_type", "1.0 AS value", "'' AS props")
+        "event_type", "1.0 AS value", "'' AS props")
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = Files.list(staging).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
@@ -371,6 +378,43 @@ class EventStreamsSpec extends SparkTestBase {
       .map(s => (s.user_id, s.start_ns, s.end_ns, s.n_events)).toSet
     assert(streamed == expected)
     assert(streamed.size >= 5)
+  }
+
+  test("left-outer stream-stream join emits unmatched purchases with null view once the watermark proves them") {
+    val dir = Files.createTempDirectory("graft-ssj-outer-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // user1: view 10 min before the purchase (matches);
+    // user2: purchase with NO view in its 1-hour lookback
+    writeTypedBatch(dir, "001.parquet", Seq(
+      (1L, 1L, t0 - 10 * min, "view"),
+      (2L, 1L, t0, "purchase"),
+      (3L, 2L, t0, "purchase")))
+    // sentinel views push BOTH watermarks far past t0 + 1h, proving
+    // purchase 3 can never match
+    writeTypedBatch(dir, "002.parquet", Seq(
+      (98L, 999L, t0 + 600 * min, "view"),
+      (99L, 999L, t0 + 600 * min, "purchase")))
+
+    val q = purchaseViewJoinOuter(readEventStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_outer_out").collect()
+      .filter(_.getLong(2) != 999L) // drop the sentinel's own join rows
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got == Set((2L, 1L), (3L, -1L)))
+    // and on a batch frame the same plan is a plain left-outer join
+    val batch = purchaseViewJoinOuter(
+      graft.sources.Tables.events(spark, sf0001))
+    val inner = purchaseViewJoin(graft.sources.Tables.events(spark, sf0001))
+    val purchases = graft.sources.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(batch.count() ==
+      inner.count() + (purchases - inner.select("p_id").distinct().count()))
   }
 
   test("latest-by-key stateful stream equals the batch aggregate form") {
