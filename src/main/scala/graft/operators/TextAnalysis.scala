@@ -393,7 +393,50 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ta_length_tails — per-domain length-tail trimming.
+  // ---------------------------------------------------------------------
+
+  val TailLo = 0.1
+  val TailHi = 0.9
+
+  /** Per-domain length-tail detection: documents whose length falls
+    * outside their source's [p10, p90] (exact interpolated percentiles
+    * — truncation too short to train on, concatenation blobs too long)
+    * get flagged `short`/`long`. The standard per-domain outlier trim
+    * of a corpus-QA pass, run per SOURCE because length distributions
+    * differ wildly across crawl domains and one global fence
+    * over/under-trims each. Percentiles via [[Percentiles.exact]] (no
+    * value buffering; at 100 TB group sizes use
+    * [[Percentiles.exactSelect]], same answers); the 20-row fence table
+    * broadcasts back onto the corpus — the corpus itself never
+    * shuffles.
+    */
+  def taLengthTails(s: SparkSession, d: String): DataFrame = {
+    val fences = Percentiles.exact(documents(s, d), "source", "n_chars",
+      Seq(("p10", TailLo), ("p90", TailHi)))
+    documents(s, d)
+      .join(broadcast(fences), Seq("source"))
+      .filter(col("n_chars") < col("p10") || col("n_chars") > col("p90"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p10"), col("p90"),
+        when(col("n_chars") < col("p10"), "short").otherwise("long")
+          .as("tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taLengthTailsSql: String =
+    s"""WITH pct AS (
+       |${Percentiles.exactSql("documents", "source", "n_chars",
+          Seq(("p10", TailLo), ("p90", TailHi)))})
+       |SELECT d.doc_id, d.source, d.n_chars, p.p10, p.p90,
+       |  CASE WHEN d.n_chars < p.p10 THEN 'short' ELSE 'long' END AS tail
+       |FROM documents d JOIN pct p ON d.source = p.source
+       |WHERE d.n_chars < p.p10 OR d.n_chars > p.p90
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_length_tails" -> taLengthTails _,
     "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
     "ta_bpe_tokens"  -> taBpeTokens _,
@@ -406,6 +449,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_length_tails" -> taLengthTailsSql,
     "ta_normalize"   -> taNormalizeSql,
     "ta_token_stats" -> taTokenStatsSql,
     "ta_bpe_tokens"  -> taBpeTokensSql,
