@@ -264,11 +264,75 @@ object Pipeline {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  val QaBudgetFrac = 0.5
+
+  /** Composed corpus-QA pipeline from the round's primitives: per-domain
+    * length-tail trim (keep docs inside their source's exact [p10, p90]
+    * band), exact full-text-fingerprint dedup (keep the lowest doc_id
+    * per md5 of the normalized text), then a token-exact budget cut at
+    * half the surviving tokens via the two-phase running sum — the
+    * "trim, dedup, then take exactly N tokens" assembly in ONE plan.
+    * Shuffles: the tiny percentile aggregate (fences broadcast back),
+    * one on the fingerprint, one on the budget's bucket key — the
+    * corpus never sorts globally.
+    */
+  def pipeQa(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val fences = Percentiles.exact(docs, "source", "n_chars",
+      Seq(("p10", TextAnalysis.TailLo), ("p90", TextAnalysis.TailHi)))
+    val wFp = Window.partitionBy(col("fp"))
+    val deduped = docs
+      .join(broadcast(fences), Seq("source"))
+      .filter(col("n_chars") >= col("p10") && col("n_chars") <= col("p90"))
+      .withColumn("fp", fingerprintMd5(col("text")))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wFp))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"))
+    val budget = deduped.agg(
+      floor(lit(QaBudgetFrac) *
+        sum(size(tokens(col("text"))).cast("long"))).as("__budget"))
+    CorpusOps.tokenBudget(deduped.crossJoin(broadcast(budget)),
+        col("__budget"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipeQaSql: String =
+    s"""WITH pct AS (
+       |${Percentiles.exactSql("documents", "source", "n_chars",
+          Seq(("p10", TextAnalysis.TailLo), ("p90", TextAnalysis.TailHi)))}),
+       |band AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN pct p ON d.source = p.source
+       |  WHERE d.n_chars >= p.p10 AND d.n_chars <= p.p90),
+       |ded AS (
+       |  SELECT doc_id, text
+       |  FROM (SELECT doc_id, text,
+       |          doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+       |        FROM band) k
+       |  WHERE keep),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    md5('budget:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM ded),
+       |tot AS (SELECT floor(CAST($QaBudgetFrac AS DOUBLE) * SUM(n_tokens)) AS budget FROM t),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens
+       |FROM r, tot
+       |WHERE cum_tokens - n_tokens < budget
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_chunk"         -> taChunk _,
     "ta_pack"          -> taPack _,
     "ta_contamination" -> taContamination _,
     "pipe_e2e"         -> pipeE2e _,
+    "pipe_qa"          -> pipeQa _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +340,6 @@ object Pipeline {
     "ta_pack"          -> taPackSql,
     "ta_contamination" -> taContaminationSql,
     "pipe_e2e"         -> pipeE2eSql,
+    "pipe_qa"          -> pipeQaSql,
   )
 }
