@@ -160,6 +160,45 @@ class CorpusOpsSpec extends SparkTestBase {
       shuffled.head.getAs[Long]("pos") === 1L)
     // ceil(1 * 0.2) = 1: a one-row stratum is kept, never dropped
     assert(CorpusOps.stratifiedSample(one).count() === 1)
+
+    // token budget: empty corpus → empty; a one-doc corpus under a
+    // positive budget keeps its doc (greedy: it STARTS at zero)
+    val emptyT = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusOps.tokenBudget(emptyT, lit(10L)).count() === 0)
+    val oneT = Seq((7L, "alpha beta")).toDF("doc_id", "text")
+    val cut = CorpusOps.tokenBudget(oneT, lit(1L)).collect()
+    assert(cut.length === 1 &&
+      cut.head.getAs[Long]("n_tokens") === 2L &&
+      cut.head.getAs[Long]("cum_tokens") === 2L)
+    // zero budget keeps nothing
+    assert(CorpusOps.tokenBudget(oneT, lit(0L)).count() === 0)
+  }
+
+  test("upsert sequences are order-insensitive per batch split: fold of upserts == one latest-by-key") {
+    import spark.implicits._
+    import graft.sources.Storage
+    val rng = new scala.util.Random(4242)
+    // a changelog of 60 updates over 12 keys with unique (ver) per key
+    val updates = rng.shuffle((1 to 60).map(i =>
+      (i % 12L, i.toLong, s"v$i")).toList)
+    val expected = updates.groupBy(_._1)
+      .map { case (k, us) => k -> us.maxBy(u => (u._2, u._3)) }
+    // apply in 2, 3, and 5 batch splits — all must converge to the
+    // same snapshot as one global latest-by-key
+    Seq(2, 3, 5).foreach { nBatches =>
+      val st = new Storage(spark,
+        java.nio.file.Files.createTempDirectory("graft-ups-").toString)
+      st.put("snap",
+        updates.take(1).toDF("k", "ver", "payload")) // seed snapshot
+      updates.grouped(math.ceil(updates.size / nBatches.toDouble).toInt)
+        .foreach { b =>
+          st.upsert("snap", b.toDF("k", "ver", "payload"), "k", Seq("ver"))
+        }
+      val got = st.get("snap").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getString(2))))
+        .toMap
+      assert(got == expected, s"$nBatches-batch fold diverged")
+    }
   }
 
   test("ta_repetition: fractions well-formed and planted repetitive text scores high") {
