@@ -235,18 +235,24 @@ object Similarity {
   /** Nearest-centroid ranking: each vector of `df` scored against every
     * (broadcast) centroid, `crank` = 1 for its home cell, ≤ NumProbes
     * for its probe list. Norms computed once per vector / per centroid,
-    * not once per pair. Shared by [[simIvf]] and [[simKnnJoin]].
+    * not once per pair. `carry` columns of `df` ride through untouched
+    * (e.g. a metadata filter key). Shared by [[simIvf]],
+    * [[simKnnJoin]], and [[simFilteredKnn]].
     */
   private def cellRanks(df: DataFrame, cent: DataFrame, idCol: String,
-      vecCol: String, normCol: String): DataFrame = {
+      vecCol: String, normCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cos_c").desc, col("cell"))
-    df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
-      VectorExpressions.l2NormF(col("embedding")).as(normCol))
+    val carried = carry.map(col)
+    df.select(Seq(col("vec_id").as(idCol), col("embedding").as(vecCol),
+      VectorExpressions.l2NormF(col("embedding")).as(normCol)) ++
+      carried: _*)
       .crossJoin(broadcast(cent))
-      .select(col(idCol), col(vecCol), col(normCol), col("cell"),
+      .select(Seq(col(idCol), col(vecCol), col(normCol)) ++ carried ++ Seq(
+        col("cell"),
         (VectorExpressions.dotF(col(vecCol), col("cv")) /
-          (col(normCol) * col("cnrm"))).as("cos_c"))
+          (col(normCol) * col("cnrm"))).as("cos_c")): _*)
       .withColumn("crank", row_number().over(w))
   }
 
@@ -366,6 +372,80 @@ object Similarity {
     knnJoinWithCentroids(e, ivfCentroids(e), KnnK)
   }
 
+  /** Metadata-FILTERED ANN: top-k neighbors restricted to corpus
+    * vectors sharing the query's `label` — the filtered-search shape
+    * every production vector index needs (RAG over one tenant/language,
+    * same-class dedup). Post-filtering an unfiltered ANN result
+    * under-fills k whenever the filter is selective; instead the index
+    * is PRE-PARTITIONED by the filter key — the join key is (label,
+    * cell), so a query only ever meets same-label candidates and k
+    * fills from the filtered set directly. At 100 TB the (label, cell)
+    * key is also what bounds skew: a dominant label still splits
+    * across its cells, and AQE splits any hot (label, cell) pair.
+    */
+  def simFilteredKnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = ivfCentroids(e)
+    val assigned = cellRanks(e, cent, "c_id", "cv_c", "cn_c",
+      carry = Seq("label"))
+      .filter(col("crank") === 1)
+      .select(col("c_id"), col("label"), col("cv_c"), col("cn_c"),
+        col("cell"))
+    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors), cent,
+      "q_id", "qv", "qn", carry = Seq("label"))
+      .filter(col("crank") <= NumProbes)
+      .select(col("q_id"), col("label"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    assigned.join(broadcast(probes), Seq("label", "cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("label"), col("c_id"),
+        (VectorExpressions.dotF(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn_c"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("q_id"), col("label"), col("rank"), col("c_id"),
+        col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val simFilteredKnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
+       |ranks AS (
+       |  SELECT e.vec_id, e.label, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, label, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, label, cell FROM ranks
+       |           WHERE crank <= $NumProbes AND vec_id < $NumQueryVectors),
+       |scored AS (
+       |  SELECT p.q_id, p.label, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.label = p.label AND a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id)
+       |SELECT q_id, label, rank, c_id, cosine
+       |FROM (SELECT q_id, label, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $KnnK
+       |ORDER BY q_id, rank""".stripMargin
+
   val simKnnJoinSql: String =
     s"""WITH e AS (
        |  SELECT vec_id,
@@ -460,6 +540,7 @@ object Similarity {
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
     "sim_knn_join"   -> simKnnJoin _,
+    "sim_filtered_knn" -> simFilteredKnn _,
     "emb_quantize"   -> embQuantize _,
   )
 
@@ -468,6 +549,7 @@ object Similarity {
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,
     "sim_knn_join"   -> simKnnJoinSql,
+    "sim_filtered_knn" -> simFilteredKnnSql,
     "emb_quantize"   -> embQuantizeSql,
   )
 }

@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("filtered kNN returns only same-label neighbors, each a genuine same-label vector") {
+    val rows = Similarity.simFilteredKnn(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { r =>
+      val (q, lbl, c) = (r.getLong(0), r.getInt(1), r.getLong(3))
+      assert(labels(q) == lbl, s"query $q emitted under foreign label $lbl")
+      assert(labels(c) == lbl, s"neighbor $c of query $q has label " +
+        s"${labels(c)}, expected $lbl")
+      assert(q != c)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val cosines = rs.sortBy(_.getInt(2)).map(_.getDouble(4)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
   test("ANN scores only a small candidate fraction (the point of LSH)") {
     val total = graft.sources.Tables.embeddings(spark, sf001).count()
     val ann = Similarity.simAnnLsh(spark, sf001)
