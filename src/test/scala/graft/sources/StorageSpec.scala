@@ -82,20 +82,24 @@ class StorageSpec extends SparkTestBase {
     assert(st.ls().map(_.name) == Seq("b"))
   }
 
-  test("format-parameterized put/get round-trips csv and json") {
+  test("format-parameterized put/get round-trips csv, json, and orc") {
     val st = freshStorage()
     val df = Tables.nation(spark, sf0001)
     st.putAs("n_csv", df, "csv")
     st.putAs("n_json", df, "json")
+    st.putAs("n_orc", df, "orc")
     val viaCsv = st.getAs("n_csv")
       .select("n_nationkey", "n_name", "n_regionkey").collect().toSet
     val viaJson = st.getAs("n_json")
       .select("n_nationkey", "n_name", "n_regionkey").collect().toSet
+    val viaOrc = st.getAs("n_orc")
+      .select("n_nationkey", "n_name", "n_regionkey").collect().toSet
     val expect = df.collect().toSet
     assert(viaJson == expect)
+    assert(viaOrc == expect) // columnar format: schema survives exactly
     assert(viaCsv.map(_.toString) == expect.map(_.toString))
     // sidecar format metadata survives; ls is not polluted by sidecars
-    assert(st.ls().map(_.name).toSet == Set("n_csv", "n_json"))
+    assert(st.ls().map(_.name).toSet == Set("n_csv", "n_json", "n_orc"))
   }
 
   test("partitioned writes prune partitions at scan time") {
