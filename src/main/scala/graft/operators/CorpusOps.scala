@@ -264,6 +264,94 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cp_importance — DSIR-style importance scoring for data selection.
+  // ---------------------------------------------------------------------
+
+  val TargetLang = "en"
+
+  /** Frame-parametric core: DSIR-style importance score of every doc
+    * against a TARGET slice of the corpus (`isTarget` rows, e.g. one
+    * language/domain) — per-term ratio of add-one-smoothed target vs
+    * corpus unigram rates, averaged over the doc's tokens. Data
+    * selection then keeps the top-scoring docs (pair with
+    * [[tokenBudget]] for "the most target-like N tokens").
+    *
+    * Cross-engine exactness: the per-term ratio is a handful of IEEE
+    * ops on exact integers (bit-identical in both engines), QUANTIZED
+    * to 6 decimals (`floor(ratio·10⁶)` as a long) so the per-doc
+    * aggregation is an exact INTEGER sum — no float-sum ordering
+    * hazard — with one final division for the mean. The true DSIR
+    * weight averages log-ratios; the arithmetic-mean-of-ratios
+    * surrogate keeps the same "more target-like ⇒ higher" ordering
+    * signal while staying log-free (the same trade
+    * [[TextAnalysis.tfidfTopTerms]] makes), and the quantization floor
+    * only biases scores down by < 10⁻⁶ uniformly.
+    *
+    * Shape: one groupBy(term) over the corpus (target counts ride
+    * along as a conditional sum — no second pass), scalar totals
+    * broadcast, the term→ratio table joined back reusing the term
+    * aggregation's partitioning, one groupBy(doc_id) with map-side
+    * partials. The vocabulary shuffles; documents never do.
+    */
+  def importanceScored(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val tokRel = docs.select(col("doc_id"), isTarget.as("is_t"),
+      explode(tokens(col("text"))).as("term"))
+    val stats = tokRel.groupBy(col("term")).agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = tokRel.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_tar"))
+    val ratio =
+      ((col("ct") + lit(1L)).cast(DoubleType) * col("n_all").cast(DoubleType)) /
+        ((col("cs") + lit(1L)).cast(DoubleType) * col("n_tar").cast(DoubleType))
+    val rq = stats.crossJoin(broadcast(tot))
+      .select(col("term"),
+        floor(ratio * lit(1000000.0)).cast(LongType).as("rq"))
+    tokRel.join(rq, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rq")).as("imp_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("imp_sum"),
+        (col("imp_sum").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * lit(1000000.0)))
+          .as("importance"))
+  }
+
+  /** Gated form: target slice = the `$TargetLang` documents. */
+  def cpImportance(s: SparkSession, d: String): DataFrame =
+    importanceScored(documents(s, d), col("lang") === TargetLang)
+      .orderBy(col("doc_id"))
+
+  val cpImportanceSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = '$TargetLang' AS is_t,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |stats AS (
+       |  SELECT term, COUNT(*) AS cs,
+       |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+       |  FROM toks GROUP BY term),
+       |tot AS (
+       |  SELECT COUNT(*) AS n_all,
+       |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tar
+       |  FROM toks),
+       |rq AS (
+       |  SELECT term,
+       |    CAST(FLOOR(
+       |      (CAST(ct + 1 AS DOUBLE) * CAST(n_all AS DOUBLE)) /
+       |        (CAST(cs + 1 AS DOUBLE) * CAST(n_tar AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS rq
+       |  FROM stats CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(rq) AS BIGINT) AS imp_sum,
+       |  CAST(CAST(SUM(rq) AS BIGINT) AS DOUBLE) /
+       |    (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS importance
+       |FROM toks JOIN rq USING (term)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cp_mixture — domain-mixture reweighting.
   // ---------------------------------------------------------------------
 
@@ -332,6 +420,7 @@ object CorpusOps {
     "cp_shuffle"      -> cpShuffle _,
     "cp_mixture"      -> cpMixture _,
     "cp_token_budget" -> cpTokenBudget _,
+    "cp_importance"   -> cpImportance _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +429,6 @@ object CorpusOps {
     "cp_shuffle"      -> cpShuffleSql,
     "cp_mixture"      -> cpMixtureSql,
     "cp_token_budget" -> cpTokenBudgetSql,
+    "cp_importance"   -> cpImportanceSql,
   )
 }

@@ -174,6 +174,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(CorpusOps.tokenBudget(oneT, lit(0L)).count() === 0)
   }
 
+  test("cp_importance: target-vocabulary docs outrank foreign-vocabulary docs; mixed sits between") {
+    import spark.implicits._
+    // target docs speak vocabulary A, foreign docs vocabulary B, one
+    // doc mixes both — the importance ratio must order them A > mix > B
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma", true),
+      (3L, "zeta eta theta zeta eta", false),
+      (4L, "theta eta zeta theta", false),
+      (5L, "alpha beta zeta eta", false)) // mixed, outside the target
+      .toDF("doc_id", "text", "is_t")
+    val scores = CorpusOps.importanceScored(docs, col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores.size == 5)
+    val aDocs = Seq(1L, 2L).map(scores)
+    val bDocs = Seq(3L, 4L).map(scores)
+    val mixed = scores(5L)
+    assert(aDocs.min > mixed, s"target docs must outrank mixed: $scores")
+    assert(mixed > bDocs.max, s"mixed must outrank foreign docs: $scores")
+    // exact-integer path: imp_sum is a sum of floor-quantized ratios
+    val rows = CorpusOps.importanceScored(docs, col("is_t")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / (r.getLong(1) * 1000000.0)) == 0.0)
+    }
+  }
+
   test("upsert sequences are order-insensitive per batch split: fold of upserts == one latest-by-key") {
     import spark.implicits._
     import graft.sources.Storage
