@@ -240,6 +240,17 @@ object Corpus {
     graft.operators.CorpusOps.tokenBudget(
       df, org.apache.spark.sql.functions.lit(budgetTokens), id, text)
 
+  /** DSIR-style importance score of every `(doc_id, text)` row against
+    * the target slice selected by `isTarget` (a boolean Column over the
+    * frame) — `(doc_id, n_tokens, imp_sum, importance)`, higher =
+    * more target-like. Exact-integer aggregation; the vocabulary
+    * shuffles, documents never do. Delegates to
+    * [[graft.operators.CorpusOps.importanceScored]]; select with
+    * [[tokenBudget]] for "the most target-like N tokens".
+    */
+  def importanceScored(df: DataFrame, isTarget: Column): DataFrame =
+    graft.operators.CorpusOps.importanceScored(df, isTarget)
+
   /** Domain-mixture downsampling: keep each row with its domain's
     * probability from `rates` (md5-threshold — deterministic per id,
     * exact in expectation). Domains absent from `rates` keep
@@ -351,6 +362,8 @@ object Corpus {
       def semanticDupClusters(): DataFrame = Corpus.semanticDupClusters(df)
       def knnJoin(k: Int = graft.operators.Similarity.KnnK): DataFrame =
         Corpus.knnJoin(df, k = k)
+      def importanceScored(isTarget: Column): DataFrame =
+        Corpus.importanceScored(df, isTarget)
     }
   }
 }

@@ -223,6 +223,17 @@ class CorpusSpec extends SparkTestBase {
     assert(api.nonEmpty)
   }
 
+  test("importance facade equals the gated cp_importance on the test corpus") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val api = Corpus.importanceScored(docs, col("lang") === "en")
+      .collect().map(key).toMap
+    val gated = graft.operators.CorpusOps.cpImportance(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated && api.nonEmpty)
+  }
+
   test("latest-by-key facade compacts a changelog to its per-key maxima") {
     val events = Events.latestByKey(
       Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 20L, 99L, "c"),
