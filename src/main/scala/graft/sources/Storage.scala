@@ -134,6 +134,58 @@ final class Storage(spark: SparkSession, warehouse: String) {
       overwrite)
   }
 
+  /** put with Z-ORDER clustering on two numeric columns: each column is
+    * min/max-normalized to 16 bits and the bits interleaved into a
+    * Morton key; range-partitioning + in-file sorting on that key makes
+    * every file cover a compact hyper-rectangle in (col1, col2) space,
+    * so parquet min/max stats skip files for predicates on EITHER
+    * column — the multi-dimensional layout [[putClustered]]'s
+    * single-key range clustering can't give (it skips on its leading
+    * key only). The standard lakehouse answer to "this 100 TB table is
+    * filtered by two different keys on different queries".
+    *
+    * The normalization bounds come from one tiny (4-value) aggregate
+    * broadcast into the write — computed distributed, never collected.
+    * Constant columns normalize to bucket 0 (degenerate but harmless).
+    * The Morton key is pure bit arithmetic on Catalyst built-ins —
+    * codegen'd, no UDF.
+    */
+  def putZOrdered(name: String, df: DataFrame, col1: String, col2: String,
+      numFiles: Int, overwrite: Boolean = false): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    import org.apache.spark.sql.functions._
+    val stats = df.agg(
+      min(col(col1)).cast("double").as("__mn1"),
+      max(col(col1)).cast("double").as("__mx1"),
+      min(col(col2)).cast("double").as("__mn2"),
+      max(col(col2)).cast("double").as("__mx2"))
+    def norm16(c: String, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column) =
+      when(mx > mn,
+        floor((col(c).cast("double") - mn) / (mx - mn) * 65535.0)
+          .cast("long"))
+        .otherwise(0L)
+    def interleave(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      (0 until 16).map { i =>
+        shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)),
+              2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+    val z = interleave(
+      norm16(col1, col("__mn1"), col("__mx1")),
+      norm16(col2, col("__mn2"), col("__mx2")))
+    put(name,
+      df.crossJoin(broadcast(stats))
+        .withColumn("__z", z)
+        .drop("__mn1", "__mx1", "__mn2", "__mx2")
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z"),
+      overwrite)
+  }
+
   /** Rewrite a stored parquet name into files of ~`targetFileBytes`
     * (the small-files compaction every long-lived 100 TB table needs:
     * streaming ingest and fine-grained partitions accrete kilobyte

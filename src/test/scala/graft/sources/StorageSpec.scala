@@ -165,6 +165,42 @@ class StorageSpec extends SparkTestBase {
       df.filter(col("o_orderkey") <= k).count())
   }
 
+  test("putZOrdered clusters BOTH dimensions: every file covers a compact rectangle") {
+    import org.apache.spark.sql.functions._
+    val st = freshStorage()
+    val df = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    st.putZOrdered("o_z", df, "o_custkey", "o_totalprice", numFiles = 8)
+    assert(st.get("o_z").count() == df.count())
+    val g = df.agg(
+      min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+      min("o_totalprice"), max("o_totalprice")).head
+    val (w1, w2) = (g.getDouble(1) - g.getDouble(0), g.getDouble(3) - g.getDouble(2))
+    val covers = st.get("o_z").inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+        min("o_totalprice"), max("o_totalprice")).head
+      ((r.getDouble(1) - r.getDouble(0)) / w1,
+        (r.getDouble(3) - r.getDouble(2)) / w2)
+    }
+    assert(covers.size == 8)
+    // each file's coverage of EITHER dimension is a fraction of the
+    // global range (a random layout covers ~1.0 of both; 1-D clustering
+    // covers ~1/8 of one and ~1.0 of the other)
+    val mean1 = covers.map(_._1).sum / covers.size
+    val mean2 = covers.map(_._2).sum / covers.size
+    assert(mean1 <= 0.7, s"custkey mean coverage $mean1")
+    assert(mean2 <= 0.7, s"totalprice mean coverage $mean2")
+    // and a 1-D clustered layout does NOT skip on the second column
+    st.putClustered("o_c1", df, Seq("o_custkey"), numFiles = 8)
+    val c1Covers2 = st.get("o_c1").inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f).agg(min("o_totalprice"), max("o_totalprice")).head
+      (r.getDouble(1) - r.getDouble(0)) / w2
+    }
+    assert(c1Covers2.sum / c1Covers2.size > mean2,
+      "z-order must beat 1-D clustering on the second dimension")
+  }
+
   test("info reports parallelism and totals") {
     val st = freshStorage()
     st.put("x", Tables.region(spark, sf0001))
