@@ -168,4 +168,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_max"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("the composed QA pipeline keeps its running sum bucket-partitioned") {
+    val p = plan("pipe_qa")
+    // the token-budget stage inside the composition must stay two-phase
+    assert(p.contains("hashpartitioning(__b"),
+      s"pipe_qa's budget cut must exchange on the bucket key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
