@@ -79,6 +79,20 @@ object Corpus {
       .drop("__t")
   }
 
+  /** Incremental exact dedup: rows of `df` whose normalized-text
+    * fingerprint does NOT already appear in `seen` (a previously-kept
+    * corpus) — the batch-over-batch dedup of an accreting pipeline
+    * (yesterday's corpus is `seen`, today's crawl is `df`). One
+    * fingerprint-keyed LEFT ANTI join; only fingerprints shuffle, never
+    * documents meeting documents. Within-batch duplicates survive —
+    * compose with [[exactDeduped]] for full hygiene.
+    */
+  def dedupAgainst(df: DataFrame, seen: DataFrame,
+      text: String = "text", seenText: String = "text"): DataFrame =
+    df.join(
+      seen.select(fingerprintMd5(col(seenText)).as("__seen_fp")).distinct(),
+      fingerprintMd5(col(text)) === col("__seen_fp"), "left_anti")
+
   /** MinHash signatures (`array<bigint>`, 64 rows) in `outCol` for docs
     * with ≥ 3 tokens. Map-side; feed to [[nearDupPairs]] or bucket the
     * band slices yourself.
@@ -364,6 +378,8 @@ object Corpus {
         Corpus.knnJoin(df, k = k)
       def importanceScored(isTarget: Column): DataFrame =
         Corpus.importanceScored(df, isTarget)
+      def dedupAgainst(seen: DataFrame): DataFrame =
+        Corpus.dedupAgainst(df, seen)
     }
   }
 }

@@ -223,6 +223,24 @@ class CorpusSpec extends SparkTestBase {
     assert(api.nonEmpty)
   }
 
+  test("dedupAgainst drops exact re-crawls of a seen corpus, keeps novel docs") {
+    val seen = docs.limit(30)
+    // new batch: 5 exact re-crawls (id-shifted, same text) + 2 novel
+    val recrawls = seen.limit(5)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+    val novel = Seq(
+      (9000001L, "genuinely new content the old corpus never saw"),
+      (9000002L, "another fresh document with novel words"))
+      .toDF("doc_id", "text")
+    val batch = recrawls.unionByName(novel)
+    val kept = Corpus.dedupAgainst(batch, seen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(9000001L, 9000002L))
+    // the original columns survive the anti join untouched
+    assert(Corpus.dedupAgainst(batch, seen).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
   test("importance facade equals the gated cp_importance on the test corpus") {
     import org.apache.spark.sql.functions.col
     def key(r: org.apache.spark.sql.Row) =
