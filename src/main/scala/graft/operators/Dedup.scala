@@ -60,12 +60,17 @@ object Dedup {
     * fixed-width shuffle rows, primitive equality; both engines derive
     * the key with the same md5, so even a collision reproduces
     * identically. Referenced 2-3 times by each consumer (both pair-join
-    * sides + per-doc counts); the self-join sides shuffle identical
-    * subplans on the same key, so ReuseExchange serves the second side
-    * from the first's shuffle files. An explicit .persist() was MEASURED
-    * SLOWER here (cache materialization cost > the one duplicated
-    * aggregate branch it saves, and it blocks exchange reuse) — don't
-    * add one.
+    * sides + per-doc counts), and under AQE each reference RECOMPUTES
+    * (plan-level `ReusedExchange` serves the second self-join side only
+    * with AQE off — verified on the executed plans; AQE's stage reuse
+    * does not canonicalize these branches together). MEASURED at sf0.1:
+    * the recompute costs < 10% end-to-end (AQE on 1.1-1.7 s vs off
+    * 1.0-1.5 s for dd_ngram_jaccard) because the scan+tokenize side is
+    * cheap relative to the pair join, and an explicit .persist() was
+    * MEASURED SLOWER still (cache materialization cost > the duplicated
+    * branches it saves) — don't add one. At 100 TB the knobs, in order:
+    * persist/checkpoint of this relation once the text scan dominates,
+    * or AQE off for this one query to restore exchange reuse.
     */
   private[operators] def shingleRel(s: SparkSession, d: String): DataFrame =
     documents(s, d)
