@@ -191,6 +191,23 @@ object Corpus {
     graft.operators.TextAnalysis.unigramScored(
       df.select(col(id).as("doc_id"), col(text).as("text")))
 
+  /** Per-domain length-tail flags: docs outside their `stratum`'s exact
+    * [p10, p90] length band, marked `short`/`long` — the per-domain
+    * outlier trim of a corpus-QA pass. The fence table (one row per
+    * domain) broadcasts; the corpus never shuffles. Delegates to the
+    * same percentile core as the gated `ta_length_tails`.
+    */
+  def lengthTails(df: DataFrame, lengthCol: String = "n_chars",
+      stratum: String = "source"): DataFrame = {
+    import graft.operators.{Percentiles, TextAnalysis}
+    val fences = Percentiles.exact(df, stratum, lengthCol,
+      Seq(("p10", TextAnalysis.TailLo), ("p90", TextAnalysis.TailHi)))
+    df.join(broadcast(fences), Seq(stratum))
+      .filter(col(lengthCol) < col("p10") || col(lengthCol) > col("p90"))
+      .withColumn("tail",
+        when(col(lengthCol) < col("p10"), "short").otherwise("long"))
+  }
+
   /** PII scrubbing: appends `n_urls`, `n_emails`, `n_ips`,
     * `n_phones` and the scrubbed `redacted` text — sequential
     * redaction (URL → email → IP → phone), each count taken on the
@@ -380,6 +397,7 @@ object Corpus {
         Corpus.importanceScored(df, isTarget)
       def dedupAgainst(seen: DataFrame): DataFrame =
         Corpus.dedupAgainst(df, seen)
+      def lengthTails(): DataFrame = Corpus.lengthTails(df)
     }
   }
 }

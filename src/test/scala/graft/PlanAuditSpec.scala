@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("LSH candidate joins are equi joins, never nested-loop") {
-    Seq("dd_minhash_lsh", "dd_simhash", "dd_apply_lsh").foreach { q =>
+    Seq("dd_minhash_lsh", "dd_simhash", "dd_apply_lsh",
+      "mm_phash_dup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),

@@ -241,6 +241,15 @@ class CorpusSpec extends SparkTestBase {
       Seq("doc_id", "text"))
   }
 
+  test("lengthTails facade flags the same docs as the gated ta_length_tails") {
+    val api = Corpus.lengthTails(docs)
+      .select("doc_id", "tail").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gated = graft.operators.TextAnalysis.taLengthTails(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(api == gated && api.nonEmpty)
+  }
+
   test("importance facade equals the gated cp_importance on the test corpus") {
     import org.apache.spark.sql.functions.col
     def key(r: org.apache.spark.sql.Row) =
