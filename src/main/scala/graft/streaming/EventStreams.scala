@@ -342,6 +342,41 @@ object EventStreams {
       }
   }
 
+  /** Windowed top-k: the 3 most frequent event types per 5-minute
+    * window (count desc, type as tiebreaker) — the batch form of the
+    * per-window heavy-hitters question the streaming
+    * [[DocStreams.windowedHeavyHitters]] answers with a bounded
+    * sketch. Exact here: the per-(window, type) counts partial-
+    * aggregate map-side, and the rank window runs inside each window
+    * partition over ≤ |event types| rows.
+    */
+  def stWindowTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("win_start_s"))
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.events(s, d)
+      .groupBy(
+        (expr(s"ts_ns DIV ${WindowSec * NsPerSec}") * WindowSec)
+          .as("win_start_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("win_start_s"), col("rnk"))
+  }
+
+  val stWindowTopkSql: String =
+    s"""SELECT win_start_s, event_type, n, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT win_start_s, event_type, n,
+       |    ROW_NUMBER() OVER (PARTITION BY win_start_s
+       |      ORDER BY n DESC, event_type) AS rnk
+       |  FROM (SELECT (epoch_ns(ts) // ${WindowSec * NsPerSec}) * $WindowSec AS win_start_s,
+       |          event_type, COUNT(*) AS n
+       |        FROM events GROUP BY 1, 2) c) r
+       |WHERE rnk <= 3
+       |ORDER BY win_start_s, rnk""".stripMargin
+
   /** CDC-style latest-by-key snapshot (batch form): each user's most
     * recent event — max over the (ts, event_id) total order, carried
     * with its payload columns via ONE `max(struct(...))` aggregate
@@ -484,6 +519,7 @@ object EventStreams {
     "st_sessionize"     -> stSessionize _,
     "st_asof_enrich"    -> stAsofEnrich _,
     "st_latest_by_key"  -> stLatestByKey _,
+    "st_window_topk"    -> stWindowTopk _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +528,6 @@ object EventStreams {
     "st_sessionize"     -> stSessionizeSql,
     "st_asof_enrich"    -> stAsofEnrichSql,
     "st_latest_by_key"  -> stLatestByKeySql,
+    "st_window_topk"    -> stWindowTopkSql,
   )
 }
