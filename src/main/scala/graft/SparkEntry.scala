@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, HeavyHitters, MapReduceQueries, Multimodal, Pii, Pipeline, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, EventAnalytics, HeavyHitters, MapReduceQueries, Multimodal, Pii, Pipeline, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,20 +24,22 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Relational4.queries ++
+      Relational4.queries ++ Relational5.queries ++
       MapReduceQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Dedup2.queries ++ Similarity.queries ++ EventStreams.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Pipeline.queries ++
-      CorpusOps.queries ++ Pii.queries ++ HeavyHitters.queries
+      CorpusOps.queries ++ Pii.queries ++ HeavyHitters.queries ++
+      EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-      Relational4.oracles ++
+      Relational4.oracles ++ Relational5.oracles ++
       MapReduceQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Dedup2.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ Pipeline.oracles ++
-      CorpusOps.oracles ++ Pii.oracles ++ HeavyHitters.oracles
+      CorpusOps.oracles ++ Pii.oracles ++ HeavyHitters.oracles ++
+      EventAnalytics.oracles
 }

@@ -83,8 +83,26 @@ package object functions {
   def dsumProd(a: Column, b: Column): Column =
     limbSum(unscaledOf(dec(a)) * unscaledOf(dec(b)), 12)
 
+  /** Scale-parameterized variants, for moment sums whose scale-6
+    * products would overflow a long per row: `l_extendedprice²` has
+    * unscaled magnitude 1e22 at scale 12 but 1e16 at scale 6 (scale-3
+    * inputs). Rounding the input doubles to scale `s` is itself exact
+    * cross-engine (both round the same double to the same decimal), so
+    * moments over the rounded values hash-match by construction.
+    */
+  def decN(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+  def dsumN(c: Column, scale: Int): Column =
+    limbSum(unscaledOf(decN(c, scale)), scale)
+  def dsumProdN(a: Column, b: Column, scale: Int): Column =
+    limbSum(unscaledOf(decN(a, scale)) * unscaledOf(decN(b, scale)), 2 * scale)
+
   /** SQL fragment mirrors, used when composing oracle SQL strings. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(18,6))"
+  def decNSql(e: String, scale: Int): String = s"CAST($e AS DECIMAL(18,$scale))"
+  def dsumNSql(e: String, scale: Int): String =
+    s"CAST(SUM(${decNSql(e, scale)}) AS DOUBLE)"
+  def dsumProdNSql(a: String, b: String, scale: Int): String =
+    s"CAST(CAST(SUM(${decNSql(a, scale)} * ${decNSql(b, scale)}) AS VARCHAR) AS DOUBLE)"
   def dsumSql(e: String): String = s"CAST(SUM(${decSql(e)}) AS DOUBLE)"
   def davgSql(e: String): String = s"(CAST(SUM(${decSql(e)}) AS DOUBLE) / COUNT(*))"
   def dsumProdSql(a: String, b: String): String =

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.events
+
+/** Behavioral event analytics: ordered funnels and cohort retention.
+  *
+  * The reference has no multi-event analysis at all (its two jobs are
+  * per-record map + per-key reduce, SURVEY.md §2d); these are the two
+  * canonical large-scale event-warehouse queries a Spark engine is
+  * expected to answer over a 100 TB click stream.
+  *
+  * Both operators shuffle ONCE on `user_id` and keep every per-user
+  * computation inside that partition (window functions / partial
+  * aggregation), so the plan scales with the number of users, not with
+  * any cross-user product. The final stage aggregates a per-user row —
+  * orders of magnitude smaller than the input — onto a tiny result.
+  */
+object EventAnalytics {
+
+  /** Conversion horizon: the whole funnel must complete within this many
+    * microseconds of the user's FIRST view (the anchor event).
+    */
+  val FunnelHorizonUs: Long = 24L * 3600 * 1000000
+
+  /** Ordered 3-stage funnel view → click → purchase.
+    *
+    * Chained running-window minima implement the ORDER constraint
+    * declaratively (no per-user collect, no UDAF):
+    *   - `s1` = running min of view timestamps — constant once set (rows
+    *     arrive in ts order, so the min is the user's first view);
+    *   - `s2` = running min of clicks that already saw `s1` set and fall
+    *     inside the horizon — the first QUALIFIED click;
+    *   - a purchase converts if `s2` is set at its row and it lands
+    *     inside the horizon.
+    * Because the window order is (ts, event_id), "s1/s2 IS NOT NULL at
+    * this row" literally means "the prior stage happened before this
+    * event" — no timestamp comparison between stages is needed beyond
+    * the horizon bound.
+    *
+    * One shuffle: both windows and the per-user aggregate share the
+    * `user_id` hash partitioning (the groupBy reuses the windows'
+    * Exchange). Output: funnel_depth (0-3) → n_users.
+    */
+  def evFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+      .withColumn("s1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("s1").isNotNull &&
+          col("ts_us") <= col("s1") + FunnelHorizonUs, col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(
+        when(col("event_type") === "purchase" && col("s2").isNotNull &&
+          col("ts_us") <= col("s1") + FunnelHorizonUs, 3)
+          .when(col("s2").isNotNull, 2)
+          .when(col("s1").isNotNull, 1)
+          .otherwise(0)).as("funnel_depth"))
+      .groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_depth"))
+  }
+
+  val evFunnelSql: String =
+    s"""WITH l1 AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+       |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+       |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+       |  FROM events),
+       |l2 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'click' AND s1 IS NOT NULL
+       |                      AND ts_us <= s1 + $FunnelHorizonUs THEN ts_us END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+       |  FROM l1),
+       |per_user AS (
+       |  SELECT user_id, MAX(CASE
+       |    WHEN event_type = 'purchase' AND s2 IS NOT NULL
+       |      AND ts_us <= s1 + $FunnelHorizonUs THEN 3
+       |    WHEN s2 IS NOT NULL THEN 2
+       |    WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_depth
+       |  FROM l2 GROUP BY user_id)
+       |SELECT funnel_depth, COUNT(*) AS n_users
+       |FROM per_user GROUP BY funnel_depth ORDER BY funnel_depth""".stripMargin
+
+  private val UsPerDay = 86400L * 1000000
+
+  /** Daily cohort retention: users grouped by their first-activity day,
+    * counted on each later day they were active. The classic triangle
+    * behind every retention curve.
+    *
+    * Plan: window min on `user_id` (first shuffle) → distinct
+    * (cohort_day, offset, user) — its Exchange is the only other
+    * shuffle, and AQE coalesces it: the distinct input is one row per
+    * (user, active day), already a huge reduction from raw events done
+    * map-side by the partial aggregate.
+    */
+  def evRetention(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV $UsPerDay").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val evRetentionSql: String =
+    s"""WITH days AS (
+       |  SELECT user_id, epoch_us(ts) // $UsPerDay AS day,
+       |    MIN(epoch_us(ts) // $UsPerDay)
+       |      OVER (PARTITION BY user_id) AS cohort_day
+       |  FROM events),
+       |act AS (SELECT DISTINCT cohort_day, day - cohort_day AS day_offset,
+       |               user_id FROM days)
+       |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+       |FROM act GROUP BY cohort_day, day_offset
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel"    -> evFunnel _,
+    "ev_retention" -> evRetention _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_funnel"    -> evFunnelSql,
+    "ev_retention" -> evRetentionSql,
+  )
+}
