@@ -256,6 +256,71 @@ object Dedup2 {
        |  WHERE ${Dedup.estJaccardSql} >= $ClusterThreshold),
        |${componentsTailSql("doc_id")}""".stripMargin
 
+  /** Canonical-document selection: for each duplicate cluster, KEEP the
+    * highest-quality member (ties broken by min doc_id) instead of the
+    * arbitrary min-id — the policy production dedups actually want
+    * ("of the k copies, keep the cleanest"), composed from
+    * [[ddCluster]]'s components and [[TextAnalysis.qualityScore]].
+    *
+    * The quality score is deterministic IEEE math over integer token
+    * counts, so both engines rank identically. `max(struct(q, -id))`
+    * is the order-free argmax (lexicographic struct max ⇒ max quality,
+    * then min id) — one partial-aggregated shuffle on the component id,
+    * no window sort. Output: one row per cluster with the kept doc and
+    * what it beat.
+    */
+  def ddCanonical(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.tokens(col("text"))
+    val quality = documents(s, d).select(col("doc_id"),
+      when(size(toks) > 0, TextAnalysis.qualityScore(toks))
+        .otherwise(lit(0.0)).as("q"))
+    ddCluster(s, d)
+      .join(quality, "doc_id")
+      .groupBy(col("comp"))
+      .agg(
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("comp"), (-col("best.nid")).as("keep_doc_id"),
+        col("best.q").as("keep_quality"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("comp"))
+  }
+
+  /** DuckDB mirror: same component fixpoint as [[ddClusterSql]], then
+    * the same lexicographic struct argmax (DuckDB orders ROWs
+    * field-by-field like Spark orders structs).
+    */
+  val ddCanonicalSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtesSql},
+       |edges AS (SELECT a_id, b_id FROM pj WHERE jaccard >= $ClusterThreshold),
+       |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |        UNION ALL SELECT b_id, a_id FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM und),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.src AS id, reach.r
+       |  FROM reach JOIN und u ON u.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |quality AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len($toksSql) > 0
+       |         THEN ${TextAnalysis.qualityScoreSql(toksSql)}
+       |         ELSE 0.0 END AS q
+       |  FROM documents),
+       |best AS (
+       |  SELECT comp, MAX({'q': q, 'nid': -doc_id}) AS b,
+       |    COUNT(*) AS cluster_size
+       |  FROM comp JOIN quality ON quality.doc_id = comp.id
+       |  GROUP BY comp)
+       |SELECT comp, -(b.nid) AS keep_doc_id, b.q AS keep_quality,
+       |  cluster_size, cluster_size - 1 AS n_dropped
+       |FROM best
+       |ORDER BY comp""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Semantic dedup (SemDeDup, Abbas et al.): duplicate clusters in
   // EMBEDDING space — connected components over cosine-similarity
@@ -373,6 +438,7 @@ object Dedup2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_spans"        -> ddSpans _,
     "dd_cluster"      -> ddCluster _,
+    "dd_canonical"    -> ddCanonical _,
     "dd_cluster_lsh"  -> ddClusterLsh _,
     "dd_semantic"     -> ddSemantic _,
     "dd_semantic_lsh" -> ddSemanticLsh _,
@@ -381,6 +447,7 @@ object Dedup2 {
   val oracles: Map[String, String] = Map(
     "dd_spans"        -> ddSpansSql,
     "dd_cluster"      -> ddClusterSql,
+    "dd_canonical"    -> ddCanonicalSql,
     "dd_cluster_lsh"  -> ddClusterLshSql,
     "dd_semantic"     -> ddSemanticSql,
     "dd_semantic_lsh" -> ddSemanticLshSql,
