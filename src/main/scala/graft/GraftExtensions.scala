@@ -41,7 +41,9 @@ object GraftExtensions {
     ("word_shingle_hashes_3", 1, exprs => WordShingleHashesExpr(exprs.head, 3)),
     ("hyperplane_buckets", 1, exprs => HyperplaneBuckets(exprs.head)),
     ("dot_f", 2, exprs => DotProductF(exprs(0), exprs(1))),
+    ("dot_fd", 2, exprs => DotProductFD(exprs(0), exprs(1))),
     ("l2norm_f", 1, exprs => L2NormF(exprs.head)),
+    ("l2norm_d", 1, exprs => L2NormD(exprs.head)),
     ("absmax_f", 1, exprs => AbsMaxF(exprs.head)),
     ("quantize_i8", 1, exprs => QuantizeI8F(exprs.head)),
     ("repetition_stats", 1, exprs => RepetitionStatsExpr(exprs.head)),

@@ -205,12 +205,98 @@ object QuantizeI8F {
   }
 }
 
+/** Mixed-precision dot: `array<float>` corpus vector × `array<double>`
+  * derived vector (a k-means centroid, a PCA direction). Same
+  * left-to-right double fold as [[DotProductF]] — each float promotes
+  * exactly to double, so the result equals the all-double HOF fold
+  * bit-for-bit.
+  */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_fd requires (array<float>, array<double>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(DotProductFD.dot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProductFD.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_fd"
+}
+
+object DotProductFD {
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** L2 norm of an `array<double>` column — the double-array counterpart
+  * of [[L2NormF]], same fold order.
+  */
+case class L2NormD(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2norm_d requires an array<double> argument, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Double.valueOf(L2NormD.norm(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.L2NormD.norm($a);")
+
+  override protected def withNewChildInternal(c: Expression): L2NormD = copy(c)
+  override def prettyName: String = "l2norm_d"
+}
+
+object L2NormD {
+  def norm(x: ArrayData): Double = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+}
+
 object VectorExpressions {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotFD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductFD(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2NormF(c: Column): Column =
     ColumnBridge.column(L2NormF(ColumnBridge.expression(c)))
+  def l2NormD(c: Column): Column =
+    ColumnBridge.column(L2NormD(ColumnBridge.expression(c)))
   def absMaxF(c: Column): Column =
     ColumnBridge.column(AbsMaxF(ColumnBridge.expression(c)))
   def quantizeI8F(c: Column): Column =

@@ -96,6 +96,25 @@ package object functions {
   def dsumProdN(a: Column, b: Column, scale: Int): Column =
     limbSum(unscaledOf(decN(a, scale)) * unscaledOf(decN(b, scale)), 2 * scale)
 
+  /** FLOOR-quantized exact sum, for scales where the decimal-CAST path
+    * diverges between engines: Spark's double→decimal cast rounds the
+    * SHORTEST decimal representation (`BigDecimal.valueOf`) while
+    * DuckDB quantizes the exact binary value — indistinguishable at
+    * scale ≤ 6 (flip probability ~ulp/10⁻⁶ ≈ 0), but at scale 12 a few
+    * per 10⁵ values land on the other side of a half-grid boundary.
+    * `floor(x·10^scale)` is two IEEE ops both engines perform
+    * identically, so the quantized units — and their exact limb sum —
+    * match bit-for-bit at ANY scale. The result is the correctly-
+    * rounded double of `Σfloor(x·10^s) / 10^s`; the SQL mirror
+    * ([[fsumNSql]]) matches it while the integer sum stays below 2^53
+    * (exact int→double, then one division by the exactly-representable
+    * 10^s) — at larger group sums give the oracle the VARCHAR detour.
+    */
+  def fsumN(c: Column, scale: Int): Column = {
+    require(scale <= 18, s"10^$scale overflows the long quantization")
+    limbSum(floor(c * math.pow(10, scale)).cast(LongType), scale)
+  }
+
   /** SQL fragment mirrors, used when composing oracle SQL strings. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(18,6))"
   def decNSql(e: String, scale: Int): String = s"CAST($e AS DECIMAL(18,$scale))"
@@ -103,6 +122,10 @@ package object functions {
     s"CAST(SUM(${decNSql(e, scale)}) AS DOUBLE)"
   def dsumProdNSql(a: String, b: String, scale: Int): String =
     s"CAST(CAST(SUM(${decNSql(a, scale)} * ${decNSql(b, scale)}) AS VARCHAR) AS DOUBLE)"
+  def fsumNSql(e: String, scale: Int): String = {
+    val p = "1" + "0" * scale
+    s"(CAST(SUM(CAST(floor(($e) * $p.0) AS BIGINT)) AS DOUBLE) / $p.0)"
+  }
   def dsumSql(e: String): String = s"CAST(SUM(${decSql(e)}) AS DOUBLE)"
   def davgSql(e: String): String = s"(CAST(SUM(${decSql(e)}) AS DOUBLE) / COUNT(*))"
   def dsumProdSql(a: String, b: String): String =

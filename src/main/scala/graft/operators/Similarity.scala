@@ -483,6 +483,128 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Distributed k-means (Lloyd) — the offline centroid-training pass
+  // behind the IVF index (simIvf's "first-k centroids" are the
+  // deterministic stand-in; THIS is the real thing).
+  // ---------------------------------------------------------------------
+
+  val KmK = 8      // clusters
+  val KmIters = 2  // Lloyd iterations (centroid updates)
+
+  /** One spherical-k-means assignment: each vector to its max-cosine
+    * centroid (ties → lower cell id). Centroids broadcast — the corpus
+    * never shuffles during assignment. Scoring runs in the codegen'd
+    * mixed-precision kernel ([[VectorExpressions.dotFD]]: float corpus
+    * row × double centroid — each float promotes exactly, so the fold
+    * equals the all-double HOF/DuckDB fold bit-for-bit).
+    */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val c = cent.select(col("cell"), col("cv"),
+      VectorExpressions.l2NormD(col("cv")).as("cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cell"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos_c",
+        VectorExpressions.dotFD(col("embedding"), col("cv")) /
+          (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("cos_c"))
+  }
+
+  /** One Lloyd centroid update with ORDER-INSENSITIVE means: per-dim
+    * sums as exact floor-quantized scale-12 limb sums
+    * ([[graft.functions.fsumN]] — a double sum over an arbitrary
+    * partition order would differ from DuckDB's sequential fold in the
+    * last ulp and cascade through later assignments, and at scale 12
+    * even the decimal-CAST rounding diverges between engines), then ONE
+    * division per (cell, dim). posexplode → groupBy(cell, dim) has
+    * map-side partials, so the shuffle carries K×dim rows per
+    * partition, not n×dim. A cell that loses all members simply drops
+    * out (classic Lloyd) — deterministic in both engines.
+    */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((fsumN(col("x").cast(DoubleType), 12) / count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** K-means over the embeddings: [[KmIters]] unrolled Lloyd
+    * iterations from the deterministic first-[[KmK]] seed, final
+    * assignment reported per vector with its cosine to the trained
+    * centroid. Each iteration costs one broadcast assignment pass +
+    * one partial-aggregated (cell, dim) shuffle; nothing quadratic,
+    * nothing driver-side. At 100 TB the training pass runs on a hash
+    * sample (`q38_hash_sample`'s deterministic bucket) and only the
+    * final assignment touches the full corpus — the structure is
+    * identical.
+    */
+  def embKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    var cent = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("cv"))
+    for (_ <- 1 to KmIters)
+      cent = kmUpdate(kmAssign(e, cent))
+    kmAssign(e, cent)
+      .select(col("vec_id"), col("cell"), col("cos_c").as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB mirror: the same [[KmIters]] iterations unrolled as CTEs —
+    * same left-fold cosine, same exact decimal means, same tie-breaks,
+    * so every intermediate double is bit-identical.
+    */
+  val embKmeansSql: String = {
+    val fold = "(acc, x) -> acc + x"
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip($a, $b), pr -> pr[1] * pr[2])), $fold)""".stripMargin
+    def sq(a: String) =
+      s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform($a, x -> x * x)), $fold))""".stripMargin
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, v, nrm, cell, cos_c FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, c.cell,
+         |      ${dot("e.v", "c.cv")} / (e.nrm * ${sq("c.cv")}) AS cos_c
+         |    FROM e CROSS JOIN $cent c) z
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_c DESC, cell) = 1)""".stripMargin
+    def update(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT cell, dim, ${fsumNSql("x", 12)} / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
+         |            unnest(v) AS x FROM $assigned) u
+         |    GROUP BY cell, dim) g
+         |  GROUP BY cell)""".stripMargin
+    val iters = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+      s"${assign(prev, s"a$i")},\n${update(s"a$i", s"cent$i")}"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    ${sq("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |  FROM embeddings),
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
+       |          FROM e WHERE vec_id < $KmK),
+       |$iters,
+       |${assign(s"cent$KmIters", "final_a")}
+       |SELECT vec_id, cell, cos_c AS cosine
+       |FROM final_a
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // int8 embedding quantization (the 4× index-shrink pass).
   // ---------------------------------------------------------------------
 
@@ -542,6 +664,7 @@ object Similarity {
     "sim_knn_join"   -> simKnnJoin _,
     "sim_filtered_knn" -> simFilteredKnn _,
     "emb_quantize"   -> embQuantize _,
+    "emb_kmeans"     -> embKmeans _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -551,5 +674,6 @@ object Similarity {
     "sim_knn_join"   -> simKnnJoinSql,
     "sim_filtered_knn" -> simFilteredKnnSql,
     "emb_quantize"   -> embQuantizeSql,
+    "emb_kmeans"     -> embKmeansSql,
   )
 }

@@ -103,6 +103,28 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("mixed-precision dot and double norm kernels are bit-identical to the HOF forms") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    // a double-array "centroid" derived from each vector (shifted so it
+    // differs from the float side)
+    val cv = transform(col("embedding"), x => x.cast(DoubleType) * lit(1.5) + lit(0.25))
+    val both = e.select(
+      VectorExpressions.dotFD(col("embedding"), cv).as("nd"),
+      dotProductHof(col("embedding"), cv).as("hd"),
+      VectorExpressions.l2NormD(cv).as("nn"),
+      sqrt(aggregate(cv, lit(0.0), (a, x) => a + x * x)).as("hn"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot_fd != HOF")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "l2norm_d != HOF")
+    }
+  }
+
   test("repetition stats expression matches the explode/groupBy formulation") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf0001)

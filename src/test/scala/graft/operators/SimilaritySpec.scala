@@ -94,4 +94,44 @@ class SimilaritySpec extends SparkTestBase {
     // every returned neighbor must be a genuine vector id
     assert(ann.collect().forall(r => r.getLong(2) >= 0 && r.getLong(2) < total))
   }
+
+  test("k-means assigns every vector once and improves on the seed centroids") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+    val n = e.count()
+    val rows = Similarity.embKmeans(spark, sf001).collect()
+    assert(rows.length == n, "every vector assigned")
+    assert(rows.map(_.getLong(0)).distinct.length == n, "exactly once")
+    val cells = rows.map(_.getInt(1)).distinct
+    assert(cells.length > 1 && cells.length <= Similarity.KmK,
+      s"${cells.length} cells used")
+    // training objective: mean cosine to the TRAINED centroid beats the
+    // best-seed-centroid assignment (cosine is scale-invariant in the
+    // centroid, so the plain mean IS the spherical k-means update and
+    // Lloyd's objective is non-decreasing; quantization perturbs by
+    // ~1e-12, far below the improvement scale)
+    val seeds = e.filter(col("vec_id") < Similarity.KmK)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        graft.functions.VectorExpressions.l2NormF(col("embedding")).as("cn"))
+    val seedBest = e
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        (graft.functions.VectorExpressions.dotF(col("embedding"), col("cv")) /
+          (col("nrm") * col("cn"))).as("c"))
+      .groupBy("vec_id").agg(max(col("c")).as("best"))
+      .agg(avg(col("best"))).collect()(0).getDouble(0)
+    val trained = rows.map(_.getDouble(2)).sum / n
+    assert(trained >= seedBest - 1e-9,
+      s"trained objective $trained < seed objective $seedBest")
+  }
+
+  test("k-means is deterministic across runs") {
+    val a = Similarity.embKmeans(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val b = Similarity.embKmeans(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
 }
