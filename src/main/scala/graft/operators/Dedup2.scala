@@ -139,12 +139,31 @@ object Dedup2 {
     *         component).
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
-    var comp = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // half-round head start: comp₀(v) = min(v, direct neighbors) — a
+    // plain groupBy on the edge list (no join), which already CONVERGES
+    // near-cliques (the shape near-dup components have), so the loop
+    // below usually runs one verification round instead of two
+    // propagation rounds.
+    var comp = und.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: `next` takes a min over
+    // a set CONTAINING each vertex's old label, so labels never
+    // increase, and Σcomp is strictly decreasing until fixpoint —
+    // equal sums ⇔ no vertex moved. One scalar aggregate per round
+    // instead of a self-join + isEmpty job. DECIMAL(38,0) keeps the
+    // sum exact out to ~10²⁶ (id 10¹³ × 10¹³ vertices) — overflow
+    // would only risk a false a==b, and only the CHECK is decimal;
+    // per-row label math stays long.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(comp)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -153,10 +172,9 @@ object Dedup2 {
       val next = comp.union(viaNbr)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(comp.as("c"), col("n.id") === col("c.id"))
-        .filter(col("n.comp") =!= col("c.comp"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       comp = next
       rounds += 1
     }
@@ -174,10 +192,16 @@ object Dedup2 {
     * comes from [[Dedup.nearDupCandidates]] (banded LSH) instead of
     * the exact quadratic join — the clustering is source-agnostic.
     */
-  def ddCluster(s: SparkSession, d: String): DataFrame =
-    clusterize(Dedup.jaccardPairsAll(s, d)
+  /** The exact-Jaccard edge list at ≥ [[ClusterThreshold]], shared by
+    * [[ddCluster]] and [[ddCanonical]].
+    */
+  private def ddCluster_edges(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsAll(s, d)
       .filter(col("jaccard") >= ClusterThreshold)
-      .select(col("a_id"), col("b_id")))
+      .select(col("a_id"), col("b_id"))
+
+  def ddCluster(s: SparkSession, d: String): DataFrame =
+    clusterize(ddCluster_edges(s, d))
 
   /** Duplicate clusters, SCALE-PATH form: the same clustering as
     * [[ddCluster]] but with edges from the banded-LSH signature
@@ -274,7 +298,11 @@ object Dedup2 {
     val quality = documents(s, d).select(col("doc_id"),
       when(size(toks) > 0, TextAnalysis.qualityScore(toks))
         .otherwise(lit(0.0)).as("q"))
-    ddCluster(s, d)
+    // components directly — not via ddCluster/clusterize, whose
+    // size-join and presentation sort this groupBy would just throw
+    // away (cluster_size falls out of the count here)
+    connectedComponents(ddCluster_edges(s, d))
+      .select(col("id").as("doc_id"), col("comp"))
       .join(quality, "doc_id")
       .groupBy(col("comp"))
       .agg(
