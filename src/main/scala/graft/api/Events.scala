@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, EventAnalytics}
 import graft.streaming.{DocStreams, EventStreams}
 
 /** DataFrame/Dataset-first event-stream API: the engine's temporal
@@ -94,4 +94,23 @@ object Events {
   def latestByKeyStream(events: Dataset[EventStreams.Event])
       : Dataset[EventStreams.LatestOut] =
     EventStreams.latestByKeyStream(events)
+
+  /** Per-user ordered-funnel depth over an arbitrary stage list
+    * (chained running-window minima; the whole funnel must complete
+    * within `horizonUs` of the user's first anchor event). Input needs
+    * (user_id, event_type, ts_us, event_id); one shuffle on user_id —
+    * [[graft.operators.EventAnalytics.funnelDepths]]. The gated 3-stage
+    * histogram is `ev_funnel`.
+    */
+  def funnelDepths(events: DataFrame, stages: Seq[String],
+      horizonUs: Long = EventAnalytics.FunnelHorizonUs): DataFrame =
+    EventAnalytics.funnelDepths(events, stages, horizonUs)
+
+  /** Cohort-retention triangle over `(user_id, day)` rows: users
+    * grouped by first-activity day, counted on each later active day —
+    * [[graft.operators.EventAnalytics.retentionTriangle]]. The gated
+    * form is `ev_retention`.
+    */
+  def retentionTriangle(events: DataFrame): DataFrame =
+    EventAnalytics.retentionTriangle(events)
 }

@@ -26,48 +26,64 @@ object EventAnalytics {
     */
   val FunnelHorizonUs: Long = 24L * 3600 * 1000000
 
-  /** Ordered 3-stage funnel view → click → purchase.
+  /** Per-user funnel depth over an ARBITRARY ordered stage list — the
+    * frame-parametric core behind [[evFunnel]] and
+    * `graft.api.Events.funnelDepths`.
     *
     * Chained running-window minima implement the ORDER constraint
-    * declaratively (no per-user collect, no UDAF):
-    *   - `s1` = running min of view timestamps — constant once set (rows
-    *     arrive in ts order, so the min is the user's first view);
-    *   - `s2` = running min of clicks that already saw `s1` set and fall
-    *     inside the horizon — the first QUALIFIED click;
-    *   - a purchase converts if `s2` is set at its row and it lands
-    *     inside the horizon.
-    * Because the window order is (ts, event_id), "s1/s2 IS NOT NULL at
-    * this row" literally means "the prior stage happened before this
-    * event" — no timestamp comparison between stages is needed beyond
-    * the horizon bound.
+    * declaratively (no per-user collect, no UDAF, no k-way self-join):
+    *   - `s0` = running min of stage-0 timestamps — constant once set
+    *     (rows arrive in ts order, so it IS the user's first anchor
+    *     event);
+    *   - `sᵢ` = running min of stage-i events that already saw `sᵢ₋₁`
+    *     set and fall inside the horizon — the first QUALIFIED stage-i
+    *     event;
+    *   - the last stage needs no window of its own: the per-user
+    *     aggregate checks its condition row-locally.
+    * Because the window order is (ts, event_id), "sᵢ IS NOT NULL at
+    * this row" literally means "stage i happened before this event" —
+    * no timestamp comparison between stages beyond the horizon bound.
     *
-    * One shuffle: both windows and the per-user aggregate share the
-    * `user_id` hash partitioning (the groupBy reuses the windows'
-    * Exchange). Output: funnel_depth (0-3) → n_users.
+    * One shuffle: every window and the per-user aggregate share the
+    * `user_id` hash partitioning. Input needs (user_id, event_type,
+    * ts_us, event_id). Output: one row per user with `funnel_depth`
+    * (0..stages.length).
     */
-  def evFunnel(s: SparkSession, d: String): DataFrame = {
+  def funnelDepths(ev: DataFrame, stages: Seq[String],
+      horizonUs: Long = FunnelHorizonUs): DataFrame = {
+    require(stages.length >= 2, "a funnel needs at least two stages")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts_ns DIV 1000").as("ts_us"))
-      .withColumn("s1",
-        min(when(col("event_type") === "view", col("ts_us"))).over(w))
-      .withColumn("s2",
-        min(when(col("event_type") === "click" && col("s1").isNotNull &&
-          col("ts_us") <= col("s1") + FunnelHorizonUs, col("ts_us"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(max(
-        when(col("event_type") === "purchase" && col("s2").isNotNull &&
-          col("ts_us") <= col("s1") + FunnelHorizonUs, 3)
-          .when(col("s2").isNotNull, 2)
-          .when(col("s1").isNotNull, 1)
-          .otherwise(0)).as("funnel_depth"))
+    val k = stages.length
+    var df = ev.withColumn("s0",
+      min(when(col("event_type") === stages.head, col("ts_us"))).over(w))
+    for (i <- 1 until k - 1)
+      df = df.withColumn(s"s$i",
+        min(when(col("event_type") === stages(i) &&
+          col(s"s${i - 1}").isNotNull &&
+          col("ts_us") <= col("s0") + horizonUs, col("ts_us"))).over(w))
+    val depth = {
+      var c = when(col("event_type") === stages.last &&
+        col(s"s${k - 2}").isNotNull &&
+        col("ts_us") <= col("s0") + horizonUs, k)
+      for (i <- k - 2 to 1 by -1) c = c.when(col(s"s$i").isNotNull, i + 1)
+      c.when(col("s0").isNotNull, 1).otherwise(0)
+    }
+    df.groupBy(col("user_id")).agg(max(depth).as("funnel_depth"))
+  }
+
+  /** Gated 3-stage funnel view → click → purchase: depth histogram of
+    * [[funnelDepths]] over the events table.
+    */
+  def evFunnel(s: SparkSession, d: String): DataFrame =
+    funnelDepths(
+      events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts_ns DIV 1000").as("ts_us")),
+      Seq("view", "click", "purchase"))
       .groupBy(col("funnel_depth"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("funnel_depth"))
-  }
 
   val evFunnelSql: String =
     s"""WITH l1 AS (
@@ -104,19 +120,25 @@ object EventAnalytics {
     * (user, active day), already a huge reduction from raw events done
     * map-side by the partial aggregate.
     */
-  def evRetention(s: SparkSession, d: String): DataFrame = {
+  /** Frame-parametric retention core over `(user_id, day)` rows —
+    * shared by [[evRetention]] and `graft.api.Events.retentionTriangle`.
+    */
+  def retentionTriangle(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-    events(s, d)
-      .select(col("user_id"),
-        expr(s"(ts_ns DIV 1000) DIV $UsPerDay").as("day"))
+    ev
       .withColumn("cohort_day", min(col("day")).over(byUser))
-      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
-        col("user_id"))
+      .select(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
       .distinct()
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  def evRetention(s: SparkSession, d: String): DataFrame =
+    retentionTriangle(
+      events(s, d).select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV $UsPerDay").as("day")))
+      .orderBy(col("cohort_day"), col("day_offset"))
 
   val evRetentionSql: String =
     s"""WITH days AS (

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Intent tests for the funnel/retention cores on hand-built event
+  * sets — the DuckDB oracle certifies cross-engine equivalence of the
+  * gated queries; these pin the SEMANTICS (ordering, horizon, repeat
+  * visits) against hand-derived answers.
+  */
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val H = 1000L // 1 ms horizon, timestamps in plain integers
+
+  private def depths(rows: Seq[(Long, String, Long)],
+      stages: Seq[String] = Seq("view", "click", "purchase")):
+      Map[Long, Int] =
+    EventAnalytics.funnelDepths(
+      rows.zipWithIndex
+        .map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+        .toDF("user_id", "event_type", "ts_us", "event_id"),
+      stages, H)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("funnel counts only in-order stage sequences") {
+    val d = depths(Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: purchase BEFORE the view/click chain — depth stops at 2
+      (2L, "purchase", 50L), (2L, "view", 100L), (2L, "click", 200L),
+      // user 3: click precedes the first view — only the view counts
+      (3L, "click", 100L), (3L, "view", 200L),
+      // user 4: no funnel events at all
+      (4L, "error", 100L)))
+    assert(d == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
+
+  test("funnel horizon: stages past the anchor window don't convert") {
+    val d = depths(Seq(
+      // click inside the horizon, purchase outside it → depth 2
+      (1L, "view", 0L), (1L, "click", 500L), (1L, "purchase", 5000L),
+      // whole chain inside → depth 3
+      (2L, "view", 0L), (2L, "click", 400L), (2L, "purchase", 900L),
+      // horizon anchors at the FIRST view: a later view does not re-arm
+      (3L, "view", 0L), (3L, "view", 4800L), (3L, "click", 5000L)))
+    assert(d == Map(1L -> 2, 2L -> 3, 3L -> 1))
+  }
+
+  test("funnel generalizes to more stages") {
+    val d = depths(Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L), (1L, "d", 40L),
+      // missing middle stage caps the depth
+      (2L, "a", 10L), (2L, "c", 30L), (2L, "d", 40L)),
+      stages = Seq("a", "b", "c", "d"))
+    assert(d == Map(1L -> 4, 2L -> 1))
+  }
+
+  test("retention triangle counts distinct users per cohort/offset") {
+    val tri = EventAnalytics.retentionTriangle(Seq(
+      // cohort day 10: users 1, 2; user 1 returns day 11 twice (counted
+      // once), user 2 returns day 12
+      (1L, 10L), (1L, 11L), (1L, 11L), (2L, 10L), (2L, 12L),
+      // cohort day 11: user 3 only ever active once
+      (3L, 11L)).toDF("user_id", "day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tri == Map(
+      (10L, 0L) -> 2L, (10L, 1L) -> 1L, (10L, 2L) -> 1L, (11L, 0L) -> 1L))
+  }
+}
