@@ -113,4 +113,16 @@ object Events {
     */
   def retentionTriangle(events: DataFrame): DataFrame =
     EventAnalytics.retentionTriangle(events)
+
+  /** STREAMING funnel: per-user depth emitted exactly when the
+    * watermark proves the conversion window closed (event-time
+    * timeout); state is one anchor + the still-qualifiable stage
+    * events, watermark-bounded. Matches [[funnelDepths]] for every
+    * user whose events the watermark admits —
+    * [[graft.streaming.EventStreams.funnelStream]].
+    */
+  def funnelStream(events: Dataset[EventStreams.EventWithTs],
+      stages: Seq[String], horizonNs: Long)
+      : Dataset[EventStreams.FunnelOut] =
+    EventStreams.funnelStream(events, stages, horizonNs)
 }

@@ -342,6 +342,111 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming conversion funnel — the continuously-maintained twin of
+  // graft.operators.EventAnalytics.funnelDepths.
+  // ---------------------------------------------------------------------
+
+  final case class FunnelEvt(ts_ns: Long, event_id: Long, stage: Int)
+  final case class FunnelState(anchorNs: Long, anchorId: Long,
+      evts: List[FunnelEvt])
+  final case class FunnelOut(user_id: Long, funnel_depth: Int,
+      anchor_ns: Long)
+
+  /** Streaming k-stage funnel with event-time timeout. Per-user state
+    * is ONE anchor (the earliest stage-0 event seen — only the min can
+    * matter) plus the stage≥1 events that could still qualify; a
+    * user's depth emits exactly when the watermark passes
+    * `anchor + horizon`, i.e. when no in-watermark event can change
+    * the answer, so results match the batch
+    * [[graft.operators.EventAnalytics.funnelDepths]] for every user
+    * whose events the watermark admits.
+    *
+    * State is watermark-bounded, not stream-bounded: events above
+    * `anchor + horizon` are dropped on arrival (the anchor only moves
+    * EARLIER, so the qualifying window only moves left), and events
+    * below the anchor — kept because a still-earlier anchor could
+    * newly qualify them — are dropped once the watermark passes them
+    * (no view can precede them anymore). A user with stage events but
+    * no anchor flushes as depth 0 when the watermark clears its last
+    * event + horizon (a later burst would then open a new era and can
+    * emit a second row — batch, which sees all eras at once, reports
+    * their common depth since pre-anchor events never qualify).
+    */
+  def funnelStream(events: Dataset[EventWithTs], stages: Seq[String],
+      horizonNs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(stages.length >= 2, "a funnel needs at least two stages")
+    val stageOf = stages.zipWithIndex.toMap
+    val k = stages.length
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventWithTs],
+            state: GroupState[FunnelState]) =>
+          val none = Long.MaxValue
+          val hadState = state.exists
+          var st = state.getOption.getOrElse(FunnelState(none, none, Nil))
+          if (!state.hasTimedOut) {
+            it.foreach { e =>
+              stageOf.get(e.event_type).foreach { si =>
+                if (si == 0) {
+                  if (e.ts_ns < st.anchorNs ||
+                      (e.ts_ns == st.anchorNs && e.event_id < st.anchorId))
+                    st = st.copy(anchorNs = e.ts_ns, anchorId = e.event_id)
+                } else {
+                  st = st.copy(evts = FunnelEvt(e.ts_ns, e.event_id, si)
+                    :: st.evts)
+                }
+              }
+            }
+          }
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          // prune: above the window — never qualifies (anchors only
+          // move earlier); below the anchor AND behind the watermark —
+          // no earlier anchor can arrive to qualify it
+          val kept = st.evts.filter(e =>
+            (st.anchorNs == none || e.ts_ns <= st.anchorNs + horizonNs) &&
+              !(e.ts_ns < st.anchorNs && e.ts_ns < wmNs))
+          st = st.copy(evts = kept)
+          // the answer is final once the watermark passes the LAST
+          // event time that could still change it
+          val finalAtNs =
+            if (st.anchorNs != none) st.anchorNs + horizonNs
+            else if (kept.nonEmpty) kept.map(_.ts_ns).max + horizonNs
+            else Long.MinValue
+          if (st.anchorNs == none && kept.isEmpty && !hadState) {
+            // brand-new group with only non-stage events: nothing to
+            // track (state.remove() on never-created state is a no-op)
+            state.remove()
+            Iterator.empty
+          } else if (wmNs > finalAtNs) {
+            // flush: sequential replay of the chained-running-min rule
+            val firstQ = Array.fill(k)(none)
+            firstQ(0) = st.anchorNs
+            if (st.anchorNs != none) {
+              st.evts
+                .filter(e => e.ts_ns > st.anchorNs ||
+                  (e.ts_ns == st.anchorNs && e.event_id > st.anchorId))
+                .sortBy(e => (e.ts_ns, e.event_id))
+                .foreach { e =>
+                  if (firstQ(e.stage - 1) != none && firstQ(e.stage) == none)
+                    firstQ(e.stage) = e.ts_ns
+                }
+            }
+            val depth = firstQ.lastIndexWhere(_ != none) + 1
+            state.remove()
+            Iterator.single(FunnelOut(userId, depth,
+              if (st.anchorNs == none) -1L else st.anchorNs))
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(finalAtNs / 1000000L + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Windowed top-k: the 3 most frequent event types per 5-minute
     * window (count desc, type as tiebreaker) — the batch form of the
     * per-window heavy-hitters question the streaming

@@ -467,6 +467,114 @@ class EventStreamsSpec extends SparkTestBase {
       2L -> ((t0, 10L))))
   }
 
+  private def runFunnelStream(dir: java.nio.file.Path, queryName: String,
+      watermark: String = "0 seconds"): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", watermark)
+      .as[EventWithTs]
+    val q = funnelStream(es, Seq("view", "click", "purchase"),
+      60L * 60 * 1000000000L) // 1-hour horizon
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+  }
+
+  test("streaming funnel emits batch-equal depths once the watermark closes each window") {
+    val dir = Files.createTempDirectory("graft-funnel-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // user 1 completes ACROSS micro-batches; user 2's purchase precedes
+    // its view in EVENT time (depth stops at 1 — no click at all);
+    // user 3's click lands outside the 1-hour horizon
+    writeTypedBatch(dir, "001.parquet", Seq(
+      (1L, 1L, t0, "view"), (2L, 1L, t0 + min, "click"),
+      (10L, 2L, t0, "purchase"), (11L, 2L, t0 + min, "view"),
+      (20L, 3L, t0, "view")))
+    writeTypedBatch(dir, "002.parquet", Seq(
+      (3L, 1L, t0 + 2 * min, "purchase"),
+      (21L, 3L, t0 + 70 * min, "click")))
+    // sentinel pushes the watermark past every anchor + horizon
+    writeTypedBatch(dir, "003.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    runFunnelStream(dir, "funnel_out")
+    val got = spark.table("funnel_out").collect()
+      .filter(_.getLong(0) != 999L)
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("streaming funnel handles a late in-watermark anchor that re-qualifies earlier stages") {
+    val dir = Files.createTempDirectory("graft-funnel-late-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // b1: click+purchase arrive FIRST (no anchor yet — without the
+    // below-anchor retention they'd be lost)
+    writeTypedBatch(dir, "001.parquet", Seq(
+      (2L, 1L, t0 + 10 * min, "click"), (3L, 1L, t0 + 20 * min, "purchase")))
+    // b2 (within the 2h watermark): the view that anchors BEFORE them
+    writeTypedBatch(dir, "002.parquet", Seq((1L, 1L, t0, "view")))
+    writeTypedBatch(dir, "003.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    runFunnelStream(dir, "funnel_late_out", watermark = "2 hours")
+    val got = spark.table("funnel_late_out").collect()
+      .filter(_.getLong(0) != 999L)
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3))
+  }
+
+  test("randomized: streaming funnel equals the batch funnel under in-watermark disorder") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(4242)
+    val dir = Files.createTempDirectory("graft-funnel-rand-")
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val types = Array("view", "click", "purchase", "error")
+    val events = (for {
+      u <- 1L to 8L
+      i <- 0 until (10 + rng.nextInt(10))
+    } yield (u * 1000 + i, u, t0 + (rng.nextDouble() * 6 * hour).toLong,
+      types(rng.nextInt(types.length)))).sortBy(_._3)
+    val nBatches = 5
+    val chunks = events.grouped(
+      math.ceil(events.size / nBatches.toDouble).toInt).toArray
+    val batches = Array.fill(chunks.length)(
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]())
+    chunks.zipWithIndex.foreach { case (chunk, bi) =>
+      chunk.foreach { e =>
+        val target = if (bi + 1 < chunks.length && rng.nextDouble() < 0.15)
+          bi + 1 else bi
+        batches(target) += ((e._1, e._2, e._3, e._4))
+      }
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      if (b.nonEmpty) writeTypedBatch(dir, f"r${i}%03d.parquet", b.toSeq)
+    }
+    writeTypedBatch(dir, "zz_sentinel.parquet",
+      Seq((99999L, 999L, t0 + 48 * hour, "view")))
+    runFunnelStream(dir, "funnel_rand_out", watermark = "2 hours")
+    // one emission per user era; the final depth is the max (depth-0
+    // pre-anchor eras can only precede the anchored era)
+    val streamed = spark.table("funnel_rand_out").collect()
+      .filter(_.getLong(0) != 999L)
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getInt(1)).max }
+    val batch = graft.operators.EventAnalytics.funnelDepths(
+      events.toDF("event_id", "user_id", "ts_ns", "event_type")
+        .selectExpr("user_id", "event_type", "ts_ns DIV 1000 AS ts_us",
+          "event_id"),
+      Seq("view", "click", "purchase"), 3600000000L) // same 1h horizon, us
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late data in incremental streaming (two micro-batches)") {
     // feed two files: batch 1 has late-window data only after watermark
     // advances past it in batch 2's processing — append mode emits only
