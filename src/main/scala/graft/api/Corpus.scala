@@ -348,20 +348,30 @@ object Corpus {
     * probing — a shuffle equi-join on the cell key (nothing broadcast;
     * the quadratic pair space is never formed), the all-pairs shape
     * behind embedding-dedup graphs and retrieval training sets.
-    * Centroids default to the `numCells` lowest-id vectors (the
-    * deterministic stand-in for an offline k-means pass); pass a real
-    * centroid frame via [[graft.operators.Similarity.knnJoinWithCentroids]].
-    * Output `(q_id, rank, c_id, cosine)`; approximate by construction
-    * (a true neighbor in an unprobed cell is missed).
+    * Centroids are kmeans-TRAINED (Lloyd from the lowest-id seed) at
+    * `numCells` cells, defaulting (numCells = 0) to the corpus-derived
+    * count `numCellsFor(n)` — one cell per ~TargetCellSize vectors, the
+    * measured scale law keeping cell size constant as the corpus grows;
+    * pass a pre-trained centroid frame via
+    * [[graft.operators.Similarity.knnJoinWithCentroids]] instead to
+    * skip training. Output `(q_id, rank, c_id, cosine)`; approximate by
+    * construction (a true neighbor in an unprobed cell is missed).
     */
   def knnJoin(df: DataFrame, k: Int = graft.operators.Similarity.KnnK,
       id: String = "vec_id", vec: String = "embedding",
-      numCells: Int = graft.operators.Similarity.NumCells): DataFrame = {
+      numCells: Int = 0): DataFrame = {
+    val S = graft.operators.Similarity
     val corpus = df.select(col(id).as("vec_id"), col(vec).as("embedding"))
-    val cent = corpus.orderBy(col("vec_id")).limit(numCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-        graft.functions.VectorExpressions.l2NormF(col("embedding")).as("cnrm"))
-    graft.operators.Similarity.knnJoinWithCentroids(corpus, cent, k)
+    val cells =
+      if (numCells > 0) numCells else S.numCellsFor(corpus.count())
+    // arbitrary-id corpora: seed from the `cells` lowest ids (a
+    // take-ordered of a tiny table), then Lloyd-train
+    val seed = corpus.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").cast("int").as("cell"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("cv"))
+    val cent = S.trainCentroids(corpus, seed).localCheckpoint()
+    S.knnJoinWithCentroids(corpus, cent, k)
   }
 
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */

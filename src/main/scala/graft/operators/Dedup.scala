@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -28,18 +27,31 @@ object Dedup {
     * normalized text (strict) and the first-10-token prefix (catches
     * prefix-duplicated docs). Canonical = lowest doc_id in the group;
     * dedup = keep rows with is_canonical.
+    *
+    * Group stats come from `groupBy(fp).agg(...)` joined back on the
+    * fingerprint, NOT `count/min over (partition by fp)`: a window puts
+    * every copy of a mega-duplicated doc (boilerplate pages repeat
+    * 10⁶-10⁷× in web corpora) into ONE sort partition that AQE cannot
+    * split, while the aggregate's map-side partials absorb the skew
+    * before the exchange and AQE's skew-join handles the join-back.
+    * Result-identical (the oracle still says it as windows).
     */
   def ddExact(s: SparkSession, d: String): DataFrame = {
     val fpFull = fingerprintMd5(col("text"))
     val fpPre = md5(concat_ws(" ", slice(toks, 1, 10)))
-    val wFull = Window.partitionBy(col("fp_full"))
-    val wPre = Window.partitionBy(col("fp_prefix10"))
-    documents(s, d)
+    val base = documents(s, d)
       .select(col("doc_id"), fpFull.as("fp_full"), fpPre.as("fp_prefix10"))
-      .withColumn("full_group_size", count(lit(1)).over(wFull))
-      .withColumn("prefix_group_size", count(lit(1)).over(wPre))
-      .withColumn("is_canonical_prefix",
-        col("doc_id") === min(col("doc_id")).over(wPre))
+    val fullG = base.groupBy(col("fp_full"))
+      .agg(count(lit(1)).as("full_group_size"))
+    val preG = base.groupBy(col("fp_prefix10"))
+      .agg(count(lit(1)).as("prefix_group_size"),
+        min(col("doc_id")).as("pre_min"))
+    base
+      .join(fullG, "fp_full")
+      .join(preG, "fp_prefix10")
+      .select(col("doc_id"), col("fp_full"), col("fp_prefix10"),
+        col("full_group_size"), col("prefix_group_size"),
+        (col("doc_id") === col("pre_min")).as("is_canonical_prefix"))
       .orderBy(col("doc_id"))
   }
 
@@ -163,14 +175,18 @@ object Dedup {
 
   /** Keep the lowest doc_id per 10-token-prefix fingerprint — the
     * exact-dedup stage shared by [[ddApply]] and [[ddApplyLsh]].
+    *
+    * "Keep rows where doc_id == min over the group" IS "emit min(doc_id)
+    * per group", so this is a single partial-aggregated groupBy — no
+    * window (whose unsplittable sort partition a 10⁷-copy boilerplate
+    * group would straggle) and no join-back at all.
     */
   private def prefixCanonical(s: SparkSession, d: String): DataFrame = {
     val fpPre = md5(concat_ws(" ", slice(toks, 1, 10)))
-    val wPre = Window.partitionBy(col("fp"))
     documents(s, d)
       .select(col("doc_id"), fpPre.as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wPre))
-      .filter(col("keep"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
   }
 

@@ -160,9 +160,13 @@ object Dedup2 {
     // sum exact out to ~10²⁶ (id 10¹³ × 10¹³ vertices) — overflow
     // would only risk a false a==b, and only the CHECK is decimal;
     // per-row label math stays long.
+    // sum over ZERO rows is SQL-null (the empty-graph case: no pairs
+    // cleared the threshold) — map it to 0 so the first-round compare
+    // converges instead of NPE-ing
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
+      Option(df.agg(sum(col("comp").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(comp)
     var converged = false
     var rounds = 0

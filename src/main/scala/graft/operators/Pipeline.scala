@@ -136,14 +136,18 @@ object Pipeline {
     * one tiny final aggregate.
     */
   def pipeE2e(s: SparkSession, d: String): DataFrame = {
-    val wFp = Window.partitionBy(col("fp"))
+    // same skew posture as pipeQa: survivor = partial-aggregated
+    // struct-min on the fingerprint (doc_id leads, so min = lowest-id
+    // row with its columns), not an AQE-unsplittable window partition
     val kept = documents(s, d)
       .filter(size(toks) > 0 &&
         TextAnalysis.qualityScore(toks) >= QualityMin)
       .select(col("doc_id"), col("lang"), toks.as("t"),
         md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wFp))
-      .filter(col("keep"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("t"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.t").as("t"))
     kept
       .withColumn("chunk_idx", chunkIdx)
       .select(col("doc_id"), col("lang"),
@@ -280,14 +284,18 @@ object Pipeline {
     val docs = documents(s, d)
     val fences = Percentiles.exact(docs, "source", "n_chars",
       Seq(("p10", TextAnalysis.TailLo), ("p90", TextAnalysis.TailHi)))
-    val wFp = Window.partitionBy(col("fp"))
+    // survivor selection is a partial-aggregated struct-min (doc_id
+    // leads the struct, so lexicographic min = the lowest-id row WITH
+    // its text), not a window over fp: map-side partials collapse a
+    // 10⁷-copy boilerplate group to one row per task before the
+    // exchange, where the window form would sort the whole group in
+    // one AQE-unsplittable partition
     val deduped = docs
       .join(broadcast(fences), Seq("source"))
       .filter(col("n_chars") >= col("p10") && col("n_chars") <= col("p90"))
-      .withColumn("fp", fingerprintMd5(col("text")))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wFp))
-      .filter(col("keep"))
-      .select(col("doc_id"), col("text"))
+      .groupBy(fingerprintMd5(col("text")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
     val budget = deduped.agg(
       floor(lit(QaBudgetFrac) *
         sum(size(tokens(col("text"))).cast("long"))).as("__budget"))

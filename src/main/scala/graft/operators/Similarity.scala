@@ -25,6 +25,28 @@ object Similarity {
   val TopK = 10
   val NumQueryVectors = 5
 
+  // k-means / IVF sizing — declared ahead of the eager oracle-SQL vals
+  // that interpolate them (object init is top-down; a forward val
+  // reference would capture 0).
+  val KmK = 8      // clusters for the gated emb_kmeans query
+  val KmIters = 2  // Lloyd iterations (centroid updates)
+
+  /** Target members per IVF cell. The cell COUNT derives from the
+    * corpus — `numCellsFor(n) = ⌈n / TargetCellSize⌉` — so cell size
+    * stays constant as the corpus grows. This is the measured scale
+    * law (SCALING.md): same-cell candidate work is Σ|cell|², so a
+    * FIXED cell count makes every cell grow with the corpus and the
+    * pair space quadratic again (155× at the 10× probe), while
+    * cells ∝ corpus keeps it linear (6.5×).
+    */
+  val TargetCellSize = 32
+
+  /** Corpus-derived IVF cell count: one cell per ~[[TargetCellSize]]
+    * vectors, floor 2 so probing is never the whole corpus degenerately.
+    */
+  def numCellsFor(n: Long): Int =
+    math.max(2, math.ceil(n.toDouble / TargetCellSize).toInt)
+
   /** Exact top-k neighbors for query vectors (vec_id < 5), excluding
     * self. Output omits raw cosines from the compare-sensitive columns?
     * No — cosine is included: both engines fold the dot product in array
@@ -211,33 +233,36 @@ object Similarity {
   // IVF (inverted-file) ANN — the cell-probing scale path.
   // ---------------------------------------------------------------------
 
-  val NumCells = 16  // centroids
   val NumProbes = 2  // cells probed per query
 
   /** IVF-style approximate top-k: the corpus is partitioned into cells
     * by nearest centroid; a query scores only vectors in its `NumProbes`
-    * nearest cells. Centroids here are the first `NumCells` corpus
-    * vectors — a deterministic stand-in for the offline k-means pass a
-    * production index would run; the STRUCTURE is the scale path: cell
-    * assignment is a map-side broadcast join (16 dot products per
-    * vector), cells are the partition key, and a query touches
-    * NumProbes/NumCells of the corpus instead of all of it.
+    * nearest cells. Centroids are TRAINED — the distributed-Lloyd pass
+    * of [[embKmeans]] run at `numCellsFor(corpus size)` cells — so both
+    * halves of the scale story live in the gated plan: cell assignment
+    * is a map-side broadcast join, cells are the partition key, a query
+    * touches NumProbes/numCells of the corpus, and cell size stays
+    * ~[[TargetCellSize]] as the corpus grows.
     */
-  /** First-NumCells centroid table for the IVF queries — the
-    * deterministic stand-in for an offline k-means pass (see
-    * [[simIvf]]).
+  /** Trained centroid table for the gated IVF queries: corpus-derived
+    * cell count (one `count()` scalar on the driver, like the k-means
+    * seeds), [[KmIters]] Lloyd iterations, then `localCheckpoint` so
+    * the tiny (k × dim) table trains ONCE instead of once per plan
+    * branch (assigned + probes both reference it; at 100 TB the trained
+    * index is persisted offline — this is that materialization).
     */
   private def ivfCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-        VectorExpressions.l2NormF(col("embedding")).as("cnrm"))
+    trainedCentroids(e, numCellsFor(e.count())).localCheckpoint()
 
   /** Nearest-centroid ranking: each vector of `df` scored against every
     * (broadcast) centroid, `crank` = 1 for its home cell, ≤ NumProbes
     * for its probe list. Norms computed once per vector / per centroid,
-    * not once per pair. `carry` columns of `df` ride through untouched
-    * (e.g. a metadata filter key). Shared by [[simIvf]],
-    * [[simKnnJoin]], and [[simFilteredKnn]].
+    * not once per pair. Centroids are `(cell, cv: double[], cnrm)` (the
+    * trained form); scoring runs the mixed-precision codegen'd kernel
+    * ([[VectorExpressions.dotFD]] — each float promotes exactly, so the
+    * fold equals the oracle's all-double fold bit-for-bit). `carry`
+    * columns of `df` ride through untouched (e.g. a metadata filter
+    * key). Shared by [[simIvf]], [[simKnnJoin]], and [[simFilteredKnn]].
     */
   private def cellRanks(df: DataFrame, cent: DataFrame, idCol: String,
       vecCol: String, normCol: String,
@@ -251,7 +276,7 @@ object Similarity {
       .crossJoin(broadcast(cent))
       .select(Seq(col(idCol), col(vecCol), col(normCol)) ++ carried ++ Seq(
         col("cell"),
-        (VectorExpressions.dotF(col(vecCol), col("cv")) /
+        (VectorExpressions.dotFD(col(vecCol), col("cv")) /
           (col(normCol) * col("cnrm"))).as("cos_c")): _*)
       .withColumn("crank", row_number().over(w))
   }
@@ -287,7 +312,7 @@ object Similarity {
        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (acc, x) -> acc + x)) AS nrm
        |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
+       |$trainedCentCtesSql,
        |ranks AS (
        |  SELECT e.vec_id, cent.cell,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -330,12 +355,13 @@ object Similarity {
     * cell, each probes its [[NumProbes]] nearest cells, and only
     * same-cell pairs are scored — a SHUFFLE join on the cell key (both
     * sides are corpus-sized; nothing is broadcast), touching
-    * NumProbes/NumCells of the quadratic pair space. At 100 TB the
-    * centroid count scales with the corpus (cells sized to fit an
-    * executor — MEASURED at the 10× probe: a fixed 16 cells blows up
-    * 155× while cells ∝ corpus restore a near-linear 6.5×; see
-    * SCALING.md), AQE splits any hot cell, and the per-vector top-k is a
-    * rank window inside each cell-pair partition — never a global sort.
+    * NumProbes/numCells of the quadratic pair space. The centroid count
+    * DERIVES from the corpus (`numCellsFor`: cells sized to
+    * ~[[TargetCellSize]] members — MEASURED at the 10× probe: a fixed
+    * 16 cells blows up 155× while cells ∝ corpus restore a near-linear
+    * 6.5×; see SCALING.md), centroids are kmeans-TRAINED, AQE splits
+    * any hot cell, and the per-vector top-k is a rank window inside
+    * each cell-pair partition — never a global sort.
     * Like [[simIvf]], approximate by construction (a true neighbor in
     * an unprobed cell is missed); recall vs the brute-force oracle is
     * asserted in SimilaritySpec, and the pipeline is deterministic, so
@@ -417,7 +443,7 @@ object Similarity {
        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (acc, x) -> acc + x)) AS nrm
        |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
+       |$trainedCentCtesSql,
        |ranks AS (
        |  SELECT e.vec_id, e.label, cent.cell,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -454,7 +480,7 @@ object Similarity {
        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (acc, x) -> acc + x)) AS nrm
        |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
+       |$trainedCentCtesSql,
        |ranks AS (
        |  SELECT e.vec_id, cent.cell,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -483,13 +509,10 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Distributed k-means (Lloyd) — the offline centroid-training pass
-  // behind the IVF index (simIvf's "first-k centroids" are the
-  // deterministic stand-in; THIS is the real thing).
+  // Distributed k-means (Lloyd) — the centroid-training pass the gated
+  // IVF queries run (via trainedCentroids) and emb_kmeans gates
+  // directly at KmK cells.
   // ---------------------------------------------------------------------
-
-  val KmK = 8      // clusters
-  val KmIters = 2  // Lloyd iterations (centroid updates)
 
   /** One spherical-k-means assignment: each vector to its max-cosine
     * centroid (ties → lower cell id). Centroids broadcast — the corpus
@@ -534,6 +557,36 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("cv"))
 
+  /** Lloyd-train a centroid table over `(vec_id, embedding)` from an
+    * explicit `(cell, cv: double[])` seed: `iters` assignment+update
+    * rounds, output `(cell, cv, cnrm)` ready for [[cellRanks]] /
+    * [[knnJoinWithCentroids]]. Each round is one broadcast assignment
+    * pass + one partial-aggregated (cell, dim) shuffle.
+    */
+  def trainCentroids(corpus: DataFrame, seed: DataFrame,
+      iters: Int = KmIters): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    var cent = seed
+    for (_ <- 1 to iters) cent = kmUpdate(kmAssign(e, cent))
+    cent.select(col("cell"), col("cv"),
+      VectorExpressions.l2NormD(col("cv")).as("cnrm"))
+  }
+
+  /** [[trainCentroids]] with the deterministic dense-id seed the gated
+    * queries (and their oracles) use: the `k` lowest-id vectors via
+    * `vec_id < k` — a distributed filter, never a driver-side
+    * materialization (at 100 TB train on a hash sample instead; the
+    * structure is identical).
+    */
+  def trainedCentroids(corpus: DataFrame, k: Int,
+      iters: Int = KmIters): DataFrame =
+    trainCentroids(corpus,
+      corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("cv")),
+      iters)
+
   /** K-means over the embeddings: [[KmIters]] unrolled Lloyd
     * iterations from the deterministic first-[[KmK]] seed, final
     * assignment reported per vector with its cosine to the trained
@@ -558,47 +611,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB mirror: the same [[KmIters]] iterations unrolled as CTEs —
-    * same left-fold cosine, same exact decimal means, same tie-breaks,
-    * so every intermediate double is bit-identical.
+  // Shared DuckDB builders for the Lloyd chain — the same left-fold
+  // cosine, exact decimal means, and tie-breaks as the Spark kernels,
+  // so every intermediate double is bit-identical. Reused by
+  // [[embKmeansSql]] and the trained-centroid IVF oracles. (defs, not
+  // vals: eager oracle vals call them during object init.)
+  private def kmFoldSql = "(acc, x) -> acc + x"
+  private def kmDotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip($a, $b), pr -> pr[1] * pr[2])), $kmFoldSql)""".stripMargin
+  private def kmNormSql(a: String) =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($a, x -> x * x)), $kmFoldSql))""".stripMargin
+  private def kmAssignSql(cent: String, out: String) =
+    s"""$out AS (
+       |  SELECT vec_id, v, nrm, cell, cos_c FROM (
+       |    SELECT e.vec_id, e.v, e.nrm, c.cell,
+       |      ${kmDotSql("e.v", "c.cv")} / (e.nrm * ${kmNormSql("c.cv")}) AS cos_c
+       |    FROM e CROSS JOIN $cent c) z
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_c DESC, cell) = 1)""".stripMargin
+  private def kmUpdateSql(assigned: String, out: String) =
+    s"""$out AS (
+       |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT cell, dim, ${fsumNSql("x", 12)} / COUNT(*) AS m
+       |    FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
+       |            unnest(v) AS x FROM $assigned) u
+       |    GROUP BY cell, dim) g
+       |  GROUP BY cell)""".stripMargin
+
+  /** CTE chain training the IVF centroids in DuckDB, mirroring
+    * [[trainedCentroids]] at `numCellsFor(corpus)` cells: expects a CTE
+    * `e(vec_id, v, nrm, ...)` in scope, yields `cent(cell, cv, cnrm)`.
+    * The cell count derives from the same `COUNT(*)` the Spark side
+    * reads, so both engines train the same index.
     */
-  val embKmeansSql: String = {
-    val fold = "(acc, x) -> acc + x"
-    def dot(a: String, b: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(list_zip($a, $b), pr -> pr[1] * pr[2])), $fold)""".stripMargin
-    def sq(a: String) =
-      s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform($a, x -> x * x)), $fold))""".stripMargin
-    def assign(cent: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, v, nrm, cell, cos_c FROM (
-         |    SELECT e.vec_id, e.v, e.nrm, c.cell,
-         |      ${dot("e.v", "c.cv")} / (e.nrm * ${sq("c.cv")}) AS cos_c
-         |    FROM e CROSS JOIN $cent c) z
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY cos_c DESC, cell) = 1)""".stripMargin
-    def update(assigned: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
-         |    SELECT cell, dim, ${fsumNSql("x", 12)} / COUNT(*) AS m
-         |    FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
-         |            unnest(v) AS x FROM $assigned) u
-         |    GROUP BY cell, dim) g
-         |  GROUP BY cell)""".stripMargin
+  private def trainedCentCtesSql: String = {
     val iters = (1 to KmIters).map { i =>
       val prev = if (i == 1) "cent0" else s"cent${i - 1}"
-      s"${assign(prev, s"a$i")},\n${update(s"a$i", s"cent$i")}"
+      s"${kmAssignSql(prev, s"a$i")},\n${kmUpdateSql(s"a$i", s"cent$i")}"
+    }.mkString(",\n")
+    s"""kparam AS (
+       |  SELECT GREATEST(2, CAST(ceil(COUNT(*) / CAST($TargetCellSize AS DOUBLE)) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
+       |          FROM e WHERE vec_id < (SELECT k FROM kparam)),
+       |$iters,
+       |cent AS (SELECT cell, cv, ${kmNormSql("cv")} AS cnrm FROM cent$KmIters)""".stripMargin
+  }
+
+  /** DuckDB mirror: the same [[KmIters]] iterations unrolled as CTEs on
+    * the shared builders above.
+    */
+  val embKmeansSql: String = {
+    val iters = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+      s"${kmAssignSql(prev, s"a$i")},\n${kmUpdateSql(s"a$i", s"cent$i")}"
     }.mkString(",\n")
     s"""WITH e AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-       |    ${sq("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |    ${kmNormSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
        |  FROM embeddings),
        |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
        |          FROM e WHERE vec_id < $KmK),
        |$iters,
-       |${assign(s"cent$KmIters", "final_a")}
+       |${kmAssignSql(s"cent$KmIters", "final_a")}
        |SELECT vec_id, cell, cos_c AS cosine
        |FROM final_a
        |ORDER BY vec_id""".stripMargin

@@ -170,6 +170,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("exact-dedup canonical selection partial-aggregates; no window over the fingerprint") {
+    // a window over fp puts a 10⁷-copy duplicate group into ONE
+    // AQE-unsplittable sort partition; the groupBy form's map-side
+    // partial_min collapses it per-task before the exchange
+    Seq("dd_exact", "dd_apply").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not window over fp:\n$p")
+      assert(p.contains("partial_min"),
+        s"$q canonical must partial-aggregate:\n$p")
+    }
+    Seq("pipe_qa", "pipe_e2e").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_min"),
+        s"$q survivor selection must partial-aggregate:\n$p")
+    }
+  }
+
   test("the composed QA pipeline keeps its running sum bucket-partitioned") {
     val p = plan("pipe_qa")
     // the token-budget stage inside the composition must stay two-phase

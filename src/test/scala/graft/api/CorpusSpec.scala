@@ -214,8 +214,9 @@ class CorpusSpec extends SparkTestBase {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))
-    // the facade's default centroids (lowest-id vectors) coincide with
-    // the gated query's vec_id < NumCells filter on this corpus
+    // the facade's default (corpus-derived cell count, lowest-id seed,
+    // Lloyd-trained) coincides with the gated query's trained index on
+    // this dense-id corpus
     val api = Corpus.knnJoin(e).collect().map(key).toMap
     val gated = graft.operators.Similarity.simKnnJoin(spark, sf0001)
       .collect().map(key).toMap

@@ -32,6 +32,15 @@ class Dedup2Spec extends SparkTestBase {
     assert((0L to 9L).forall(comp(_) == 0L))
   }
 
+  test("connectedComponents: empty edge list converges immediately to zero rows") {
+    import spark.implicits._
+    // a corpus with no pairs above threshold produces an empty graph;
+    // sum() over zero rows is SQL-null and must not NPE the fixpoint
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup2.connectedComponents(edges).collect().isEmpty)
+    assert(Dedup2.clusterize(edges).collect().isEmpty)
+  }
+
   test("dd_cluster: components are edge-closed, canonical is the min id, sizes agree") {
     val edges = Dedup.jaccardPairsAll(spark, sf001)
       .filter(col("jaccard") >= Dedup2.ClusterThreshold)
