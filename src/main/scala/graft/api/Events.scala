@@ -117,9 +117,15 @@ object Events {
   /** STREAMING funnel: per-user depth emitted exactly when the
     * watermark proves the conversion window closed (event-time
     * timeout); state is one anchor + the still-qualifiable stage
-    * events, watermark-bounded. Matches [[funnelDepths]] for every
-    * user whose events the watermark admits —
+    * events, watermark-bounded —
     * [[graft.streaming.EventStreams.funnelStream]].
+    *
+    * CAVEAT — a user can emit MORE THAN ONE row (one per "era"): a
+    * depth-0 row for a pre-anchor era whose horizon expired, then the
+    * anchored era's depth. The MAX row per user matches
+    * [[funnelDepths]] for every user whose events the watermark
+    * admits; append-mode consumers counting users per depth must
+    * max-merge rows per user first, or they double-count.
     */
   def funnelStream(events: Dataset[EventStreams.EventWithTs],
       stages: Seq[String], horizonNs: Long)

@@ -35,15 +35,16 @@ object Dedup2 {
     * inclusive). Top-100 by span length.
     *
     * Shape: one codegen'd loop per row produces positional window
-    * hashes (no O(n²) HOF re-evaluation), then exactly two shuffles —
-    * one by window hash (the `count over (partition by h)` marking
-    * duplicated windows), one by doc_id (the gaps-and-islands
-    * coalescing). Nothing quadratic is ever formed: a window repeated
-    * k times costs k rows, not k² pairs, which is what makes this the
-    * 100 TB form of substring dedup (the suffix-array original is a
-    * single-machine algorithm). Skewed hash groups (a boilerplate
-    * window repeated millions of times) are split by AQE; only the
-    * count survives the window, not the group contents.
+    * hashes (no O(n²) HOF re-evaluation), then the duplicated-window
+    * marking (partial-aggregated groupBy on the hash + skew-splittable
+    * join-back) and the per-doc gaps-and-islands coalescing. Nothing
+    * quadratic is ever formed: a window repeated k times costs k rows,
+    * not k² pairs, which is what makes this the 100 TB form of
+    * substring dedup (the suffix-array original is a single-machine
+    * algorithm). A boilerplate window repeated millions of times
+    * collapses to per-task partial counts before the exchange and AQE
+    * splits the join-back — pinned by Dedup2Spec's planted mega-window
+    * case and PlanAuditSpec.
     */
   def ddSpans(s: SparkSession, d: String): DataFrame =
     duplicatedSpans(documents(s, d))
@@ -64,9 +65,14 @@ object Dedup2 {
       // 1-based positions, widened to long to match the oracle's BIGINT
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("h"))
-    val dup = win
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // duplicated-window marking as a partial-aggregated groupBy joined
+    // back on the hash, NOT `count over (partition by h)`: a boilerplate
+    // window repeated 10⁷× would land in ONE AQE-unsplittable window
+    // sort partition, while the aggregate's map-side partials collapse
+    // it per-task and AQE's skew-join splits the join-back probe side
+    val occ = win.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
+    val dup = win.join(occ, "h")
     // gaps-and-islands: consecutive duplicated positions share
     // (pos - row_number) within a doc
     val isl = dup.withColumn("grp",
@@ -184,6 +190,86 @@ object Dedup2 {
     }
     und.unpersist()
     comp
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., *Connected Components in MapReduce
+    * and Beyond*) — the logarithmic-round alternative to
+    * [[connectedComponents]]'s label propagation, whose round count is
+    * the graph DIAMETER: near-dup graphs are near-cliques (2–3 rounds,
+    * propagation wins on constants), but chain-shaped graphs (span
+    * overlaps, successive-crawl drift) have diameter up to n, where
+    * contraction's O(log n) rounds are the difference between a job
+    * that finishes and one that doesn't.
+    *
+    *  - large-star(u): every neighbor v > u re-wires to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u, over edges oriented u > v): every smaller
+    *    neighbor — and u itself — re-wires to m = min of them.
+    *
+    * Both are one groupBy + one join on the edge list (edges only —
+    * no per-vertex state), every re-wire points DOWNWARD, and the
+    * fixpoints of the composition are exactly unions of stars rooted
+    * at component minima. Convergence is a sound set-equality check
+    * (count + left-anti emptiness on the canonically-oriented,
+    * deduped edge set), one job per round across O(log n) rounds.
+    * Same contract as [[connectedComponents]]: `(id, comp)` with comp
+    * = min member id.
+    */
+  def connectedComponentsStar(edges: DataFrame): DataFrame =
+    starContract(edges)._1
+
+  /** [[connectedComponentsStar]] plus the round count (spec hook: a
+    * 1024-node chain must converge in O(log n), not diameter, rounds).
+    */
+  private[operators] def starContract(edges: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input oriented u > v throughout (both phases preserve it)
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var e = edges
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // sound set equality: same cardinality and nothing new — both
+      // sides are deduped canonical orientations
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      rounds += 1
+    }
+    // stars: every leaf u points at its component min v; centers are
+    // the targets that are never sources
+    val leaves = e.select(col("u").as("id"), col("v").as("comp"))
+    val centers = e.select(col("v")).distinct()
+      .join(e.select(col("u")).distinct(),
+        col("v") === col("u"), "left_anti")
+      .select(col("v").as("id"), col("v").as("comp"))
+    (leaves.union(centers), rounds)
   }
 
   /** Duplicate clusters: connected components over the exact-Jaccard

@@ -335,12 +335,74 @@ object Pipeline {
        |WHERE cum_tokens - n_tokens < budget
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic event-time base for [[pipeIngest]]: docs spread over
+    * one hour of [[graft.streaming.DocStreams.IngestWindowSec]]-second
+    * windows via `ts = base + (doc_id·7 mod 3600)`.
+    */
+  val IngestBaseEpoch = 1700000000L
+
+  /** Batch twin of the composed streaming ingest pipeline
+    * ([[graft.streaming.DocStreams.ingestPipeline]]: PII scrub →
+    * quality filter → first-arrival fingerprint dedup → chunk →
+    * per-(window, lang) corpus stats) — the SAME code path the stream
+    * runs, driven by a batch frame with deterministic event times, so
+    * the driver's oracle gates the composition and not just its stages.
+    */
+  def pipeIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"),
+      col("lang"),
+      timestamp_seconds(lit(IngestBaseEpoch) + (col("doc_id") * 7) % 3600)
+        .as("ts"))
+    graft.streaming.DocStreams.ingestPipeline(docs)
+      .orderBy(col("win_start_s"), col("lang"))
+  }
+
+  /** DuckDB mirror: the same four sequential PII passes (identity on
+    * this punctuation-free corpus, but mirrored faithfully), quality
+    * fence, min-(ts, doc_id) survivor per prefix fingerprint, chunk
+    * geometry, and epoch-aligned 600 s tumbling windows.
+    */
+  val pipeIngestSql: String = {
+    val win = graft.streaming.DocStreams.IngestWindowSec
+    val redact = Pii.Passes.foldLeft("text") { case (t, (re, tok, _)) =>
+      s"regexp_replace($t, '$re', '$tok', 'g')"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    $IngestBaseEpoch + (doc_id * 7) % 3600 AS ts_s,
+       |    $redact AS rt
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, lang, ts_s,
+       |    list_filter(regexp_split_to_array(rt, '\\s+'), x -> x <> '') AS t
+       |  FROM base),
+       |q AS (
+       |  SELECT doc_id, lang, ts_s, t,
+       |    md5(array_to_string(t[1:10], ' ')) AS fp
+       |  FROM toks
+       |  WHERE len(t) > 0 AND ${TextAnalysis.qualityScoreSql("t")} >= $QualityMin),
+       |ded AS (
+       |  SELECT doc_id, lang, ts_s, t FROM q
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY ts_s, doc_id) = 1),
+       |chunks AS (
+       |  SELECT lang, ts_s, ci, len(${chunkSliceSql("ci")}) AS chunk_tokens
+       |  FROM (SELECT lang, ts_s, t, $chunkIdxSql AS ci FROM ded) g)
+       |SELECT (ts_s // $win) * $win AS win_start_s, lang,
+       |  CAST(SUM(CASE WHEN ci = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+       |FROM chunks
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_chunk"         -> taChunk _,
     "ta_pack"          -> taPack _,
     "ta_contamination" -> taContamination _,
     "pipe_e2e"         -> pipeE2e _,
     "pipe_qa"          -> pipeQa _,
+    "pipe_ingest"      -> pipeIngest _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +411,6 @@ object Pipeline {
     "ta_contamination" -> taContaminationSql,
     "pipe_e2e"         -> pipeE2eSql,
     "pipe_qa"          -> pipeQaSql,
+    "pipe_ingest"      -> pipeIngestSql,
   )
 }

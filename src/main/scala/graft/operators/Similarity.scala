@@ -546,6 +546,15 @@ object Similarity {
     * map-side partials, so the shuffle carries K×dim rows per
     * partition, not n×dim. A cell that loses all members simply drops
     * out (classic Lloyd) — deterministic in both engines.
+    *
+    * CELL-SIZE BOUND (oracle-parity only): `fsumNSql`'s mirror sums
+    * scale-12-quantized BIGINT limbs, exact while a (cell, dim) sum of
+    * unit-magnitude values stays under 2^53 — roughly 9×10³ members
+    * per cell. Spark's own limb sum is exact far beyond that; only the
+    * DuckDB mirror diverges past the bound. The gated corpora sit 2-3
+    * orders below it ([[TargetCellSize]] ≈ 32); for a 100 TB training
+    * pass there is no DuckDB mirror to match — only determinism
+    * matters, which the limb sum provides at any size.
     */
   private def kmUpdate(assigned: DataFrame): DataFrame =
     assigned
@@ -735,6 +744,70 @@ object Similarity {
       |FROM m
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ANN quality gate — recall@k of the approximate paths vs brute
+  // force, as a CORRECTNESS row (the q27_approx pattern: the recall
+  // VALUE hash-matches the oracle, and the floor booleans are pinned
+  // TRUE, so a bucketing change that trades recall for speed fails the
+  // gate instead of sailing through).
+  // ---------------------------------------------------------------------
+
+  /** Recall floors for [[simRecall]]'s pinned booleans. The corpus
+    * vectors are iid random (TESTDATA) — the hardest case for both
+    * index families — so the floors are modest; real embedding
+    * clusters collide far more readily.
+    */
+  val AnnLshRecallFloor = 0.3 // measured 0.40 at sf0.01
+  val IvfRecallFloor = 0.5    // measured 0.78 at sf0.01 (trained index)
+
+  /** Recall@[[TopK]] of the two approximate indexes against the exact
+    * brute-force neighbors, over the gated query set. `hits` counts
+    * (q_id, c_id) pairs the approximate list shares with the exact
+    * list; recall = hits / (queries × k) as ONE exact division — no
+    * float accumulation, so the double is engine-identical.
+    */
+  def simRecall(s: SparkSession, d: String): DataFrame = {
+    val total = NumQueryVectors * TopK
+    val brute = simTopkBrute(s, d).select(col("q_id"), col("c_id"))
+    def arm(name: String, res: DataFrame, floor: Double): DataFrame =
+      brute.join(res.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"),
+          lit(total.toLong).as("total"),
+          (col("hits").cast(DoubleType) / total).as("recall"),
+          (col("hits").cast(DoubleType) / total >= floor).as("meets_floor"))
+    arm("ann_lsh", simAnnLsh(s, d), AnnLshRecallFloor)
+      .unionByName(arm("ivf", simIvf(s, d), IvfRecallFloor))
+      .orderBy(col("method"))
+  }
+
+  /** DuckDB mirror: the three full pipelines as subqueries (each brings
+    * its own CTE chain), pair-joined exactly. `meets_floor` is the
+    * LITERAL `TRUE` (the q27_approx pinning trick): the Spark side
+    * computes the real `recall >= floor` predicate, so an index change
+    * that drops recall below its floor hash-mismatches the gate instead
+    * of both engines agreeing on `false`.
+    */
+  val simRecallSql: String = {
+    val total = NumQueryVectors * TopK
+    s"""WITH brute AS (SELECT q_id, c_id FROM ($simTopkBruteSql) b),
+       |ann AS (SELECT q_id, c_id FROM ($simAnnLshSql) a),
+       |ivf AS (SELECT q_id, c_id FROM ($simIvfSql) i),
+       |h AS (
+       |  SELECT 'ann_lsh' AS method, COUNT(*) AS hits
+       |  FROM ann JOIN brute USING (q_id, c_id)
+       |  UNION ALL
+       |  SELECT 'ivf', COUNT(*)
+       |  FROM ivf JOIN brute USING (q_id, c_id))
+       |SELECT method, CAST(hits AS BIGINT) AS hits,
+       |  CAST($total AS BIGINT) AS total,
+       |  CAST(hits AS DOUBLE) / $total AS recall,
+       |  TRUE AS meets_floor
+       |FROM h
+       |ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
@@ -743,6 +816,7 @@ object Similarity {
     "sim_filtered_knn" -> simFilteredKnn _,
     "emb_quantize"   -> embQuantize _,
     "emb_kmeans"     -> embKmeans _,
+    "sim_recall"     -> simRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -753,5 +827,6 @@ object Similarity {
     "sim_filtered_knn" -> simFilteredKnnSql,
     "emb_quantize"   -> embQuantizeSql,
     "emb_kmeans"     -> embKmeansSql,
+    "sim_recall"     -> simRecallSql,
   )
 }

@@ -333,6 +333,46 @@ final class Storage(spark: SparkSession, warehouse: String) {
     }).format(format).load(pathOf(name).toString)
   }
 
+  /** put for an OPAQUE BINARY file (S2's raw-byte arm): store arbitrary
+    * bytes under `name` — the reference round-trips any local file by
+    * byte-chunking it (`dfs/client/client.go:335-384`, reassembly at
+    * `client.go:586-632`); here the bytes stream through one
+    * `FileSystem.create` (chunking/replication are the FS's, as with
+    * every other put) into a `blob` file inside the name's directory,
+    * so ls/info/delete see the usual layout. A `binaryFile` sidecar
+    * records the format, so [[getAs]] reads it back through Spark's
+    * binaryFile source instead of trying parquet.
+    */
+  def putBytes(name: String, bytes: Array[Byte],
+      overwrite: Boolean = false): Unit = {
+    if (!overwrite && exists(name))
+      throw new IllegalArgumentException(
+        s"file with name $name already stored; delete it first")
+    val dir = pathOf(name)
+    if (overwrite) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "blob"), true)
+    try out.write(bytes) finally out.close()
+    val m = fs.create(metaOf(name), true)
+    try m.write("binaryFile".getBytes("UTF-8")) finally m.close()
+  }
+
+  /** Distributed face of a stored binary name: the `binaryFile` source's
+    * `(path, modificationTime, length, content)` row(s) — what a plan
+    * joins/maps over (e.g. the [[graft.operators.Multimodal]] decoders).
+    */
+  def getBinary(name: String): DataFrame =
+    spark.read.format("binaryFile").load(pathOf(name).toString)
+
+  /** Driver-side reassembly of a stored binary name (the reference's
+    * `get` writes the file back to the client's disk): the raw bytes,
+    * exactly as put.
+    */
+  def getBytes(name: String): Array[Byte] = {
+    val in = fs.open(new Path(pathOf(name), "blob"))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** get (S5): parallel split-read of a stored name. */
   def get(name: String): DataFrame =
     spark.read.parquet(pathOf(name).toString)

@@ -55,15 +55,14 @@ object DocStreams {
     * both run on event time with the same watermark. `n_docs` counts
     * chunk 0 of each kept doc instead of `countDistinct` (unsupported
     * in streaming) — every kept doc emits exactly one chunk 0.
-    * The batch form (plain `dropDuplicates`, windows all emit) matches
+    * The batch form (first-arrival dedup, windows all emit) matches
     * streaming ONLY for duplicates within one watermark horizon of
     * each other: streaming evicts a fingerprint when the watermark
     * passes it and re-admits a later copy, while batch dedups
-    * globally. Batch also keeps an arbitrary group member where
-    * streaming keeps the first arrival. Batch-vs-stream comparisons
-    * therefore need duplicates with identical stats (e.g.
-    * exact-duplicate texts) arriving within one horizon — the spec's
-    * fixture does both.
+    * globally (keeping the min-(ts, doc_id) member — the deterministic
+    * analog of streaming's first arrival). Batch-vs-stream comparisons
+    * therefore need duplicates arriving within one horizon — the
+    * spec's fixture does.
     */
   def ingestPipeline(docs: DataFrame): DataFrame = {
     val toksCol = tokens(col("text"))
@@ -75,9 +74,19 @@ object DocStreams {
         TextAnalysis.qualityScore(toksCol) >= Pipeline.QualityMin)
       .select(col("doc_id"), col("lang"), col("ts"),
         toksCol.as("t"), fp.as("fp"))
+    // batch twin: FIRST-ARRIVAL survivor per fingerprint (min (ts,
+    // doc_id) — the deterministic analog of streaming's first-seen
+    // rule, where dropDuplicates would keep an arbitrary member), as a
+    // partial-aggregated struct-min so a mega-duplicate group never
+    // lands in one task
     val deduped =
       if (filtered.isStreaming) filtered.dropDuplicatesWithinWatermark("fp")
-      else filtered.dropDuplicates("fp")
+      else filtered
+        .groupBy(col("fp"))
+        .agg(min(struct(col("ts"), col("doc_id"), col("lang"), col("t")))
+          .as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+          col("k.ts").as("ts"), col("k.t").as("t"))
     deduped
       .withColumn("chunk_idx", Pipeline.chunkIdxCol("t"))
       .select(col("lang"), col("ts"), col("chunk_idx"),

@@ -32,6 +32,36 @@ class Dedup2Spec extends SparkTestBase {
     assert((0L to 9L).forall(comp(_) == 0L))
   }
 
+  test("star contraction labels chains, triangles, and pairs like label propagation") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 30L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val prop = Dedup2.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup2.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star contraction resolves a 1024-node chain in O(log n) rounds, not diameter") {
+    import spark.implicits._
+    // path 0-1-...-1023: diameter 1023; label propagation needs ~1023
+    // rounds, star contraction must stay logarithmic
+    val n = 1024L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (comp, rounds) = Dedup2.starContract(edges)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && (0L until n).forall(labels(_) == 0L))
+    assert(rounds <= 20, s"took $rounds rounds on a 1024-chain")
+  }
+
+  test("star contraction: empty edge list yields zero rows in zero rounds") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val (comp, rounds) = Dedup2.starContract(edges)
+    assert(comp.collect().isEmpty && rounds == 0)
+  }
+
   test("connectedComponents: empty edge list converges immediately to zero rows") {
     import spark.implicits._
     // a corpus with no pairs above threshold produces an empty graph;
@@ -125,6 +155,32 @@ class Dedup2Spec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expectedTop)
+  }
+
+  test("duplicatedSpans survives a planted 10^4-copy boilerplate window without a hash window partition") {
+    import spark.implicits._
+    // 10^4 docs sharing one 10-token boilerplate page + 2 unique docs:
+    // the worst skew shape for span dedup — every copy hashes to the
+    // same window keys
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 10000L).map(i => (i, boiler)) ++
+      Seq((20000L, "a b c d e f g h i j"), (20001L, "unique doc " + ("x " * 8))))
+      .toDF("doc_id", "text")
+    val spans = Dedup2.duplicatedSpans(docs)
+    // plan shape: the duplicated-window marking must be a partial
+    // aggregate, and the ONLY window is the per-doc islands pass
+    // (partitioned by doc_id — bounded by doc length, never by
+    // duplicate multiplicity)
+    val plan = spans.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("windowspecdefinition(h"), plan)
+    // correctness: every boilerplate copy reports exactly its one
+    // full-width span, the unique docs report none
+    val rows = spans.collect()
+    assert(rows.length == 10000)
+    assert(rows.forall(r => r.getLong(0) < 10000L &&
+      r.getLong(1) == 1L && r.getLong(2) == 10L && r.getLong(3) == 10L))
   }
 
   test("dd_semantic: components are closed over the exact cosine edges") {

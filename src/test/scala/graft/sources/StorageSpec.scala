@@ -34,6 +34,32 @@ class StorageSpec extends SparkTestBase {
       lines.collect().sorted.toSeq)
   }
 
+  test("putBytes/getBytes round-trips an opaque binary file, SHA-256-verified") {
+    val st = freshStorage()
+    // deterministic pseudo-random bytes spanning the full byte range,
+    // larger than one stream buffer
+    val rnd = new java.util.Random(42)
+    val blob = new Array[Byte](1 << 20)
+    rnd.nextBytes(blob)
+    def sha(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b).toSeq
+    st.putBytes("tarball", blob)
+    assert(sha(st.getBytes("tarball")) == sha(blob))
+    // reference put semantics: refuse silent overwrite, allow explicit
+    intercept[IllegalArgumentException] { st.putBytes("tarball", blob) }
+    st.putBytes("tarball", blob.take(10), overwrite = true)
+    assert(st.getBytes("tarball").toSeq == blob.take(10).toSeq)
+    // the distributed face reads the same bytes through binaryFile,
+    // and the format sidecar routes getAs there too
+    val row = st.getBinary("tarball").collect()
+    assert(row.length == 1 && row(0).getAs[Array[Byte]]("content").toSeq ==
+      blob.take(10).toSeq)
+    assert(st.getAs("tarball").collect().length == 1)
+    // usual verb surface: ls sees it, delete removes it
+    assert(st.ls().exists(_.name == "tarball"))
+    assert(st.delete("tarball") && !st.exists("tarball"))
+  }
+
   test("upsert merges a changelog: updates win by version, absent keys survive, new keys insert") {
     val st = freshStorage()
     st.put("snap", Seq(
