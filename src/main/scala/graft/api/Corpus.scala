@@ -348,11 +348,12 @@ object Corpus {
     * probing — a shuffle equi-join on the cell key (nothing broadcast;
     * the quadratic pair space is never formed), the all-pairs shape
     * behind embedding-dedup graphs and retrieval training sets.
-    * Centroids are kmeans-TRAINED (Lloyd from the lowest-id seed) at
+    * Centroids are kmeans-TRAINED (Lloyd over the deterministic
+    * `vec_id % step == 0` sample, seeded from its lowest ids) at
     * `numCells` cells, defaulting (numCells = 0) to the corpus-derived
-    * count `numCellsFor(n)` — one cell per ~TargetCellSize vectors, the
-    * measured scale law keeping cell size constant as the corpus grows;
-    * pass a pre-trained centroid frame via
+    * `⌈√n⌉` — the balanced flat-IVF law (assignment n·k vs candidate
+    * scoring n·probes·(n/k) equalize; see `numCellsFor`); pass a
+    * pre-trained centroid frame via
     * [[graft.operators.Similarity.knnJoinWithCentroids]] instead to
     * skip training. Output `(q_id, rank, c_id, cosine)`; approximate by
     * construction (a true neighbor in an unprobed cell is missed).
@@ -362,15 +363,9 @@ object Corpus {
       numCells: Int = 0): DataFrame = {
     val S = graft.operators.Similarity
     val corpus = df.select(col(id).as("vec_id"), col(vec).as("embedding"))
-    val cells =
-      if (numCells > 0) numCells else S.numCellsFor(corpus.count())
-    // arbitrary-id corpora: seed from the `cells` lowest ids (a
-    // take-ordered of a tiny table), then Lloyd-train
-    val seed = corpus.orderBy(col("vec_id")).limit(cells)
-      .select(col("vec_id").cast("int").as("cell"),
-        org.apache.spark.sql.functions.transform(col("embedding"),
-          x => x.cast("double")).as("cv"))
-    val cent = S.trainCentroids(corpus, seed).localCheckpoint()
+    val n = corpus.count()
+    val cells = if (numCells > 0) numCells else S.numCellsFor(n)
+    val cent = S.trainedCentroids(corpus, cells, n).localCheckpoint()
     S.knnJoinWithCentroids(corpus, cent, k)
   }
 

@@ -31,21 +31,29 @@ object Similarity {
   val KmK = 8      // clusters for the gated emb_kmeans query
   val KmIters = 2  // Lloyd iterations (centroid updates)
 
-  /** Target members per IVF cell. The cell COUNT derives from the
-    * corpus — `numCellsFor(n) = ⌈n / TargetCellSize⌉` — so cell size
-    * stays constant as the corpus grows. This is the measured scale
-    * law (SCALING.md): same-cell candidate work is Σ|cell|², so a
-    * FIXED cell count makes every cell grow with the corpus and the
-    * pair space quadratic again (155× at the 10× probe), while
-    * cells ∝ corpus keeps it linear (6.5×).
-    */
-  val TargetCellSize = 32
-
-  /** Corpus-derived IVF cell count: one cell per ~[[TargetCellSize]]
-    * vectors, floor 2 so probing is never the whole corpus degenerately.
+  /** Corpus-derived IVF cell count: `⌈√n⌉` (floor 2). The balanced
+    * flat-IVF law — a refinement of round 4's "cells ∝ corpus"
+    * measurement, which was taken WITHOUT in-plan training: flat IVF
+    * pays n×k for centroid assignment (every vector scores every
+    * centroid) and n·probes·(n/k) for same-cell candidate scoring, so
+    * a FIXED k leaves the pair space quadratic (155× at the 10× probe)
+    * while k ∝ n makes the ASSIGNMENT quadratic instead (39× measured
+    * at the 10× probe with k = n/32 and trained centroids). The two
+    * balance at k ≈ √n: total work n^1.5 — the true complexity of
+    * flat IVF, and why FAISS sizes nlist ≈ √n. Beyond that, the next
+    * rung is hierarchical (two-level) assignment, not a bigger flat k.
     */
   def numCellsFor(n: Long): Int =
-    math.max(2, math.ceil(n.toDouble / TargetCellSize).toInt)
+    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Training-sample budget: Lloyd runs on ~[[KmSamplePerCell]]·k
+    * deterministically-sampled vectors (`vec_id % step == 0`), not the
+    * corpus — the standard k-means recipe (30-50 points per cluster
+    * suffice to place centroids) that keeps the training passes
+    * O(k²·[[KmSamplePerCell]]) while only the final assignment touches
+    * all n vectors.
+    */
+  val KmSamplePerCell = 40
 
   /** Exact top-k neighbors for query vectors (vec_id < 5), excluding
     * self. Output omits raw cosines from the compare-sensitive columns?
@@ -241,18 +249,21 @@ object Similarity {
     * of [[embKmeans]] run at `numCellsFor(corpus size)` cells — so both
     * halves of the scale story live in the gated plan: cell assignment
     * is a map-side broadcast join, cells are the partition key, a query
-    * touches NumProbes/numCells of the corpus, and cell size stays
-    * ~[[TargetCellSize]] as the corpus grows.
+    * touches NumProbes/numCells of the corpus, and the cell count
+    * tracks √n (the balanced flat-IVF law — see [[numCellsFor]]).
     */
   /** Trained centroid table for the gated IVF queries: corpus-derived
-    * cell count (one `count()` scalar on the driver, like the k-means
-    * seeds), [[KmIters]] Lloyd iterations, then `localCheckpoint` so
-    * the tiny (k × dim) table trains ONCE instead of once per plan
-    * branch (assigned + probes both reference it; at 100 TB the trained
-    * index is persisted offline — this is that materialization).
+    * `⌈√n⌉` cell count (one `count()` scalar on the driver, like the
+    * k-means seeds), [[KmIters]] Lloyd iterations over the
+    * deterministic sample, then `localCheckpoint` so the tiny (k × dim)
+    * table trains ONCE instead of once per plan branch (assigned +
+    * probes both reference it; at 100 TB the trained index is persisted
+    * offline — this is that materialization).
     */
-  private def ivfCentroids(e: DataFrame): DataFrame =
-    trainedCentroids(e, numCellsFor(e.count())).localCheckpoint()
+  private def ivfCentroids(e: DataFrame): DataFrame = {
+    val n = e.count()
+    trainedCentroids(e, numCellsFor(n), n).localCheckpoint()
+  }
 
   /** Nearest-centroid ranking: each vector of `df` scored against every
     * (broadcast) centroid, `crank` = 1 for its home cell, ≤ NumProbes
@@ -356,12 +367,13 @@ object Similarity {
     * same-cell pairs are scored — a SHUFFLE join on the cell key (both
     * sides are corpus-sized; nothing is broadcast), touching
     * NumProbes/numCells of the quadratic pair space. The centroid count
-    * DERIVES from the corpus (`numCellsFor`: cells sized to
-    * ~[[TargetCellSize]] members — MEASURED at the 10× probe: a fixed
-    * 16 cells blows up 155× while cells ∝ corpus restore a near-linear
-    * 6.5×; see SCALING.md), centroids are kmeans-TRAINED, AQE splits
-    * any hot cell, and the per-vector top-k is a rank window inside
-    * each cell-pair partition — never a global sort.
+    * DERIVES from the corpus (`numCellsFor` = ⌈√n⌉ — the 10× probe
+    * MEASURED both failure modes this balances: fixed 16 cells → 155×
+    * (quadratic same-cell pairs), cells ∝ n with in-plan training →
+    * 39× (quadratic n×k assignment); see SCALING.md), centroids are
+    * kmeans-TRAINED on the deterministic sample, AQE splits any hot
+    * cell, and the per-vector top-k is a rank window inside each
+    * cell-pair partition — never a global sort.
     * Like [[simIvf]], approximate by construction (a true neighbor in
     * an unprobed cell is missed); recall vs the brute-force oracle is
     * asserted in SimilaritySpec, and the pipeline is deterministic, so
@@ -552,9 +564,10 @@ object Similarity {
     * unit-magnitude values stays under 2^53 — roughly 9×10³ members
     * per cell. Spark's own limb sum is exact far beyond that; only the
     * DuckDB mirror diverges past the bound. The gated corpora sit 2-3
-    * orders below it ([[TargetCellSize]] ≈ 32); for a 100 TB training
-    * pass there is no DuckDB mirror to match — only determinism
-    * matters, which the limb sum provides at any size.
+    * orders below it (√n-sized cells are ~22-45 members at gate
+    * scales); for a 100 TB training pass there is no DuckDB mirror to
+    * match — only determinism matters, which the limb sum provides at
+    * any size.
     */
   private def kmUpdate(assigned: DataFrame): DataFrame =
     assigned
@@ -582,19 +595,23 @@ object Similarity {
       VectorExpressions.l2NormD(col("cv")).as("cnrm"))
   }
 
-  /** [[trainCentroids]] with the deterministic dense-id seed the gated
-    * queries (and their oracles) use: the `k` lowest-id vectors via
-    * `vec_id < k` — a distributed filter, never a driver-side
-    * materialization (at 100 TB train on a hash sample instead; the
-    * structure is identical).
+  /** [[trainCentroids]] with the deterministic sampling + dense-id
+    * seeding the gated queries (and their oracles) use: Lloyd trains on
+    * the `vec_id % step == 0` sample (`step` sized so the sample is
+    * ~[[KmSamplePerCell]]·k vectors — at small n, step = 1 and the
+    * sample IS the corpus), seeded from the sample's first k members.
+    * Distributed filters throughout, never a driver-side
+    * materialization.
     */
-  def trainedCentroids(corpus: DataFrame, k: Int,
-      iters: Int = KmIters): DataFrame =
-    trainCentroids(corpus,
-      corpus.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cell"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("cv")),
-      iters)
+  def trainedCentroids(corpus: DataFrame, k: Int, n: Long,
+      iters: Int = KmIters): DataFrame = {
+    val step = math.max(1L, n / (KmSamplePerCell.toLong * k))
+    val sample = corpus.filter(col("vec_id") % step === 0)
+    val seed = sample.filter(col("vec_id") < k * step)
+      .select(expr(s"CAST(vec_id DIV $step AS INT)").as("cell"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("cv"))
+    trainCentroids(sample, seed, iters)
+  }
 
   /** K-means over the embeddings: [[KmIters]] unrolled Lloyd
     * iterations from the deterministic first-[[KmK]] seed, final
@@ -632,12 +649,12 @@ object Similarity {
   private def kmNormSql(a: String) =
     s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform($a, x -> x * x)), $kmFoldSql))""".stripMargin
-  private def kmAssignSql(cent: String, out: String) =
+  private def kmAssignSql(cent: String, out: String, src: String = "e") =
     s"""$out AS (
        |  SELECT vec_id, v, nrm, cell, cos_c FROM (
        |    SELECT e.vec_id, e.v, e.nrm, c.cell,
        |      ${kmDotSql("e.v", "c.cv")} / (e.nrm * ${kmNormSql("c.cv")}) AS cos_c
-       |    FROM e CROSS JOIN $cent c) z
+       |    FROM $src e CROSS JOIN $cent c) z
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY cos_c DESC, cell) = 1)""".stripMargin
   private def kmUpdateSql(assigned: String, out: String) =
@@ -650,21 +667,29 @@ object Similarity {
        |  GROUP BY cell)""".stripMargin
 
   /** CTE chain training the IVF centroids in DuckDB, mirroring
-    * [[trainedCentroids]] at `numCellsFor(corpus)` cells: expects a CTE
-    * `e(vec_id, v, nrm, ...)` in scope, yields `cent(cell, cv, cnrm)`.
-    * The cell count derives from the same `COUNT(*)` the Spark side
-    * reads, so both engines train the same index.
+    * [[trainedCentroids]] at `⌈√n⌉` cells over the `vec_id % step == 0`
+    * sample: expects a CTE `e(vec_id, v, nrm, ...)` in scope, yields
+    * `cent(cell, cv, cnrm)`. Cell count and sampling step derive from
+    * the same `COUNT(*)` the Spark side reads, so both engines train
+    * the same index.
     */
   private def trainedCentCtesSql: String = {
     val iters = (1 to KmIters).map { i =>
       val prev = if (i == 1) "cent0" else s"cent${i - 1}"
-      s"${kmAssignSql(prev, s"a$i")},\n${kmUpdateSql(s"a$i", s"cent$i")}"
+      s"${kmAssignSql(prev, s"a$i", "es")},\n${kmUpdateSql(s"a$i", s"cent$i")}"
     }.mkString(",\n")
     s"""kparam AS (
-       |  SELECT GREATEST(2, CAST(ceil(COUNT(*) / CAST($TargetCellSize AS DOUBLE)) AS BIGINT)) AS k
-       |  FROM embeddings),
-       |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
-       |          FROM e WHERE vec_id < (SELECT k FROM kparam)),
+       |  SELECT k, GREATEST(1, n // ($KmSamplePerCell * k)) AS step FROM (
+       |    SELECT COUNT(*) AS n,
+       |      GREATEST(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+       |    FROM embeddings) z),
+       |es AS (SELECT * FROM e
+       |       WHERE vec_id % (SELECT step FROM kparam) = 0),
+       |cent0 AS (
+       |  SELECT CAST(vec_id // (SELECT step FROM kparam) AS INTEGER) AS cell,
+       |    v AS cv
+       |  FROM es
+       |  WHERE vec_id < (SELECT k * step FROM kparam)),
        |$iters,
        |cent AS (SELECT cell, cv, ${kmNormSql("cv")} AS cnrm FROM cent$KmIters)""".stripMargin
   }

@@ -40,9 +40,9 @@ class SimilaritySpec extends SparkTestBase {
       assert(cosines == cosines.sorted.reverse, "cosine not descending")
       assert(rs.length <= Similarity.TopK)
     }
-    // with 2 of 16 cells probed, candidates are ~1/8 of the corpus: every
-    // result must still be a genuine neighbor (subset sanity vs brute
-    // scores is implied by the shared cosine kernel, checked in the gate)
+    // with NumProbes of ⌈√n⌉ trained cells probed, every result must
+    // still be a genuine neighbor (subset sanity vs brute scores is
+    // implied by the shared cosine kernel, checked in the gate)
     val total = graft.sources.Tables.embeddings(spark, sf001).count()
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < total))
   }
@@ -51,8 +51,8 @@ class SimilaritySpec extends SparkTestBase {
     val rows = Similarity.simKnnJoin(spark, sf001).collect()
     val total = graft.sources.Tables.embeddings(spark, sf001).count()
     val byQ = rows.groupBy(_.getLong(0))
-    // with 500 vectors in 16 cells and 2 probes, every vector has
-    // candidates — the neighbor list must cover the whole corpus
+    // with 500 vectors in ⌈√500⌉ trained cells and 2 probes, every
+    // vector has candidates — the neighbor list must cover the corpus
     assert(byQ.keySet.size == total)
     byQ.values.foreach { rs =>
       assert(rs.length <= Similarity.KnnK)
