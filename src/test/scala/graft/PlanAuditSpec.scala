@@ -187,6 +187,25 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("trained-IVF probing: rank windows prune map-side, centroids broadcast, no cartesian") {
+    val p = plan("sim_ivf")
+    // the n×k centroid-rank intermediates must collapse to top-crank
+    // rows BEFORE any exchange (WindowGroupLimit partial), for both the
+    // assignment and probe sides plus the final top-k
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3, p)
+    // centroid table rides a broadcast (BNLJ against a tiny trained
+    // table is the intended map-side assignment); a non-broadcast
+    // cartesian of two big sides is forbidden
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("composed ingest pipeline: survivor selection partial-aggregates, chunk stats shuffle on the window key") {
+    val p = plan("pipe_ingest")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("windowspecdefinition(fp"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("the composed QA pipeline keeps its running sum bucket-partitioned") {
     val p = plan("pipe_qa")
     // the token-budget stage inside the composition must stay two-phase
