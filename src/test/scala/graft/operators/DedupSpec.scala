@@ -83,4 +83,29 @@ class DedupSpec extends SparkTestBase {
       assert(g.forall(_.getLong(4) == g.length))
     }
   }
+
+  test("incremental dedup drops exactly the batch docs whose prefix-fp is seen") {
+    import org.apache.spark.sql.functions.{col, concat_ws, md5, slice}
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(
+          graft.functions.tokens(col("text")), 1, 10))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val seenFps = docs.collect { case (id, fp) if id % 3 != 0 => fp }.toSet
+    val expect = docs.collect {
+      case (id, fp) if id % 3 == 0 && !seenFps.contains(fp) => id }.toSet
+    val got = Dedup.ddIncremental(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // the gate corpus must actually exercise drops, or the oracle row
+    // certifies nothing
+    val batch = docs.count(_._1 % 3 == 0)
+    assert(got.size < batch, s"no cross-split duplicates at sf0.001")
+  }
+
+  test("bloom-prefiltered incremental dedup is result-identical to the exact arm") {
+    val exact = Dedup.ddIncremental(spark, sf001).collect().toSeq
+    val bloom = Dedup.ddIncrementalBloom(spark, sf001).collect().toSeq
+    assert(exact == bloom)
+  }
 }
