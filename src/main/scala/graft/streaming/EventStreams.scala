@@ -618,6 +618,39 @@ object EventStreams {
       |GROUP BY 1, 2
       |ORDER BY p_id""".stripMargin
 
+  /** Gated batch twin of [[streamingDedup]]. The gate corpus has unique
+    * event ids, so deduping it directly would certify nothing; instead
+    * the query simulates at-least-once delivery (every 7th event is
+    * redelivered via a union) and certifies that the dedup collapses the
+    * redelivery back to exactly-once counts. The streaming form —
+    * `dropDuplicatesWithinWatermark`, watermark-bounded state, survival
+    * across a checkpointed restart — is verified in `EventStreamsSpec`.
+    */
+  def stDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val atLeastOnce = ev.unionByName(ev.filter(col("event_id") % 7 === 0))
+    streamingDedup(atLeastOnce)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Redelivered copies are full-row identical, so dedup-by-event_id is
+    * DISTINCT over the projected columns.
+    */
+  val stDedupSql: String =
+    """WITH alo AS (
+      |  SELECT event_id, user_id, event_type FROM events
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type FROM events WHERE event_id % 7 = 0),
+      |dd AS (SELECT DISTINCT event_id, user_id, event_type FROM alo)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM dd
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg"     -> stWindowAgg _,
     "st_sliding_window" -> stSlidingWindow _,
@@ -625,6 +658,7 @@ object EventStreams {
     "st_asof_enrich"    -> stAsofEnrich _,
     "st_latest_by_key"  -> stLatestByKey _,
     "st_window_topk"    -> stWindowTopk _,
+    "st_dedup"          -> stDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -634,5 +668,6 @@ object EventStreams {
     "st_asof_enrich"    -> stAsofEnrichSql,
     "st_latest_by_key"  -> stLatestByKeySql,
     "st_window_topk"    -> stWindowTopkSql,
+    "st_dedup"          -> stDedupSql,
   )
 }

@@ -92,6 +92,21 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == total)
   }
 
+  test("st_dedup batch twin collapses redelivered events to exactly-once counts") {
+    import org.apache.spark.sql.functions.col
+    val perType = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = stDedup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the union redelivers ~1/7 of events; dedup must restore the
+    // original per-type counts exactly
+    assert(got == perType)
+    val redelivered = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 7 === 0).count()
+    assert(redelivered > 0, "gate corpus must exercise redelivery")
+  }
+
   test("dedup state survives a checkpointed restart") {
     val dir = Files.createTempDirectory("graft-restart-")
     val cp = Files.createTempDirectory("graft-restart-cp-")
