@@ -435,7 +435,56 @@ object TextAnalysis {
        |WHERE d.n_chars < p.p10 OR d.n_chars > p.p90
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Lexical diversity via the Simpson index: with per-doc token counts
+    * c_w, emits Σc_w² and the two derived signals — `simpson`
+    * (1 − Σc²/n², the probability two random token draws differ) and
+    * `eff_vocab` (n²/Σc², the Rényi-2 "effective vocabulary size").
+    * Unlike `ta_repetition`'s distinct-count/dup-fraction this weights
+    * the SKEW of the distribution: a doc where one token supplies half
+    * the mass scores low even with a large distinct vocabulary — the
+    * keyword-stuffing / template-spam signal of a corpus quality pass.
+    *
+    * Deliberately log-free: Shannon entropy's per-term `log` is not
+    * guaranteed bit-identical across engines' libm, while Σc² is exact
+    * integer arithmetic end to end and the two derived doubles are each
+    * ONE IEEE division (+ one subtraction) of exact integers —
+    * hash-stable on any platform. Shape: same two partial-aggregated
+    * shuffles as `ta_repetition` (term counts, then per-doc moments);
+    * nothing per-pair, nothing driver-side.
+    */
+  def taDiversity(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_sq"),
+        (lit(1.0) - col("sum_sq").cast(DoubleType) /
+          (col("n_tokens") * col("n_tokens")).cast(DoubleType))
+          .as("simpson"),
+        ((col("n_tokens") * col("n_tokens")).cast(DoubleType) /
+          col("sum_sq").cast(DoubleType)).as("eff_vocab"))
+      .orderBy(col("doc_id"))
+
+  val taDiversitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+      |mom AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, sum_sq,
+      |  CAST(1 AS DOUBLE) - CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
+      |  CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sum_sq AS DOUBLE) AS eff_vocab
+      |FROM mom
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_diversity"   -> taDiversity _,
     "ta_length_tails" -> taLengthTails _,
     "ta_normalize"   -> taNormalize _,
     "ta_token_stats" -> taTokenStats _,
@@ -449,6 +498,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_diversity"   -> taDiversitySql,
     "ta_length_tails" -> taLengthTailsSql,
     "ta_normalize"   -> taNormalizeSql,
     "ta_token_stats" -> taTokenStatsSql,

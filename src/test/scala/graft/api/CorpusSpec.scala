@@ -199,6 +199,24 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("ta_diversity matches a hand-computed Simpson index and its identities") {
+    val gated = graft.operators.TextAnalysis.taDiversity(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> graft.operators.MapReduce.fields(r.getString(1)))
+    texts.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+      val counts = ts.groupBy(identity).values.map(_.length.toLong)
+      val n = counts.sum
+      val sumSq = counts.map(c => c * c).sum
+      val (gn, gs, simpson, eff) = gated(id)
+      assert((gn, gs) == ((n, sumSq)), s"doc $id moments")
+      assert(simpson == 1.0 - sumSq.toDouble / (n * n).toDouble, s"doc $id simpson")
+      assert(eff == (n * n).toDouble / sumSq.toDouble, s"doc $id eff_vocab")
+    }
+    assert(gated.size == texts.count(_._2.nonEmpty))
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
