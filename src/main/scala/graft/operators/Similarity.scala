@@ -770,6 +770,268 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bound 100 TB ANN arm.
+  // ---------------------------------------------------------------------
+
+  val PqM = 8         // subspaces (64-dim vector → 8 × 8-dim slices)
+  val PqK = 16        // codes per subspace → 8 × 4 bits = 4-byte codes
+  val PqSubDim = 8    // Dim / PqM
+
+  /** ADC shortlist size: the exact-rerank pool per query (FAISS's
+    * "refine" stage). Recall@k of refined PQ = the chance a true
+    * neighbor makes the shortlist, far better than raw-ADC ordering.
+    */
+  val PqShortlist = 10 * TopK
+
+  /** One L2 (not spherical) assignment pass for ALL subspace
+    * codebooks at once: argmin ‖x − c‖² ≡ argmax (x·c − ‖c‖²/2) per
+    * (vec_id, sub), evaluated in the codegen'd mixed-precision dot
+    * kernel; ties → lower cell. PQ approximates the RECONSTRUCTION
+    * x̂ = concat(centroids), so assignment must minimize reconstruction
+    * error — cosine assignment ([[kmAssign]]) would discard the
+    * sub-vector magnitudes the ADC dot product needs. The codebook
+    * table ([[PqM]]×[[PqK]] rows) broadcasts on `sub`; every subspace
+    * trains/encodes in ONE plan, not [[PqM]] sequential jobs.
+    */
+  private def pqAssignAll(subAll: DataFrame, cent: DataFrame): DataFrame = {
+    val c = broadcast(cent.select(col("sub"), col("cell"), col("cv"),
+      VectorExpressions.l2NormD(col("cv")).as("cnrm")))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("sc").desc, col("cell"))
+    subAll.join(c, "sub")
+      .withColumn("sc",
+        VectorExpressions.dotFD(col("sv"), col("cv")) -
+          lit(0.5) * (col("cnrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("sub"), col("sv"), col("cell"))
+  }
+
+  /** [[kmUpdate]] with the subspace id carried through the grouping
+    * keys — one partial-aggregated (sub, cell, dim) shuffle updates all
+    * [[PqM]] codebooks (same exact limb-sum means; see [[kmUpdate]] for
+    * the fsumN rationale and the oracle-parity cell-size bound).
+    */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("cell"), col("dim"))
+      .agg((fsumN(col("x").cast(DoubleType), 12) / count(lit(1))).as("m"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** Recall floor for the PQ arm of the gate. iid random vectors are
+    * PQ's worst case (no subspace structure to exploit), so the floor
+    * is modest; clustered real embeddings code far more faithfully.
+    */
+  val PqRecallFloor = 0.4
+
+  /** Product-quantization ANN, gated as a recall row (the [[simRecall]]
+    * pattern): train [[PqM]] per-subspace codebooks, encode every corpus
+    * vector as [[PqM]] 4-bit codes, answer the gate queries via ADC
+    * (asymmetric distance computation — exact query sub-vectors against
+    * a per-query lookup table of sub-dot-products), and emit recall@k
+    * vs [[simTopkBrute]] with the floor boolean pinned TRUE in the
+    * oracle.
+    *
+    * Scale posture — WHY PQ exists next to IVF/LSH: the codes are 4
+    * bytes per vector vs 256 raw (64×), so a 100 TB vector corpus
+    * becomes a ~1.6 TB code table that SCANS at memory bandwidth; the
+    * scan is linear like brute force but touches only codes + a
+    * 320-entry broadcast LUT per query — no per-pair float math at all.
+    * Here the ADC sum rides a (q_id, c_id)-keyed partial-agg shuffle of
+    * narrow (sub, pdot) rows with an order-pinned fold (doubles sum in
+    * subspace order in BOTH engines — a plain `sum(pdot)` would be
+    * partition-order-dependent and hash-break); in a dedicated 100 TB
+    * deployment the same sum runs map-side against the broadcast LUT
+    * (codes array → 8 array lookups per row), and the natural
+    * composition is IVF cells × PQ codes within each cell. Training
+    * touches only the [[KmSamplePerCell]]·k sample per subspace; only
+    * encoding (one broadcast assignment per subspace) sees all n.
+    */
+  def simPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val n = e.count()
+    val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
+    // one row per (vector, subspace): a single pass slices all PqM
+    // sub-vectors (no PqM-way scan union)
+    val subAll = e.select(col("vec_id"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("sub"),
+            slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+              .as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    // train all PqM codebooks together: deterministic sample + dense-id
+    // seeds, KmIters Lloyd rounds of (assign, limb-exact mean update)
+    val sample = subAll.filter(col("vec_id") % step === 0)
+    var cent = sample.filter(col("vec_id") < PqK * step)
+      .select(col("sub"),
+        expr(s"CAST(vec_id DIV $step AS INT)").as("cell"),
+        transform(col("sv"), x => x.cast(DoubleType)).as("cv"))
+    for (_ <- 1 to KmIters)
+      cent = pqUpdate(pqAssignAll(sample, cent))
+    val centN = cent.select(col("sub"), col("cell"), col("cv"),
+      VectorExpressions.l2NormD(col("cv")).as("cnrm"))
+    // encode: PqM codes per corpus vector
+    val enc = pqAssignAll(subAll, cent)
+      .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+    // per-query LUT: sub-dot of each exact query sub-vector with every
+    // codebook entry (NumQueryVectors × PqM × PqK rows — broadcast)
+    val lut = subAll.filter(col("vec_id") < NumQueryVectors)
+      .join(broadcast(centN), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("cell"),
+        VectorExpressions.dotFD(col("sv"), col("cv")).as("pdot"),
+        (col("cnrm") * col("cnrm")).as("cn2"))
+    val qn = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"),
+        VectorExpressions.l2NormF(col("embedding")).as("qn"))
+    // ADC: per (query, candidate), fold the PqM LUT entries in subspace
+    // order (order-pinned double sum — a plain sum() would be
+    // partition-order-dependent and hash-break vs the oracle)
+    val sortedParts = array_sort(collect_list(struct(col("sub"),
+      col("pdot"), col("cn2"))))
+    val scored = enc.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sortedParts.as("parts"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(transform(col("parts"), p => p.getField("pdot")),
+          lit(0.0), (acc, x) => acc + x).as("adot"),
+        aggregate(transform(col("parts"), p => p.getField("cn2")),
+          lit(0.0), (acc, x) => acc + x).as("cn2sum"))
+      .join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (col("adot") / (col("qn") * sqrt(col("cn2sum")))).as("approx_cos"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("c_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("q_id"), col("c_id"))
+    // refine: exact cosine over the shortlist only (the FAISS refine
+    // stage) — same expression as simTopkBrute, so exact scores are
+    // bit-identical to the oracle's
+    val cvecs = e.select(col("vec_id").as("c_id"), col("embedding").as("cv2"),
+      VectorExpressions.l2NormF(col("embedding")).as("cn"))
+    val qvecs = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorExpressions.l2NormF(col("embedding")).as("qn2"))
+    val wRef = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val topk = shortlist.join(cvecs, "c_id").join(broadcast(qvecs), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (VectorExpressions.dotF(col("qv"), col("cv2")) /
+          (col("qn2") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wRef))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("c_id"))
+    val total = NumQueryVectors * TopK
+    simTopkBrute(s, d).select(col("q_id"), col("c_id"))
+      .join(topk, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("pq").as("method"), col("hits"),
+        lit(total.toLong).as("total"),
+        (col("hits").cast(DoubleType) / total).as("recall"),
+        (col("hits").cast(DoubleType) / total >= PqRecallFloor)
+          .as("meets_floor"))
+  }
+
+  /** DuckDB mirror of the full PQ pipeline — slicing, per-subspace
+    * Lloyd training, encoding, ADC with the same subspace-ordered
+    * folds, shortlist, exact refine, recall join — with `meets_floor`
+    * pinned TRUE (the q27_approx trick: if a change drops recall below
+    * [[PqRecallFloor]], Spark computes `false` and the gate
+    * hash-mismatches).
+    */
+  val simPqSql: String = {
+    def pqAssignCteSql(src: String, cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, sub, sv, cell FROM (
+         |    SELECT s.vec_id, s.sub, s.sv, c.cell,
+         |      ${kmDotSql("s.sv", "c.cv")} - 0.5 * (${kmNormSql("c.cv")} * ${kmNormSql("c.cv")}) AS sc
+         |    FROM $src s JOIN $cent c ON s.sub = c.sub) z
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY sc DESC, cell) = 1)""".stripMargin
+    def pqUpdateCteSql(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT sub, cell, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT sub, cell, dim, ${fsumNSql("x", 12)} / COUNT(*) AS m
+         |    FROM (SELECT sub, cell, unnest(range(1, len(sv) + 1)) AS dim,
+         |            unnest(sv) AS x FROM $assigned) u
+         |    GROUP BY sub, cell, dim) g
+         |  GROUP BY sub, cell)""".stripMargin
+    val iters = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+      s"${pqAssignCteSql("samp", prev, s"pa$i")},\n${pqUpdateCteSql(s"pa$i", s"cent$i")}"
+    }.mkString(",\n")
+    val total = NumQueryVectors * TopK
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    ${kmNormSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |  FROM embeddings),
+       |pqp AS (
+       |  SELECT GREATEST(1, n // ($KmSamplePerCell * $PqK)) AS step
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings) z),
+       |suball AS (
+       |  SELECT vec_id, m.sub,
+       |    v[(m.sub * $PqSubDim + 1):(m.sub * $PqSubDim + $PqSubDim)] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) m),
+       |samp AS (SELECT * FROM suball
+       |         WHERE vec_id % (SELECT step FROM pqp) = 0),
+       |cent0 AS (
+       |  SELECT sub, CAST(vec_id // (SELECT step FROM pqp) AS INTEGER) AS cell,
+       |    sv AS cv
+       |  FROM samp
+       |  WHERE vec_id < $PqK * (SELECT step FROM pqp)),
+       |$iters,
+       |centn AS (SELECT sub, cell, cv, ${kmNormSql("cv")} AS cnrm
+       |          FROM cent$KmIters),
+       |${pqAssignCteSql("suball", s"cent$KmIters", "enca")},
+       |enc AS (SELECT vec_id AS c_id, sub, cell FROM enca),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.sub, c.cell,
+       |    ${kmDotSql("s.sv", "c.cv")} AS pdot,
+       |    (c.cnrm * c.cnrm) AS cn2
+       |  FROM suball s JOIN centn c ON s.sub = c.sub
+       |  WHERE s.vec_id < $NumQueryVectors),
+       |adc AS (
+       |  SELECT l.q_id, en.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.pdot ORDER BY l.sub)), $kmFoldSql) AS adot,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.cn2 ORDER BY l.sub)), $kmFoldSql) AS cn2sum
+       |  FROM enc en JOIN lut l ON en.sub = l.sub AND en.cell = l.cell
+       |  WHERE l.q_id <> en.c_id
+       |  GROUP BY l.q_id, en.c_id),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT a.q_id, a.c_id,
+       |      a.adot / (eq.nrm * sqrt(a.cn2sum)) AS approx_cos
+       |    FROM adc a JOIN e eq ON eq.vec_id = a.q_id) sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY approx_cos DESC, c_id) <= $PqShortlist),
+       |topkpq AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT sh.q_id, sh.c_id,
+       |      ${kmDotSql("eq.v", "ec.v")} / (eq.nrm * ec.nrm) AS cosine
+       |    FROM short sh
+       |    JOIN e eq ON eq.vec_id = sh.q_id
+       |    JOIN e ec ON ec.vec_id = sh.c_id) r
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, c_id) <= $TopK),
+       |brute AS (SELECT q_id, c_id FROM ($simTopkBruteSql) b),
+       |h AS (SELECT COUNT(*) AS hits
+       |      FROM topkpq JOIN brute USING (q_id, c_id))
+       |SELECT 'pq' AS method, CAST(hits AS BIGINT) AS hits,
+       |  CAST($total AS BIGINT) AS total,
+       |  CAST(hits AS DOUBLE) / $total AS recall,
+       |  TRUE AS meets_floor
+       |FROM h""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ANN quality gate — recall@k of the approximate paths vs brute
   // force, as a CORRECTNESS row (the q27_approx pattern: the recall
   // VALUE hash-matches the oracle, and the floor booleans are pinned
@@ -842,6 +1104,7 @@ object Similarity {
     "emb_quantize"   -> embQuantize _,
     "emb_kmeans"     -> embKmeans _,
     "sim_recall"     -> simRecall _,
+    "sim_pq"         -> simPq _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -853,5 +1116,6 @@ object Similarity {
     "emb_quantize"   -> embQuantizeSql,
     "emb_kmeans"     -> embKmeansSql,
     "sim_recall"     -> simRecallSql,
+    "sim_pq"         -> simPqSql,
   )
 }

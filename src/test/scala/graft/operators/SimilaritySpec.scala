@@ -134,4 +134,16 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(a == b)
   }
+
+  test("PQ with exact refine meets its recall floor and is deterministic") {
+    val a = Similarity.simPq(spark, sf001).collect()
+    assert(a.length == 1)
+    val row = a(0)
+    assert(row.getString(0) == "pq")
+    assert(row.getLong(2) == Similarity.NumQueryVectors * Similarity.TopK)
+    assert(row.getBoolean(4),
+      s"recall ${row.getDouble(3)} below floor ${Similarity.PqRecallFloor}")
+    val b = Similarity.simPq(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
