@@ -369,6 +369,25 @@ object Corpus {
     S.knnJoinWithCentroids(corpus, cent, k)
   }
 
+  /** Product-quantized top-k (the memory-bound ANN): train the 8×16
+    * PQ codebooks over `corpus` (sampled Lloyd, one sub-keyed plan),
+    * encode it as 4-byte codes (64× compression at dim 64), score
+    * `queries` against the codes via ADC with a broadcast per-query
+    * LUT, and exact-refine the shortlist — FAISS's IndexPQ + refine,
+    * as one declarative plan. Output `(q_id, rank, c_id, cosine)` with
+    * `cosine` the EXACT refined score; recall floors for the gated form
+    * are pinned in the `sim_pq` CORRECTNESS row. Pass a pre-trained
+    * codebook frame via [[graft.operators.Similarity.pqTopK]] to skip
+    * training (e.g. to reuse one index across many query batches).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      excludeSelfIds: Boolean = true): DataFrame = {
+    val S = graft.operators.Similarity
+    val cent = S.pqIndex(corpus, corpus.count(), id, vec).localCheckpoint()
+    S.pqTopK(corpus, queries, cent, k, id, vec, excludeSelfIds)
+  }
+
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */
   object implicits {
     implicit class CorpusOps(private val df: DataFrame) {

@@ -851,49 +851,73 @@ object Similarity {
     * touches only the [[KmSamplePerCell]]·k sample per subspace; only
     * encoding (one broadcast assignment per subspace) sees all n.
     */
-  def simPq(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val n = e.count()
-    val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
-    // one row per (vector, subspace): a single pass slices all PqM
-    // sub-vectors (no PqM-way scan union)
-    val subAll = e.select(col("vec_id"),
+  /** One row per (vector, subspace): a single pass slices all [[PqM]]
+    * sub-vectors (no PqM-way scan union). Output `(<idOut>, sub, sv)`.
+    */
+  private def pqSubAll(df: DataFrame, id: String, vec: String,
+      idOut: String = "vec_id"): DataFrame =
+    df.select(col(id).as(idOut),
         explode(array((0 until PqM).map(m =>
           struct(lit(m).as("sub"),
-            slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+            slice(col(vec), m * PqSubDim + 1, PqSubDim)
               .as("sv"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
-    // train all PqM codebooks together: deterministic sample + dense-id
-    // seeds, KmIters Lloyd rounds of (assign, limb-exact mean update)
-    val sample = subAll.filter(col("vec_id") % step === 0)
+      .select(col(idOut), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  /** Train the [[PqM]]×[[PqK]] PQ codebooks over a corpus: the
+    * deterministic `id % step == 0` sample, dense-id seeds, [[KmIters]]
+    * Lloyd rounds of (L2 assign, limb-exact mean update) — all
+    * subspaces in one sub-keyed plan. Output `(sub, cell, cv)`;
+    * `n` is the corpus row count (passed in so callers can share one
+    * count across stages).
+    */
+  def pqIndex(corpus: DataFrame, n: Long, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
+    val sample = pqSubAll(corpus, id, vec).filter(col("vec_id") % step === 0)
     var cent = sample.filter(col("vec_id") < PqK * step)
       .select(col("sub"),
         expr(s"CAST(vec_id DIV $step AS INT)").as("cell"),
         transform(col("sv"), x => x.cast(DoubleType)).as("cv"))
     for (_ <- 1 to KmIters)
       cent = pqUpdate(pqAssignAll(sample, cent))
+    cent
+  }
+
+  /** PQ top-k: encode the corpus with `cent` (from [[pqIndex]]), score
+    * each query against the codes via ADC, exact-refine the
+    * [[PqShortlist]]-deep shortlist, and emit `(q_id, rank, c_id,
+    * cosine)` — the [[cosineTopK]] output shape, with `cosine` the
+    * EXACT refined score. `excludeSelfIds` as in [[cosineTopK]],
+    * applied before the shortlist so a query's own row never consumes a
+    * slot.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, cent: DataFrame,
+      k: Int, id: String = "vec_id", vec: String = "embedding",
+      excludeSelfIds: Boolean = true,
+      shortlist: Int = PqShortlist): DataFrame = {
     val centN = cent.select(col("sub"), col("cell"), col("cv"),
       VectorExpressions.l2NormD(col("cv")).as("cnrm"))
     // encode: PqM codes per corpus vector
-    val enc = pqAssignAll(subAll, cent)
+    val enc = pqAssignAll(pqSubAll(corpus, id, vec), cent)
       .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
     // per-query LUT: sub-dot of each exact query sub-vector with every
-    // codebook entry (NumQueryVectors × PqM × PqK rows — broadcast)
-    val lut = subAll.filter(col("vec_id") < NumQueryVectors)
+    // codebook entry (nQueries × PqM × PqK rows — broadcast)
+    val lut = pqSubAll(queries, id, vec, "q_id")
       .join(broadcast(centN), "sub")
-      .select(col("vec_id").as("q_id"), col("sub"), col("cell"),
+      .select(col("q_id"), col("sub"), col("cell"),
         VectorExpressions.dotFD(col("sv"), col("cv")).as("pdot"),
         (col("cnrm") * col("cnrm")).as("cn2"))
-    val qn = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"),
-        VectorExpressions.l2NormF(col("embedding")).as("qn"))
+    val qn = queries.select(col(id).as("q_id"),
+      VectorExpressions.l2NormF(col(vec)).as("qn"))
     // ADC: per (query, candidate), fold the PqM LUT entries in subspace
     // order (order-pinned double sum — a plain sum() would be
     // partition-order-dependent and hash-break vs the oracle)
     val sortedParts = array_sort(collect_list(struct(col("sub"),
       col("pdot"), col("cn2"))))
+    val selfCond =
+      if (excludeSelfIds) col("q_id") =!= col("c_id") else lit(true)
     val scored = enc.join(broadcast(lut), Seq("sub", "cell"))
-      .filter(col("q_id") =!= col("c_id"))
+      .filter(selfCond)
       .groupBy(col("q_id"), col("c_id"))
       .agg(sortedParts.as("parts"))
       .select(col("q_id"), col("c_id"),
@@ -906,26 +930,32 @@ object Similarity {
         (col("adot") / (col("qn") * sqrt(col("cn2sum")))).as("approx_cos"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_cos").desc, col("c_id"))
-    val shortlist = scored.withColumn("srank", row_number().over(wAdc))
-      .filter(col("srank") <= PqShortlist)
+    val short = scored.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
       .select(col("q_id"), col("c_id"))
     // refine: exact cosine over the shortlist only (the FAISS refine
     // stage) — same expression as simTopkBrute, so exact scores are
     // bit-identical to the oracle's
-    val cvecs = e.select(col("vec_id").as("c_id"), col("embedding").as("cv2"),
-      VectorExpressions.l2NormF(col("embedding")).as("cn"))
-    val qvecs = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        VectorExpressions.l2NormF(col("embedding")).as("qn2"))
+    val cvecs = corpus.select(col(id).as("c_id"), col(vec).as("cv2"),
+      VectorExpressions.l2NormF(col(vec)).as("cn"))
+    val qvecs = queries.select(col(id).as("q_id"), col(vec).as("qv"),
+      VectorExpressions.l2NormF(col(vec)).as("qn2"))
     val wRef = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
-    val topk = shortlist.join(cvecs, "c_id").join(broadcast(qvecs), "q_id")
+    short.join(cvecs, "c_id").join(broadcast(qvecs), "q_id")
       .select(col("q_id"), col("c_id"),
         (VectorExpressions.dotF(col("qv"), col("cv2")) /
           (col("qn2") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(wRef))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("c_id"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
+  def simPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = pqIndex(e, e.count())
+    val topk = pqTopK(e, e.filter(col("vec_id") < NumQueryVectors), cent,
+      TopK).select(col("q_id"), col("c_id"))
     val total = NumQueryVectors * TopK
     simTopkBrute(s, d).select(col("q_id"), col("c_id"))
       .join(topk, Seq("q_id", "c_id"), "left_semi")

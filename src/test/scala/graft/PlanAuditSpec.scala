@@ -213,4 +213,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"pipe_qa's budget cut must exchange on the bucket key:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("incremental dedup: keyed anti-join exact arm; bloom arm probes map-side then confirms") {
+    val pi = plan("dd_incremental")
+    assert(pi.contains("LeftAnti") && !pi.contains("CartesianProduct"), pi)
+    val pb = plan("dd_incremental_bloom")
+    // the map-side bloom probe must survive planning (it is what spares
+    // the bloom-negative batch rows the shuffle), and the confirm arm
+    // must stay a keyed anti-join
+    assert(pb.contains("might_contain"),
+      s"bloom probe must be in the plan:\n$pb")
+    assert(pb.contains("LeftAnti") && !pb.contains("CartesianProduct"), pb)
+  }
+
+  test("PQ trains/encodes via broadcast codebooks with map-side-pruned argmax windows") {
+    val p = plan("sim_pq")
+    // every per-(vector, sub) argmax and per-query rank window must
+    // collapse to its top rows BEFORE any exchange — training assigns,
+    // the encode, the ADC shortlist and the refine all rank-prune
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 10,
+      s"PQ rank windows must prune map-side:\n$p")
+    // codebooks/LUT/query frames ride broadcasts; the corpus-sized
+    // side must never be cartesian-joined
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("diversity scoring partial-aggregates both moment passes; no window") {
+    val p = plan("ta_diversity")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"ta_diversity must map-side partial both aggs:\n$p")
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -217,6 +217,29 @@ class CorpusSpec extends SparkTestBase {
     assert(gated.size == texts.count(_._2.nonEmpty))
   }
 
+  test("pqTopK facade returns exact-refined ordered neighbors with useful recall") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 5)
+    val pq = Corpus.pqTopK(e, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+    // shape: 10 ordered rows per query, no self
+    assert(pq.length == 50)
+    assert(pq.forall { case ((qid, _), (cid, _)) => qid != cid })
+    // refined scores are EXACT cosines: every returned pair's score must
+    // equal the brute-force score for that pair
+    val brute = Corpus.cosineTopK(e, q, k = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.foreach { case ((qid, _), (cid, cos)) =>
+      assert(brute((qid, cid)) == cos, s"pair ($qid,$cid)") }
+    // recall vs the true top-10 matches the gated sim_pq row
+    val true10 = Corpus.cosineTopK(e, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = pq.count { case ((qid, _), (cid, _)) => true10((qid, cid)) }
+    val gated = graft.operators.Similarity.simPq(spark, sf0001)
+      .collect()(0).getLong(1)
+    assert(hits.toLong == gated)
+  }
+
   test("cosine top-k facade equals the gated brute-force query") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val api = Corpus.cosineTopK(e, e.filter($"vec_id" < 5), k = 10)
