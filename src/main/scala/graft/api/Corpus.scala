@@ -86,12 +86,27 @@ object Corpus {
     * fingerprint-keyed LEFT ANTI join; only fingerprints shuffle, never
     * documents meeting documents. Within-batch duplicates survive —
     * compose with [[exactDeduped]] for full hygiene.
+    *
+    * `bloomPrefilter = true` switches to the TB-scale plan (the gated
+    * `dd_incremental_bloom` form): a distributed Bloom filter over the
+    * seen fingerprints is probed map-side, so bloom-negative batch rows
+    * skip the shuffle entirely and only the positive sliver (true dups
+    * + FPP false positives) goes through the anti-join confirm.
+    * Result-identical either way; the crossover is where the batch-side
+    * shuffle dominates the extra scan, not at test scale.
     */
   def dedupAgainst(df: DataFrame, seen: DataFrame,
-      text: String = "text", seenText: String = "text"): DataFrame =
-    df.join(
-      seen.select(fingerprintMd5(col(seenText)).as("__seen_fp")).distinct(),
-      fingerprintMd5(col(text)) === col("__seen_fp"), "left_anti")
+      text: String = "text", seenText: String = "text",
+      bloomPrefilter: Boolean = false): DataFrame =
+    if (bloomPrefilter) {
+      val batch = df.withColumn("__fp", fingerprintMd5(col(text)))
+      val seenFp = seen.select(fingerprintMd5(col(seenText)).as("__fp"))
+      graft.operators.Dedup.bloomAntiJoin(batch, seenFp, "__fp")
+        .drop("__fp")
+    } else
+      df.join(
+        seen.select(fingerprintMd5(col(seenText)).as("__seen_fp")).distinct(),
+        fingerprintMd5(col(text)) === col("__seen_fp"), "left_anti")
 
   /** MinHash signatures (`array<bigint>`, 64 rows) in `outCol` for docs
     * with ≥ 3 tokens. Map-side; feed to [[nearDupPairs]] or bucket the

@@ -588,30 +588,42 @@ object Dedup {
     * semi-joins) does not cover.
     */
   def ddIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    val (seen, batch) = seenAndBatch(s, d)
+    bloomAntiJoin(batch, seen, "fp")
+      .select(incrementalOutCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-parametric core of the bloom-prefiltered anti-join: rows of
+    * `batch` whose `keyCol` does not appear in `seen` — result-identical
+    * to `batch.join(seen-keys, "left_anti")`, with only the
+    * bloom-positive sliver of `batch` shuffling. `expectedItems` sizes
+    * the filter (default 10⁶ → ~1.2 MB at the default FPP, far under
+    * the 8 MB runtime-filter cap; size from corpus stats — seen-side
+    * row count — in a real deployment). Shared by the gated
+    * [[ddIncrementalBloom]] and `graft.api.Corpus.dedupAgainst`.
+    */
+  def bloomAntiJoin(batch: DataFrame, seen: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
-    val (seen, batch) = seenAndBatch(s, d)
-    // distributed build; 10^6 expected items → ~1.2 MB at the default
-    // FPP, far under the 8 MB runtime-filter cap. At a real 100 TB run
-    // size this from corpus stats (n_docs of the retained corpus).
+    // distributed build: partial filters OR-merge up the agg tree; the
+    // driver holds only the final sketch (scalar-collect posture)
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col("fp"))), 1000000L)
+        ColumnBridge.expression(xxhash64(col(keyCol))), expectedItems)
         .toAggregateExpression())
     val bf = seen.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val might = ColumnBridge.column(
       BloomFilterMightContain(Literal(bf, BinaryType),
-        ColumnBridge.expression(xxhash64(col("fp")))))
-    val definitelyNew = batch.filter(!might)
-    val confirm = batch.filter(might).join(
-      seen.select(col("fp").as("__seen_fp")).distinct(),
-      col("fp") === col("__seen_fp"), "left_anti")
-    definitelyNew.select(incrementalOutCols: _*)
-      .unionByName(confirm.select(incrementalOutCols: _*))
-      .orderBy(col("doc_id"))
+        ColumnBridge.expression(xxhash64(col(keyCol)))))
+    val seenKeys = seen.select(col(keyCol).as("__seen_fp")).distinct()
+    batch.filter(!might).unionByName(
+      batch.filter(might).join(seenKeys,
+        col(keyCol) === col("__seen_fp"), "left_anti"))
   }
 
   /** Same answer as [[ddIncrementalSql]] — the bloom is plan-only. */

@@ -281,6 +281,11 @@ class CorpusSpec extends SparkTestBase {
     // the original columns survive the anti join untouched
     assert(Corpus.dedupAgainst(batch, seen).columns.toSeq ==
       Seq("doc_id", "text"))
+    // the bloom-prefiltered plan is result-identical, columns included
+    val bloomed = Corpus.dedupAgainst(batch, seen, bloomPrefilter = true)
+    assert(bloomed.columns.toSeq == Seq("doc_id", "text"))
+    assert(bloomed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(9000001L, 9000002L))
   }
 
   test("lengthTails facade flags the same docs as the gated ta_length_tails") {
