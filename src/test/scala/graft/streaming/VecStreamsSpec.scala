@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+
+class VecStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 1700000000L
+
+  private def queryFrame = {
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+    e.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id"),
+        expr(s"timestamp_seconds($t0 + vec_id)").as("ts"),
+        col("embedding"))
+  }
+
+  test("batch form of ANN serving equals the gated sim_ann_lsh ranking") {
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+    val served = VecStreams.annServe(queryFrame, e).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    val gated = Similarity.simAnnLsh(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).mkString(",") }
+    assert(served == gated && served.nonEmpty)
+    // all five queries land in the same tumbling window
+    val wins = VecStreams.annServe(queryFrame, e).collect()
+      .map(_.getLong(0)).distinct
+    assert(wins.length == 1)
+  }
+
+  test("streaming ANN serving emits the same neighbors as the batch form") {
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+    val dir = Files.createTempDirectory("graft-annserve-")
+    def writeBatch(name: String, ids: Seq[Long], sentinel: Boolean = false): Unit = {
+      val staging = Files.createTempDirectory("graft-annserve-stage-")
+      val rows =
+        if (sentinel)
+          // far-future vector (copy of id 0, shifted id + time) pushes
+          // the watermark past the t0 window so append mode emits it
+          queryFrame.filter(col("vec_id") === 0)
+            .select(lit(990L).as("vec_id"),
+              expr(s"timestamp_seconds($t0 + 999999)").as("ts"),
+              col("embedding"))
+        else queryFrame.filter(col("vec_id").isInCollection(ids))
+      rows.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+    }
+    writeBatch("001.parquet", Seq(0L, 1L, 2L))
+    writeBatch("002.parquet", Seq(3L, 4L))
+    writeBatch("003.parquet", Seq.empty, sentinel = true)
+    val stream = spark.readStream
+      .schema(queryFrame.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = VecStreams.annServe(stream, e)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("annserve_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("annserve_out").collect()
+      .filter(_.getLong(1) < Similarity.NumQueryVectors)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val batch = VecStreams.annServe(queryFrame, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(streamed == batch && streamed.size == Similarity.NumQueryVectors)
+  }
+}
