@@ -396,6 +396,86 @@ object Pipeline {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  val PairsK = 3 // mined positives per kept document
+
+  /** Contrastive-pair mining for retrieval training — three families
+    * composed as ONE gated plan: (a) corpus QA (quality floor + exact
+    * prefix-fingerprint dedup, survivor = partial-aggregated min, the
+    * skew-safe form), (b) the doc→embedding link (`doc_id = vec_id`,
+    * the corpus convention), (c) neighbor mining over a trained IVF
+    * index built on the CLEAN corpus only — each kept document's
+    * top-[[PairsK]] nearest kept documents become its positives.
+    * Cleaning BEFORE indexing is the production order: duplicates would
+    * otherwise mine themselves as degenerate near-identical positives
+    * and skew the cell population. Index sizing (⌈√n⌉ cells over the
+    * KEPT count) and sampled-Lloyd training both derive from the
+    * filtered corpus, so the oracle trains the identical index.
+    */
+  def pipePairs(s: SparkSession, d: String): DataFrame = {
+    val kept = documents(s, d)
+      .filter(size(toks) > 0 &&
+        TextAnalysis.qualityScore(toks) >= QualityMin)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val eKept = embeddings(s, d).join(kept, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val n = eKept.count()
+    val cent = Similarity.trainedCentroids(
+      eKept, Similarity.numCellsFor(n), n)
+    Similarity.knnJoinWithCentroids(eKept, cent, PairsK)
+  }
+
+  val pipePairsSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH tq AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |keptd AS (
+       |  SELECT MIN(doc_id) AS vec_id
+       |  FROM (SELECT doc_id, md5(array_to_string(t[1:10], ' ')) AS fp
+       |        FROM tq
+       |        WHERE len(t) > 0 AND
+       |          ${TextAnalysis.qualityScoreSql("t")} >= $QualityMin) f
+       |  GROUP BY fp),
+       |e AS (
+       |  SELECT em.vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings em JOIN keptd USING (vec_id)),
+       |${Similarity.trainedCentCtesSqlFrom("e")},
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks
+       |           WHERE crank <= ${Similarity.NumProbes}),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $PairsK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_chunk"         -> taChunk _,
     "ta_pack"          -> taPack _,
@@ -403,6 +483,7 @@ object Pipeline {
     "pipe_e2e"         -> pipeE2e _,
     "pipe_qa"          -> pipeQa _,
     "pipe_ingest"      -> pipeIngest _,
+    "pipe_pairs"       -> pipePairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +493,6 @@ object Pipeline {
     "pipe_e2e"         -> pipeE2eSql,
     "pipe_qa"          -> pipeQaSql,
     "pipe_ingest"      -> pipeIngestSql,
+    "pipe_pairs"       -> pipePairsSql,
   )
 }

@@ -673,7 +673,15 @@ object Similarity {
     * the same `COUNT(*)` the Spark side reads, so both engines train
     * the same index.
     */
-  private def trainedCentCtesSql: String = {
+  private def trainedCentCtesSql: String = trainedCentCtesSqlFrom("embeddings")
+
+  /** [[trainedCentCtesSql]] with the corpus-count source parameterized —
+    * pass the name of the (possibly filtered) relation whose row count
+    * sizes `k` and the sampling step; the trained chain itself always
+    * reads the in-scope CTE `e`. Used by `pipe_pairs`, whose index is
+    * trained over the QA-filtered corpus, not the raw table.
+    */
+  private[operators] def trainedCentCtesSqlFrom(countFrom: String): String = {
     val iters = (1 to KmIters).map { i =>
       val prev = if (i == 1) "cent0" else s"cent${i - 1}"
       s"${kmAssignSql(prev, s"a$i", "es")},\n${kmUpdateSql(s"a$i", s"cent$i")}"
@@ -682,7 +690,7 @@ object Similarity {
        |  SELECT k, GREATEST(1, n // ($KmSamplePerCell * k)) AS step FROM (
        |    SELECT COUNT(*) AS n,
        |      GREATEST(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
-       |    FROM embeddings) z),
+       |    FROM $countFrom) z),
        |es AS (SELECT * FROM e
        |       WHERE vec_id % (SELECT step FROM kparam) = 0),
        |cent0 AS (

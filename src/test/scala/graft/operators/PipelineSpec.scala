@@ -89,4 +89,35 @@ class PipelineSpec extends SparkTestBase {
       assert(docs <= langCounts(lang), lang)
     }
   }
+
+  test("pair mining draws both sides only from the QA-kept corpus, ranked per query") {
+    import org.apache.spark.sql.functions.{col, concat_ws, md5, size, slice}
+    val toks = graft.functions.tokens(col("text"))
+    val kept = graft.sources.Tables.documents(spark, sf0001)
+      .filter(size(toks) > 0 &&
+        TextAnalysis.qualityScore(toks) >= Pipeline.QualityMin)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val canonical = kept.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val vecIds = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val eligible = canonical intersect vecIds
+    val rows = Pipeline.pipePairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every mined pair stays inside the cleaned, linked corpus
+    assert(rows.forall { case (q, _, c) => eligible(q) && eligible(c) && q != c })
+    // per query: ranks are 1..m with m <= PairsK
+    rows.groupBy(_._1).values.foreach { g =>
+      val ranks = g.map(_._2).sorted
+      assert(ranks.length <= Pipeline.PairsK &&
+        ranks.toSeq == (1 to ranks.length))
+    }
+    // a dropped duplicate (non-canonical member of a multi-doc fp group)
+    // must appear on NEITHER side
+    val dropped = kept.map(_._1).toSet diff canonical
+    assert(dropped.nonEmpty, "gate corpus must actually drop duplicates")
+    assert(rows.forall { case (q, _, c) => !dropped(q) && !dropped(c) })
+  }
 }
