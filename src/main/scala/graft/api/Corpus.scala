@@ -403,6 +403,19 @@ object Corpus {
     S.pqTopK(corpus, queries, cent, k, id, vec, excludeSelfIds)
   }
 
+  /** Contrastive-pair mining for retrieval training (the gated
+    * `pipe_pairs` pass over YOUR frames): quality-floor + exact
+    * prefix-fingerprint dedup on `docs`, link survivors to `vectors`
+    * by id, then mine each kept document's top-`k` nearest kept
+    * documents from a √n-cell IVF index trained on the CLEANED corpus.
+    * Dedup-before-index is the production order — duplicates would
+    * otherwise mine themselves as degenerate positives. Output
+    * `(q_id, rank, c_id, cosine)`.
+    */
+  def minedPairs(docs: DataFrame, vectors: DataFrame,
+      k: Int = graft.operators.Pipeline.PairsK): DataFrame =
+    graft.operators.Pipeline.minedPairs(docs, vectors, k)
+
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */
   object implicits {
     implicit class CorpusOps(private val df: DataFrame) {

@@ -411,8 +411,17 @@ object Pipeline {
     * KEPT count) and sampled-Lloyd training both derive from the
     * filtered corpus, so the oracle trains the identical index.
     */
-  def pipePairs(s: SparkSession, d: String): DataFrame = {
-    val kept = documents(s, d)
+  def pipePairs(s: SparkSession, d: String): DataFrame =
+    minedPairs(documents(s, d), embeddings(s, d))
+
+  /** Frame-parametric core of [[pipePairs]] over ANY `(doc_id, text)`
+    * docs frame and `(vec_id, embedding)` vectors frame linked by id —
+    * the ONE definition of the mine-positives pass, shared by the gated
+    * query and `graft.api.Corpus.minedPairs`.
+    */
+  def minedPairs(docs: DataFrame, vectors: DataFrame,
+      k: Int = PairsK): DataFrame = {
+    val kept = docs
       .filter(size(toks) > 0 &&
         TextAnalysis.qualityScore(toks) >= QualityMin)
       .select(col("doc_id"),
@@ -420,12 +429,12 @@ object Pipeline {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("vec_id"))
       .select(col("vec_id"))
-    val eKept = embeddings(s, d).join(kept, "vec_id")
+    val eKept = vectors.join(kept, "vec_id")
       .select(col("vec_id"), col("embedding"))
     val n = eKept.count()
     val cent = Similarity.trainedCentroids(
       eKept, Similarity.numCellsFor(n), n)
-    Similarity.knnJoinWithCentroids(eKept, cent, PairsK)
+    Similarity.knnJoinWithCentroids(eKept, cent, k)
   }
 
   val pipePairsSql: String = {

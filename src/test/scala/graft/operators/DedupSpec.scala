@@ -108,4 +108,28 @@ class DedupSpec extends SparkTestBase {
     val bloom = Dedup.ddIncrementalBloom(spark, sf001).collect().toSeq
     assert(exact == bloom)
   }
+
+  test("bloomAntiJoin equals the plain anti-join on randomized key multisets, even at high FPP") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val seen = Seq.fill(300)(rnd.nextInt(300).toLong).distinct.toDF("k")
+      // batch keeps duplicates — the multiset must survive intact
+      val batch = Seq.fill(400)(rnd.nextInt(600).toLong).toDF("k")
+      val expect = batch.join(
+          seen.select(col("k").as("__s")).distinct(),
+          col("k") === col("__s"), "left_anti")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val normal = Dedup.bloomAntiJoin(batch, seen, "k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // a deliberately undersized filter (expectedItems = 4) drives the
+      // FPP toward 1 — every row then routes through the confirm join,
+      // and the answer must STILL be exact
+      val tiny = Dedup.bloomAntiJoin(batch, seen, "k", expectedItems = 4L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(normal == expect, s"seed $seed")
+      assert(tiny == expect, s"seed $seed undersized filter")
+    }
+  }
 }
