@@ -238,6 +238,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("pair mining: QA survivors partial-aggregate, index joins never cartesian") {
+    val p = plan("pipe_pairs")
+    // the dedup survivor is a partial-aggregated min (skew-safe), the
+    // kept-id link and the cell join are hash joins, and the trained
+    // index's rank windows prune map-side
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("diversity scoring partial-aggregates both moment passes; no window") {
     val p = plan("ta_diversity")
     assert(p.contains("partial_count") && p.contains("partial_sum"),
