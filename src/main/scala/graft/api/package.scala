@@ -20,10 +20,12 @@ package graft
   *    `minhash_sig`, `word_shingles_3`, `hyperplane_buckets`, `dot_f`,
   *    …);
   *  - **corpus / training-data ops** (normalize, quality, fingerprint,
-  *    exact dedup, LSH near-dup pairs, chunking, cosine top-k) →
-  *    [[graft.api.Corpus]] (+ fluent `Corpus.implicits`);
+  *    exact + incremental dedup — optionally bloom-prefiltered — LSH
+  *    near-dup pairs, chunking, cosine/PQ/kNN top-k, contrastive pair
+  *    mining) → [[graft.api.Corpus]] (+ fluent `Corpus.implicits`);
   *  - **temporal / streaming ops** (as-of join, sessionization batch +
   *    streaming, streaming exact/near dedup) → [[graft.api.Events]];
+  *    streaming ANN serving → [[graft.streaming.VecStreams.annServe]];
   *  - **scale machinery** → [[graft.operators.Percentiles.exactSelect]]
   *    (distributed-selection percentiles),
   *    [[graft.plans.TopK.perGroup]] (bounded-heap top-k, custom
