@@ -617,6 +617,12 @@ object Dedup {
         ColumnBridge.expression(xxhash64(col(keyCol))), expectedItems)
         .toAggregateExpression())
     val bf = seen.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate over ZERO rows evals to null — a null filter
+    // would null-poison might_contain and silently drop the whole
+    // batch. Nothing seen ⇒ nothing to drop: the batch passes through
+    // (same empty-input class as the connected-components label-sum
+    // guard).
+    if (bf == null) return batch
     val might = ColumnBridge.column(
       BloomFilterMightContain(Literal(bf, BinaryType),
         ColumnBridge.expression(xxhash64(col(keyCol)))))

@@ -132,4 +132,15 @@ class DedupSpec extends SparkTestBase {
       assert(tiny == expect, s"seed $seed undersized filter")
     }
   }
+
+  test("bloomAntiJoin with an empty seen frame keeps the whole batch") {
+    import spark.implicits._
+    val batch = Seq(1L, 2L, 3L).toDF("k")
+    val empty = Seq.empty[Long].toDF("k")
+    // BloomFilterAggregate evals to null on zero rows; without the
+    // guard the null filter silently dropped every batch row
+    val kept = Dedup.bloomAntiJoin(batch, empty, "k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
 }
