@@ -394,6 +394,12 @@ object Corpus {
     * are pinned in the `sim_pq` CORRECTNESS row. Pass a pre-trained
     * codebook frame via [[graft.operators.Similarity.pqTopK]] to skip
     * training (e.g. to reuse one index across many query batches).
+    *
+    * NOTE: like [[knnJoin]], the in-plan training recipe samples and
+    * seeds on `id % step` / `id < k·step` — it assumes ids are roughly
+    * dense from 0 (the corpus convention). Re-key sparse or offset ids
+    * (`row_number`-style) before training, or train codebooks yourself
+    * and use the operator-level entry point.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding",
