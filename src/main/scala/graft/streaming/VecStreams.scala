@@ -40,6 +40,15 @@ object VecStreams {
     * still groups), which is how the spec oracles it against the gated
     * `sim_ann_lsh`. Output: `(win_start_s, q_id, topk_ids)` with
     * `topk_ids` the comma-joined neighbor ids in rank order.
+    *
+    * LATE QUERIES: Spark drops behind-watermark rows at the
+    * aggregation only best-effort (measured on 4.1: a late query is
+    * aggregated and emits as its own late window row). Because
+    * candidate generation is stateless and watermark-independent, a
+    * late query either vanishes or receives exactly its complete
+    * answer — never a partial candidate set (pinned in
+    * `VecStreamsSpec`). Downstream consumers keyed on (window, q_id)
+    * should upsert, not append-count.
     */
   def annServe(queries: DataFrame, corpus: DataFrame,
       k: Int = Similarity.TopK): DataFrame = {

@@ -75,4 +75,52 @@ class VecStreamsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
     assert(streamed == batch && streamed.size == Similarity.NumQueryVectors)
   }
+
+  test("a query arriving behind the watermark is never half-answered") {
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+    val dir = Files.createTempDirectory("graft-annlate-")
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = Files.createTempDirectory("graft-annlate-stage-")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      // distinct mtimes: the file source orders batches by modification
+      // time, and the watermark only advances BETWEEN batches — same-
+      // batch arrivals are never late by definition
+      Thread.sleep(1100)
+    }
+    // batch 1: a far-future query drives the watermark way past t0
+    write("001.parquet", queryFrame.filter(col("vec_id") === 0)
+      .select(lit(991L).as("vec_id"),
+        expr(s"timestamp_seconds($t0 + 999999)").as("ts"), col("embedding")))
+    // batch 2: a query stamped t0 — now beyond the 1 h lateness horizon
+    write("002.parquet", queryFrame.filter(col("vec_id") === 1))
+    val stream = spark.readStream
+      .schema(queryFrame.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = VecStreams.annServe(stream, e)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("annlate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // Spark's dropping of behind-watermark rows at a streaming
+    // aggregation is BEST-EFFORT (measured here: the late row IS
+    // aggregated and emitted as its own late window row). The property
+    // this topology actually guarantees — because candidate generation
+    // is a STATELESS stream-static join, independent of the watermark —
+    // is that any emitted answer is COMPLETE: a late query either
+    // vanishes or gets exactly its batch answer, never a partial
+    // candidate set.
+    val lateRows = spark.table("annlate_out").collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(1) -> r.getString(2))
+    val batchAnswer = VecStreams.annServe(queryFrame, e).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(1) -> r.getString(2))
+    assert(lateRows.isEmpty || lateRows.toSeq == batchAnswer.toSeq,
+      s"late query answered partially: ${lateRows.toSeq} vs ${batchAnswer.toSeq}")
+  }
 }
