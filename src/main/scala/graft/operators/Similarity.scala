@@ -187,7 +187,7 @@ object Similarity {
     * perform — bit-identical buckets and cosines. Shared by
     * [[simAnnLshSql]] and the semantic-dedup oracle in [[Dedup2]].
     */
-  private[operators] val bucketsCtesSql: String = {
+  private[graft] val bucketsCtesSql: String = {
     val planeRows = (0 until NumTables).flatMap { t =>
       (0 until PlanesPerTable).map { p =>
         val pl = hyperplanes(t * PlanesPerTable + p).mkString("[", ", ", "]")

@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HyperplaneBuckets, VectorExpressions}
 import graft.operators.Similarity
+import graft.sources.Tables
 
 /** Streaming similarity serving: a stream of query vectors answered
   * against a STATIC corpus — the online half of the similarity family
@@ -84,4 +85,66 @@ object VecStreams {
           slice(array_sort(array_distinct(col("parts")), byScore), 1, k),
           p => p.getField("c_id").cast("string"))).as("topk_ids"))
   }
+
+  /** Deterministic arrival epoch for the gated batch twin: queries are
+    * stamped `ServeT0 + vec_id` seconds, all inside one serving window.
+    */
+  val ServeT0 = 1700000000L
+
+  /** Gated batch twin of [[annServe]]: the gate query vectors arrive at
+    * deterministic timestamps and the serving plan runs in batch mode
+    * (watermark no-ops, the window still groups) — certifying the
+    * bucketing, candidate dedup, scoring, and array-space top-k against
+    * a DuckDB mirror of the whole chain. The streaming execution of the
+    * SAME plan (micro-batches, watermark, late arrivals) is verified in
+    * `VecStreamsSpec`.
+    */
+  def stAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id"),
+        expr(s"timestamp_seconds($ServeT0 + vec_id)").as("ts"),
+        col("embedding"))
+    annServe(q, e).orderBy(col("q_id"))
+  }
+
+  /** DuckDB mirror on the shared hyperplane CTE chain: the same
+    * DISTINCT candidate pairs and left-fold cosines as `sim_ann_lsh`,
+    * regrouped per (tumbling window, query) with the neighbor list
+    * ordered (cosine DESC, c_id) and comma-joined — element-wise
+    * identical to the comparator-sorted array the Spark side emits.
+    */
+  val stAnnSql: String = {
+    val n = Similarity.NumQueryVectors
+    val k = Similarity.TopK
+    s"""WITH ${Similarity.bucketsCtesSql},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM buckets c JOIN buckets q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < $n AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT q_id, c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = c_id),
+       |top AS (
+       |  SELECT q_id, list(c_id ORDER BY cosine DESC, c_id) AS ids
+       |  FROM scored GROUP BY q_id)
+       |SELECT CAST(((CAST($ServeT0 AS BIGINT) + q_id) // $ServeWindowSec)
+       |         * $ServeWindowSec AS BIGINT) AS win_start_s,
+       |  q_id,
+       |  array_to_string(list_transform(ids[1:$k], x -> CAST(x AS VARCHAR)), ',')
+       |    AS topk_ids
+       |FROM top
+       |ORDER BY q_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_ann" -> stAnn _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_ann" -> stAnnSql,
+  )
 }
