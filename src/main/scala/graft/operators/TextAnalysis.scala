@@ -483,7 +483,112 @@ object TextAnalysis {
       |FROM mom
       |ORDER BY doc_id""".stripMargin
 
+  // ── Boilerplate detection ─────────────────────────────────────────
+
+  /** Shingle width for boilerplate detection — shorter than
+    * [[Dedup2.SpanWindow]] because boilerplate runs (nav bars, footers,
+    * license headers) are short repeated phrases, not long spans.
+    */
+  val BoilerWindow = 5
+
+  /** A shingle is boilerplate when at least this many DISTINCT
+    * documents contain it — the corpus-global repeated-span prior of
+    * C4's cleaning pass (which drops repeated three-sentence spans
+    * corpus-wide, not per site).
+    */
+  val BoilerMinDocs = 3
+
+  /** Boilerplate scoring — the C4-style "repeated template text" pass.
+    * For every document: how many of its [[BoilerWindow]]-token shingle
+    * positions are boilerplate (shingle present in ≥ [[BoilerMinDocs]]
+    * distinct documents corpus-wide). Complements [[Dedup2.ddSpans]]:
+    * spans report WHERE the duplicated runs are; this scores each DOC
+    * by how much of it is template text — the per-doc drop/keep signal.
+    *
+    * Shape: positional shingle hashes are one codegen'd pass
+    * ([[graft.functions.WordShingleHashesExpr]]); within-doc repeats
+    * collapse in a partial-aggregated (doc, shingle) count, so the
+    * doc-frequency aggregate and the boiler join-back both see each
+    * (doc, shingle) ONCE — a shingle pasted 10⁷ times across the corpus
+    * costs map-side partials, never a window sort, and AQE splits the
+    * join-back probe. Every downstream arm (doc-frequency, boiler
+    * positions, per-doc totals) derives from the SAME (doc, shingle)
+    * aggregate, so ReuseExchange materializes the text scan + explode
+    * once; the only other corpus touch is a text-pruned (doc_id,
+    * source) scan that carries short docs to the output with n_pos = 0.
+    */
+  def boilerplateScored(docs: DataFrame, window: Int = BoilerWindow,
+      minDocs: Int = BoilerMinDocs): DataFrame = {
+    val hashes = WordShingleHashesExpr.wordShingleHashesNative(col("text"), window)
+    val perDoc = docs
+      .select(col("doc_id"), explode(hashes).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    // rows are distinct (doc, shingle) — count(*) IS the doc-frequency
+    val boiler = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val nBoiler = perDoc.join(boiler, Seq("h"))
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("nb"))
+    val totals = perDoc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("np"))
+    docs
+      .select(col("doc_id"), col("source"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(nBoiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("np"), lit(0L)).as("n_pos"),
+        coalesce(col("nb"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("np"), lit(0L)) > 0,
+          coalesce(col("nb"), lit(0L)).cast(DoubleType) /
+            col("np").cast(DoubleType)).as("boiler_ratio"))
+  }
+
+  def taBoilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateScored(documents(s, d)).orderBy(col("doc_id"))
+
+  /** DuckDB mirror — same first-8-md5-bytes shingle hash as
+    * [[Dedup2.ddSpansSql]] (unsigned vs signed views of the same 64
+    * bits give identical equality classes); n_boiler/n_pos is one IEEE
+    * division of exact integers, hash-stable.
+    */
+  val taBoilerplateSql: String = {
+    val w = BoilerWindow
+    val cat = (0 until w).map(j =>
+      if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t) - ${w - 2}),
+       |      i -> CAST(('0x' || substr(md5($cat), 1, 16)) AS UBIGINT))) AS h
+       |  FROM toks WHERE len(t) >= $w),
+       |perdoc AS (
+       |  SELECT doc_id, h, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT h FROM perdoc GROUP BY h
+       |  HAVING COUNT(*) >= $BoilerMinDocs),
+       |nb AS (
+       |  SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS nb
+       |  FROM perdoc p JOIN boiler b ON p.h = b.h
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT doc_id, source,
+       |    CAST(greatest(len(t) - ${w - 1}, 0) AS BIGINT) AS n_pos
+       |  FROM toks)
+       |SELECT t.doc_id, t.source, t.n_pos,
+       |  COALESCE(nb.nb, 0) AS n_boiler,
+       |  CASE WHEN t.n_pos > 0
+       |       THEN CAST(COALESCE(nb.nb, 0) AS DOUBLE) / CAST(t.n_pos AS DOUBLE)
+       |  END AS boiler_ratio
+       |FROM tot t LEFT JOIN nb ON t.doc_id = nb.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_boilerplate" -> taBoilerplate _,
     "ta_diversity"   -> taDiversity _,
     "ta_length_tails" -> taLengthTails _,
     "ta_normalize"   -> taNormalize _,
@@ -498,6 +603,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_boilerplate" -> taBoilerplateSql,
     "ta_diversity"   -> taDiversitySql,
     "ta_length_tails" -> taLengthTailsSql,
     "ta_normalize"   -> taNormalizeSql,
