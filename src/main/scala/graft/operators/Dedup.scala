@@ -173,6 +173,96 @@ object Dedup {
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin
 
+  // ── Asymmetric containment ────────────────────────────────────────
+
+  /** Pairs at/above this either-direction containment are reported. */
+  val ContainThreshold = 0.5
+
+  /** Postings cap for the containment inverted index: shingles present
+    * in more than this many documents are stop-shingles — excluded from
+    * BOTH the numerator and the denominators, so the measure stays a
+    * true containment over the informative shingle space while a
+    * boilerplate shingle in 10⁷ docs can never contribute its 10¹⁴
+    * pairs. (The prefix-filtering idea of the set-similarity-join
+    * literature, reduced to its scale-critical half.)
+    */
+  val MaxShingleDf = 128
+
+  /** Asymmetric near-subset detection: containment
+    * `C(A→B) = |S(A) ∩ S(B)| / |S(A)|` over non-stop 3-gram shingle
+    * sets — the measure that catches a short doc swallowed whole by a
+    * longer one (quote expansion, page-plus-chrome), where symmetric
+    * Jaccard stays low because the union is dominated by B.
+    *
+    * Shape: distinct (doc, shingle) rows; a partial-aggregated
+    * doc-frequency pass marks stop-shingles (tiny — broadcast
+    * anti-joined away map-side); the capped inverted-index self-join
+    * emits ≤ [[MaxShingleDf]]² rows per shingle; per-pair counts and
+    * the two divisions finish it. Per-doc set sizes are counted AFTER
+    * the cap so both sides of the ratio live in the same space.
+    */
+  def containmentPairs(docs: DataFrame, maxDf: Int = MaxShingleDf,
+      threshold: Double = ContainThreshold): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingleHashesExpr
+          .wordShingleHashesNative(col("text"), 3)).as("sh"))
+      .distinct()
+    // no forced broadcasts here (unlike jaccardPairsAll's
+    // certification-only core): hot and cnt both GROW with the corpus,
+    // so the anti-join and the two count joins stay planner-sized —
+    // AQE broadcasts them at gate scale, shuffles them at 100 TB
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val shF = sh.join(hot, Seq("sh"), "left_anti")
+    val cnt = shF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = shF.as("a")
+      .join(shF.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(cnt.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"),
+        (col("common").cast(DoubleType) / col("na")).as("contain_a"),
+        (col("common").cast(DoubleType) / col("nb")).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+  }
+
+  /** Gated view of [[containmentPairs]]: top-100 by strongest-direction
+    * containment.
+    */
+  def ddContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d))
+      .orderBy(greatest(col("contain_a"), col("contain_b")).desc,
+        col("a_id"), col("b_id"))
+      .limit(100)
+
+  val ddContainmentSql: String =
+    s"""WITH $shingleRelSql,
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MaxShingleDf),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
+      |    CAST(common AS DOUBLE) / ca.n AS contain_a,
+      |    CAST(common AS DOUBLE) / cb.n AS contain_b
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id)
+      |SELECT a_id, b_id, common, na, nb, contain_a, contain_b
+      |FROM pc
+      |WHERE greatest(contain_a, contain_b) >= $ContainThreshold
+      |ORDER BY greatest(contain_a, contain_b) DESC, a_id, b_id
+      |LIMIT 100""".stripMargin
+
   /** Keep the lowest doc_id per 10-token-prefix fingerprint — the
     * exact-dedup stage shared by [[ddApply]] and [[ddApplyLsh]].
     *
@@ -640,6 +730,7 @@ object Dedup {
     "dd_apply"             -> ddApply _,
     "dd_apply_lsh"         -> ddApplyLsh _,
     "dd_ngram_jaccard"     -> ddNgramJaccard _,
+    "dd_containment"       -> ddContainment _,
     "dd_minhash_lsh"       -> ddMinhashLsh _,
     "dd_simhash"           -> ddSimhash _,
     "dd_embed_cosine"      -> ddEmbedCosine _,
@@ -652,6 +743,7 @@ object Dedup {
     "dd_apply"             -> ddApplySql,
     "dd_apply_lsh"         -> ddApplyLshSql,
     "dd_ngram_jaccard"     -> ddNgramJaccardSql,
+    "dd_containment"       -> ddContainmentSql,
     "dd_minhash_lsh"       -> ddMinhashLshSql,
     "dd_simhash"           -> ddSimhashSql,
     "dd_embed_cosine"      -> ddEmbedCosineSql,

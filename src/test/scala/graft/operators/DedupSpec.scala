@@ -143,4 +143,41 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 3L))
   }
+
+  test("containment flags a swallowed doc that symmetric jaccard misses") {
+    import spark.implicits._
+    val short = "w1 w2 w3 w4 w5 w6"
+    val long = s"$short f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16"
+    val docs = Seq(
+      (1L, short), (2L, long),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    // doc 1's 4 shingles are all inside doc 2 (contain_a = 1.0), but
+    // jaccard = 4/20 = 0.2 would stay below every near-dup threshold
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L))._1 == 1.0)
+    assert(got((1L, 2L))._2 == 4.0 / 20.0)
+  }
+
+  test("stop-shingles beyond the df cap neither pair docs nor enter the ratios") {
+    import spark.implicits._
+    // 6 docs share one hot shingle (df 6 > cap 4); docs 1/2 also share
+    // a genuine overlap that must survive the cap
+    val hot = "h1 h2 h3"
+    val docs = (1L to 6L).map { i =>
+      val unique = s"u${i}a u${i}b u${i}c u${i}d"
+      val extra = if (i <= 2) " s1 s2 s3 s4 s5" else ""
+      (i, s"$hot $unique$extra")
+    }.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, maxDf = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only (1,2) survives: their shared shingles minus the hot one
+    assert(got.keySet == Set((1L, 2L)))
+    val onlyHotPairs = Dedup.containmentPairs(
+      (1L to 6L).map(i => (i, s"$hot u${i}a u${i}b")).toDF("doc_id", "text"),
+      maxDf = 4, threshold = 0.0)
+    assert(onlyHotPairs.count() == 0)
+  }
 }
