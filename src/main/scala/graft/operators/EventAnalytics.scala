@@ -152,13 +152,107 @@ object EventAnalytics {
        |FROM act GROUP BY cohort_day, day_offset
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ── Rate anomalies ────────────────────────────────────────────────
+
+  /** Observed trailing hours required before an hour can be judged. */
+  val AnomalyMinPrev = 12L
+
+  /** |z| threshold (integers only — the flag is decided in exact
+    * integer arithmetic, see [[rateAnomalies]]).
+    */
+  val AnomalyZ = 3L
+
+  /** Hourly event-rate anomalies per event type: each hour's count is
+    * z-scored against the trailing 24 clock-hours (RANGE frame, so
+    * absent hours are absent, not zero) and flagged when |z| ≥
+    * [[AnomalyZ]] — the monitoring query every ingestion pipeline runs
+    * over its event stream.
+    *
+    * Cross-engine determinism is designed in, not hoped for: the frame
+    * carries only INTEGER moments (n, Σc, Σc²), the flag is decided
+    * entirely in exact integer space — `(n·c − Σc)² ≥ z²·(n·Σc² −
+    * (Σc)²)` is z² ≥ threshold² cleared of divisions — and the reported
+    * z itself is one exact-integer subtraction divided by one `sqrt` of
+    * an exact integer, both IEEE-correctly-rounded in any engine. A
+    * naive `stddev_samp` would hash-diverge (Welford vs textbook
+    * accumulation orders).
+    *
+    * Shape: partial-aggregated hourly rollup (the only corpus-sized
+    * shuffle), then a window whose partitions are (event_type) over
+    * PRE-AGGREGATED rows — thousands of rows per partition even at
+    * 100 TB of raw events, so the low-cardinality partition key is safe
+    * here (the rollup absorbed the volume).
+    *
+    * Zero-variance trail: any deviation from a constant baseline flags
+    * (infinite z), a constant continuing does not; z is NULL there.
+    */
+  def rateAnomalies(ev: DataFrame, minPrev: Long = AnomalyMinPrev,
+      zThresh: Long = AnomalyZ): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"), expr("(ts_s DIV 3600) * 3600").as("hour_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+      .rangeBetween(-24L * 3600, -3600L)
+    val st = hourly
+      .withColumn("n_prev", count(col("cnt")).over(w))
+      .withColumn("sum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("sumsq_prev",
+        coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+    val dev = col("n_prev") * col("cnt") - col("sum_prev")
+    val varNum = col("n_prev") * col("sumsq_prev") -
+      col("sum_prev") * col("sum_prev")
+    st.select(col("event_type"), col("hour_s"), col("cnt"),
+      col("n_prev"), col("sum_prev"), col("sumsq_prev"),
+      when(col("n_prev") >= minPrev && varNum > 0,
+        dev.cast(org.apache.spark.sql.types.DoubleType) /
+          sqrt(varNum.cast(org.apache.spark.sql.types.DoubleType))).as("z"),
+      (col("n_prev") >= minPrev &&
+        dev * dev >= lit(zThresh * zThresh) * varNum &&
+        !(varNum === 0 && dev === 0)).as("is_anomaly"))
+  }
+
+  def evAnomaly(s: SparkSession, d: String): DataFrame =
+    rateAnomalies(events(s, d)
+      .select(col("event_type"), expr("ts_ns DIV 1000000000").as("ts_s")))
+      .orderBy(col("event_type"), col("hour_s"))
+
+  val evAnomalySql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) // 1000000 // 3600 * 3600 AS hour_s,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, hour_s, cnt,
+       |    CAST(COUNT(cnt) OVER w AS BIGINT) AS n_prev,
+       |    CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS sum_prev,
+       |    CAST(COALESCE(SUM(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq_prev
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
+       |               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+       |SELECT event_type, hour_s, cnt, n_prev, sum_prev, sumsq_prev,
+       |  CASE WHEN n_prev >= $AnomalyMinPrev
+       |        AND n_prev * sumsq_prev - sum_prev * sum_prev > 0
+       |    THEN CAST(n_prev * cnt - sum_prev AS DOUBLE)
+       |         / sqrt(CAST(n_prev * sumsq_prev - sum_prev * sum_prev AS DOUBLE))
+       |  END AS z,
+       |  (n_prev >= $AnomalyMinPrev
+       |   AND (n_prev * cnt - sum_prev) * (n_prev * cnt - sum_prev)
+       |       >= ${AnomalyZ * AnomalyZ} * (n_prev * sumsq_prev - sum_prev * sum_prev)
+       |   AND NOT (n_prev * sumsq_prev - sum_prev * sum_prev = 0
+       |            AND n_prev * cnt - sum_prev = 0)) AS is_anomaly
+       |FROM st
+       |ORDER BY event_type, hour_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel"    -> evFunnel _,
     "ev_retention" -> evRetention _,
+    "ev_anomaly"   -> evAnomaly _,
   )
 
   val oracles: Map[String, String] = Map(
     "ev_funnel"    -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
+    "ev_anomaly"   -> evAnomalySql,
   )
 }

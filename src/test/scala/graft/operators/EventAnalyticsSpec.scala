@@ -66,4 +66,31 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(tri == Map(
       (10L, 0L) -> 2L, (10L, 1L) -> 1L, (10L, 2L) -> 1L, (11L, 0L) -> 1L))
   }
+
+  test("rate anomalies: a burst flags, warmup and steady noise do not") {
+    // 30 hours of one event per hour... except hour 20 bursts to 40
+    // events and hour 25 has two (deviation from a then-constant base)
+    def nAt(h: Int) = if (h == 20) 40 else if (h == 25) 2 else 1
+    val ev = (0 until 30).flatMap { h =>
+      (0 until nAt(h)).map(i => ("click", h * 3600L + i))
+    }.toDF("event_type", "ts_s")
+    val rows = EventAnalytics.rateAnomalies(ev).collect()
+      .map(r => r.getLong(1) / 3600 -> ((r.getLong(3), r.getBoolean(7),
+        Option(r.get(6)).map(_.asInstanceOf[Double])))).toMap
+    assert(rows.size == 30)
+    // warmup: first AnomalyMinPrev hours can never flag
+    (0 until EventAnalytics.AnomalyMinPrev.toInt).foreach { h =>
+      assert(!rows(h.toLong)._2, s"hour $h flagged during warmup")
+    }
+    // steady constant baseline: zero variance, zero deviation, no flag
+    assert(!rows(15L)._2 && rows(15L)._3.isEmpty)
+    // the burst: trailing window is all-constant, any deviation flags
+    assert(rows(20L)._2)
+    // hour 25's trail contains the burst hour, variance is huge: 2 vs
+    // mean ~4.25 is nowhere near 3 sigma
+    assert(!rows(25L)._2)
+    // hour 21+ judge against a trail CONTAINING the burst — sanity:
+    // count 1 with one 40 in the trail stays within 3 sigma
+    assert(!rows(21L)._2)
+  }
 }
