@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -198,17 +198,27 @@ object EventAnalytics {
       .withColumn("sum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("sumsq_prev",
         coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
-    val dev = col("n_prev") * col("cnt") - col("sum_prev")
-    val varNum = col("n_prev") * col("sumsq_prev") -
-      col("sum_prev") * col("sum_prev")
+    val (z, flag) = zColumns(col("n_prev"), col("cnt"),
+      col("sum_prev"), col("sumsq_prev"), minPrev, zThresh)
     st.select(col("event_type"), col("hour_s"), col("cnt"),
       col("n_prev"), col("sum_prev"), col("sumsq_prev"),
-      when(col("n_prev") >= minPrev && varNum > 0,
-        dev.cast(org.apache.spark.sql.types.DoubleType) /
-          sqrt(varNum.cast(org.apache.spark.sql.types.DoubleType))).as("z"),
-      (col("n_prev") >= minPrev &&
-        dev * dev >= lit(zThresh * zThresh) * varNum &&
-        !(varNum === 0 && dev === 0)).as("is_anomaly"))
+      z.as("z"), flag.as("is_anomaly"))
+  }
+
+  /** The exact-integer z machinery of [[rateAnomalies]], reusable
+    * against ANY integer-moment baseline (n hours, Σc, Σc²) — also the
+    * scoring half of the streaming `EventStreams.anomalyScoreStream`.
+    * Returns (z, is_anomaly) columns.
+    */
+  def zColumns(nC: Column, c: Column, sC: Column, qC: Column,
+      minN: Long, zThresh: Long): (Column, Column) = {
+    import org.apache.spark.sql.types.DoubleType
+    val dev = nC * c - sC
+    val varNum = nC * qC - sC * sC
+    (when(nC >= minN && varNum > 0,
+      dev.cast(DoubleType) / sqrt(varNum.cast(DoubleType))),
+      (nC >= minN && dev * dev >= lit(zThresh * zThresh) * varNum &&
+        !(varNum === 0 && dev === 0)))
   }
 
   def evAnomaly(s: SparkSession, d: String): DataFrame =

@@ -651,7 +651,96 @@ object EventStreams {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ── Streaming rate-anomaly scoring ────────────────────────────────
+
+  /** Hours of history the static baseline must hold before scoring. */
+  val AnomalyBaselineMinHours = 24L
+
+  /** Per-event-type integer moments over hourly counts — the STATIC
+    * baseline [[anomalyScoreStream]] scores against. Computed batch-
+    * side (the training half of the deployment); tiny (one row per
+    * event type), so the stream side can broadcast it.
+    */
+  def hourlyBaseline(ev: DataFrame): DataFrame =
+    ev
+      .groupBy(col("event_type"),
+        expr(s"ts_ns DIV ${3600 * NsPerSec}").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("cnt")).as("sum_cnt"),
+        sum(col("cnt") * col("cnt")).as("sumsq_cnt"))
+
+  /** Streaming rate-anomaly serving: watermarked tumbling hourly counts
+    * per event type, scored against the static [[hourlyBaseline]] by a
+    * stateless broadcast join — the deployed topology (baseline trained
+    * batch-side over history, the stream only windows and scores). The
+    * z and the flag are [[graft.operators.EventAnalytics.zColumns]] —
+    * the same exact-integer machinery as the batch `ev_anomaly`, so
+    * cross-engine and batch/stream results are bit-identical. Works on
+    * a batch frame too (watermark no-ops), which is how the gated
+    * `st_anomaly` twin certifies the whole chain.
+    */
+  def anomalyScoreStream(events: DataFrame, baseline: DataFrame,
+      zThresh: Long = graft.operators.EventAnalytics.AnomalyZ): DataFrame = {
+    val counted = events
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "3600 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+        col("event_type"), col("cnt"))
+      .join(broadcast(baseline), Seq("event_type"))
+    val (z, flag) = graft.operators.EventAnalytics.zColumns(
+      col("n_hours"), col("cnt"), col("sum_cnt"), col("sumsq_cnt"),
+      AnomalyBaselineMinHours, zThresh)
+    counted.select(col("event_type"), col("hour_s"), col("cnt"),
+      z.as("z"), flag.as("is_anomaly"))
+  }
+
+  /** Gated batch twin of [[anomalyScoreStream]]: the baseline is
+    * trained on the full table and the same table's hours are scored —
+    * retrospective scoring, so each hour is inside its own baseline
+    * (exactly how a backfill audit runs; the live deployment trains on
+    * history only). Streaming execution of the same plan is verified in
+    * `EventStreamsSpec`.
+    */
+  def stAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    anomalyScoreStream(ev, hourlyBaseline(ev))
+      .orderBy(col("event_type"), col("hour_s"))
+  }
+
+  val stAnomalySql: String = {
+    val minH = AnomalyBaselineMinHours
+    val z2 = graft.operators.EventAnalytics.AnomalyZ *
+      graft.operators.EventAnalytics.AnomalyZ
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // ${3600 * NsPerSec} AS hour,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |base AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |    CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+       |    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq_cnt
+       |  FROM hourly GROUP BY 1)
+       |SELECT h.event_type, h.hour * 3600 AS hour_s, h.cnt,
+       |  CASE WHEN b.n_hours >= $minH
+       |        AND b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt > 0
+       |    THEN CAST(b.n_hours * h.cnt - b.sum_cnt AS DOUBLE)
+       |         / sqrt(CAST(b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt AS DOUBLE))
+       |  END AS z,
+       |  (b.n_hours >= $minH
+       |   AND (b.n_hours * h.cnt - b.sum_cnt) * (b.n_hours * h.cnt - b.sum_cnt)
+       |       >= $z2 * (b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt)
+       |   AND NOT (b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt = 0
+       |            AND b.n_hours * h.cnt - b.sum_cnt = 0)) AS is_anomaly
+       |FROM hourly h JOIN base b ON h.event_type = b.event_type
+       |ORDER BY h.event_type, hour_s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_anomaly"        -> stAnomaly _,
     "st_window_agg"     -> stWindowAgg _,
     "st_sliding_window" -> stSlidingWindow _,
     "st_sessionize"     -> stSessionize _,
@@ -662,6 +751,7 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_anomaly"        -> stAnomalySql,
     "st_window_agg"     -> stWindowAggSql,
     "st_sliding_window" -> stSlidingWindowSql,
     "st_sessionize"     -> stSessionizeSql,

@@ -614,4 +614,24 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("late_out").columns.toSeq ==
       Seq("win_start_s", "event_type", "n"))
   }
+
+  test("streaming anomaly scoring equals the batch st_anomaly twin") {
+    val baseline = hourlyBaseline(graft.sources.Tables.events(spark, sf0001))
+    val q = anomalyScoreStream(readEventStream(spark, stagedDir()), baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anom_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("anom_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+    val batch = stAnomaly(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    assert(batch.exists(_._2._3), "expected at least one flagged hour")
+  }
 }
