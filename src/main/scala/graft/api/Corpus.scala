@@ -131,6 +131,35 @@ object Corpus {
     graft.operators.Dedup.nearDupCandidates(
       df.select(col(id).as("doc_id"), col(text).as("text")), minJaccard)
 
+  /** Per-doc boilerplate score `(doc_id, source, n_pos, n_boiler,
+    * boiler_ratio)`: the fraction of the doc's shingle positions that
+    * occur in ≥ `minDocs` distinct documents — C4's repeated-template
+    * drop/keep signal. Gated form: `ta_boilerplate`.
+    */
+  def boilerplateScored(df: DataFrame, id: String = "doc_id",
+      text: String = "text", source: String = "source",
+      window: Int = graft.operators.TextAnalysis.BoilerWindow,
+      minDocs: Int = graft.operators.TextAnalysis.BoilerMinDocs): DataFrame =
+    graft.operators.TextAnalysis.boilerplateScored(
+      df.select(col(id).as("doc_id"), col(source).as("source"),
+        col(text).as("text")), window, minDocs)
+
+  /** Asymmetric near-subset pairs `(a_id, b_id, common, na, nb,
+    * contain_a, contain_b)` at either-direction containment ≥
+    * `threshold` — catches a doc swallowed whole by a longer one where
+    * symmetric Jaccard stays low. Stop-shingles above the `maxDf`
+    * doc-frequency cap are excluded from both sides of the ratio, which
+    * is also what bounds the inverted-index join at scale. Gated form:
+    * `dd_containment`.
+    */
+  def containmentPairs(df: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      maxDf: Int = graft.operators.Dedup.MaxShingleDf,
+      threshold: Double = graft.operators.Dedup.ContainThreshold): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      df.select(col(id).as("doc_id"), col(text).as("text")),
+      maxDf, threshold)
+
   /** Maximal duplicated token spans (Lee-et-al-style substring dedup):
     * one row per span `(doc_id, span_start, span_end, span_len,
     * n_windows)` — positions whose `window`-token context occurs more
@@ -456,6 +485,8 @@ object Corpus {
       def dedupAgainst(seen: DataFrame): DataFrame =
         Corpus.dedupAgainst(df, seen)
       def lengthTails(): DataFrame = Corpus.lengthTails(df)
+      def boilerplateScored(): DataFrame = Corpus.boilerplateScored(df)
+      def containmentPairs(): DataFrame = Corpus.containmentPairs(df)
     }
   }
 }

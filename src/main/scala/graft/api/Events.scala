@@ -114,6 +114,28 @@ object Events {
   def retentionTriangle(events: DataFrame): DataFrame =
     EventAnalytics.retentionTriangle(events)
 
+  /** Hourly rate anomalies over `(event_type, ts_s)` rows: each hour's
+    * count z-scored against its trailing 24 clock-hours, flagged at
+    * |z| ≥ `zThresh` in exact integer arithmetic —
+    * [[graft.operators.EventAnalytics.rateAnomalies]]. Gated form:
+    * `ev_anomaly`.
+    */
+  def rateAnomalies(events: DataFrame,
+      minPrev: Long = EventAnalytics.AnomalyMinPrev,
+      zThresh: Long = EventAnalytics.AnomalyZ): DataFrame =
+    EventAnalytics.rateAnomalies(events, minPrev, zThresh)
+
+  /** STREAMING anomaly scoring: watermarked hourly counts per event
+    * type scored statelessly against a broadcast static baseline
+    * (train the baseline batch-side with
+    * [[graft.streaming.EventStreams.hourlyBaseline]] over history).
+    * Same exact-integer z as [[rateAnomalies]]; batch twin gated as
+    * `st_anomaly`.
+    */
+  def anomalyScoreStream(events: DataFrame, baseline: DataFrame,
+      zThresh: Long = EventAnalytics.AnomalyZ): DataFrame =
+    EventStreams.anomalyScoreStream(events, baseline, zThresh)
+
   /** STREAMING funnel: per-user depth emitted exactly when the
     * watermark proves the conversion window closed (event-time
     * timeout); state is one anchor + the still-qualifiable stage

@@ -308,6 +308,33 @@ class CorpusSpec extends SparkTestBase {
     assert(api == gated && api.nonEmpty)
   }
 
+  test("boilerplate and containment facades equal their gated queries") {
+    val apiB = Corpus.boilerplateScored(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val gatedB = graft.operators.TextAnalysis.taBoilerplate(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(apiB == gatedB && apiB.nonEmpty)
+    val apiC = Corpus.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gatedC = graft.operators.Dedup.containmentPairs(
+      graft.sources.Tables.documents(spark, sf0001)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(apiC == gatedC)
+  }
+
+  test("rate-anomaly facade equals the gated ev_anomaly rows") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(7)))
+    val api = Events.rateAnomalies(
+      graft.sources.Tables.events(spark, sf0001)
+        .select(col("event_type"), expr("ts_ns DIV 1000000000").as("ts_s")))
+      .collect().map(key).toMap
+    val gated = graft.operators.EventAnalytics.evAnomaly(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated && api.nonEmpty)
+  }
+
   test("latest-by-key facade compacts a changelog to its per-key maxima") {
     val events = Events.latestByKey(
       Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 20L, 99L, "c"),
