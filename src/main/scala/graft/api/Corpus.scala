@@ -340,6 +340,22 @@ object Corpus {
     df.filter(graft.operators.CorpusOps.mixtureKept(rate, id))
   }
 
+  /** Temperature-flattened domain sampling (α = 0.5): per-domain rates
+    * `√(n_min/n_d)` derived in-plan (rarest domain kept whole, dominant
+    * ones √-downsampled — the multilingual-pretraining reweighting),
+    * then the salted-md5 keep decision map-side. Returns the kept rows.
+    * Gated form: `cp_temperature`.
+    */
+  def temperatureSampled(df: DataFrame, domain: String = "lang",
+      id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    df.join(
+      broadcast(graft.operators.CorpusOps.temperatureRates(df, domain)
+        .select(col(domain), col("rate"))), Seq(domain))
+      .filter(graft.operators.CorpusOps.mixtureKept(col("rate"), id, "temp"))
+      .drop("rate")
+  }
+
   /** Per-document repetition statistics (`n_words`,
     * `n_distinct_words`, `dup_word_frac`, `n_grams`, `top_gram_frac`)
     * from the one-pass native kernel — zero shuffles. Delegates to
@@ -487,6 +503,8 @@ object Corpus {
       def lengthTails(): DataFrame = Corpus.lengthTails(df)
       def boilerplateScored(): DataFrame = Corpus.boilerplateScored(df)
       def containmentPairs(): DataFrame = Corpus.containmentPairs(df)
+      def temperatureSampled(domain: String = "lang"): DataFrame =
+        Corpus.temperatureSampled(df, domain)
     }
   }
 }

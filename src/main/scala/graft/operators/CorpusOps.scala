@@ -367,8 +367,8 @@ object CorpusOps {
     * relative error) and diverge from an oracle that rounds.
     */
   def mixtureKept(rate: org.apache.spark.sql.Column,
-      id: String = "doc_id"): org.apache.spark.sql.Column =
-    md5Bucket(concat(lit("mix:"), col(id).cast("string")), 1000) <
+      id: String = "doc_id", salt: String = "mix"): org.apache.spark.sql.Column =
+    md5Bucket(concat(lit(s"$salt:"), col(id).cast("string")), 1000) <
       round(rate * 1000).cast(IntegerType)
 
   /** Downsample each source to its mixture rate (1.0 / 0.5 / 0.25 by
@@ -414,7 +414,81 @@ object CorpusOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cp_temperature — temperature-flattened domain sampling (α = 0.5).
+  // ---------------------------------------------------------------------
+
+  /** Frame-parametric core: per-domain sampling rates that flatten the
+    * domain distribution to `share^α` — the temperature sampling of
+    * multilingual pretraining (α = 0.5 here, i.e. √-flattening), where
+    * a dominant language is down-sampled and the rarest is kept whole.
+    * With the rarest domain pinned at rate 1, the totals cancel and
+    * `rate_d = √(n_min / n_d)` — a ratio of two exact integer counts
+    * through one division and one sqrt, both correctly-rounded IEEE
+    * ops, so the rates (and the md5-threshold keep decisions derived
+    * from them) are bit-identical on any engine. Unlike [[cpMixture]]'s
+    * STATIC recipe rates, these are derived in-plan from corpus stats.
+    *
+    * Returns one row per domain: `(domain, n_docs, rate)`. Tiny — safe
+    * to broadcast into the keep/drop pass at any corpus size.
+    */
+  def temperatureRates(df: DataFrame, domain: String = "lang"): DataFrame = {
+    val counts = df.groupBy(col(domain))
+      .agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    counts.crossJoin(broadcast(minN))
+      .select(col(domain), col("n_docs"),
+        sqrt(col("n_min").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("rate"))
+  }
+
+  /** Gated form: √-flatten the language distribution. Per-language
+    * report `(lang, n_docs, n_kept, chars_kept, rate)`; the keep/drop
+    * is the same salted-md5 per-mille threshold as [[cpMixture]]
+    * (salt `temp`, so decisions are independent of the mixture pass).
+    * Shape: two tiny aggregates derive the rates, the rates broadcast
+    * back onto the corpus, the decision is map-side, and the only
+    * corpus-sized shuffle is the per-language count aggregation.
+    */
+  def cpTemperature(s: SparkSession, d: String): DataFrame = {
+    val kept = mixtureKept(col("rate"), salt = "temp")
+    documents(s, d)
+      .join(broadcast(temperatureRates(documents(s, d))), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(kept.cast(LongType)).as("n_kept"),
+        sum(when(kept, col("n_chars")).otherwise(0).cast(LongType))
+          .as("chars_kept"),
+        first(col("rate")).as("rate"))
+      .select(col("lang"), col("n_docs").cast(LongType),
+        col("n_kept").cast(LongType), col("chars_kept").cast(LongType),
+        col("rate").cast(DoubleType))
+      .orderBy(col("lang"))
+  }
+
+  val cpTemperatureSql: String = {
+    val kept = s"(('0x' || substr(${saltedKeySql("temp", "doc_id")}, 1, 8))::UBIGINT % 1000)" +
+      " < CAST(round(rate * 1000) AS INTEGER)"
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |mn AS (SELECT MIN(n_docs) AS n_min FROM counts),
+       |rates AS (
+       |  SELECT lang, n_docs,
+       |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+       |  FROM counts CROSS JOIN mn)
+       |SELECT d.lang, r.n_docs,
+       |  CAST(SUM(CASE WHEN $kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN $kept THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       |  r.rate
+       |FROM documents d JOIN rates r USING (lang)
+       |GROUP BY d.lang, r.n_docs, r.rate
+       |ORDER BY d.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_temperature"  -> cpTemperature _,
     "cp_split"        -> cpSplit _,
     "cp_stratified"   -> cpStratified _,
     "cp_shuffle"      -> cpShuffle _,
@@ -424,6 +498,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_temperature"  -> cpTemperatureSql,
     "cp_split"        -> cpSplitSql,
     "cp_stratified"   -> cpStratifiedSql,
     "cp_shuffle"      -> cpShuffleSql,

@@ -259,4 +259,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(scored(999999L) > 2 * organicMedian,
       "the generation loop clearly separates from typical organic docs")
   }
+
+  test("temperature sampling keeps the rarest domain whole and sqrt-flattens the rest") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "en", 10L)) ++
+      (101 to 125).map(i => (i.toLong, "fr", 10L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val rates = CorpusOps.temperatureRates(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rates == Map("en" -> 0.5, "fr" -> 1.0))
+    val kept = graft.api.Corpus.temperatureSampled(docs)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 keeps every row; rate 0.5 keeps a md5-thresholded subset
+    assert(kept("fr") == 25L)
+    assert(kept("en") > 25L && kept("en") < 75L)
+    // facade keep-set matches the gated query's per-domain counts
+    val gated = CorpusOps.cpTemperature(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val api = graft.api.Corpus.temperatureSampled(
+      graft.sources.Tables.documents(spark, sf0001))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gated.foreach { case (lang, (_, nKept)) =>
+      assert(api.getOrElse(lang, 0L) == nKept, s"facade/gated drift for $lang")
+    }
+  }
 }
