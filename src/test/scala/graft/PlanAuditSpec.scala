@@ -254,4 +254,38 @@ class PlanAuditSpec extends SparkTestBase {
       s"ta_diversity must map-side partial both aggs:\n$p")
     assert(!p.contains("Window"), p)
   }
+
+  test("boilerplate scoring reuses the shingle exchange and never windows") {
+    val df = SparkEntry.queries("ta_boilerplate")(spark, sf0001)
+    val p = df.queryExecution.explainString(SimpleMode)
+    assert(p.contains("partial_count"),
+      s"doc-frequency must partial-aggregate:\n$p")
+    assert(!p.contains("Window"), p)
+    // exchange reuse is an AQE-final-plan property: execute, then audit
+    df.collect()
+    val fin = df.queryExecution.explainString(SimpleMode)
+    assert(fin.contains("ReusedExchange"),
+      s"the (doc, shingle) exchange must be shared across arms:\n$fin")
+  }
+
+  test("containment join is an equi join over the capped postings, never nested-loop") {
+    val p = plan("dd_containment")
+    assert(p.contains("LeftAnti"),
+      s"the stop-shingle cap must plan as an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("anomaly scoring windows run over the pre-aggregated hourly rollup") {
+    val p = plan("ev_anomaly")
+    // the rollup must partial-aggregate (it absorbs the raw volume)...
+    assert(p.contains("partial_count"), p)
+    // ...and the trailing-stats window must be keyed by event_type over
+    // those rollup rows, not the raw stream
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    val ps = plan("st_anomaly")
+    // the streaming twin scores via a broadcast baseline join: no
+    // window at all, one aggregation each side
+    assert(!ps.contains("Window") && ps.contains("BroadcastHashJoin"), ps)
+  }
 }
