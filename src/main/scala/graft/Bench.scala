@@ -44,7 +44,10 @@ object Bench {
     // many runs — the isolation knob for separating plan regressions
     // from shared-JVM noise (GC/JIT tails from 100 neighbors): a real
     // regression survives the median, a noise spike does not.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // malformed values fall back to 1 instead of crashing before any
+    // query runs
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt).getOrElse(1).max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -79,12 +82,19 @@ object Bench {
     println(line)
     // stdout scraping truncated two rounds of captured benches
     // (BENCH_r03/r04 lost their tails) — persist the same line to a
-    // file so the numbers survive any pipe truncation
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // file so the numbers survive any pipe truncation. Only the FULL
+    // default suite overwrites the BENCH_LOCAL.json snapshot (a
+    // single-query or partial run would clobber the complete record);
+    // an explicit SPARK_GRAFT_BENCH_OUT always writes.
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val fullSuite = args.isEmpty && results.forall(_._2 >= 0)
+    if (explicitOut.isDefined || fullSuite) {
+      val outPath = explicitOut.getOrElse("BENCH_LOCAL.json")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

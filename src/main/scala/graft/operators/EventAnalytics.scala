@@ -209,15 +209,26 @@ object EventAnalytics {
     * against ANY integer-moment baseline (n hours, Σc, Σc²) — also the
     * scoring half of the streaming `EventStreams.anomalyScoreStream`.
     * Returns (z, is_anomaly) columns.
+    *
+    * The moments widen to DECIMAL(38,0) before any product: with Long
+    * math, `dev² = (n·c − Σc)²` wraps past hourly counts ≈ 10⁸ (dev ≈
+    * 24c, dev² > 2⁶³) — exactly the 100 TB monitoring regime — and
+    * Spark wraps SILENTLY (the flag can flip either way) while DuckDB
+    * raises on BIGINT overflow, so the engines would also diverge in
+    * failure mode. Decimal keeps every term exact out to 10³⁸ (hourly
+    * counts ~10¹⁸); the oracle mirrors with HUGEINT (int128, same
+    * exact domain). z itself is the decimal-exact dev / √varNum, each
+    * cast correctly rounded to double in both engines.
     */
   def zColumns(nC: Column, c: Column, sC: Column, qC: Column,
       minN: Long, zThresh: Long): (Column, Column) = {
-    import org.apache.spark.sql.types.DoubleType
-    val dev = nC * c - sC
-    val varNum = nC * qC - sC * sC
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 0)
+    val dev = nC.cast(d38) * c.cast(d38) - sC.cast(d38)
+    val varNum = nC.cast(d38) * qC.cast(d38) - sC.cast(d38) * sC.cast(d38)
     (when(nC >= minN && varNum > 0,
       dev.cast(DoubleType) / sqrt(varNum.cast(DoubleType))),
-      (nC >= minN && dev * dev >= lit(zThresh * zThresh) * varNum &&
+      (nC >= minN && dev * dev >= lit(zThresh * zThresh).cast(d38) * varNum &&
         !(varNum === 0 && dev === 0)))
   }
 
@@ -239,19 +250,21 @@ object EventAnalytics {
        |    CAST(COALESCE(SUM(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq_prev
        |  FROM hourly
        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
-       |               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+       |               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)),
+       |zc AS (
+       |  SELECT event_type, hour_s, cnt, n_prev, sum_prev, sumsq_prev,
+       |    CAST(n_prev AS HUGEINT) * cnt - sum_prev AS dev,
+       |    CAST(n_prev AS HUGEINT) * sumsq_prev
+       |      - CAST(sum_prev AS HUGEINT) * sum_prev AS varnum
+       |  FROM st)
        |SELECT event_type, hour_s, cnt, n_prev, sum_prev, sumsq_prev,
-       |  CASE WHEN n_prev >= $AnomalyMinPrev
-       |        AND n_prev * sumsq_prev - sum_prev * sum_prev > 0
-       |    THEN CAST(n_prev * cnt - sum_prev AS DOUBLE)
-       |         / sqrt(CAST(n_prev * sumsq_prev - sum_prev * sum_prev AS DOUBLE))
+       |  CASE WHEN n_prev >= $AnomalyMinPrev AND varnum > 0
+       |    THEN CAST(dev AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE))
        |  END AS z,
        |  (n_prev >= $AnomalyMinPrev
-       |   AND (n_prev * cnt - sum_prev) * (n_prev * cnt - sum_prev)
-       |       >= ${AnomalyZ * AnomalyZ} * (n_prev * sumsq_prev - sum_prev * sum_prev)
-       |   AND NOT (n_prev * sumsq_prev - sum_prev * sum_prev = 0
-       |            AND n_prev * cnt - sum_prev = 0)) AS is_anomaly
-       |FROM st
+       |   AND dev * dev >= ${AnomalyZ * AnomalyZ} * varnum
+       |   AND NOT (varnum = 0 AND dev = 0)) AS is_anomaly
+       |FROM zc
        |ORDER BY event_type, hour_s""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

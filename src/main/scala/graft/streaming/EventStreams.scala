@@ -723,20 +723,22 @@ object EventStreams {
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
        |    CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq_cnt
-       |  FROM hourly GROUP BY 1)
-       |SELECT h.event_type, h.hour * 3600 AS hour_s, h.cnt,
-       |  CASE WHEN b.n_hours >= $minH
-       |        AND b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt > 0
-       |    THEN CAST(b.n_hours * h.cnt - b.sum_cnt AS DOUBLE)
-       |         / sqrt(CAST(b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt AS DOUBLE))
+       |  FROM hourly GROUP BY 1),
+       |zc AS (
+       |  SELECT h.event_type, h.hour * 3600 AS hour_s, h.cnt, b.n_hours,
+       |    CAST(b.n_hours AS HUGEINT) * h.cnt - b.sum_cnt AS dev,
+       |    CAST(b.n_hours AS HUGEINT) * b.sumsq_cnt
+       |      - CAST(b.sum_cnt AS HUGEINT) * b.sum_cnt AS varnum
+       |  FROM hourly h JOIN base b ON h.event_type = b.event_type)
+       |SELECT event_type, hour_s, cnt,
+       |  CASE WHEN n_hours >= $minH AND varnum > 0
+       |    THEN CAST(dev AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE))
        |  END AS z,
-       |  (b.n_hours >= $minH
-       |   AND (b.n_hours * h.cnt - b.sum_cnt) * (b.n_hours * h.cnt - b.sum_cnt)
-       |       >= $z2 * (b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt)
-       |   AND NOT (b.n_hours * b.sumsq_cnt - b.sum_cnt * b.sum_cnt = 0
-       |            AND b.n_hours * h.cnt - b.sum_cnt = 0)) AS is_anomaly
-       |FROM hourly h JOIN base b ON h.event_type = b.event_type
-       |ORDER BY h.event_type, hour_s""".stripMargin
+       |  (n_hours >= $minH
+       |   AND dev * dev >= $z2 * varnum
+       |   AND NOT (varnum = 0 AND dev = 0)) AS is_anomaly
+       |FROM zc
+       |ORDER BY event_type, hour_s""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,9 +50,17 @@ object VecStreams {
     * answer — never a partial candidate set (pinned in
     * `VecStreamsSpec`). Downstream consumers keyed on (window, q_id)
     * should upsert, not append-count.
+    *
+    * `excludeSelfIds` (default true) drops candidates with
+    * `c_id == q_id` — correct when queries are drawn FROM the corpus
+    * (the gated twin's shape). It assumes a SHARED id space: when
+    * queries and corpus come from unrelated id spaces, pass `false`,
+    * or an unrelated corpus vector whose id happens to equal a query
+    * id would be silently dropped from that query's candidates.
     */
   def annServe(queries: DataFrame, corpus: DataFrame,
-      k: Int = Similarity.TopK): DataFrame = {
+      k: Int = Similarity.TopK,
+      excludeSelfIds: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id").as("c_id"),
       col("embedding").as("cv"),
       VectorExpressions.l2NormF(col("embedding")).as("cn"),
@@ -64,8 +72,10 @@ object VecStreams {
         VectorExpressions.l2NormF(col("embedding")).as("qn"),
         posexplode(HyperplaneBuckets.hyperplaneBuckets(col("embedding")))
           .as(Seq("table", "bucket")))
+    val selfCond =
+      if (excludeSelfIds) col("q_id") =!= col("c_id") else lit(true)
     val scored = qb.join(c, Seq("table", "bucket"))
-      .filter(col("q_id") =!= col("c_id"))
+      .filter(selfCond)
       .select(col("q_id"), col("ts"), col("c_id"),
         (VectorExpressions.dotF(col("qv"), col("cv")) /
           (col("qn") * col("cn"))).as("cosine"))
