@@ -103,11 +103,13 @@ object Dedup {
     * bits): `s` is only ever a join/distinct key inside the CTEs, and
     * unsigned-vs-signed interpretation of the same 64 bits induces the
     * same equivalence classes, so candidate pairs are identical.
+    * `src` parameterizes the document source relation (the dedup-first
+    * containment gate shingles a pre-filtered CTE, not the raw table).
     */
-  private[operators] val shingleRelSql: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
+  private[operators] def shingleRelSqlFrom(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      |  FROM $src),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    CAST(('0x' || substr(md5(s0), 1, 16)) AS UBIGINT) AS s
@@ -115,6 +117,8 @@ object Dedup {
       |          unnest(list_transform(range(1, len(t) - 1),
       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s0
       |        FROM toks WHERE len(t) >= 3) raw)""".stripMargin
+
+  private[operators] val shingleRelSql: String = shingleRelSqlFrom("documents")
 
   /** All candidate pairs with their exact 3-gram Jaccard — the shared
     * core of [[ddNgramJaccard]] (top-50 view) and the connected-
@@ -243,6 +247,68 @@ object Dedup {
 
   val ddContainmentSql: String =
     s"""WITH $shingleRelSql,
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MaxShingleDf),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
+      |    CAST(common AS DOUBLE) / ca.n AS contain_a,
+      |    CAST(common AS DOUBLE) / cb.n AS contain_b
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id)
+      |SELECT a_id, b_id, common, na, nb, contain_a, contain_b
+      |FROM pc
+      |WHERE greatest(contain_a, contain_b) >= $ContainThreshold
+      |ORDER BY greatest(contain_a, contain_b) DESC, a_id, b_id
+      |LIMIT 100""".stripMargin
+
+  /** Gated dedup-FIRST containment: [[containmentPairs]] over the
+    * exact-deduped corpus (lowest doc_id per FULL-text fingerprint) —
+    * the composition [[containmentPairs]]'s own docs prescribe, now
+    * DEMONSTRATED in a gated plan rather than asserted. Pair-based
+    * containment pays k² for a document duplicated k times (every
+    * copy of A meets every copy of B in the inverted index); running
+    * the linear exact-dedup pass first collapses each duplicate
+    * group to one survivor, so the pair space the index emits is over
+    * DISTINCT content only. The 10× replica probe shows the law
+    * directly: raw containment blows up ~18× (k² over 10× copies),
+    * the deduped form stays ~flat because the replica corpus
+    * collapses back to the original before any pair forms.
+    *
+    * The dedup key is deliberately the STRICT full-text fingerprint
+    * ([[ddExact]]'s `fp_full`), not the 10-token prefix: a near-subset
+    * pair (short doc swallowed by a longer one) often SHARES its
+    * 10-token prefix with its container, so prefix dedup would delete
+    * the very pairs containment exists to find (measured: prefix-first
+    * containment returns zero pairs on the gate corpus). Exact-replica
+    * removal keeps them while still collapsing the k² replica space.
+    */
+  def ddContainmentClean(s: SparkSession, d: String): DataFrame = {
+    val kept = documents(s, d)
+      .join(documents(s, d)
+          .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    containmentPairs(kept)
+      .orderBy(greatest(col("contain_a"), col("contain_b")).desc,
+        col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  val ddContainmentCleanSql: String =
+    s"""WITH fpf AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp
+      |  FROM documents),
+      |keepd AS (SELECT MIN(doc_id) AS doc_id FROM fpf GROUP BY fp),
+      |docs_clean AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN keepd USING (doc_id)),
+      |${shingleRelSqlFrom("docs_clean")},
       |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MaxShingleDf),
       |shf AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
@@ -731,6 +797,7 @@ object Dedup {
     "dd_apply_lsh"         -> ddApplyLsh _,
     "dd_ngram_jaccard"     -> ddNgramJaccard _,
     "dd_containment"       -> ddContainment _,
+    "dd_containment_clean" -> ddContainmentClean _,
     "dd_minhash_lsh"       -> ddMinhashLsh _,
     "dd_simhash"           -> ddSimhash _,
     "dd_embed_cosine"      -> ddEmbedCosine _,
@@ -744,6 +811,7 @@ object Dedup {
     "dd_apply_lsh"         -> ddApplyLshSql,
     "dd_ngram_jaccard"     -> ddNgramJaccardSql,
     "dd_containment"       -> ddContainmentSql,
+    "dd_containment_clean" -> ddContainmentCleanSql,
     "dd_minhash_lsh"       -> ddMinhashLshSql,
     "dd_simhash"           -> ddSimhashSql,
     "dd_embed_cosine"      -> ddEmbedCosineSql,
