@@ -128,23 +128,48 @@ object Dedup2 {
     */
   val ClusterThreshold = 0.8
 
-  /** Connected components of an undirected edge list by iterated
-    * min-label propagation: `comp(v) ← min(comp(v), min over neighbors
-    * comp(u))` until fixpoint. Deterministic (min is order-free);
-    * rounds = graph diameter, and near-dup components are
-    * near-cliques, so 2–3 rounds in practice. Each round is one
-    * shuffle (the groupBy); `localCheckpoint` cuts the growing lineage
-    * so round N's plan doesn't replay rounds 1..N-1 (on a cluster,
-    * `checkpoint` to reliable storage instead). At 100 TB-scale graphs
-    * with long chains, swap the body for large-star/small-star
-    * (Kiveris et al., *Connected Components in MapReduce and Beyond*) —
-    * same fixpoint contract, logarithmic rounds.
+  /** Propagation rounds before [[connectedComponents]] gives up on
+    * min-label propagation and re-runs as star contraction. Near-dup
+    * components are near-cliques that converge in 2–3 rounds, so the
+    * cap never triggers there; a cap-triggering graph has diameter
+    * ≥ [[PropagationRoundCap]] (chains — span overlaps,
+    * successive-crawl drift), exactly where contraction's O(log n)
+    * rounds beat propagation's O(diameter).
+    */
+  val PropagationRoundCap = 8
+
+  /** Connected components of an undirected edge list: iterated
+    * min-label propagation — `comp(v) ← min(comp(v), min over
+    * neighbors comp(u))` — with an AUTOMATIC fallback to
+    * [[connectedComponentsStar]] if propagation has not converged
+    * within [[PropagationRoundCap]] rounds. Propagation is
+    * deterministic (min is order-free) and converges in rounds =
+    * graph diameter with better constants per round (one groupBy +
+    * one join, a scalar-aggregate convergence check); near-dup
+    * components are near-cliques, so 2–3 rounds in practice and the
+    * fallback never fires. Chain-shaped graphs regress propagation to
+    * diameter-many rounds — there the cap trips and star contraction
+    * finishes in O(log n) rounds (spec-pinned on a 1024-node chain
+    * routed through THIS entry point). Both variants label every
+    * vertex with its component's min id, so the fallback is
+    * result-invisible. Each propagation round is one shuffle (the
+    * groupBy); `localCheckpoint` cuts the growing lineage so round
+    * N's plan doesn't replay rounds 1..N-1 (on a cluster,
+    * `checkpoint` to reliable storage instead).
     *
     * @param edges two long columns `a_id`, `b_id`; undirected.
     * @return one row per vertex: `id`, `comp` (min vertex id in its
     *         component).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsInstrumented(edges)._1
+
+  /** [[connectedComponents]] plus (total rounds, whether the star
+    * fallback fired) — the spec hook for the cap-and-fallback
+    * behavior.
+    */
+  private[operators] def connectedComponentsInstrumented(
+      edges: DataFrame): (DataFrame, Int, Boolean) = {
     import org.apache.spark.sql.types.DecimalType
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -176,7 +201,7 @@ object Dedup2 {
     var prevSum = labelSum(comp)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) {
+    while (!converged && rounds < PropagationRoundCap) {
       val viaNbr = und.join(comp, und("dst") === comp("id"))
         .select(und("src").as("id"), col("comp"))
       val next = comp.union(viaNbr)
@@ -189,7 +214,13 @@ object Dedup2 {
       rounds += 1
     }
     und.unpersist()
-    comp
+    if (converged) (comp, rounds, false)
+    else {
+      // high-diameter graph: propagation would need ~diameter rounds;
+      // restart as star contraction (same (id, comp=min) contract)
+      val (starComp, starRounds) = starContract(edges)
+      (starComp, rounds + starRounds, true)
+    }
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR edge

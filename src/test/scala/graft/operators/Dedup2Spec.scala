@@ -55,6 +55,31 @@ class Dedup2Spec extends SparkTestBase {
     assert(rounds <= 20, s"took $rounds rounds on a 1024-chain")
   }
 
+  test("connectedComponents auto-falls back to star contraction on a 1024-node chain") {
+    import spark.implicits._
+    // diameter 1023: propagation alone would need ~1023 rounds; the
+    // public entry must trip its round cap and finish logarithmically
+    val n = 1024L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (comp, rounds, usedStar) =
+      Dedup2.connectedComponentsInstrumented(edges)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && (0L until n).forall(labels(_) == 0L))
+    assert(usedStar, "round cap did not trigger the star fallback")
+    assert(rounds <= Dedup2.PropagationRoundCap + 20,
+      s"took $rounds total rounds on a 1024-chain")
+  }
+
+  test("connectedComponents does not fall back on low-diameter graphs") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 30L)).toDF("a_id", "b_id")
+    val (_, rounds, usedStar) =
+      Dedup2.connectedComponentsInstrumented(edges)
+    assert(!usedStar && rounds <= 3,
+      s"near-clique graph took $rounds rounds (star=$usedStar)")
+  }
+
   test("star contraction: empty edge list yields zero rows in zero rounds") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
