@@ -142,12 +142,15 @@ object Events {
     * events, watermark-bounded —
     * [[graft.streaming.EventStreams.funnelStream]].
     *
-    * CAVEAT — a user can emit MORE THAN ONE row (one per "era"): a
-    * depth-0 row for a pre-anchor era whose horizon expired, then the
-    * anchored era's depth. The MAX row per user matches
-    * [[funnelDepths]] for every user whose events the watermark
-    * admits; append-mode consumers counting users per depth must
-    * max-merge rows per user first, or they double-count.
+    * Pre-anchor eras are SILENT (no depth-0 rows): a user emits
+    * exactly one row — the anchored era's depth, always ≥ 1 — so
+    * append-mode consumers can count rows directly, matching
+    * [[funnelDepths]] for every ANCHORED user whose events the
+    * watermark admits. Users whose events never anchor emit nothing
+    * (their depth 0 is only decidable at stream end; the batch form
+    * reports them). A second anchor arriving more than a horizon
+    * after the first era closed opens a fresh era and emits again —
+    * bounded state cannot remember all past anchors.
     */
   def funnelStream(events: Dataset[EventStreams.EventWithTs],
       stages: Seq[String], horizonNs: Long)

@@ -367,11 +367,22 @@ object EventStreams {
     * EARLIER, so the qualifying window only moves left), and events
     * below the anchor — kept because a still-earlier anchor could
     * newly qualify them — are dropped once the watermark passes them
-    * (no view can precede them anymore). A user with stage events but
-    * no anchor flushes as depth 0 when the watermark clears its last
-    * event + horizon (a later burst would then open a new era and can
-    * emit a second row — batch, which sees all eras at once, reports
-    * their common depth since pre-anchor events never qualify).
+    * (no view can precede them anymore).
+    *
+    * PRE-ANCHOR ERAS ARE SILENT: a user with stage events but no
+    * anchor clears state WITHOUT emitting when the watermark passes
+    * its last event + horizon. Emitting depth 0 there (the round-5
+    * behavior) double-counted users in append mode — a later burst
+    * opens an anchored era and emits a second row, while batch (which
+    * sees all eras at once) reports only the anchored depth, since
+    * pre-anchor events never qualify. An anchored era always emits
+    * depth ≥ 1, so append consumers get EXACTLY ONE row per anchored
+    * era; users whose events never anchor emit nothing (their depth-0
+    * is only decidable when the stream ends — ask the batch
+    * [[graft.operators.EventAnalytics.funnelDepths]] for them). A user
+    * CAN still emit once per anchored era if a second anchor arrives
+    * more than a horizon after the first era closed — bounded state
+    * cannot remember all past anchors; batch reports the earliest.
     */
   def funnelStream(events: Dataset[EventWithTs], stages: Seq[String],
       horizonNs: Long): Dataset[FunnelOut] = {
@@ -422,10 +433,15 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else if (wmNs > finalAtNs) {
-            // flush: sequential replay of the chained-running-min rule
-            val firstQ = Array.fill(k)(none)
-            firstQ(0) = st.anchorNs
-            if (st.anchorNs != none) {
+            state.remove()
+            if (st.anchorNs == none) {
+              // pre-anchor era expired without ever anchoring: clear
+              // silently — no depth-0 row (see scaladoc)
+              Iterator.empty
+            } else {
+              // flush: sequential replay of the chained-running-min rule
+              val firstQ = Array.fill(k)(none)
+              firstQ(0) = st.anchorNs
               st.evts
                 .filter(e => e.ts_ns > st.anchorNs ||
                   (e.ts_ns == st.anchorNs && e.event_id > st.anchorId))
@@ -434,11 +450,9 @@ object EventStreams {
                   if (firstQ(e.stage - 1) != none && firstQ(e.stage) == none)
                     firstQ(e.stage) = e.ts_ns
                 }
+              val depth = firstQ.lastIndexWhere(_ != none) + 1
+              Iterator.single(FunnelOut(userId, depth, st.anchorNs))
             }
-            val depth = firstQ.lastIndexWhere(_ != none) + 1
-            state.remove()
-            Iterator.single(FunnelOut(userId, depth,
-              if (st.anchorNs == none) -1L else st.anchorNs))
           } else {
             state.update(st)
             state.setTimeoutTimestamp(finalAtNs / 1000000L + 1)

@@ -574,20 +574,72 @@ class EventStreamsSpec extends SparkTestBase {
     writeTypedBatch(dir, "zz_sentinel.parquet",
       Seq((99999L, 999L, t0 + 48 * hour, "view")))
     runFunnelStream(dir, "funnel_rand_out", watermark = "2 hours")
-    // one emission per user era; the final depth is the max (depth-0
-    // pre-anchor eras can only precede the anchored era)
-    val streamed = spark.table("funnel_rand_out").collect()
+    // pre-anchor eras are silent: every emitted row is an anchored era
+    // (depth ≥ 1), multiple rows per user only for GENUINE separate
+    // anchored eras (anchors more than a horizon apart), and the
+    // earliest-anchor row per user carries the batch depth
+    val streamedRows = spark.table("funnel_rand_out").collect()
       .filter(_.getLong(0) != 999L)
-      .groupBy(_.getLong(0))
-      .map { case (u, rs) => u -> rs.map(_.getInt(1)).max }
+    streamedRows.foreach(r =>
+      assert(r.getInt(1) >= 1, s"depth-0 row leaked: $r"))
+    val perUser = streamedRows.groupBy(_.getLong(0))
+    perUser.foreach { case (u, rs) =>
+      val anchors = rs.map(_.getLong(2)).sorted
+      anchors.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1) - w(0) > hour,
+          s"user $u emitted two rows within one horizon: ${rs.toSeq}")
+      }
+    }
+    val streamed = perUser.map { case (u, rs) =>
+      u -> rs.minBy(_.getLong(2)).getInt(1)
+    }
     val batch = graft.operators.EventAnalytics.funnelDepths(
       events.toDF("event_id", "user_id", "ts_ns", "event_type")
         .selectExpr("user_id", "event_type", "ts_ns DIV 1000 AS ts_us",
           "event_id"),
       Seq("view", "click", "purchase"), 3600000000L) // same 1h horizon, us
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(streamed == batch)
+    // anchored users (≥1 view): stream == batch; never-anchored users
+    // are batch-only (their depth 0 is undecidable mid-stream)
+    val anchored = events.filter(_._4 == "view").map(_._2).toSet
+    assert(streamed == batch.filter { case (u, _) => anchored(u) })
+    assert(streamed.keySet.intersect(batch.keySet -- anchored).isEmpty)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming funnel: an expired pre-anchor era is silent and a later anchored era emits once") {
+    val dir = Files.createTempDirectory("graft-funnel-era-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // era 1: user 1 clicks with NO view; its horizon expires well
+    // before the era-2 view (5h later) — round 5 emitted a depth-0 row
+    // here, double-counting the user for append consumers
+    writeTypedBatch(dir, "001.parquet", Seq((1L, 1L, t0, "click")))
+    // watermark (2h) moves past t0 + horizon via an unrelated user
+    writeTypedBatch(dir, "002.parquet", Seq((50L, 7L, t0 + 4 * 60 * min, "view")))
+    // era 2: anchored view + qualifying click -> depth 2
+    writeTypedBatch(dir, "003.parquet", Seq(
+      (2L, 1L, t0 + 5 * 60 * min, "view"),
+      (3L, 1L, t0 + 5 * 60 * min + 10 * min, "click")))
+    writeTypedBatch(dir, "004.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    runFunnelStream(dir, "funnel_era_out", watermark = "2 hours")
+    val got = spark.table("funnel_era_out").collect()
+      .filter(r => r.getLong(0) != 999L && r.getLong(0) != 7L)
+    assert(got.length == 1,
+      s"expected exactly one row for user 1, got ${got.toSeq}")
+    assert(got(0).getLong(0) == 1L && got(0).getInt(1) == 2)
+    // batch agrees: the only anchor is the era-2 view
+    val batch = graft.operators.EventAnalytics.funnelDepths(
+      Seq((1L, 1L, t0, "click"),
+        (2L, 1L, t0 + 5 * 60 * min, "view"),
+        (3L, 1L, t0 + 5 * 60 * min + 10 * min, "click"))
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+        .selectExpr("user_id", "event_type", "ts_ns DIV 1000 AS ts_us",
+          "event_id"),
+      Seq("view", "click", "purchase"), 3600000000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch(1L) == 2)
   }
 
   test("watermark drops late data in incremental streaming (two micro-batches)") {
