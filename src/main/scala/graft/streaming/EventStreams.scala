@@ -138,11 +138,42 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events parquet directory. */
+  /** File-source stream over an events parquet directory, normalized to
+    * epoch-nanos `ts_ns` exactly like the batch loader
+    * ([[graft.sources.Tables.events]]). File streams require a fixed
+    * schema up front, so the `ts` type is sniffed from the files already
+    * present (a footer-only batch read — the stream then watches the
+    * path for more files of the same schema):
+    *   - `LongType` — TIMESTAMP(NANOS) parquet read under the legacy
+    *     nanos-as-long flag, or a raw nanos column: rename only.
+    *   - `TIMESTAMP` / `TIMESTAMP_NTZ` — what a standard engine writes
+    *     (micros precision): convert via `unix_micros · 1000`. NTZ is
+    *     reinterpreted in the session zone, which GraftSession pins to
+    *     UTC.
+    * Without the branch, a µs-timestamp corpus would be read as nanos —
+    * every event-time 1000× too small and every watermark closing
+    * instantly.
+    */
   def readEventStream(s: SparkSession, path: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventSchema).parquet(path)
-      .withColumnRenamed("ts", "ts_ns")
+    val fileFields = s.read.parquet(path).schema
+    if (fileFields.fieldNames.contains("ts_ns")) {
+      // already normalized (e.g. a re-staged graft output): read as-is
+      val schema = StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(name = "ts_ns") else f))
+      return s.readStream.schema(schema).parquet(path)
+    }
+    fileFields("ts").dataType match {
+      case LongType =>
+        s.readStream.schema(eventSchema).parquet(path)
+          .withColumnRenamed("ts", "ts_ns")
+      case tsType =>
+        val fileSchema = StructType(eventSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = tsType) else f))
+        s.readStream.schema(fileSchema).parquet(path)
+          .withColumn("ts_ns", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+          .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+    }
   }
 
   /** Watermarked tumbling-window counts — the streaming twin of
