@@ -227,11 +227,20 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("PQ trains/encodes via broadcast codebooks with map-side-pruned argmax windows") {
+    // training runs once per (session, dir) and is served from the
+    // index cache, so the TRAINING plan is audited on pqIndex itself:
+    // each Lloyd round's per-(vector, sub) argmax must collapse to its
+    // top row BEFORE any exchange
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val train = graft.operators.Similarity.pqIndex(e, e.count())
+      .queryExecution.explainString(SimpleMode)
+    assert("WindowGroupLimit".r.findAllIn(train).size >= 4,
+      s"PQ training argmax windows must prune map-side:\n$train")
+    assert(!train.contains("CartesianProduct"), train)
+    // the gated query scans the cached codebooks: encode argmax, ADC
+    // shortlist, and exact refine still rank-prune map-side
     val p = plan("sim_pq")
-    // every per-(vector, sub) argmax and per-query rank window must
-    // collapse to its top rows BEFORE any exchange — training assigns,
-    // the encode, the ADC shortlist and the refine all rank-prune
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 10,
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
       s"PQ rank windows must prune map-side:\n$p")
     // codebooks/LUT/query frames ride broadcasts; the corpus-sized
     // side must never be cartesian-joined
