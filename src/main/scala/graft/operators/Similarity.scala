@@ -289,6 +289,34 @@ object Similarity {
       pqIndex(e, e.count()).localCheckpoint()
     })
 
+  /** The encoded CODES table (`(c_id, sub, cell)`, [[PqM]] rows per
+    * corpus vector) — the other half of a persisted PQ index. Encoding
+    * is a linear one-off build pass (every vector argmaxes against the
+    * broadcast codebooks once); serving must not re-pay it per query,
+    * so the gated PQ entries read codes from here. ~n·M narrow rows:
+    * the 1/64-of-corpus codes table the PQ design exists to produce.
+    */
+  private def cachedPqCodes(s: SparkSession, d: String): DataFrame =
+    indexCache.getOrElseUpdate((s, d, "pqcodes"), {
+      val cent = cachedPqCodebooks(s, d)
+      pqAssignAll(pqSubAll(embeddings(s, d), "vec_id", "embedding"), cent)
+        .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+        .localCheckpoint()
+    })
+
+  /** The corpus→cell coarse assignment (`(c_id, icell)`, one row per
+    * vector) of the trained IVF index — the inverted-file lists
+    * themselves, built once like the codes table.
+    */
+  private def cachedIvfAssignment(s: SparkSession, d: String): DataFrame =
+    indexCache.getOrElseUpdate((s, d, "ivfassign"), {
+      val cent = cachedIvfCentroids(s, d)
+      cellRanks(embeddings(s, d), cent, "c_id", "cv_c", "cn_c")
+        .filter(col("crank") === 1)
+        .select(col("c_id"), col("cell").as("icell"))
+        .localCheckpoint()
+    })
+
   /** Nearest-centroid ranking: each vector of `df` scored against every
     * (broadcast) centroid, `crank` = 1 for its home cell, ≤ NumProbes
     * for its probe list. Norms computed once per vector / per centroid,
@@ -636,7 +664,11 @@ object Similarity {
   def trainedCentroids(corpus: DataFrame, k: Int, n: Long,
       iters: Int = KmIters): DataFrame = {
     val step = math.max(1L, n / (KmSamplePerCell.toLong * k))
-    val sample = corpus.filter(col("vec_id") % step === 0)
+    // materialize the ~KmSamplePerCell·k-row sample once: every Lloyd
+    // round otherwise re-scans the FULL corpus to re-derive it (the
+    // modulo predicate can't push to the parquet footer), turning a
+    // constant-size training pass linear in the corpus per round
+    val sample = corpus.filter(col("vec_id") % step === 0).localCheckpoint()
     val seedW = Window.orderBy(col("vec_id"))
     val seed = sample
       .withColumn("rn", row_number().over(seedW))
@@ -932,7 +964,11 @@ object Similarity {
   def pqIndex(corpus: DataFrame, n: Long, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
-    val sample = pqSubAll(corpus, id, vec).filter(col("vec_id") % step === 0)
+    // materialize the bounded sample once (see trainedCentroids): the
+    // 8-way sub-explode of the full corpus otherwise re-runs per Lloyd
+    // round just to be filtered back down to ~KmSamplePerCell·PqK rows
+    val sample = pqSubAll(corpus, id, vec)
+      .filter(col("vec_id") % step === 0).localCheckpoint()
     val seedW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var cent = sample
       .withColumn("rn", row_number().over(seedW))
@@ -955,12 +991,14 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, cent: DataFrame,
       k: Int, id: String = "vec_id", vec: String = "embedding",
       excludeSelfIds: Boolean = true,
-      shortlist: Int = PqShortlist): DataFrame = {
+      shortlist: Int = PqShortlist,
+      encoded: Option[DataFrame] = None): DataFrame = {
     val centN = cent.select(col("sub"), col("cell"), col("cv"),
       VectorExpressions.l2NormD(col("cv")).as("cnrm"))
-    // encode: PqM codes per corpus vector
-    val enc = pqAssignAll(pqSubAll(corpus, id, vec), cent)
-      .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+    // encode: PqM codes per corpus vector (or the pre-built codes table)
+    val enc = encoded.getOrElse(
+      pqAssignAll(pqSubAll(corpus, id, vec), cent)
+        .select(col("vec_id").as("c_id"), col("sub"), col("cell")))
     // per-query LUT: sub-dot of each exact query sub-vector with every
     // codebook entry (nQueries × PqM × PqK rows — broadcast)
     val lut = pqSubAll(queries, id, vec, "q_id")
@@ -1016,7 +1054,8 @@ object Similarity {
     val e = embeddings(s, d)
     val cent = cachedPqCodebooks(s, d)
     val topk = pqTopK(e, e.filter(col("vec_id") < NumQueryVectors), cent,
-      TopK).select(col("q_id"), col("c_id"))
+      TopK, encoded = Some(cachedPqCodes(s, d)))
+      .select(col("q_id"), col("c_id"))
     val total = NumQueryVectors * TopK
     simTopkBrute(s, d).select(col("q_id"), col("c_id"))
       .join(topk, Seq("q_id", "c_id"), "left_semi")
@@ -1180,14 +1219,18 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, ivfCent: DataFrame,
       pqCent: DataFrame, k: Int, id: String = "vec_id",
       vec: String = "embedding", excludeSelfIds: Boolean = true,
-      shortlist: Int = PqShortlist, numProbes: Int = IvfPqProbes): DataFrame = {
+      shortlist: Int = PqShortlist, numProbes: Int = IvfPqProbes,
+      encoded: Option[DataFrame] = None,
+      assignedCells: Option[DataFrame] = None): DataFrame = {
     val centN = pqCent.select(col("sub"), col("cell"), col("cv"),
       VectorExpressions.l2NormD(col("cv")).as("cnrm"))
-    // coarse: home cell per corpus vector, probe list per query
-    val assigned = cellRanks(corpus.select(col(id).as("vec_id"), col(vec)
-        .as("embedding")), ivfCent, "c_id", "cv_c", "cn_c")
-      .filter(col("crank") === 1)
-      .select(col("c_id"), col("cell").as("icell"))
+    // coarse: home cell per corpus vector (or the pre-built inverted
+    // lists), probe list per query
+    val assigned = assignedCells.getOrElse(
+      cellRanks(corpus.select(col(id).as("vec_id"), col(vec)
+          .as("embedding")), ivfCent, "c_id", "cv_c", "cn_c")
+        .filter(col("crank") === 1)
+        .select(col("c_id"), col("cell").as("icell")))
     val probes = cellRanks(queries.select(col(id).as("vec_id"), col(vec)
         .as("embedding")), ivfCent, "q_id", "qv", "qn")
       .filter(col("crank") <= numProbes)
@@ -1198,8 +1241,9 @@ object Similarity {
       .filter(selfCond)
       .select(col("q_id"), col("c_id"))
     // fine: global PQ codes + per-query LUT, ADC restricted to cand
-    val enc = pqAssignAll(pqSubAll(corpus, id, vec), pqCent)
-      .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+    val enc = encoded.getOrElse(
+      pqAssignAll(pqSubAll(corpus, id, vec), pqCent)
+        .select(col("vec_id").as("c_id"), col("sub"), col("cell")))
     val lut = pqSubAll(queries, id, vec, "q_id")
       .join(broadcast(centN), "sub")
       .select(col("q_id"), col("sub"), col("cell"),
@@ -1253,7 +1297,9 @@ object Similarity {
     val ivfCent = cachedIvfCentroids(s, d)
     val pqCent = cachedPqCodebooks(s, d)
     val topk = ivfPqTopK(e, e.filter(col("vec_id") < NumQueryVectors),
-      ivfCent, pqCent, TopK).select(col("q_id"), col("c_id"))
+      ivfCent, pqCent, TopK, encoded = Some(cachedPqCodes(s, d)),
+      assignedCells = Some(cachedIvfAssignment(s, d)))
+      .select(col("q_id"), col("c_id"))
     val total = NumQueryVectors * TopK
     simTopkBrute(s, d).select(col("q_id"), col("c_id"))
       .join(topk, Seq("q_id", "c_id"), "left_semi")
