@@ -275,10 +275,12 @@ object Dedup {
     * copy of A meets every copy of B in the inverted index); running
     * the linear exact-dedup pass first collapses each duplicate
     * group to one survivor, so the pair space the index emits is over
-    * DISTINCT content only. The 10× replica probe shows the law
-    * directly: raw containment blows up ~18× (k² over 10× copies),
-    * the deduped form stays ~flat because the replica corpus
-    * collapses back to the original before any pair forms.
+    * DISTINCT content only. The 10× replica probe (SCALING.md,
+    * 3-run medians) shows the law directly: raw containment blows up
+    * 8× (k² over 10× copies; r6's single-run measurement recorded
+    * 18×), the deduped form stays flat — 2.19 s → 2.31 s, 1.05× —
+    * because the replica corpus collapses back to the original
+    * before any pair forms.
     *
     * The dedup key is deliberately the STRICT full-text fingerprint
     * ([[ddExact]]'s `fp_full`), not the 10-token prefix: a near-subset
