@@ -286,6 +286,159 @@ object L2NormD {
   }
 }
 
+
+/** PQ encode in ONE map-side pass: for each of the `offsets.length - 1`
+  * subspaces, the argmax cell of the L2-assignment score
+  * `dot(sv, cv) − ‖cv‖²/2` over that subspace's codebook entries,
+  * returned as one `array<int>` of codes per vector. This is the
+  * one-off index-BUILD kernel: the declarative encode materializes a
+  * row per (vector, subspace, cell) — n×M×K scored rows through a
+  * broadcast join and an argmax window — which measured ~22 min for a
+  * 200k-vector corpus; this kernel reads the Tungsten float array in
+  * place and scores the same M×K cells in a tight loop, so encoding is
+  * scan-bound like every other build pass. The trained codebook is
+  * tiny (M×K×subDim doubles ≈ 128 KB) and rides along as plan
+  * reference objects, the broadcast-LUT posture the PQ docs describe.
+  *
+  * Bit-parity with the declarative form ([[graft.operators.Similarity]]
+  * `pqAssignAll`) and the DuckDB oracle: the dot is the same
+  * left-to-right float→double fold as [[DotProductFD]]; `halfCn2`
+  * must be precomputed as `0.5 * (sqrt(Σcv²) · sqrt(Σcv²))` — the
+  * sqrt-then-square round-trip [[L2NormD]] + `cnrm * cnrm` takes, NOT
+  * `0.5 * Σcv²` — and ties break to the LOWER cell id (`cellIds` must
+  * be ascending within each subspace run), matching
+  * `ORDER BY sc DESC, cell`.
+  *
+  * Constructor arrays are plan reference objects, not child
+  * expressions (case-class equality is by reference — conservative and
+  * safe for semantic dedup).
+  */
+case class PqEncodeF(child: Expression, offsets: Array[Int],
+    cellIds: Array[Int], codebook: Array[Double], halfCn2: Array[Double],
+    subDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires an array<float> argument, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    PqEncodeF.encode(a.asInstanceOf[ArrayData], offsets, cellIds,
+      codebook, halfCn2, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val off = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    val ids = ctx.addReferenceObj("pqCellIds", cellIds, "int[]")
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val hc = ctx.addReferenceObj("pqHalfCn2", halfCn2, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqEncodeF.encode($a, $off, $ids, $cb, $hc, $subDim);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeF =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncodeF {
+  def encode(x: ArrayData, offsets: Array[Int], cellIds: Array[Int],
+      cb: Array[Double], halfCn2: Array[Double], subDim: Int): ArrayData = {
+    val m = offsets.length - 1
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var bestCell = -1
+      var bestSc = Double.NegativeInfinity
+      var ci = offsets(sub)
+      val end = offsets(sub + 1)
+      val base = sub * subDim
+      while (ci < end) {
+        var acc = 0.0
+        var d = 0
+        val cbase = ci * subDim
+        while (d < subDim) {
+          acc += x.getFloat(base + d).toDouble * cb(cbase + d)
+          d += 1
+        }
+        val sc = acc - halfCn2(ci)
+        // strict > keeps the LOWEST cell on ties (ids ascend per sub)
+        if (sc > bestSc) { bestSc = sc; bestCell = cellIds(ci) }
+        ci += 1
+      }
+      out(sub) = bestCell
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+
+/** Nearest IVF cell by cosine in one map-side pass — the index-BUILD
+  * counterpart of [[PqEncodeF]] for the coarse quantizer: the
+  * declarative corpus→cell assignment (`cellRanks` + `crank = 1`)
+  * materializes n×k scored rows through a broadcast join and an argmax
+  * window, which at a 100× corpus is ~1.4×10⁸ rows for ONE build
+  * artifact. Scores every (broadcast-tiny) centroid against the
+  * Tungsten float array in place with the exact `cellRanks` arithmetic:
+  * `cos = dot_fd(vec, cv) / (l2norm_f(vec) · cnrm)` (cnrm passed in
+  * from the trained table, NOT recomputed), ties to the lower cell id
+  * (`cellIds` ascending), matching `ORDER BY cos_c DESC, cell`.
+  */
+case class NearestCellF(child: Expression, cellIds: Array[Int],
+    cents: Array[Double], cnrms: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires an array<float> argument, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Integer.valueOf(NearestCellF.nearest(
+      a.asInstanceOf[ArrayData], cellIds, cents, cnrms, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("ivfCellIds", cellIds, "int[]")
+    val cs = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val ns = ctx.addReferenceObj("ivfCnrms", cnrms, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NearestCellF.nearest($a, $ids, $cs, $ns, $dim);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellF =
+    copy(child = c)
+  override def prettyName: String = "nearest_cell"
+}
+
+object NearestCellF {
+  def nearest(x: ArrayData, cellIds: Array[Int], cents: Array[Double],
+      cnrms: Array[Double], dim: Int): Int = {
+    // l2norm_f fold: float promoted per element, sqrt at the end
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    val nrm = math.sqrt(s)
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cellIds.length) {
+      var acc = 0.0
+      val base = ci * dim
+      var d = 0
+      while (d < dim) { acc += x.getFloat(d).toDouble * cents(base + d); d += 1 }
+      val cos = acc / (nrm * cnrms(ci))
+      // strict > keeps the LOWEST cell on ties (ids ascend)
+      if (cos > bestCos) { bestCos = cos; best = cellIds(ci) }
+      ci += 1
+    }
+    best
+  }
+}
+
 object VectorExpressions {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(
@@ -301,4 +454,12 @@ object VectorExpressions {
     ColumnBridge.column(AbsMaxF(ColumnBridge.expression(c)))
   def quantizeI8F(c: Column): Column =
     ColumnBridge.column(QuantizeI8F(ColumnBridge.expression(c)))
+  def pqEncodeF(c: Column, offsets: Array[Int], cellIds: Array[Int],
+      codebook: Array[Double], halfCn2: Array[Double], subDim: Int): Column =
+    ColumnBridge.column(PqEncodeF(ColumnBridge.expression(c), offsets,
+      cellIds, codebook, halfCn2, subDim))
+  def nearestCellF(c: Column, cellIds: Array[Int], cents: Array[Double],
+      cnrms: Array[Double], dim: Int): Column =
+    ColumnBridge.column(NearestCellF(ColumnBridge.expression(c), cellIds,
+      cents, cnrms, dim))
 }

@@ -279,7 +279,7 @@ object Similarity {
   private val indexCache = new scala.collection.concurrent.TrieMap[
     (SparkSession, String, String), DataFrame]
 
-  private def cachedIvfCentroids(s: SparkSession, d: String): DataFrame =
+  private[operators] def cachedIvfCentroids(s: SparkSession, d: String): DataFrame =
     indexCache.getOrElseUpdate((s, d, "ivf"),
       ivfCentroids(embeddings(s, d)))
 
@@ -296,10 +296,58 @@ object Similarity {
     * so the gated PQ entries read codes from here. ~n·M narrow rows:
     * the 1/64-of-corpus codes table the PQ design exists to produce.
     */
-  private def cachedPqCodes(s: SparkSession, d: String): DataFrame =
+  /** Collected PQ codebook as flat kernel arrays: per-(sub,cell)
+    * ascending order, `offsets(sub)..offsets(sub+1)` delimiting each
+    * subspace's run, `halfCn2` precomputed with the exact
+    * sqrt-then-square round-trip the declarative encode takes
+    * (`0.5 · (l2norm_d(cv) · l2norm_d(cv))`).
+    */
+  private case class PqArrays(offsets: Array[Int], cellIds: Array[Int],
+      codebook: Array[Double], halfCn2: Array[Double])
+
+  private def collectPqArrays(cent: DataFrame): PqArrays = {
+    val rows = cent.select(col("sub"), col("cell"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy { case (sub, cell, _) => (sub, cell) }
+    val offsets = new Array[Int](PqM + 1)
+    rows.foreach { case (sub, _, _) => offsets(sub + 1) += 1 }
+    for (i <- 1 to PqM) offsets(i) += offsets(i - 1)
+    val halfCn2 = rows.map { case (_, _, cv) =>
+      var acc = 0.0
+      cv.foreach(v => acc += v * v)
+      val nrm = math.sqrt(acc)
+      0.5 * (nrm * nrm)
+    }
+    PqArrays(offsets, rows.map(_._2), rows.flatMap(_._3), halfCn2)
+  }
+
+  /** Kernel-encode a corpus against collected codebooks: one map-side
+    * pass, `(vec_id, sub, cell)` out — the build-path replacement for
+    * `pqAssignAll(pqSubAll(...))`'s n×M×K scored rows (bit-identical,
+    * pinned in SimilaritySpec).
+    */
+  private def pqKernelCodes(corpus: DataFrame, arrays: PqArrays,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    corpus.select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(VectorExpressions.pqEncodeF(col("embedding"),
+          arrays.offsets, arrays.cellIds, arrays.codebook, arrays.halfCn2,
+          PqSubDim)).as(Seq("sub", "cell")))
+
+  private[operators] def cachedPqCodes(s: SparkSession, d: String): DataFrame =
     indexCache.getOrElseUpdate((s, d, "pqcodes"), {
-      val cent = cachedPqCodebooks(s, d)
-      pqAssignAll(pqSubAll(embeddings(s, d), "vec_id", "embedding"), cent)
+      // Collect the trained codebook (M×K tiny rows) and inline it into
+      // the one-pass native encode kernel: the declarative
+      // pqAssignAll(pqSubAll(corpus)) encode materializes n×M×K scored
+      // rows (measured ~22 min at a 200k-vector corpus); the kernel
+      // scores the same cells in place, so the build pass is scan-bound.
+      // halfCn2 replicates pqAssignAll's exact arithmetic —
+      // 0.5·(l2norm_d(cv)·l2norm_d(cv)), the sqrt-then-square
+      // round-trip, NOT 0.5·Σcv² — so codes are bit-identical to the
+      // declarative form (pinned in SimilaritySpec).
+      val arrays = collectPqArrays(cachedPqCodebooks(s, d))
+      pqKernelCodes(embeddings(s, d), arrays)
         .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
         .localCheckpoint()
     })
@@ -308,12 +356,25 @@ object Similarity {
     * vector) of the trained IVF index — the inverted-file lists
     * themselves, built once like the codes table.
     */
-  private def cachedIvfAssignment(s: SparkSession, d: String): DataFrame =
+  private[operators] def cachedIvfAssignment(s: SparkSession, d: String): DataFrame =
     indexCache.getOrElseUpdate((s, d, "ivfassign"), {
-      val cent = cachedIvfCentroids(s, d)
-      cellRanks(embeddings(s, d), cent, "c_id", "cv_c", "cn_c")
-        .filter(col("crank") === 1)
-        .select(col("c_id"), col("cell").as("icell"))
+      // collect the trained (cell, cv, cnrm) table (⌈√n⌉ tiny rows) and
+      // assign the corpus in ONE map-side kernel pass: the declarative
+      // cellRanks build materializes n×k scored rows through an argmax
+      // window (~1.4×10⁸ rows at the 100× probe corpus) for this one
+      // build artifact. cnrm is passed from the trained table, not
+      // recomputed, so the cosine matches cellRanks bit-for-bit
+      // (pinned in SimilaritySpec).
+      val rows = cachedIvfCentroids(s, d)
+        .select(col("cell"), col("cv"), col("cnrm"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val dim = rows.head._2.length
+      embeddings(s, d)
+        .select(col("vec_id").as("c_id"),
+          VectorExpressions.nearestCellF(col("embedding"), rows.map(_._1),
+            rows.flatMap(_._2), rows.map(_._3), dim).as("icell"))
         .localCheckpoint()
     })
 
@@ -327,7 +388,7 @@ object Similarity {
     * columns of `df` ride through untouched (e.g. a metadata filter
     * key). Shared by [[simIvf]], [[simKnnJoin]], and [[simFilteredKnn]].
     */
-  private def cellRanks(df: DataFrame, cent: DataFrame, idCol: String,
+  private[operators] def cellRanks(df: DataFrame, cent: DataFrame, idCol: String,
       vecCol: String, normCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(idCol))
@@ -877,7 +938,7 @@ object Similarity {
     * table ([[PqM]]×[[PqK]] rows) broadcasts on `sub`; every subspace
     * trains/encodes in ONE plan, not [[PqM]] sequential jobs.
     */
-  private def pqAssignAll(subAll: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def pqAssignAll(subAll: DataFrame, cent: DataFrame): DataFrame = {
     val c = broadcast(cent.select(col("sub"), col("cell"), col("cv"),
       VectorExpressions.l2NormD(col("cv")).as("cnrm")))
     val w = Window.partitionBy(col("vec_id"), col("sub"))
@@ -942,7 +1003,7 @@ object Similarity {
   /** One row per (vector, subspace): a single pass slices all [[PqM]]
     * sub-vectors (no PqM-way scan union). Output `(<idOut>, sub, sv)`.
     */
-  private def pqSubAll(df: DataFrame, id: String, vec: String,
+  private[operators] def pqSubAll(df: DataFrame, id: String, vec: String,
       idOut: String = "vec_id"): DataFrame =
     df.select(col(id).as(idOut),
         explode(array((0 until PqM).map(m =>
@@ -964,19 +1025,35 @@ object Similarity {
   def pqIndex(corpus: DataFrame, n: Long, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
-    // materialize the bounded sample once (see trainedCentroids): the
-    // 8-way sub-explode of the full corpus otherwise re-runs per Lloyd
-    // round just to be filtered back down to ~KmSamplePerCell·PqK rows
-    val sample = pqSubAll(corpus, id, vec)
+    // materialize the bounded sample once: every Lloyd round otherwise
+    // re-scans the FULL corpus to re-derive it (the modulo predicate
+    // cannot push to the parquet footer)
+    val sampleVecs = corpus
+      .select(col(id).as("vec_id"), col(vec).as("embedding"))
       .filter(col("vec_id") % step === 0).localCheckpoint()
+    val sample = pqSubAll(sampleVecs, "vec_id", "embedding")
     val seedW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var cent = sample
       .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= PqK)
       .select(col("sub"), (col("rn") - 1).cast("int").as("cell"),
         transform(col("sv"), x => x.cast(DoubleType)).as("cv"))
-    for (_ <- 1 to KmIters)
-      cent = pqUpdate(pqAssignAll(sample, cent))
+    // kernel-looped Lloyd: each round collects the tiny (≤ M×K rows)
+    // codebook to the driver and re-assigns the sample in ONE map-side
+    // kernel pass — the declarative pqAssignAll join/window assign
+    // materialized sample×K scored rows per round (≥100M rows over a
+    // training run at the 100× probe). Assignment is bit-identical to
+    // the declarative form (SimilaritySpec pins it), update unchanged,
+    // so the trained codebooks — and the DuckDB-mirrored gate results —
+    // are unchanged.
+    for (_ <- 1 to KmIters) {
+      val arrays = collectPqArrays(cent)
+      val assigned = pqKernelCodes(sampleVecs, arrays)
+        .select(col("vec_id"), col("sub"), col("cell"),
+          slice(col("embedding"), col("sub") * PqSubDim + 1,
+            lit(PqSubDim)).as("sv"))
+      cent = pqUpdate(assigned)
+    }
     cent
   }
 

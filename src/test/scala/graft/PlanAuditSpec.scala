@@ -228,15 +228,19 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("PQ trains/encodes via broadcast codebooks with map-side-pruned argmax windows") {
     // training runs once per (session, dir) and is served from the
-    // index cache, so the TRAINING plan is audited on pqIndex itself:
-    // each Lloyd round's per-(vector, sub) argmax must collapse to its
-    // top row BEFORE any exchange
+    // index cache, so the TRAINING plan is audited on pqIndex itself.
+    // Since the kernel-looped Lloyd, each round's per-(vector, sub)
+    // argmax runs INSIDE the map-side pq_encode kernel (no scored-row
+    // materialization at all); the round's only exchange is the
+    // partial-aggregated (sub, cell, dim) mean update
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val train = graft.operators.Similarity.pqIndex(e, e.count())
       .queryExecution.explainString(SimpleMode)
-    assert("WindowGroupLimit".r.findAllIn(train).size >= 4,
-      s"PQ training argmax windows must prune map-side:\n$train")
+    assert(train.contains("pq_encode"),
+      s"PQ training must assign via the native kernel:\n$train")
     assert(!train.contains("CartesianProduct"), train)
+    assert(!train.contains("Window"),
+      s"no argmax window should survive in the kernel-looped Lloyd:\n$train")
     // the gated query scans the cached codebooks AND codes table (both
     // halves of the persisted index); the ADC shortlist and exact
     // refine windows still rank-prune map-side

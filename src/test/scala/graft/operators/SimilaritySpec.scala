@@ -176,4 +176,39 @@ class SimilaritySpec extends SparkTestBase {
     val b = Similarity.simPq(spark, sf001).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("native PQ encode kernel is bit-identical to the declarative join/window encode") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    // kernel path: what the gated queries serve from
+    val kernel = Similarity.cachedPqCodes(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // declarative path: the same trained codebooks through the
+    // broadcast-join + argmax-window encode
+    val cent = Similarity.pqIndex(e, e.count())
+    val declarative = Similarity
+      .pqAssignAll(Similarity.pqSubAll(e, "vec_id", "embedding"), cent)
+      .select(col("vec_id"), col("sub"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(kernel.size == declarative.size)
+    assert(kernel == declarative)
+    // every vector got all PqM codes
+    assert(kernel.size == e.count() * Similarity.PqM)
+  }
+
+  test("native nearest-cell kernel matches the declarative cellRanks assignment") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val kernel = Similarity.cachedIvfAssignment(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val declarative = Similarity
+      .cellRanks(e, Similarity.cachedIvfCentroids(spark, sf0001),
+        "c_id", "cv_c", "cn_c")
+      .filter(col("crank") === 1)
+      .select(col("c_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel.nonEmpty)
+    assert(kernel == declarative)
+    assert(kernel.size == e.count())
+  }
 }
