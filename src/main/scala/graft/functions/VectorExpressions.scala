@@ -439,6 +439,88 @@ object NearestCellF {
   }
 }
 
+/** Top-`p` nearest IVF cells by cosine in one map-side pass — the
+  * probe-list counterpart of [[NearestCellF]]: the declarative probe
+  * ranking (`cellRanks` + `crank <= p`) materializes n×k scored rows
+  * through a broadcast cross join and then SHUFFLES them into a
+  * per-vector rank window; this kernel emits the same top-`p` list
+  * (rank order: cosine DESC, cell id ASC on ties — exactly `ORDER BY
+  * cos_c DESC, cell`) as one `array<int>` without the intermediate
+  * rows or the window shuffle. Arithmetic is bit-identical to
+  * [[NearestCellF]]/`cellRanks`: `cos = dot_fd(vec, cv) /
+  * (l2norm_f(vec) · cnrm)` with `cnrm` passed from the trained table;
+  * ties keep the LOWER cell because `cellIds` ascend and the insertion
+  * comparison is strict (an equal-cosine later cell never displaces an
+  * earlier one). Returns fewer than `p` entries only when the trained
+  * index has fewer than `p` cells.
+  */
+case class ProbeCellsF(child: Expression, cellIds: Array[Int],
+    cents: Array[Double], cnrms: Array[Double], dim: Int, p: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"probe_cells requires an array<float> argument, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ProbeCellsF.probe(a.asInstanceOf[ArrayData], cellIds, cents, cnrms,
+      dim, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("ivfCellIds", cellIds, "int[]")
+    val cs = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val ns = ctx.addReferenceObj("ivfCnrms", cnrms, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ProbeCellsF.probe($a, $ids, $cs, $ns, $dim, $p);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProbeCellsF =
+    copy(child = c)
+  override def prettyName: String = "probe_cells"
+}
+
+object ProbeCellsF {
+  def probe(x: ArrayData, cellIds: Array[Int], cents: Array[Double],
+      cnrms: Array[Double], dim: Int, p: Int): ArrayData = {
+    // l2norm_f fold: float promoted per element, sqrt at the end
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    val nrm = math.sqrt(s)
+    val cap = math.min(p, cellIds.length)
+    val topCos = new Array[Double](cap)
+    val topCell = new Array[Int](cap)
+    var size = 0
+    var ci = 0
+    while (ci < cellIds.length) {
+      var acc = 0.0
+      val base = ci * dim
+      var d = 0
+      while (d < dim) { acc += x.getFloat(d).toDouble * cents(base + d); d += 1 }
+      val cos = acc / (nrm * cnrms(ci))
+      // insert before strictly-smaller entries only: equal-cosine
+      // entries (inserted earlier = lower cell id) stay ahead
+      var idx = size
+      while (idx > 0 && topCos(idx - 1) < cos) idx -= 1
+      if (idx < cap) {
+        var m = math.min(size, cap - 1)
+        while (m > idx) {
+          topCos(m) = topCos(m - 1); topCell(m) = topCell(m - 1); m -= 1
+        }
+        topCos(idx) = cos
+        topCell(idx) = cellIds(ci)
+        if (size < cap) size += 1
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCell, size))
+  }
+}
+
 object VectorExpressions {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(
@@ -462,4 +544,8 @@ object VectorExpressions {
       cnrms: Array[Double], dim: Int): Column =
     ColumnBridge.column(NearestCellF(ColumnBridge.expression(c), cellIds,
       cents, cnrms, dim))
+  def probeCellsF(c: Column, cellIds: Array[Int], cents: Array[Double],
+      cnrms: Array[Double], dim: Int, p: Int): Column =
+    ColumnBridge.column(ProbeCellsF(ColumnBridge.expression(c), cellIds,
+      cents, cnrms, dim, p))
 }

@@ -365,18 +365,59 @@ object Similarity {
       // build artifact. cnrm is passed from the trained table, not
       // recomputed, so the cosine matches cellRanks bit-for-bit
       // (pinned in SimilaritySpec).
-      val rows = cachedIvfCentroids(s, d)
-        .select(col("cell"), col("cv"), col("cnrm"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-      val dim = rows.head._2.length
+      val a = collectIvfArrays(cachedIvfCentroids(s, d))
       embeddings(s, d)
         .select(col("vec_id").as("c_id"),
-          VectorExpressions.nearestCellF(col("embedding"), rows.map(_._1),
-            rows.flatMap(_._2), rows.map(_._3), dim).as("icell"))
+          VectorExpressions.nearestCellF(col("embedding"), a.cellIds,
+            a.cents, a.cnrms, a.dim).as("icell"))
         .localCheckpoint()
     })
+
+  /** Trained IVF centroid table collected into flat kernel arrays
+    * (cell-id ascending — the order the kernels' strict comparisons
+    * rely on for lowest-cell tie-breaks). ⌈√n⌉ × dim doubles: tiny,
+    * rides as plan reference objects.
+    */
+  private[operators] case class IvfArrays(cellIds: Array[Int],
+      cents: Array[Double], cnrms: Array[Double], dim: Int)
+
+  private[operators] def collectIvfArrays(cent: DataFrame): IvfArrays = {
+    val rows = cent.select(col("cell"), col("cv"), col("cnrm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    IvfArrays(rows.map(_._1), rows.flatMap(_._2), rows.map(_._3),
+      rows.head._2.length)
+  }
+
+  /** Kernel form of [[cellRanks]]` + crank ≤ p`: the same per-vector
+    * top-`p` probe list (or `p = 1` home-cell assignment), computed in
+    * ONE map-side pass over the corpus instead of materializing n×k
+    * scored rows through a broadcast cross join and shuffling them into
+    * a per-vector rank window. Output columns: `(idCol, vecCol,
+    * normCol, carry…, cell)` — one row per (vector, probed cell), cells
+    * in rank order before the explode. Arithmetic and tie-breaks are
+    * bit-identical to [[cellRanks]] (pinned in SimilaritySpec), so
+    * every declarative DuckDB mirror is unchanged. At 100 TB this is
+    * the difference between an n×√n-row shuffle per index pass and a
+    * scan-bound map.
+    */
+  private[operators] def kernelProbeCells(df: DataFrame, cent: DataFrame,
+      p: Int, idCol: String, vecCol: String, normCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val a = collectIvfArrays(cent)
+    val carried = carry.map(col)
+    val base = df.select(Seq(col("vec_id").as(idCol),
+      col("embedding").as(vecCol),
+      VectorExpressions.l2NormF(col("embedding")).as(normCol)) ++
+      carried: _*)
+    if (p == 1)
+      base.withColumn("cell", VectorExpressions.nearestCellF(col(vecCol),
+        a.cellIds, a.cents, a.cnrms, a.dim))
+    else
+      base.withColumn("cell", explode(VectorExpressions.probeCellsF(
+        col(vecCol), a.cellIds, a.cents, a.cnrms, a.dim, p)))
+  }
 
   /** Nearest-centroid ranking: each vector of `df` scored against every
     * (broadcast) centroid, `crank` = 1 for its home cell, ≤ NumProbes
@@ -408,13 +449,10 @@ object Similarity {
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val cent = cachedIvfCentroids(s, d)
-    val assigned = cellRanks(e, cent, "c_id", "cv_c", "cn_c")
-      .filter(col("crank") === 1)
-      .select(col("c_id"), col("cv_c"), col("cn_c"), col("cell"))
-    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors), cent,
-      "q_id", "qv", "qn")
-      .filter(col("crank") <= NumProbes)
-      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    val assigned = kernelProbeCells(e, cent, 1, "c_id", "cv_c", "cn_c")
+    val probes = kernelProbeCells(
+      e.filter(col("vec_id") < NumQueryVectors), cent,
+      NumProbes, "q_id", "qv", "qn")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     assigned.join(broadcast(probes), Seq("cell"))
@@ -499,12 +537,8 @@ object Similarity {
     */
   def knnJoinWithCentroids(corpus: DataFrame, cent: DataFrame,
       k: Int, numProbes: Int = NumProbes): DataFrame = {
-    val assigned = cellRanks(corpus, cent, "c_id", "cv_c", "cn_c")
-      .filter(col("crank") === 1)
-      .select(col("c_id"), col("cv_c"), col("cn_c"), col("cell"))
-    val probes = cellRanks(corpus, cent, "q_id", "qv", "qn")
-      .filter(col("crank") <= numProbes)
-      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    val assigned = kernelProbeCells(corpus, cent, 1, "c_id", "cv_c", "cn_c")
+    val probes = kernelProbeCells(corpus, cent, numProbes, "q_id", "qv", "qn")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     assigned.join(probes, Seq("cell"))
@@ -537,15 +571,11 @@ object Similarity {
   def simFilteredKnn(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val cent = cachedIvfCentroids(s, d)
-    val assigned = cellRanks(e, cent, "c_id", "cv_c", "cn_c",
+    val assigned = kernelProbeCells(e, cent, 1, "c_id", "cv_c", "cn_c",
       carry = Seq("label"))
-      .filter(col("crank") === 1)
-      .select(col("c_id"), col("label"), col("cv_c"), col("cn_c"),
-        col("cell"))
-    val probes = cellRanks(e.filter(col("vec_id") < NumQueryVectors), cent,
-      "q_id", "qv", "qn", carry = Seq("label"))
-      .filter(col("crank") <= NumProbes)
-      .select(col("q_id"), col("label"), col("qv"), col("qn"), col("cell"))
+    val probes = kernelProbeCells(
+      e.filter(col("vec_id") < NumQueryVectors), cent,
+      NumProbes, "q_id", "qv", "qn", carry = Seq("label"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     assigned.join(broadcast(probes), Seq("label", "cell"))
@@ -1304,13 +1334,11 @@ object Similarity {
     // coarse: home cell per corpus vector (or the pre-built inverted
     // lists), probe list per query
     val assigned = assignedCells.getOrElse(
-      cellRanks(corpus.select(col(id).as("vec_id"), col(vec)
-          .as("embedding")), ivfCent, "c_id", "cv_c", "cn_c")
-        .filter(col("crank") === 1)
+      kernelProbeCells(corpus.select(col(id).as("vec_id"), col(vec)
+          .as("embedding")), ivfCent, 1, "c_id", "cv_c", "cn_c")
         .select(col("c_id"), col("cell").as("icell")))
-    val probes = cellRanks(queries.select(col(id).as("vec_id"), col(vec)
-        .as("embedding")), ivfCent, "q_id", "qv", "qn")
-      .filter(col("crank") <= numProbes)
+    val probes = kernelProbeCells(queries.select(col(id).as("vec_id"),
+        col(vec).as("embedding")), ivfCent, numProbes, "q_id", "qv", "qn")
       .select(col("q_id"), col("cell").as("icell"))
     val selfCond =
       if (excludeSelfIds) col("q_id") =!= col("c_id") else lit(true)

@@ -151,12 +151,17 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("kNN self-join scores candidates through the cell equi-join, not a pair cross-join") {
     val p = plan("sim_knn_join")
-    // the corpus×corpus side must join on the cell key (the centroid
-    // assignment is an intentional broadcast cross-join of 16 rows —
-    // BNLJ against a BroadcastExchange — so only a CartesianProduct,
-    // i.e. a non-broadcast cross of two big sides, is forbidden)
+    // the corpus×corpus side must join on the cell key; assignment and
+    // probe lists come from the map-side kernels (no n×k cross join
+    // survives), so any cross/cartesian in the plan is a bug
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("hashpartitioning(cell"), p)
+    // the candidate join keys on cell either way Spark sizes it: a
+    // shuffled hash join at corpus scale, or (post-kernel, with
+    // estimable map-side inputs) a broadcast hash join at test scale
+    assert(p.contains("hashpartitioning(cell") ||
+      "BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("nearest_cell") && p.contains("probe_cells"),
+      s"coarse assignment/probing must run the native kernels:\n$p")
     // per-vector top-k must prune inside each partition before the
     // window, never global-sort the scored pairs
     assert(p.contains("WindowGroupLimit"), p)
@@ -187,15 +192,16 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("trained-IVF probing: rank windows prune map-side, centroids broadcast, no cartesian") {
+  test("trained-IVF probing: kernel assignment/probing, rank top-k prunes map-side, no cartesian") {
     val p = plan("sim_ivf")
-    // the n×k centroid-rank intermediates must collapse to top-crank
-    // rows BEFORE any exchange (WindowGroupLimit partial), for both the
-    // assignment and probe sides plus the final top-k
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 3, p)
-    // centroid table rides a broadcast (BNLJ against a tiny trained
-    // table is the intended map-side assignment); a non-broadcast
-    // cartesian of two big sides is forbidden
+    // assignment and probe ranking run the one-pass native kernels —
+    // no n×k scored rows, no rank-window shuffle on either side
+    assert(p.contains("nearest_cell") && p.contains("probe_cells"),
+      s"coarse assignment/probing must run the native kernels:\n$p")
+    // the final per-query top-k still collapses to top-rank rows
+    // BEFORE any exchange (WindowGroupLimit partial)
+    assert(p.contains("WindowGroupLimit"), p)
+    // a non-broadcast cartesian of two big sides is forbidden
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -259,7 +265,9 @@ class PlanAuditSpec extends SparkTestBase {
     // index's rank windows prune map-side
     assert(p.contains("partial_min"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("nearest_cell") && p.contains("probe_cells"),
+      s"index assignment/probing must run the native kernels:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("diversity scoring partial-aggregates both moment passes; no window") {

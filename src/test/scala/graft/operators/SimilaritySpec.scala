@@ -211,4 +211,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(kernel == declarative)
     assert(kernel.size == e.count())
   }
+
+  test("native top-p probe-cells kernel matches the declarative cellRanks probe list") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val cent = Similarity.cachedIvfCentroids(spark, sf0001)
+    val p = Similarity.NumProbes
+    // kernel probe lists arrive in rank order before the explode; pin
+    // BOTH membership and order against the declarative rank window
+    val kernel = Similarity
+      .kernelProbeCells(e, cent, p, "q_id", "qv", "qn")
+      .select(col("q_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+      .zipWithIndex
+      .groupBy(_._1._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._2).map(_._1._2).toSeq }
+    val declarative = Similarity
+      .cellRanks(e, cent, "q_id", "qv", "qn")
+      .filter(col("crank") <= p)
+      .select(col("q_id"), col("crank"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(kernel.nonEmpty)
+    assert(kernel == declarative)
+    kernel.values.foreach(cells => assert(cells.size == p))
+  }
 }
