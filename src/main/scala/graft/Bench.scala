@@ -67,6 +67,11 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // per-rep times to stderr (never the JSON line): with reps > 1 the
+      // FIRST rep of an index-cached query is build+serve and the rest
+      // are serve-only — the split SCALING.md's build-cost rows need
+      if (reps > 1) System.err.println(
+        s"[bench] $name reps: ${times.map(t => (math.round(t * 1000) / 1000.0)).mkString(", ")}")
       val good = times.filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else median(good))
     }

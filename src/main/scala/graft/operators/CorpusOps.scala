@@ -487,7 +487,92 @@ object CorpusOps {
        |ORDER BY d.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cp_overlap — source×source content-overlap matrix.
+  // ---------------------------------------------------------------------
+
+  /** Pairwise source-overlap matrix: exact 3-gram-shingle Jaccard
+    * between every pair of sources — the corpus-composition audit run
+    * before mixing domains (two crawls of the same site, a dataset
+    * repackaged under a new name, or a benchmark leaked into a crawl
+    * all show up as an off-diagonal spike).
+    *
+    * Shape: the corpus collapses map-side to DISTINCT (source,
+    * shingle-hash) rows FIRST — one partial-aggregated distinct, after
+    * which all sizes are |union of shingle vocabularies|, never
+    * |corpus|. The pair join is keyed on the 8-byte hash and each
+    * hash's postings list is ≤ |sources| rows (it is a DISTINCT
+    * relation), so pairs per shingle are bounded by sources² — with
+    * tens of sources the quadratic term is trivial at any corpus
+    * size, and a shingle shared by every source costs sources²/2
+    * rows, not docs². The per-source sizes and the 190-row pair
+    * matrix broadcast back. With THOUSANDS of domains the pair space
+    * is the all-pairs shape again — the switch-over is per-source
+    * MinHash signatures ([[Dedup.ddMinhashLsh]]'s kernel over
+    * source-concatenated text) estimating the same matrix from
+    * |sources|×64 longs.
+    *
+    * Zero-overlap pairs are kept (LEFT JOIN against the full
+    * source-pair frame): absence of an edge is the finding.
+    */
+  def cpOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(documents(s, d))
+
+  /** Frame-parametric core of [[cpOverlap]] over ANY `(source, text)`
+    * frame.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(graft.functions.WordShingleHashesExpr
+          .wordShingleHashesNative(col("text"), 3)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n_sh").as("na"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n_sh").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    pairs
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (coalesce(col("common"), lit(0L)).cast(DoubleType) /
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L))))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val cpOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substr(md5(s0), 1, 16)) AS UBIGINT) AS s
+      |  FROM (SELECT source,
+      |          unnest(list_transform(range(1, len(t) - 1),
+      |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s0
+      |        FROM toks WHERE len(t) >= 3) raw),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+      |common AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT sa.source AS src_a, sb.source AS src_b, sa.n_sh AS na, sb.n_sh AS nb
+      |  FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source)
+      |SELECT p.src_a, p.src_b, p.na, p.nb,
+      |  COALESCE(c.common, 0) AS common,
+      |  CAST(COALESCE(c.common, 0) AS DOUBLE) / (p.na + p.nb - COALESCE(c.common, 0)) AS jaccard
+      |FROM pairs p LEFT JOIN common c ON p.src_a = c.src_a AND p.src_b = c.src_b
+      |ORDER BY p.src_a, p.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_overlap"      -> cpOverlap _,
     "cp_temperature"  -> cpTemperature _,
     "cp_split"        -> cpSplit _,
     "cp_stratified"   -> cpStratified _,
@@ -498,6 +583,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_overlap"      -> cpOverlapSql,
     "cp_temperature"  -> cpTemperatureSql,
     "cp_split"        -> cpSplitSql,
     "cp_stratified"   -> cpStratifiedSql,

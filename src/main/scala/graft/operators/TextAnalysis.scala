@@ -587,7 +587,145 @@ object TextAnalysis {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ta_bm25 — BM25 top-k retrieval over the corpus.
+  // ---------------------------------------------------------------------
+
+  /** BM25 term-saturation constant k1 and length-normalization b —
+    * the standard Robertson defaults. Interpolated as DECIMAL LITERALS
+    * into both engines' expressions (never recomputed as `k1 + 1.0`
+    * on one side and a literal on the other: `1.2 + 1.0` and the
+    * literal `2.2` round to DIFFERENT doubles, which would break the
+    * cross-engine hash).
+    */
+  val Bm25K1 = "1.2"
+  val Bm25K1Plus1 = "2.2"
+  val Bm25OneMinusB = "0.25"
+  val Bm25B = "0.75"
+  val Bm25TopDocs = 10
+
+  /** Fixed benchmark queries (query_id → terms), drawn from the corpus
+    * vocabulary so every query matches.
+    */
+  val bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "query", 1 -> "fast",
+    2 -> "hash", 2 -> "join",
+    3 -> "stream", 3 -> "window", 3 -> "batch")
+
+  /** BM25 top-[[Bm25TopDocs]] retrieval: score every document against
+    * each benchmark query and keep the best 10 — the classic sparse
+    * retrieval pass a training-data pipeline runs to mine
+    * domain-relevant documents (and the lexical arm next to the
+    * embedding-based `sim_*` retrieval family).
+    *
+    * Cross-engine exactness: the idf keeps Lucene's always-positive
+    * argument `(N - df + 0.5)/(df + 0.5) + 1` but drops the `ln`
+    * around it — `ln` is not guaranteed correctly-rounded across
+    * libms (the [[taTfidf]] precedent), while every op here
+    * (cast/divide/multiply/add) IS exact-rounded IEEE, so scores are
+    * bit-identical across engines. Unlike the log form this makes the
+    * score sum rank high-idf terms more steeply — a documented
+    * deviation, deterministic on both sides. The per-(query, doc) sum
+    * folds term scores in TERM ORDER on both engines (the ADC
+    * precedent: a bare `sum(double)` is partition-order-dependent).
+    *
+    * Scale shape: tokens are FILTERED to query terms before the
+    * (doc, term) aggregation — at 100 TB only matching tokens survive
+    * the explode, so tf's shuffle carries |matches|, never the corpus
+    * token count. df/idf and the query table are broadcast; doc length
+    * rides the explode (no second corpus pass or doc-keyed join); the
+    * per-query top-10 is a rank window whose input is only docs
+    * containing ≥1 query term, pruned by `WindowGroupLimit` before the
+    * final sort.
+    */
+  def taBm25(s: SparkSession, d: String): DataFrame = {
+    val q = s.createDataFrame(bm25Queries).toDF("query_id", "term")
+    bm25TopDocs(documents(s, d), q, Bm25TopDocs)
+  }
+
+  /** Frame-parametric core of [[taBm25]]: top-`topK` docs per query over
+    * ANY `(doc_id, text)` frame and `(query_id, term)` query table.
+    */
+  def bm25TopDocs(docs: DataFrame, q: DataFrame, topK: Int): DataFrame = {
+    val withDl = docs.select(col("doc_id"), size(toks).as("dl"),
+      toks.as("t"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      // broadcast SEMI join, not isInCollection over a collect: the
+      // term filter stays a plan (no driver round-trip) and still
+      // evaluates map-side before the (doc, term) aggregation
+      .join(broadcast(q.select("term").distinct()), Seq("term"), "leftsemi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // lit(x.toDouble), never expr("1.2"): the SQL parser types a bare
+    // decimal literal as DECIMAL, not DOUBLE
+    val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)
+    val lenNorm = lit(Bm25K1.toDouble) * (lit(Bm25OneMinusB.toDouble) +
+      lit(Bm25B.toDouble) * (col("dl").cast(DoubleType) /
+        (col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))))
+    val scored = tf
+      .join(broadcast(q), "term")
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (idf * ((col("tf").cast(DoubleType) * lit(Bm25K1Plus1.toDouble)) /
+          (col("tf").cast(DoubleType) + lenNorm))).as("sc"))
+    val folded = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0), (acc, x) => acc + x.getField("sc")).as("score"))
+    folded
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val taBm25Sql: String = {
+    val qVals = bm25Queries.map { case (id, t) => s"($id, '$t')" }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qVals),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
+       |tok AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+       |tf AS (
+       |  SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term,
+       |    ((CAST(n.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+       |      * ((CAST(tf.tf AS DOUBLE) * $Bm25K1Plus1) /
+       |         (CAST(tf.tf AS DOUBLE) + $Bm25K1 * ($Bm25OneMinusB + $Bm25B *
+       |           (CAST(tf.dl AS DOUBLE) / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))) AS sc
+       |  FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN n),
+       |agg AS (
+       |  SELECT query_id, doc_id, COUNT(*) AS n_terms,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM scored GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, n_terms, score
+       |FROM (SELECT query_id, doc_id, n_terms, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, doc_id) AS rank
+       |      FROM agg) r
+       |WHERE rank <= $Bm25TopDocs
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25"        -> taBm25 _,
     "ta_boilerplate" -> taBoilerplate _,
     "ta_diversity"   -> taDiversity _,
     "ta_length_tails" -> taLengthTails _,
@@ -615,5 +753,6 @@ object TextAnalysis {
     "ta_repetition"  -> taRepetitionSql,
     "ta_tfidf"       -> taTfidfSql,
     "ta_unigram_score" -> taUnigramScoreSql,
+    "ta_bm25"        -> taBm25Sql,
   )
 }

@@ -194,10 +194,15 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("trained-IVF probing: kernel assignment/probing, rank top-k prunes map-side, no cartesian") {
     val p = plan("sim_ivf")
-    // assignment and probe ranking run the one-pass native kernels —
-    // no n×k scored rows, no rank-window shuffle on either side
-    assert(p.contains("nearest_cell") && p.contains("probe_cells"),
-      s"coarse assignment/probing must run the native kernels:\n$p")
+    // query probing runs the one-pass native kernel; the corpus side
+    // reads the PERSISTED inverted lists (the checkpointed IVF-Flat
+    // index — serve must not re-run the n×k assignment per query)
+    assert(p.contains("probe_cells"),
+      s"probe ranking must run the native kernel:\n$p")
+    assert(!p.contains("nearest_cell"),
+      s"serve plan must read the persisted lists, not re-assign the corpus:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"corpus side must scan the checkpointed inverted lists:\n$p")
     // the final per-query top-k still collapses to top-rank rows
     // BEFORE any exchange (WindowGroupLimit partial)
     assert(p.contains("WindowGroupLimit"), p)
