@@ -646,6 +646,26 @@ object TextAnalysis {
   /** Frame-parametric core of [[taBm25]]: top-`topK` docs per query over
     * ANY `(doc_id, text)` frame and `(query_id, term)` query table.
     */
+  /** The ONE definition of the per-(doc, term) BM25 score — shared by
+    * [[bm25TopDocs]] and the streaming serving path
+    * ([[graft.streaming.DocStreams.bm25Serve]]), so the two cannot
+    * drift. All inputs are integer columns; every op is exact-rounded
+    * IEEE (lit(x.toDouble), never expr("1.2") — the SQL parser types a
+    * bare decimal literal as DECIMAL, not DOUBLE).
+    */
+  private[graft] def bm25TermScore(tf: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
+      nDocs: org.apache.spark.sql.Column,
+      sumDl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idf = ((nDocs - df).cast(DoubleType) + lit(0.5)) /
+      (df.cast(DoubleType) + lit(0.5)) + lit(1.0)
+    val lenNorm = lit(Bm25K1.toDouble) * (lit(Bm25OneMinusB.toDouble) +
+      lit(Bm25B.toDouble) * (dl.cast(DoubleType) /
+        (sumDl.cast(DoubleType) / nDocs.cast(DoubleType))))
+    idf * ((tf.cast(DoubleType) * lit(Bm25K1Plus1.toDouble)) /
+      (tf.cast(DoubleType) + lenNorm))
+  }
+
   def bm25TopDocs(docs: DataFrame, q: DataFrame, topK: Int): DataFrame = {
     val withDl = docs.select(col("doc_id"), size(toks).as("dl"),
       toks.as("t"))
@@ -660,20 +680,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // lit(x.toDouble), never expr("1.2"): the SQL parser types a bare
-    // decimal literal as DECIMAL, not DOUBLE
-    val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
-      (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)
-    val lenNorm = lit(Bm25K1.toDouble) * (lit(Bm25OneMinusB.toDouble) +
-      lit(Bm25B.toDouble) * (col("dl").cast(DoubleType) /
-        (col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))))
     val scored = tf
       .join(broadcast(q), "term")
       .join(broadcast(dfRel), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), col("term"),
-        (idf * ((col("tf").cast(DoubleType) * lit(Bm25K1Plus1.toDouble)) /
-          (col("tf").cast(DoubleType) + lenNorm))).as("sc"))
+        bm25TermScore(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("sum_dl")).as("sc"))
     val folded = scored
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
@@ -689,10 +702,16 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val taBm25Sql: String = {
+  /** DuckDB CTE chain through `agg(query_id, doc_id, n_terms, score)`
+    * — shared by the [[taBm25]] oracle and the streaming twin's
+    * (`st_bm25`). `tf` filters to the query vocabulary (same values as
+    * the full-index form: df of a query term counts the same docs
+    * either way).
+    */
+  private[graft] val bm25CtesSql: String = {
     val qVals = bm25Queries.map { case (id, t) => s"($id, '$t')" }
       .mkString(", ")
-    s"""WITH q(query_id, term) AS (VALUES $qVals),
+    s"""q(query_id, term) AS (VALUES $qVals),
        |toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
        |  FROM documents),
@@ -714,7 +733,11 @@ object TextAnalysis {
        |  SELECT query_id, doc_id, COUNT(*) AS n_terms,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
        |      (acc, x) -> acc + x) AS score
-       |  FROM scored GROUP BY query_id, doc_id)
+       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  val taBm25Sql: String =
+    s"""WITH $bm25CtesSql
        |SELECT query_id, rank, doc_id, n_terms, score
        |FROM (SELECT query_id, doc_id, n_terms, score,
        |        ROW_NUMBER() OVER (PARTITION BY query_id
@@ -722,7 +745,6 @@ object TextAnalysis {
        |      FROM agg) r
        |WHERE rank <= $Bm25TopDocs
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25"        -> taBm25 _,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -339,4 +339,148 @@ object DocStreams {
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("doc_id"), col("is_dup"))
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming BM25 serving — the lexical twin of VecStreams.annServe.
+  // ---------------------------------------------------------------------
+
+  val Bm25WindowSec = 600L
+
+  /** Deterministic arrival epoch for the gated batch twin. */
+  val Bm25ServeT0 = 1700000000L
+
+  /** Streaming BM25 retrieval: a stream of text queries answered
+    * against a STATIC corpus — the sparse-retrieval serving path next
+    * to [[VecStreams.annServe]]'s dense one, with the same topology
+    * (every stage before the one aggregation is STATELESS):
+    *
+    *  1. each arriving query tokenizes and explodes to its DISTINCT
+    *     terms map-side;
+    *  2. a stream-static equi-join on `term` attaches the corpus
+    *     postings — `(term, doc_id, sc)` rows carrying the full
+    *     per-(doc, term) BM25 score ([[TextAnalysis.bm25TermScore]],
+    *     the ONE formula definition), precomputed on the static side
+    *     exactly like a served inverted index (at scale the postings
+    *     relation is materialized term-partitioned, the lexical analog
+    *     of the checkpointed IVF lists);
+    *  3. ONE watermarked tumbling-window aggregation per (window,
+    *     query) collects `(doc_id, term, sc)` structs and finishes IN
+    *     ARRAY SPACE: a lexicographic `array_sort` orders by
+    *     (doc_id, term), an `aggregate` fold merges per-doc score runs
+    *     — summing in TERM order, the same pinned fold order as the
+    *     batch [[TextAnalysis.bm25TopDocs]], so scores are
+    *     bit-identical — then a comparator sort by (score desc,
+    *     doc_id) and `slice` keep the top k. What batch does with a
+    *     groupBy plus a rank window costs a single stateful operator
+    *     whose state the watermark evicts.
+    *
+    * Works identically on a batch frame (watermark no-ops, the window
+    * still groups), which is how the gated twin oracles it. Output:
+    * `(win_start_s, query_id, topk_ids)` — neighbor doc ids
+    * comma-joined in rank order.
+    */
+  def bm25Serve(queries: DataFrame, corpus: DataFrame,
+      k: Int = TextAnalysis.Bm25TopDocs): DataFrame = {
+    val toksC = tokens(col("text"))
+    val withDl = corpus.select(col("doc_id"), size(toksC).as("dl"),
+      toksC.as("t"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = tf.join(df, "term").crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        TextAnalysis.bm25TermScore(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("sum_dl")).as("sc"))
+    val qt = queries.withWatermark("ts", "1 hour")
+      .select(col("query_id"), col("ts"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val scored = qt.join(postings, Seq("term"))
+      .select(col("query_id"), col("ts"), col("doc_id"), col("term"),
+        col("sc"))
+    // per-doc score runs merged in array space; parts sort
+    // lexicographically by (doc_id, term), so each doc's terms fold in
+    // term order — the batch form's exact fold
+    val sorted = array_sort(col("parts"))
+    val emptyAcc = slice(
+      array(struct(lit(0L).as("doc_id"), lit(0.0).as("score"))), 1, 0)
+    val folded = aggregate(sorted, emptyAcc, (acc, p) => {
+      val last = element_at(acc, -1)
+      val same = size(acc) > 0 &&
+        last.getField("doc_id") === p.getField("doc_id")
+      when(same, concat(slice(acc, lit(1), size(acc) - 1),
+        array(struct(last.getField("doc_id").as("doc_id"),
+          (last.getField("score") + p.getField("sc")).as("score")))))
+        .otherwise(concat(acc,
+          array(struct(p.getField("doc_id").as("doc_id"),
+            p.getField("sc").as("score")))))
+    })
+    val byScore = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      when(a.getField("score") > b.getField("score"), -1)
+        .when(a.getField("score") < b.getField("score"), 1)
+        .otherwise(signum(a.getField("doc_id") - b.getField("doc_id"))
+          .cast("int"))
+    scored
+      .groupBy(window(col("ts"), s"$Bm25WindowSec seconds"),
+        col("query_id"))
+      .agg(collect_list(struct(col("doc_id"), col("term"), col("sc")))
+        .as("parts"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("query_id"),
+        concat_ws(",", transform(
+          slice(array_sort(folded, byScore), 1, k),
+          x => x.getField("doc_id").cast("string"))).as("topk_ids"))
+  }
+
+  /** Gated batch twin of [[bm25Serve]]: the benchmark queries arrive at
+    * deterministic timestamps and the serving plan runs in batch mode —
+    * certifying the postings scoring, per-doc fold, and array-space
+    * top-k against a DuckDB mirror of the whole chain (the
+    * [[TextAnalysis.bm25CtesSql]] CTEs regrouped per window). The
+    * streaming execution of the SAME plan is verified in
+    * `Bm25ServeSpec`.
+    */
+  def stBm25(s: SparkSession, d: String): DataFrame = {
+    val qrows = TextAnalysis.bm25Queries.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, ts) => (id, ts.map(_._2).mkString(" ")) }
+    val q = s.createDataFrame(qrows).toDF("query_id", "qtext")
+      .select(col("query_id"),
+        expr(s"timestamp_seconds($Bm25ServeT0 + query_id)").as("ts"),
+        col("qtext").as("text"))
+    bm25Serve(q, graft.sources.Tables.documents(s, d))
+      .orderBy(col("query_id"))
+  }
+
+  val stBm25Sql: String = {
+    val k = TextAnalysis.Bm25TopDocs
+    s"""WITH ${TextAnalysis.bm25CtesSql},
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM agg),
+       |top AS (
+       |  SELECT query_id, list(doc_id ORDER BY rank) AS ids
+       |  FROM ranked WHERE rank <= $k GROUP BY query_id)
+       |SELECT CAST(((CAST($Bm25ServeT0 AS BIGINT) + query_id) // $Bm25WindowSec)
+       |         * $Bm25WindowSec AS BIGINT) AS win_start_s,
+       |  query_id,
+       |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',')
+       |    AS topk_ids
+       |FROM top
+       |ORDER BY query_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_bm25" -> stBm25 _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_bm25" -> stBm25Sql,
+  )
 }
