@@ -1605,7 +1605,163 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_hybrid — query-by-document hybrid retrieval with RRF fusion.
+  // ---------------------------------------------------------------------
+
+  val HybridArmK = 20   // candidates taken from each arm
+  val HybridTopK = 10   // fused results kept per query
+  val RrfK = "60.0"     // the standard RRF constant, as a decimal literal
+
+  /** Hybrid retrieval: each query DOCUMENT (`doc_id < NumQueryVectors`
+    * — documents and embeddings share the id space) retrieves related
+    * documents through BOTH arms — lexical (BM25 over the query doc's
+    * distinct terms, the "more-like-this" mode) and dense (exact
+    * cosine over its embedding) — fused by Reciprocal Rank Fusion:
+    * `rrf = Σ_arm 1/(60 + rank_arm)`, the standard score-free fusion
+    * (ranks are comparable across arms where raw BM25 and cosine are
+    * not). A doc missing from one arm's top-[[HybridArmK]] contributes
+    * only its other rank. Self-matches are excluded from BOTH arms
+    * before ranking, so arm ranks are over true candidates.
+    *
+    * Cross-engine exactness: ranks are integers; `1/(60 + rank)` is
+    * one exact-rounded division; the two contributions add in a PINNED
+    * order (lexical + dense). Scale: the lexical arm is the
+    * [[TextAnalysis.taBm25]] shape (map-side vocabulary filter, the
+    * query-term table here derives from the query docs in-plan); the
+    * dense arm broadcasts the query vectors and never shuffles the
+    * corpus ([[cosineTopK]]); at scale it swaps for the served IVF
+    * index ([[simIvf]]) — fusion is rank-based, so the swap changes
+    * recall, not the fusion machinery. The fused join carries only
+    * (query, doc, rank) triples — 2·ArmK rows per query.
+    */
+  def simHybrid(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val e = embeddings(s, d)
+    val qterms = docs.filter(col("doc_id") < NumQueryVectors)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    // lexical arm — the bm25TopDocs shape with self-exclusion BEFORE
+    // the rank window
+    val toksC = tokens(col("text"))
+    val withDl = docs.select(col("doc_id"), size(toksC).as("dl"),
+      toksC.as("t"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "leftsemi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lexScored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        TextAnalysis.bm25TermScore(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("sum_dl")).as("sc"))
+    val lexRank = lexScored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("sc")))),
+        lit(0.0), (acc, x) => acc + x.getField("sc")).as("score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("lex_rank") <= HybridArmK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // dense arm — exact cosine, queries broadcast, self excluded
+    val denseRank = cosineTopK(e, e.filter(col("vec_id") < NumQueryVectors),
+      HybridArmK)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfK.toDouble) +
+        col("lex_rank").cast(DoubleType)), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK.toDouble) +
+        col("dense_rank").cast(DoubleType)), lit(0.0))
+    lexRank.join(denseRank, Seq("query_id", "doc_id"), "outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), rrf.as("rrf_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("dense_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHybridSql: String =
+    s"""WITH toksrel AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       |  FROM toksrel WHERE doc_id < $NumQueryVectors),
+       |n AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toksrel),
+       |tok AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toksrel),
+       |tf AS (
+       |  SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |lexscored AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term,
+       |    ((CAST(n.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+       |      * ((CAST(tf.tf AS DOUBLE) * ${TextAnalysis.Bm25K1Plus1}) /
+       |         (CAST(tf.tf AS DOUBLE) + ${TextAnalysis.Bm25K1} * (${TextAnalysis.Bm25OneMinusB} + ${TextAnalysis.Bm25B} *
+       |           (CAST(tf.dl AS DOUBLE) / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))) AS sc
+       |  FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN n
+       |  WHERE tf.doc_id <> q.query_id),
+       |lexagg AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM lexscored GROUP BY query_id, doc_id),
+       |lexrank AS (
+       |  SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS lex_rank
+       |    FROM lexagg) t WHERE lex_rank <= $HybridArmK),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |densescored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueryVectors),
+       |denserank AS (
+       |  SELECT query_id, doc_id, dense_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, doc_id) AS dense_rank
+       |    FROM densescored) t WHERE dense_rank <= $HybridArmK),
+       |fused AS (
+       |  SELECT query_id, doc_id, lex_rank, dense_rank,
+       |    COALESCE(1.0 / ($RrfK + CAST(lex_rank AS DOUBLE)), 0.0) +
+       |    COALESCE(1.0 / ($RrfK + CAST(dense_rank AS DOUBLE)), 0.0) AS rrf_score
+       |  FROM lexrank FULL JOIN denserank USING (query_id, doc_id))
+       |SELECT query_id, rank, doc_id, lex_rank, dense_rank, rrf_score
+       |FROM (SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_score DESC, doc_id) AS rank
+       |      FROM fused) t
+       |WHERE rank <= $HybridTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid"     -> simHybrid _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
@@ -1619,6 +1775,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_hybrid"     -> simHybridSql,
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,

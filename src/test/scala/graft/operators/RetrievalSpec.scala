@@ -79,6 +79,39 @@ class RetrievalSpec extends SparkTestBase {
       "equal tf and dl: the rare-term doc outscores the common-term doc")
   }
 
+  test("sim_hybrid: RRF fusion is consistent with its own arms") {
+    val out = Similarity.simHybrid(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until Similarity.NumQueryVectors).toSet)
+    byQuery.foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.toSeq === (1L to rows.length).toSeq)
+      assert(rows.length <= Similarity.HybridTopK)
+      rows.foreach { r =>
+        val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        val dense = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        assert(lex.isDefined || dense.isDefined,
+          "every fused doc came from at least one arm")
+        assert(r.getLong(2) !== qid, "self-matches are excluded")
+        val expected =
+          lex.map(v => 1.0 / (60.0 + v)).getOrElse(0.0) +
+            dense.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+        assert(r.getDouble(5) === expected, "rrf matches its definition")
+      }
+      // rrf non-increasing down the ranking
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(5))
+      byRank.sliding(2).filter(_.length == 2).foreach(w =>
+        assert(w(0) >= w(1)))
+    }
+    // a doc ranked by BOTH arms fuses above one ranked by a single arm
+    // at any rank: min two-arm rrf (1/80 + 1/80) > max one-arm (1/61)
+    val both = out.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    val single = out.filter(r => r.isNullAt(3) ^ r.isNullAt(4))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getDouble(5)).min > 0 && single.nonEmpty)
+  }
+
   test("cp_overlap: complete pair matrix with exact Jaccard extremes") {
     // s1 == s2 (identical shingle sets), s3 disjoint
     val docs = spark.createDataFrame(Seq(
