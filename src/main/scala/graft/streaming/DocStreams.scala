@@ -476,11 +476,146 @@ object DocStreams {
        |ORDER BY query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // st_drift — per-window corpus drift vs a static baseline.
+  // ---------------------------------------------------------------------
+
+  val DriftWindowSec = 600L
+  val DriftT0 = 1700000000L
+  val DriftWindows = 4 // synthetic windows for the gated batch twin
+
+  /** Streaming corpus-drift monitor: each tumbling window's term
+    * distribution compared against a STATIC baseline corpus by total
+    * variation distance — the continuous QA check that catches a
+    * changed upstream crawler, a new spam template, or a language
+    * shift the moment a window closes, instead of after a full batch
+    * profile.
+    *
+    * Exactness (the [[graft.operators.EventAnalytics]] integer-moments
+    * discipline): with window counts `c_t` (N_w total) and baseline
+    * counts `b_t` (N_b total),
+    * `TV = Σ_t |c_t/N_w − b_t/N_b| / 2` is computed as the EXACT
+    * integer `Σ_t |c_t·N_b − b_t·N_w|` — terms absent from the window
+    * contribute `(N_b − Σ_{t∈w} b_t)·N_w` in closed form, so only the
+    * window's own terms are ever enumerated — over `2·N_w·N_b` in ONE
+    * final exact-rounded division. Batch, streaming, and the DuckDB
+    * oracle agree bit-for-bit where a floating ratio accumulation
+    * would drift.
+    *
+    * Topology (the [[bm25Serve]] pattern): tokenize + explode
+    * map-side; a stream-static LEFT join attaches each term's baseline
+    * count (null → 0: a NEW term); ONE watermarked windowed
+    * aggregation collects `(term, b)` structs and finishes in array
+    * space — lexicographic sort, run-merge fold to per-term counts,
+    * then integer folds for the drift sums. State per window is the
+    * window's distinct-term runs, evicted by the watermark; at 100 TB
+    * the baseline join restricts to the top-V heavy-hitter vocabulary
+    * (tail terms pool into the closed-form remainder, same identity),
+    * and the `c_t·N_b` cross-products widen to Decimal(38,0) exactly
+    * as [[graft.operators.EventAnalytics]]'s anomaly moments do — at
+    * gate scale `2·N_w·N_b < 2⁵³` keeps every Long and its double
+    * cast exact.
+    *
+    * `N_b` is a driver-side scalar of the STATIC baseline (the
+    * [[graft.operators.Similarity]] `e.count()` precedent — an
+    * index-build-time constant, never a per-batch action).
+    */
+  def driftMonitor(docs: DataFrame, baseline: DataFrame,
+      windowSec: Long = DriftWindowSec): DataFrame = {
+    val bTok = baseline.select(explode(tokens(col("text"))).as("term"))
+    val bRel = bTok.groupBy(col("term")).agg(count(lit(1)).as("b0"))
+    val nB = bTok.count()
+    val st = docs.withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(tokens(col("text"))).as("term"))
+      .join(bRel, Seq("term"), "left")
+      .select(col("ts"), col("term"), coalesce(col("b0"), lit(0L)).as("b"))
+    val emptyRuns = slice(array(struct(lit("").as("term"), lit(0L).as("c"),
+      lit(0L).as("b"))), lit(1), lit(0))
+    val runsOf = (parts: org.apache.spark.sql.Column) =>
+      aggregate(array_sort(parts), emptyRuns, (acc, p) => {
+        val last = element_at(acc, -1)
+        val same = size(acc) > 0 &&
+          last.getField("term") === p.getField("term")
+        when(same, concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("term").as("term"),
+            (last.getField("c") + lit(1L)).as("c"),
+            last.getField("b").as("b")))))
+          .otherwise(concat(acc, array(struct(p.getField("term").as("term"),
+            lit(1L).as("c"), p.getField("b").as("b")))))
+      })
+    st.groupBy(window(col("ts"), s"$windowSec seconds"))
+      .agg(collect_list(struct(col("term"), col("b"))).as("parts"))
+      .withColumn("runs", runsOf(col("parts")))
+      .withColumn("n_tokens", size(col("parts")).cast("long"))
+      .withColumn("sum_abs", aggregate(col("runs"), lit(0L), (acc, r) =>
+        acc + abs(r.getField("c") * lit(nB) -
+          r.getField("b") * col("n_tokens"))))
+      .withColumn("sum_bw", aggregate(col("runs"), lit(0L), (acc, r) =>
+        acc + r.getField("b")))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("n_tokens"),
+        size(filter(col("runs"), r => r.getField("b") === lit(0L)))
+          .cast("long").as("n_new_terms"),
+        ((col("sum_abs") + (lit(nB) - col("sum_bw")) * col("n_tokens"))
+          .cast("double") /
+          (lit(2.0) * col("n_tokens").cast("double") * lit(nB.toDouble)))
+          .as("drift"))
+  }
+
+  /** Gated batch twin of [[driftMonitor]]: the corpus streams against
+    * ITSELF as baseline, documents spread deterministically over
+    * [[DriftWindows]] synthetic windows (`ts = T0 + (doc_id mod 4) ·
+    * window`). Each window's slice drifts from the full-corpus
+    * distribution by exactly the amount the oracle recomputes; a
+    * window matching the corpus mix scores near 0. The streaming
+    * execution of the SAME plan is verified in `DriftSpec`.
+    */
+  def stDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d)
+    val stream = docs.select(
+      expr(s"timestamp_seconds($DriftT0 + (doc_id % $DriftWindows) * $DriftWindowSec)")
+        .as("ts"),
+      col("text"))
+    driftMonitor(stream, docs).orderBy(col("win_start_s"))
+  }
+
+  val stDriftSql: String =
+    s"""WITH toksrel AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS term FROM toksrel),
+       |b AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS b FROM tok GROUP BY term),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM tok),
+       |wtok AS (SELECT (doc_id % $DriftWindows) AS w, term FROM tok),
+       |wc AS (SELECT w, term, CAST(COUNT(*) AS BIGINT) AS c FROM wtok GROUP BY w, term),
+       |wn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM wtok GROUP BY w),
+       |agg AS (
+       |  SELECT j.w,
+       |    CAST(SUM(abs(j.c * nb.n_b - j.b * wn.n_w)) AS BIGINT) AS sum_abs,
+       |    CAST(SUM(j.b) AS BIGINT) AS sum_bw,
+       |    CAST(SUM(CASE WHEN j.b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |  FROM (SELECT wc.w, wc.c, COALESCE(b.b, 0) AS b
+       |        FROM wc LEFT JOIN b USING (term)) j
+       |  JOIN wn ON j.w = wn.w CROSS JOIN nb
+       |  GROUP BY j.w)
+       |SELECT
+       |  CAST(((CAST($DriftT0 AS BIGINT) + a.w * $DriftWindowSec) // $DriftWindowSec)
+       |    * $DriftWindowSec AS BIGINT) AS win_start_s,
+       |  wn.n_w AS n_tokens,
+       |  a.n_new AS n_new_terms,
+       |  CAST(a.sum_abs + (nb.n_b - a.sum_bw) * wn.n_w AS DOUBLE) /
+       |    (2.0 * CAST(wn.n_w AS DOUBLE) * CAST(nb.n_b AS DOUBLE)) AS drift
+       |FROM agg a JOIN wn ON a.w = wn.w CROSS JOIN nb
+       |ORDER BY win_start_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_bm25" -> stBm25 _,
+    "st_bm25"  -> stBm25 _,
+    "st_drift" -> stDrift _,
   )
 
   val oracles: Map[String, String] = Map(
-    "st_bm25" -> stBm25Sql,
+    "st_bm25"  -> stBm25Sql,
+    "st_drift" -> stDriftSql,
   )
 }
