@@ -569,6 +569,95 @@ object Dedup {
        |ORDER BY est_jaccard DESC, a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd_minhash_est — estimator certification: MinHash vs exact Jaccard.
+  // ---------------------------------------------------------------------
+
+  /** Accuracy floors for the 64-hash estimator: per-pair standard
+    * error is √(J(1−J)/64) ≤ 0.0625, so a 0.05 mean / 0.15 max bound
+    * holds with wide margin (measured at the gate SFs: mean ≈ 0.014,
+    * max ≈ 0.064).
+    */
+  val MinhashMeanErrFloor = "0.05"
+  val MinhashMaxErrFloor = "0.15"
+
+  /** Certification row for the MinHash estimator: every LSH candidate
+    * pair's `est_jaccard` compared against its EXACT shingle Jaccard,
+    * reduced to (pair count, quantized error sum, max error) with the
+    * accuracy floors pinned TRUE — the `sim_recall` pattern, so a
+    * signature-family regression (bad coefficients, a broken band
+    * key, a hash change on one engine) hash-fails the gate instead of
+    * silently degrading dedup recall. The mean folds exact integers
+    * (`floor(err·10¹²)` per pair — each err is already bit-identical
+    * cross-engine, and integer sums are order-free where a double sum
+    * is partition-order-dependent); one final division. Candidates
+    * missing from the exact pair join (possible only under hash
+    * collisions) count at exact = 0 via the left join, the
+    * conservative direction.
+    */
+  def ddMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val cand = nearDupCandidates(documents(s, d))
+    val exact = jaccardPairsAll(s, d)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val errs = cand.join(exact, Seq("a_id", "b_id"), "left")
+      .select(abs(col("est_jaccard") -
+        coalesce(col("jaccard"), lit(0.0))).as("err"))
+    errs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("err") * lit(1e12)).cast(LongType)).as("err_sum_q"),
+        max(col("err")).as("max_err"))
+      .select(col("n_pairs"), col("err_sum_q"), col("max_err"),
+        (col("err_sum_q").cast(DoubleType) /
+          (lit(1e12) * col("n_pairs").cast(DoubleType))).as("mean_err"),
+        (col("err_sum_q").cast(DoubleType) /
+          (lit(1e12) * col("n_pairs").cast(DoubleType)) <=
+          lit(MinhashMeanErrFloor.toDouble)).as("mean_floor"),
+        (col("max_err") <= lit(MinhashMaxErrFloor.toDouble)).as("max_floor"))
+  }
+
+  /** DuckDB mirror: the minhash CTE chain for the candidates plus a
+    * RENAMED hashed-shingle relation (`shx` — `minhashCtesSql` already
+    * owns the `toks`/`sh` names) for the exact arm.
+    */
+  val ddMinhashEstSql: String =
+    s"""WITH $minhashCtesSql,
+       |est AS (
+       |  SELECT a_id, b_id, $estJaccardSql AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE $estJaccardSql >= 0.3),
+       |shx AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(shs) AS s FROM sh) r),
+       |cntx AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+       |exact AS (
+       |  SELECT p.a_id, p.b_id,
+       |    CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) AS exact_j
+       |  FROM (SELECT e.a_id, e.b_id, COUNT(*) AS common
+       |        FROM est e
+       |        JOIN shx a ON a.doc_id = e.a_id
+       |        JOIN shx b ON b.doc_id = e.b_id AND a.h = b.h
+       |        GROUP BY 1, 2) p
+       |  JOIN cntx ca ON ca.doc_id = p.a_id
+       |  JOIN cntx cb ON cb.doc_id = p.b_id),
+       |errs AS (
+       |  SELECT abs(e.est_jaccard - COALESCE(x.exact_j, 0.0)) AS err
+       |  FROM est e LEFT JOIN exact x
+       |    ON e.a_id = x.a_id AND e.b_id = x.b_id),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CAST(floor(err * 1e12) AS BIGINT)) AS BIGINT) AS err_sum_q,
+       |    MAX(err) AS max_err
+       |  FROM errs)
+       |SELECT n_pairs, err_sum_q, max_err,
+       |  CAST(err_sum_q AS DOUBLE) / (1e12 * CAST(n_pairs AS DOUBLE)) AS mean_err,
+       |  (CAST(err_sum_q AS DOUBLE) / (1e12 * CAST(n_pairs AS DOUBLE)))
+       |    <= $MinhashMeanErrFloor AS mean_floor,
+       |  max_err <= $MinhashMaxErrFloor AS max_floor
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
   // SimHash — Hamming-bucketed near-dup.
   // ---------------------------------------------------------------------
 
@@ -801,6 +890,7 @@ object Dedup {
     "dd_containment"       -> ddContainment _,
     "dd_containment_clean" -> ddContainmentClean _,
     "dd_minhash_lsh"       -> ddMinhashLsh _,
+    "dd_minhash_est"       -> ddMinhashEst _,
     "dd_simhash"           -> ddSimhash _,
     "dd_embed_cosine"      -> ddEmbedCosine _,
     "dd_incremental"       -> ddIncremental _,
@@ -815,6 +905,7 @@ object Dedup {
     "dd_containment"       -> ddContainmentSql,
     "dd_containment_clean" -> ddContainmentCleanSql,
     "dd_minhash_lsh"       -> ddMinhashLshSql,
+    "dd_minhash_est"       -> ddMinhashEstSql,
     "dd_simhash"           -> ddSimhashSql,
     "dd_embed_cosine"      -> ddEmbedCosineSql,
     "dd_incremental"       -> ddIncrementalSql,

@@ -180,4 +180,15 @@ class DedupSpec extends SparkTestBase {
       maxDf = 4, threshold = 0.0)
     assert(onlyHotPairs.count() == 0)
   }
+
+  test("minhash estimator certification: floors hold and the mean derives from the quantized sum") {
+    Seq(sf0001, sf001).foreach { sf =>
+      val r = Dedup.ddMinhashEst(spark, sf).collect().head
+      assert(r.getLong(0) > 0, s"$sf: candidate pairs exist")
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"$sf: accuracy floors hold (mean ${r.getDouble(3)}, max ${r.getDouble(2)})")
+      assert(r.getDouble(3) ===
+        r.getLong(1).toDouble / (1e12 * r.getLong(0).toDouble))
+    }
+  }
 }
