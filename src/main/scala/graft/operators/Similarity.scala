@@ -944,6 +944,72 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // emb_outliers — embedding-quality outliers by home-centroid cosine.
+  // ---------------------------------------------------------------------
+
+  /** Per-cell fence percentile: the lowest-cosine tenth of each cell. */
+  val OutlierP = 0.1
+
+  /** Embedding-quality outlier detection: vectors whose cosine to
+    * their OWN home centroid falls below their cell's exact p10 fence
+    * — the embedding-space analog of `ta_length_tails`' per-domain
+    * trim, and the standard pre-SemDeDup QA pass (encoder failures,
+    * truncated inputs, and off-distribution content all land far from
+    * every centroid; a GLOBAL fence would over-trim naturally diffuse
+    * cells and under-trim tight ones, hence per-cell).
+    *
+    * Plan shape: the home-cell cosine joins the persisted inverted
+    * lists ([[cachedIvfLists]]) against the broadcast trained
+    * centroids — one map-side pass, the cosine bit-identical to the
+    * assignment kernel's (same mixed-precision fold, same cnrm). The
+    * fence is [[Percentiles.exact]] per cell (~√n groups; at 100 TB
+    * group sizes switch to [[Percentiles.exactSelect]], same
+    * answers), broadcast back. Only the flagged tail is emitted.
+    */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    val cent = cachedIvfCentroids(s, d)
+    val scored = cachedIvfLists(s, d)
+      .join(broadcast(cent), "cell")
+      .select(col("c_id").as("vec_id"), col("cell"),
+        (VectorExpressions.dotFD(col("cv_c"), col("cv")) /
+          (col("cn_c") * col("cnrm"))).as("cos_home"))
+    val fences = Percentiles.exact(scored, "cell", "cos_home",
+      Seq(("p10", OutlierP)))
+    scored.join(broadcast(fences), "cell")
+      .filter(col("cos_home") < col("p10"))
+      .select(col("vec_id"), col("cell"), col("cos_home"), col("p10"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embOutliersSql: String = {
+    val dot = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |$trainedCentCtesSql,
+       |scoredc AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    $dot / (e.nrm * cent.cnrm) AS cos_home,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $dot / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |home AS (SELECT vec_id, cell, cos_home FROM scoredc WHERE crank = 1),
+       |fences AS (
+       |${Percentiles.exactSql("home", "cell", "cos_home", Seq(("p10", OutlierP)))})
+       |SELECT h.vec_id, h.cell, h.cos_home, f.p10
+       |FROM home h JOIN fences f USING (cell)
+       |WHERE h.cos_home < f.p10
+       |ORDER BY h.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Product quantization (PQ) — the memory-bound 100 TB ANN arm.
   // ---------------------------------------------------------------------
 
@@ -1768,6 +1834,7 @@ object Similarity {
     "sim_knn_join"   -> simKnnJoin _,
     "sim_filtered_knn" -> simFilteredKnn _,
     "emb_quantize"   -> embQuantize _,
+    "emb_outliers"   -> embOutliers _,
     "emb_kmeans"     -> embKmeans _,
     "sim_recall"     -> simRecall _,
     "sim_pq"         -> simPq _,
@@ -1782,6 +1849,7 @@ object Similarity {
     "sim_knn_join"   -> simKnnJoinSql,
     "sim_filtered_knn" -> simFilteredKnnSql,
     "emb_quantize"   -> embQuantizeSql,
+    "emb_outliers"   -> embOutliersSql,
     "emb_kmeans"     -> embKmeansSql,
     "sim_recall"     -> simRecallSql,
     "sim_pq"         -> simPqSql,

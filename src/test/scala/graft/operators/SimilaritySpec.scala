@@ -237,4 +237,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(kernel == declarative)
     kernel.values.foreach(cells => assert(cells.size == p))
   }
+
+  test("embedding outliers: flagged tail is below its own cell's fence and ~p-sized") {
+    val out = Similarity.embOutliers(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) < r.getDouble(3),
+      "every flagged vector is strictly below its cell's p10 fence"))
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    // strictly-below-p10 flags at most ~10% (ties sit ON the fence and
+    // are kept); tiny cells can flag none
+    assert(out.length <= n * Similarity.OutlierP * 1.5 && out.length > 0)
+    // deterministic: two runs agree exactly
+    val again = Similarity.embOutliers(spark, sf001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
