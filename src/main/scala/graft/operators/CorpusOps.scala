@@ -571,7 +571,127 @@ object CorpusOps {
       |FROM pairs p LEFT JOIN common c ON p.src_a = c.src_a AND p.src_b = c.src_b
       |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cp_domain_cap — per-domain quota capping.
+  // ---------------------------------------------------------------------
+
+  val DomainCap = 15
+
+  /** Per-domain quota cap: keep at most [[DomainCap]] documents per
+    * `source`, chosen by quality — the standard anti-domination pass a
+    * web corpus runs before mixing (one mirror-heavy crawl domain must
+    * not become 40% of the training set; C4 and Gopher both cap
+    * per-domain contributions). Ranking reuses THE [[TextAnalysis
+    * .qualityScore]] definition, so the cap and the quality filter can
+    * never disagree about what "good" means; quality ties break by
+    * `doc_id` (descending, matching the struct order) so the kept set
+    * is deterministic.
+    *
+    * Runs through the custom bounded-heap operator
+    * ([[graft.plans.TopKPerGroup]]): one hash exchange on `source`,
+    * a size-[[DomainCap]] heap per domain, NO per-domain sort — the
+    * shape that survives a 100 TB corpus where a single domain can be
+    * terabytes (the `row_number` window form the ORACLE uses would
+    * sort that domain in full on one task). Empty docs rank with
+    * quality −1 (below every real score) instead of NULL so both
+    * engines order them identically.
+    */
+  def cpDomainCap(s: SparkSession, d: String): DataFrame =
+    domainCapped(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[cpDomainCap]] over ANY
+    * `(doc_id, source, text)` frame.
+    */
+  def domainCapped(docs: DataFrame, cap: Int = DomainCap): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      coalesce(TextAnalysis.qualityScore(tokens(col("text"))), lit(-1.0))
+        .as("quality"))
+    graft.plans.TopK.perGroup(
+      scored, Seq("source"), struct(col("quality"), col("doc_id")), cap)
+  }
+
+  val cpDomainCapSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""SELECT doc_id, source, quality
+       |FROM (
+       |  SELECT doc_id, source, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id DESC) AS rn
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      COALESCE(CASE WHEN len($toksSql) > 0
+       |        THEN ${TextAnalysis.qualityScoreSql(toksSql)} END, -1.0) AS quality
+       |    FROM documents) q) r
+       |WHERE rn <= $DomainCap
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // cp_dup_sample — duplicate-aware (cluster-weighted) sampling.
+  // ---------------------------------------------------------------------
+
+  /** Keep-probability denominator resolution: the md5 draw is uniform
+    * over [0, 10^6), so `draw × m < 10^6` keeps a member of an m-doc
+    * duplicate cluster with probability 1/m — all in INTEGER math (no
+    * float threshold whose rounding could flip a row between engines).
+    */
+  val DupSampleRes = 1000000L
+
+  /** Duplicate-aware sampling: every document draws an independent
+    * keep decision with probability 1/m, where m is the size of its
+    * duplicate cluster — so each cluster contributes ONE document in
+    * expectation, without coordination between its members. This is
+    * the soft alternative to hard dedup ([[Dedup.ddExact]]'s
+    * keep-the-min): it preserves intra-cluster diversity (a different
+    * member survives under a different salt) and needs no per-cluster
+    * winner election — the decision is a pure projection of
+    * (doc_id, m), map-side after the one cluster-size join.
+    *
+    * The cluster key here is the first-10-token prefix fingerprint
+    * (the same key [[Dedup.ddExact]] reports as `fp_prefix10` — the
+    * only key with non-trivial clusters on this corpus); any cluster
+    * assignment plugs in (MinHash-band clusters at scale). Scale
+    * shape: one groupBy on the fingerprint (cluster sizes), one join
+    * back (both sides hashed on `fp`, AQE-broadcast when the size
+    * table is small), then a map-side integer compare per row.
+    */
+  def cpDupSample(s: SparkSession, d: String): DataFrame =
+    dupSampled(
+      documents(s, d).select(col("doc_id"),
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, 10))).as("fp")))
+      .orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[cpDupSample]] over ANY `(doc_id, fp)`
+    * frame, `fp` being any duplicate-cluster key.
+    */
+  def dupSampled(docs: DataFrame): DataFrame = {
+    val sizes = docs.groupBy(col("fp")).agg(count(lit(1)).as("cluster_size"))
+    docs.join(sizes, "fp")
+      .withColumn("draw",
+        md5Bucket(concat(lit("dupsample:"), col("doc_id").cast("string")),
+          DupSampleRes.toInt))
+      .select(col("doc_id"), col("cluster_size"), col("draw"),
+        (col("draw") * col("cluster_size") < DupSampleRes).as("kept"))
+  }
+
+  val cpDupSampleSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:10], ' ')) AS fp
+       |  FROM documents),
+       |sized AS (
+       |  SELECT doc_id, fp,
+       |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size
+       |  FROM fp)
+       |SELECT doc_id, cluster_size,
+       |  CAST(('0x' || substr(${saltedKeySql("dupsample", "doc_id")}, 1, 8))::UBIGINT % $DupSampleRes AS BIGINT) AS draw,
+       |  CAST(('0x' || substr(${saltedKeySql("dupsample", "doc_id")}, 1, 8))::UBIGINT % $DupSampleRes AS BIGINT) * cluster_size < $DupSampleRes AS kept
+       |FROM sized
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_domain_cap"   -> cpDomainCap _,
+    "cp_dup_sample"   -> cpDupSample _,
     "cp_overlap"      -> cpOverlap _,
     "cp_temperature"  -> cpTemperature _,
     "cp_split"        -> cpSplit _,
@@ -583,6 +703,8 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_domain_cap"   -> cpDomainCapSql,
+    "cp_dup_sample"   -> cpDupSampleSql,
     "cp_overlap"      -> cpOverlapSql,
     "cp_temperature"  -> cpTemperatureSql,
     "cp_split"        -> cpSplitSql,

@@ -267,15 +267,118 @@ object EventAnalytics {
        |FROM zc
        |ORDER BY event_type, hour_s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_attribution — last-touch conversion attribution.
+  // ---------------------------------------------------------------------
+
+  /** Attribution lookback: a purchase credits its channel only if the
+    * touch happened within this many microseconds; staler touches (or
+    * no touch at all) attribute to `direct`.
+    */
+  val AttributionHorizonUs: Long = 24L * 3600 * 1000000
+
+  /** Touch event types eligible to receive conversion credit. */
+  val TouchTypes: Seq[String] = Seq("click", "view")
+
+  /** Last-touch conversion attribution: every `purchase` credits the
+    * user's most recent preceding touch event (`click`/`view`) within
+    * [[AttributionHorizonUs]]; purchases with no qualifying touch are
+    * `direct`. The marketing-warehouse twin of the funnel — where
+    * [[evFunnel]] asks "how deep did each user get", attribution asks
+    * "which channel gets the revenue".
+    *
+    * Plan: the same single-shuffle shape as every operator in this
+    * file — one hash exchange on `user_id`, then two running-window
+    * `last(..., ignoreNulls)` carries (the preceding touch's type and
+    * timestamp; frame ends at `-1 PRECEDING`, so a purchase can never
+    * credit itself or a later touch), a map-side horizon check, and a
+    * partial-aggregated rollup onto one row per channel. No self-join
+    * of the events table against itself (the naive formulation joins
+    * purchases × touches — a per-user product that explodes on
+    * heavy-tail users).
+    *
+    * Revenue is summed in integer CENTS (`floor(value·100)` — both
+    * engines compute the identical double product before the floor):
+    * a double revenue sum would depend on partition accumulation
+    * order, which no distributed engine guarantees.
+    */
+  def evAttribution(s: SparkSession, d: String): DataFrame =
+    lastTouchAttribution(
+      events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"), expr("ts_ns DIV 1000").as("ts_us")))
+      .orderBy(col("channel"))
+
+  /** Frame-parametric core of [[evAttribution]] over ANY
+    * `(user_id, event_type, event_id, value, ts_us)` frame — the form
+    * `graft.api.Events`-style callers reuse with their own touch/
+    * conversion taxonomies.
+    */
+  def lastTouchAttribution(ev: DataFrame,
+      touchTypes: Seq[String] = TouchTypes,
+      convType: String = "purchase",
+      horizonUs: Long = AttributionHorizonUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isInCollection(touchTypes)
+    ev
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .withColumn("channel",
+        when(col("touch_us").isNotNull &&
+          col("ts_us") - col("touch_us") <= horizonUs,
+          col("touch_type")).otherwise("direct"))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(floor(col("value") * lit(100.0)).cast(org.apache.spark.sql.types.LongType))
+          .as("revenue_cents"))
+  }
+
+  val evAttributionSql: String = {
+    val touchList = TouchTypes.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |touched AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN $touchList THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+       |    last_value(CASE WHEN event_type IN $touchList THEN ts_us END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+       |  FROM ev),
+       |attributed AS (
+       |  SELECT CASE WHEN touch_us IS NOT NULL
+       |              AND ts_us - touch_us <= $AttributionHorizonUs
+       |         THEN touch_type ELSE 'direct' END AS channel,
+       |    user_id, value
+       |  FROM touched WHERE event_type = 'purchase')
+       |SELECT channel,
+       |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       |  CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+       |FROM attributed
+       |GROUP BY channel
+       |ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_funnel"    -> evFunnel _,
-    "ev_retention" -> evRetention _,
-    "ev_anomaly"   -> evAnomaly _,
+    "ev_funnel"      -> evFunnel _,
+    "ev_retention"   -> evRetention _,
+    "ev_anomaly"     -> evAnomaly _,
+    "ev_attribution" -> evAttribution _,
   )
 
   val oracles: Map[String, String] = Map(
-    "ev_funnel"    -> evFunnelSql,
-    "ev_retention" -> evRetentionSql,
-    "ev_anomaly"   -> evAnomalySql,
+    "ev_funnel"      -> evFunnelSql,
+    "ev_retention"   -> evRetentionSql,
+    "ev_anomaly"     -> evAnomalySql,
+    "ev_attribution" -> evAttributionSql,
   )
 }

@@ -394,6 +394,89 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ta_bigram_score — corpus bigram-coherence scoring.
+  // ---------------------------------------------------------------------
+
+  /** Bigram-coherence score: for each document, the pooled conditional
+    * probability of its adjacent word pairs under the corpus's own
+    * bigram model — the second-order extension of [[taUnigramScore]]
+    * and the log-free stand-in for the KenLM-perplexity filter (CCNet's
+    * quality signal): natural prose repeats the corpus's word
+    * TRANSITIONS, while shuffled/machine-generated/keyword-stuffed text
+    * matches its unigrams but not its bigrams and scores low.
+    *
+    * `coherence = Σ C₂(w₁w₂) / Σ C₁(w₁)` over the doc's bigram
+    * positions, where C₂ is the corpus count of the pair and C₁ the
+    * corpus count of the prefix as a bigram-opener — a RATIO OF
+    * INTEGER SUMS, deliberately not the mean of per-pair ratios: both
+    * engines sum exact integers in any order and divide once, where a
+    * float-per-pair sum would depend on partition accumulation order
+    * (the same IEEE-exactness discipline as [[taTfidf]]'s log-free
+    * idf). Docs with fewer than two tokens have no bigram positions
+    * and drop out (none exist in this corpus).
+    *
+    * Scale shape: the pair relation is map-side (array zip + explode,
+    * no shuffle); the two count tables aggregate with map-side
+    * partials on fixed-width keys; the joins back are hash equi-joins
+    * on (w1, w2)/(w1) — the wordcount shape at bigram granularity,
+    * linear in corpus bytes. Stop-pair skew (e.g. "of the") is
+    * bounded by partial aggregation exactly as `mr_wordcount`'s hot
+    * words are.
+    */
+  def taBigramScore(s: SparkSession, d: String): DataFrame =
+    bigramScored(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[taBigramScore]] over ANY
+    * `(doc_id, text)` frame.
+    */
+  def bigramScored(docs: DataFrame): DataFrame = {
+    val pairRel = docs
+      .withColumn("__t", toks)
+      .withColumn("__p", expr(
+        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin))
+      .select(col("doc_id"), explode(col("__p")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairRel.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = pairRel.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    pairRel
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("big_freq_sum"),
+        sum(col("c1")).as("ctx_freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("big_freq_sum"), col("ctx_freq_sum"),
+        (col("big_freq_sum").cast(DoubleType) /
+          col("ctx_freq_sum").cast(DoubleType)).as("coherence"))
+  }
+
+  val taBigramScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(t)),
+      |            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+      |        FROM toks WHERE len(t) >= 2) raw),
+      |big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pr GROUP BY 1, 2),
+      |ctx AS (SELECT w1, COUNT(*) AS c1 FROM pr GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(c2) AS BIGINT) AS big_freq_sum,
+      |  CAST(SUM(c1) AS BIGINT) AS ctx_freq_sum,
+      |  CAST(CAST(SUM(c2) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(c1) AS BIGINT) AS DOUBLE) AS coherence
+      |FROM pr JOIN big USING (w1, w2) JOIN ctx USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ta_length_tails — per-domain length-tail trimming.
   // ---------------------------------------------------------------------
 
@@ -760,6 +843,7 @@ object TextAnalysis {
     "ta_repetition"  -> taRepetition _,
     "ta_tfidf"       -> taTfidf _,
     "ta_unigram_score" -> taUnigramScore _,
+    "ta_bigram_score"  -> taBigramScore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -775,6 +859,7 @@ object TextAnalysis {
     "ta_repetition"  -> taRepetitionSql,
     "ta_tfidf"       -> taTfidfSql,
     "ta_unigram_score" -> taUnigramScoreSql,
+    "ta_bigram_score"  -> taBigramScoreSql,
     "ta_bm25"        -> taBm25Sql,
   )
 }

@@ -285,4 +285,70 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(api.getOrElse(lang, 0L) == nKept, s"facade/gated drift for $lang")
     }
   }
+
+  test("cp_domain_cap: every source keeps exactly its cap-best quality documents") {
+    val out = CorpusOps.cpDomainCap(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bySource = out.groupBy(_._2)
+    // 25 docs per source at this SF, cap 15: every source is capped
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length === CorpusOps.DomainCap, s"source $src kept ${rows.length}")
+    }
+    // independent oracle: rank by (quality desc, doc_id desc) in Scala
+    val all = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).split("\\s+").filter(_.nonEmpty)
+        val q = if (toks.isEmpty) -1.0
+          else {
+            val stop = toks.count(TextAnalysis.stopwordList.contains)
+            stop.toDouble / toks.length * 0.5 +
+              math.min(toks.length / 200.0, 1.0) * 0.5
+          }
+        (r.getLong(0), r.getString(1), q)
+      }
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val expect = rows.sortBy { case (id, _, q) => (-q, -id) }
+        .take(CorpusOps.DomainCap).map(_._1).toSet
+      assert(bySource(src).map(_._1).toSet === expect,
+        s"source $src: kept set is not the quality top-${CorpusOps.DomainCap}")
+    }
+  }
+
+  test("domainCapped: under-cap sources keep everything") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "the a of and to in is the a of"),
+      (2L, "s1", "zz zz zz"),
+      (3L, "s2", "one two three")).toDF("doc_id", "source", "text")
+    val kept = CorpusOps.domainCapped(docs).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L), "no source at or under the cap loses a doc")
+  }
+
+  test("cp_dup_sample: integer keep decision, deterministic, sizes independently verified") {
+    val out = CorpusOps.cpDupSample(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === 500)
+    // the decision IS draw*m < 10^6 — recompute it row by row
+    out.foreach { case (id, m, draw, kept) =>
+      assert(kept === (draw * m < CorpusOps.DupSampleRes), s"doc $id")
+      assert(draw >= 0 && draw < CorpusOps.DupSampleRes)
+      if (m == 1L) assert(kept, s"singleton doc $id must always survive")
+    }
+    // cluster sizes match an independent prefix-fingerprint count
+    val sizes = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(graft.functions.tokens(col("text")), 1, 10)))
+          .as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"),
+        collect_list(col("doc_id")).as("ids"))
+      .collect()
+      .flatMap(r => r.getSeq[Long](2).map(_ -> r.getLong(1))).toMap
+    out.foreach { case (id, m, _, _) => assert(sizes(id) === m, s"doc $id") }
+    assert(out.exists(_._2 > 1), "the corpus has non-trivial clusters to sample")
+    // pure function of (doc_id, m): a second run is identical
+    val again = CorpusOps.cpDupSample(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(again.toSeq === out.toSeq)
+  }
 }

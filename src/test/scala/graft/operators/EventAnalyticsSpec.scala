@@ -93,4 +93,34 @@ class EventAnalyticsSpec extends SparkTestBase {
     // count 1 with one 40 in the trail stays within 3 sigma
     assert(!rows(21L)._2)
   }
+
+  test("lastTouchAttribution: credits the last in-horizon touch, else direct") {
+    val h = 3600L * 1000000 // one hour in µs
+    val ev = Seq(
+      // user 1: view then an in-horizon purchase, then one 26h later
+      (1L, "view", 1L, 0.0, 0L),
+      (1L, "purchase", 2L, 10.5, 1 * h),
+      (1L, "purchase", 3L, 5.0, 26 * h),
+      // user 2: click superseded by a later view
+      (2L, "click", 4L, 0.0, 0L),
+      (2L, "view", 5L, 0.0, 1000L),
+      (2L, "purchase", 6L, 3.2, 2000L),
+      // user 3: no touch at all
+      (3L, "purchase", 7L, 7.0, 0L),
+      // user 4: two purchases off one click (click outranks older view)
+      (4L, "view", 8L, 0.0, 0L),
+      (4L, "click", 9L, 0.0, 10L),
+      (4L, "purchase", 10L, 1.0, 20L),
+      (4L, "purchase", 11L, 2.0, 30L))
+      .toDF("user_id", "event_type", "event_id", "value", "ts_us")
+    val out = EventAnalytics.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // floor(3.2*100) = 320 (the double product is 320.0000...06)
+    assert(out("view") === ((2L, 2L, 1050L + 320L)))
+    assert(out("direct") === ((2L, 2L, 500L + 700L)),
+      "the 26h-stale view and the touchless user both fall to direct")
+    assert(out("click") === ((2L, 1L, 100L + 200L)))
+    assert(out.keySet === Set("view", "direct", "click"))
+  }
 }
