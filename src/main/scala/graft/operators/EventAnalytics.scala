@@ -368,11 +368,74 @@ object EventAnalytics {
        |ORDER BY channel""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ev_markov — event-type transition matrix.
+  // ---------------------------------------------------------------------
+
+  /** First-order behavioral Markov model: the per-user event-type
+    * transition matrix, estimated over every consecutive event pair.
+    * The summary a session-modeling or bot-detection pass starts from
+    * — an organic user's `view → click → purchase` mass looks nothing
+    * like a scraper's `view → view → view` diagonal.
+    *
+    * Plan: one hash exchange on `user_id` for the `lag` window (the
+    * same partitioning every operator in this file uses), then a
+    * wordcount-shaped aggregation on the (from, to) pair — map-side
+    * partials onto at most |event types|² rows, so the result is tiny
+    * at ANY corpus scale and the single window shuffle is the whole
+    * cost. `p` is one division of two exact counts per output row —
+    * no float accumulation anywhere.
+    */
+  def evMarkov(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(
+      events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts_ns DIV 1000").as("ts_us")))
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Frame-parametric core of [[evMarkov]] over ANY
+    * `(user_id, event_type, event_id, ts_us)` frame.
+    */
+  def transitionMatrix(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_from").cast(org.apache.spark.sql.types.DoubleType)).as("p"))
+  }
+
+  val evMarkovSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM counts GROUP BY 1)
+      |SELECT from_type, to_type, n, n_from,
+      |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM counts JOIN totals USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel"      -> evFunnel _,
     "ev_retention"   -> evRetention _,
     "ev_anomaly"     -> evAnomaly _,
     "ev_attribution" -> evAttribution _,
+    "ev_markov"      -> evMarkov _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,5 +443,6 @@ object EventAnalytics {
     "ev_retention"   -> evRetentionSql,
     "ev_anomaly"     -> evAnomalySql,
     "ev_attribution" -> evAttributionSql,
+    "ev_markov"      -> evMarkovSql,
   )
 }

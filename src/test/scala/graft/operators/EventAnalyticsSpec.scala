@@ -123,4 +123,27 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out("click") === ((2L, 1L, 100L + 200L)))
     assert(out.keySet === Set("view", "direct", "click"))
   }
+
+  test("transitionMatrix: per-user consecutive pairs, rows sum to probability 1") {
+    // user 1: a -> b -> a;  user 2: a -> b   (no cross-user pair 'a after b of u1')
+    val ev = Seq(
+      (1L, "a", 1L, 10L), (1L, "b", 2L, 20L), (1L, "a", 3L, 30L),
+      (2L, "a", 4L, 5L), (2L, "b", 5L, 6L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val out = EventAnalytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("a", "b")) === ((2L, 2L, 1.0)))
+    assert(out(("b", "a")) === ((1L, 1L, 1.0)))
+    assert(out.size === 2, "no transition crosses a user boundary")
+
+    // corpus sanity: each from-row's probabilities sum to 1
+    val m = EventAnalytics.evMarkov(spark, sf0001).collect()
+    val byFrom = m.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rows) =>
+      val pSum = rows.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"from $f: p sums to $pSum")
+      assert(rows.map(_.getLong(2)).sum === rows.head.getLong(3))
+    }
+  }
 }
