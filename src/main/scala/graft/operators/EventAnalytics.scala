@@ -402,11 +402,13 @@ object EventAnalytics {
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .select(col("from_type"), col("event_type").as("to_type"))
-    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+    // n_from via a window OVER THE COUNTS (≤ |event types|² rows), not a
+    // join of counts against a re-aggregation of itself — the self-join
+    // form re-runs the corpus scan + lag window for the second branch
+    val tw = Window.partitionBy(col("from_type"))
+    pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_from"))
-    counts.join(totals, Seq("from_type"))
+      .withColumn("n_from", sum(col("n")).over(tw))
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         (col("n").cast(org.apache.spark.sql.types.DoubleType) /
           col("n_from").cast(org.apache.spark.sql.types.DoubleType)).as("p"))
@@ -421,13 +423,12 @@ object EventAnalytics {
       |counts AS (
       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM pairs WHERE from_type IS NOT NULL
-      |  GROUP BY 1, 2),
-      |totals AS (
-      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
-      |  FROM counts GROUP BY 1)
-      |SELECT from_type, to_type, n, n_from,
-      |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
-      |FROM counts JOIN totals USING (from_type)
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |  CAST(n AS DOUBLE)
+      |    / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
+      |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

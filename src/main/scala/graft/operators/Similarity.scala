@@ -515,6 +515,121 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // sim_ivf_upsert — incremental index maintenance (assign-only delta).
+  // ---------------------------------------------------------------------
+
+  /** The base/delta split for the upsert gate: the first 4/5 of the
+    * corpus (by vec_id) is "yesterday's" indexed base, the last 1/5 is
+    * the newly-arrived batch.
+    */
+  private[operators] def upsertThreshold(n: Long): Long = n * 4 / 5
+
+  /** Centroids trained ONLY on the base slice (the persisted index's
+    * training set — the delta must not retrain), plus the base
+    * inverted lists, both cached like every other index artifact.
+    */
+  private def cachedBaseIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cent = indexCache.getOrElseUpdate((s, d, "ivfbase"), {
+      val e = embeddings(s, d)
+      val base = e.filter(col("vec_id") < upsertThreshold(e.count()))
+      ivfCentroids(base)
+    })
+    val lists = indexCache.getOrElseUpdate((s, d, "ivfbaselists"), {
+      val e = embeddings(s, d)
+      kernelProbeCells(e.filter(col("vec_id") < upsertThreshold(e.count())),
+        cent, 1, "c_id", "cv_c", "cn_c").localCheckpoint()
+    })
+    (cent, lists)
+  }
+
+  /** Incremental IVF maintenance: serve against an index whose base
+    * lists were built (and whose centroids were trained) on the FIRST
+    * 4/5 of the corpus, with the newest 1/5 UPSERTED by assignment
+    * only — each new vector runs the one-pass nearest-cell kernel
+    * against the frozen centroids and appends to its home list. No
+    * retrain, no touch of the existing lists: the maintenance cost of
+    * a day's delta is O(|delta|·√n) kernel work, independent of the
+    * indexed corpus — the contract that makes an IVF index operable at
+    * 100 TB, where rebuilding the lists per batch is off the table
+    * (the re-BUILD alternative re-assigns all n vectors per delta).
+    * Because assignment is per-vector, serve(base ∪ upserted delta) is
+    * row-identical to serve(rebuilt-from-scratch lists under the same
+    * centroids) — `SimilaritySpec` pins that equality, and the oracle
+    * mirrors the full chain with base-trained centroids. What drifts
+    * under pure upsert is only training-set coverage (centroids never
+    * saw the delta) — the production cue for periodic retrains, which
+    * this corpus's recall floor shows is not yet binding at 20%.
+    *
+    * Plan: the delta pass scans ONLY the new slice (`vec_id >=` the
+    * threshold pushes to the parquet footer); serving is [[simIvf]]'s
+    * shape over the unioned lists.
+    */
+  def simIvfUpsert(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val t = upsertThreshold(e.count())
+    val (cent, baseLists) = cachedBaseIvf(s, d)
+    val delta = kernelProbeCells(e.filter(col("vec_id") >= t), cent, 1,
+      "c_id", "cv_c", "cn_c")
+    val lists = baseLists.union(delta)
+    val probes = kernelProbeCells(
+      e.filter(col("vec_id") < NumQueryVectors), cent,
+      NumProbes, "q_id", "qv", "qn")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorExpressions.dotF(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn_c"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val simIvfUpsertSql: String = {
+    val baseRel =
+      "(SELECT * FROM embeddings WHERE vec_id < (SELECT COUNT(*) * 4 // 5 FROM embeddings))"
+    s"""WITH eall AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |e AS (SELECT * FROM eall
+       |      WHERE vec_id < (SELECT COUNT(*) * 4 // 5 FROM embeddings)),
+       |${trainedCentCtesSqlFrom(baseRel)},
+       |ranks AS (
+       |  SELECT eall.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY eall.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(eall.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (eall.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM eall CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks
+       |           WHERE crank <= $NumProbes AND vec_id < $NumQueryVectors),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN eall eq ON eq.vec_id = p.q_id
+       |  JOIN eall ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // kNN self-join — every vector's neighbor list (the all-pairs form).
   // ---------------------------------------------------------------------
 
@@ -1831,6 +1946,7 @@ object Similarity {
     "sim_topk_brute" -> simTopkBrute _,
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
+    "sim_ivf_upsert" -> simIvfUpsert _,
     "sim_knn_join"   -> simKnnJoin _,
     "sim_filtered_knn" -> simFilteredKnn _,
     "emb_quantize"   -> embQuantize _,
@@ -1846,6 +1962,7 @@ object Similarity {
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,
+    "sim_ivf_upsert" -> simIvfUpsertSql,
     "sim_knn_join"   -> simKnnJoinSql,
     "sim_filtered_knn" -> simFilteredKnnSql,
     "emb_quantize"   -> embQuantizeSql,

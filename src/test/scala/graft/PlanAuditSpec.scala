@@ -315,4 +315,45 @@ class PlanAuditSpec extends SparkTestBase {
     // window at all, one aggregation each side
     assert(!ps.contains("Window") && ps.contains("BroadcastHashJoin"), ps)
   }
+
+  test("domain cap plans through the bounded heap, not a sort window") {
+    val p = plan("cp_domain_cap")
+    assert(p.contains("TopKPerGroup"),
+      s"the cap must use the heap operator:\n$p")
+    assert(!p.contains("Window") && !p.contains("WindowGroupLimit"),
+      s"no per-domain sort window allowed:\n$p")
+    // one hash exchange on source + the presentation sort, nothing else
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+  }
+
+  test("duplicate-aware sampling broadcasts the cluster-size table") {
+    val p = plan("cp_dup_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the size table must broadcast back, got:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("attribution and markov share one user_id exchange and never self-join events") {
+    val pa = plan("ev_attribution")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pa).size == 1,
+      s"both window carries must share ONE user partitioning:\n$pa")
+    assert(!pa.contains("SortMergeJoin") && !pa.contains("BroadcastHashJoin"),
+      s"attribution must not join events against itself:\n$pa")
+    val pm = plan("ev_markov")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pm).size == 1,
+      s"the corpus-sized lag branch must run once:\n$pm")
+    assert(pm.contains("partial_count"),
+      s"transition counts must partial-aggregate:\n$pm")
+    // n_from comes from a window over the tiny counts relation — the
+    // self-join form would re-scan + re-window the corpus
+    assert(!pm.contains("Join"), s"no counts self-join allowed:\n$pm")
+  }
+
+  test("bigram scoring joins on equi keys with partial-aggregated counts") {
+    val p = plan("ta_bigram_score")
+    assert(p.contains("partial_count"),
+      s"both count tables must map-side partial:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
 }

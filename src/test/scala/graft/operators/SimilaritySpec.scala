@@ -251,4 +251,41 @@ class SimilaritySpec extends SparkTestBase {
     val again = Similarity.embOutliers(spark, sf001).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("sim_ivf_upsert: assign-only delta equals a full rebuild under the frozen centroids") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val t = Similarity.upsertThreshold(e.count())
+    val base = e.filter(col("vec_id") < t)
+    val nb = base.count()
+    val cent = Similarity.trainedCentroids(base, Similarity.numCellsFor(nb), nb)
+    // the invariance the upsert contract rests on: per-vector assignment
+    // does not depend on the other list members, so base-lists ∪
+    // delta-assignments == rebuild-from-scratch
+    val rebuilt = Similarity.kernelProbeCells(e, cent, 1, "c_id", "cv_c", "cn_c")
+      .select(col("c_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val upserted = Similarity
+      .kernelProbeCells(base, cent, 1, "c_id", "cv_c", "cn_c")
+      .select(col("c_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ++
+      Similarity.kernelProbeCells(e.filter(col("vec_id") >= t), cent, 1,
+        "c_id", "cv_c", "cn_c")
+        .select(col("c_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(upserted === rebuilt, "delta assignment must equal rebuild")
+
+    // the gated serve reaches into the upserted slice (new vectors are
+    // actually retrievable, not just stored)
+    val served = Similarity.simIvfUpsert(spark, sf0001).collect()
+    assert(served.exists(_.getLong(2) >= t),
+      s"top-$TopKShown results should include post-threshold vectors")
+    // and the delta scan pushes the threshold to the parquet footer
+    val plan = Similarity.simIvfUpsert(spark, sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("GreaterThanOrEqual(vec_id"),
+      s"the delta pass must scan only the new slice:\n$plan")
+  }
+
+  private val TopKShown = Similarity.TopK
 }
