@@ -356,6 +356,36 @@ object Corpus {
       .drop("rate")
   }
 
+  /** Per-domain quota cap: keep at most `cap` docs per `source`,
+    * quality-best first, through the bounded-heap `TopKPerGroup`
+    * operator — one hash exchange, no per-domain sort. Delegates to
+    * [[graft.operators.CorpusOps.domainCapped]]; gated form
+    * `cp_domain_cap`.
+    */
+  def domainCapped(df: DataFrame,
+      cap: Int = graft.operators.CorpusOps.DomainCap): DataFrame =
+    graft.operators.CorpusOps.domainCapped(df, cap)
+
+  /** Duplicate-aware sampling over a `(doc_id, fp)` frame (`fp` = any
+    * duplicate-cluster key): each row keeps with probability
+    * 1/cluster-size via an integer md5 draw — one survivor per cluster
+    * in expectation, no winner election. Delegates to
+    * [[graft.operators.CorpusOps.dupSampled]]; gated form
+    * `cp_dup_sample`.
+    */
+  def dupSampled(df: DataFrame): DataFrame =
+    graft.operators.CorpusOps.dupSampled(df)
+
+  /** Corpus bigram-coherence scores over a `(doc_id, text)` frame:
+    * pooled conditional probability of each doc's adjacent word pairs
+    * under the corpus's own bigram counts — the log-free perplexity
+    * stand-in. Delegates to
+    * [[graft.operators.TextAnalysis.bigramScored]]; gated form
+    * `ta_bigram_score`.
+    */
+  def bigramScored(df: DataFrame): DataFrame =
+    TextAnalysis.bigramScored(df)
+
   /** Per-document repetition statistics (`n_words`,
     * `n_distinct_words`, `dup_word_frac`, `n_grams`, `top_gram_frac`)
     * from the one-pass native kernel — zero shuffles. Delegates to

@@ -125,6 +125,29 @@ object Events {
       zThresh: Long = EventAnalytics.AnomalyZ): DataFrame =
     EventAnalytics.rateAnomalies(events, minPrev, zThresh)
 
+  /** Last-touch conversion attribution over `(user_id, event_type,
+    * event_id, value, ts_us)` rows: each `convType` event credits the
+    * user's most recent preceding touch within `horizonUs`, else
+    * `direct`; one channel row with conversions, distinct buyers, and
+    * revenue in integer cents —
+    * [[graft.operators.EventAnalytics.lastTouchAttribution]]. Gated
+    * form: `ev_attribution`.
+    */
+  def lastTouchAttribution(events: DataFrame,
+      touchTypes: Seq[String] = EventAnalytics.TouchTypes,
+      convType: String = "purchase",
+      horizonUs: Long = EventAnalytics.AttributionHorizonUs): DataFrame =
+    EventAnalytics.lastTouchAttribution(events, touchTypes, convType, horizonUs)
+
+  /** First-order event-type transition matrix over `(user_id,
+    * event_type, event_id, ts_us)` rows: per-user consecutive pairs
+    * counted into `(from_type, to_type, n, n_from, p)` —
+    * [[graft.operators.EventAnalytics.transitionMatrix]]. Gated form:
+    * `ev_markov`.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame =
+    EventAnalytics.transitionMatrix(events)
+
   /** STREAMING anomaly scoring: watermarked hourly counts per event
     * type scored statelessly against a broadcast static baseline
     * (train the baseline batch-side with

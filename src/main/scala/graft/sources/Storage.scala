@@ -386,9 +386,142 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * later re-put under the same name is not read with a stale format);
     * true iff it existed.
     */
+  // --------------------------------------------------- versioned tables
+
+  private def vtRoot(name: String): Path =
+    new Path(warehouse, s".vt_${checkName(name)}")
+  private def vtManifests(name: String): Path =
+    new Path(vtRoot(name), "manifests")
+  private def vtManifest(name: String, v: Long): Path =
+    new Path(vtManifests(name), f"v$v%06d.manifest")
+  private val VtManifestName = "v(\\d+)\\.manifest".r
+
+  /** Committed versions of a versioned table, ascending (empty if the
+    * name has never been committed).
+    */
+  def versions(name: String): Seq[Long] =
+    if (!fs.exists(vtManifests(name))) Seq.empty
+    else fs.listStatus(vtManifests(name)).toIndexedSeq
+      .map(_.getPath.getName)
+      .collect { case VtManifestName(v) => v.toLong }
+      .sorted
+
+  private def readManifest(name: String, v: Long): Seq[String] = {
+    val in = fs.open(vtManifest(name, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The one commit path for every versioned-table verb: optionally
+    * write a new immutable data directory, then publish manifest
+    * `v<N>` with ONE atomic rename. The manifest (a newline list of
+    * the data directories composing the snapshot) is the unit of
+    * isolation: a reader resolves a version to its manifest once and
+    * then reads only immutable directories, so it can never observe a
+    * half-committed table; a writer that loses the race for `v<N>`
+    * (rename onto an existing manifest) fails cleanly and deletes its
+    * orphan data — optimistic concurrency with no lock service, the
+    * lakehouse-format commit protocol (HDFS/object-store rename is the
+    * atomic primitive; on a raw local FS the pre-rename existence
+    * check closes all but a microscopic window).
+    */
+  private def commitVersion(name: String, df: Option[DataFrame],
+      dirs: Seq[String], expected: Option[Long] = None): Long = {
+    val v = expected.map(_ + 1)
+      .getOrElse(versions(name).lastOption.getOrElse(0L) + 1)
+    val dataDir = s"data/v$v"
+    val allDirs = df match {
+      case Some(frame) =>
+        frame.write.parquet(new Path(vtRoot(name), dataDir).toString)
+        dirs :+ dataDir
+      case None => dirs
+    }
+    fs.mkdirs(vtManifests(name))
+    val tmp = new Path(vtManifests(name), s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((allDirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = vtManifest(name, v)
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      if (df.isDefined) fs.delete(new Path(vtRoot(name), dataDir), true)
+      throw new IllegalStateException(
+        s"concurrent commit: version $v of '$name' already exists")
+    }
+    v
+  }
+
+  /** Create (or re-snapshot) a versioned table: the new version's
+    * manifest references ONLY the freshly-written data. Returns the
+    * committed version number. History is preserved — earlier versions
+    * stay readable via [[readVersioned]].
+    */
+  def putVersioned(name: String, df: DataFrame): Long =
+    commitVersion(name, Some(df), Nil)
+
+  /** Append a batch to a versioned table as a new version: writes ONLY
+    * the delta (one immutable directory) and publishes a manifest that
+    * is the previous manifest plus that directory — O(batch) I/O per
+    * append regardless of table size, where a put-rewrite would be
+    * O(table). The ingest-append shape a 100 TB fact table needs.
+    *
+    * Pass `expectedVersion` to make the append a COMPARE-AND-SWAP:
+    * commit `expectedVersion + 1` iff no other writer published it
+    * first (`IllegalStateException` otherwise — re-read, re-derive,
+    * retry). That is the serializable form: a delta computed FROM
+    * snapshot v is only ever applied ON v. Without it the append
+    * attaches to whatever is latest at commit time (safe for pure
+    * inserts, the common ingest case).
+    */
+  def appendVersioned(name: String, df: DataFrame,
+      expectedVersion: Option[Long] = None): Long = {
+    val vs = versions(name)
+    val cur = expectedVersion.getOrElse(vs.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no versioned table '$name'; putVersioned first")))
+    require(vs.contains(cur),
+      s"'$name' has no version $cur to append on (has: ${vs.mkString(",")})")
+    commitVersion(name, Some(df), readManifest(name, cur), Some(cur))
+  }
+
+  /** Read a versioned table at `version` (default: latest). The
+    * manifest pins the exact directory set, so the read is a stable
+    * snapshot no concurrent append can change — time travel for
+    * debugging ("what did the corpus look like before yesterday's
+    * ingest?") and reproducible training runs.
+    */
+  def readVersioned(name: String, version: Long = -1L): DataFrame = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"no versioned table '$name'")
+    val v =
+      if (version < 0) vs.last
+      else {
+        require(vs.contains(version),
+          s"'$name' has no version $version (has: ${vs.mkString(",")})")
+        version
+      }
+    val paths = readManifest(name, v)
+      .map(d => new Path(vtRoot(name), d).toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Roll a versioned table back to an earlier snapshot by COMMITTING
+    * a new version whose manifest equals the old one (roll-forward
+    * rollback): history stays intact, nothing is deleted, and a
+    * concurrent reader of the bad version is unaffected.
+    */
+  def rollbackVersioned(name: String, to: Long): Long = {
+    require(versions(name).contains(to),
+      s"'$name' has no version $to to roll back to")
+    commitVersion(name, None, readManifest(name, to))
+  }
+
   def delete(name: String): Boolean = {
     dropMeta(name)
-    exists(name) && fs.delete(pathOf(name), true)
+    val vt = vtRoot(name)
+    val hadVt = fs.exists(vt) && fs.delete(vt, true)
+    (exists(name) && fs.delete(pathOf(name), true)) || hadVt
   }
 
   def exists(name: String): Boolean = fs.exists(pathOf(name))

@@ -346,4 +346,43 @@ class CorpusSpec extends SparkTestBase {
     // key 1: ts ties at 20 → ver breaks it; payload rides along
     assert(events == Map(1L -> ((20L, 101L, "b")), 2L -> ((5L, 50L, "d"))))
   }
+
+  test("round-7 facades equal their gated queries") {
+    import org.apache.spark.sql.functions.{col, concat_ws, md5, slice}
+    // domain cap
+    val capApi = Corpus.domainCapped(docs).collect()
+      .map(_.getLong(0)).toSet
+    val capGated = graft.operators.CorpusOps.cpDomainCap(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(capApi === capGated && capApi.nonEmpty)
+    // duplicate-aware sampling (facade takes the pre-keyed frame)
+    val keyed = docs.select(col("doc_id"),
+      md5(concat_ws(" ", slice(graft.functions.tokens(col("text")), 1, 10)))
+        .as("fp"))
+    val dsApi = Corpus.dupSampled(keyed).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val dsGated = graft.operators.CorpusOps.cpDupSample(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(dsApi === dsGated && dsApi.nonEmpty)
+    // bigram coherence
+    val bgApi = Corpus.bigramScored(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val bgGated = graft.operators.TextAnalysis.taBigramScore(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(bgApi === bgGated && bgApi.nonEmpty)
+    // attribution + transition matrix
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), org.apache.spark.sql.functions.expr("ts_ns DIV 1000").as("ts_us"))
+    val atApi = Events.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val atGated = graft.operators.EventAnalytics.evAttribution(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(atApi === atGated && atApi.nonEmpty)
+    val tmApi = Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tmGated = graft.operators.EventAnalytics.evMarkov(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tmApi === tmGated && tmApi.nonEmpty)
+  }
 }

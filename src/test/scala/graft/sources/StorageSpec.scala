@@ -235,4 +235,64 @@ class StorageSpec extends SparkTestBase {
     assert(i.storedFiles == 1)
     assert(i.totalBytes > 0)
   }
+
+  test("versioned tables: O(delta) appends, stable snapshots, time travel, rollback") {
+    val st = freshStorage()
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "payload")
+    assert(st.versions("vt").isEmpty)
+    assert(st.putVersioned("vt", batch(0, 10)) === 1L)
+    assert(st.appendVersioned("vt", batch(10, 15)) === 2L)
+    assert(st.appendVersioned("vt", batch(15, 17)) === 3L)
+    assert(st.versions("vt") === Seq(1L, 2L, 3L))
+    // latest sees everything; each version is the union of its appends
+    assert(st.readVersioned("vt").count() === 17)
+    assert(st.readVersioned("vt", 1).collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 10L))
+    assert(st.readVersioned("vt", 2).count() === 15)
+    // an earlier snapshot is immutable: re-reading v1 after appends is
+    // byte-identical (the manifest pins the directory set)
+    val v1 = st.readVersioned("vt", 1).collect().toSet
+    st.appendVersioned("vt", batch(17, 20))
+    assert(st.readVersioned("vt", 1).collect().toSet === v1)
+    // rollback commits a NEW version equal to the old snapshot
+    val rb = st.rollbackVersioned("vt", 2)
+    assert(rb === 5L)
+    assert(st.readVersioned("vt").count() === 15)
+    assert(st.readVersioned("vt", 4).count() === 20,
+      "rollback must not destroy the rolled-back-over version")
+  }
+
+  test("versioned tables: losing a commit race fails cleanly and leaves no orphan") {
+    val st = freshStorage()
+    st.putVersioned("race", Seq((1L, "a")).toDF("id", "payload"))
+    // simulate a concurrent winner for v2 by pre-publishing its manifest
+    val root = new java.io.File(
+      java.nio.file.Paths.get(new java.net.URI(
+        st.readVersioned("race").inputFiles.head)).toFile.getParentFile
+        .getParentFile.getParentFile, "manifests")
+    val winner = new java.io.File(root, "v000002.manifest")
+    java.nio.file.Files.write(winner.toPath, "data/v1\n".getBytes)
+    // the loser derived its delta from v1 and CAS-appends on it — the
+    // pre-published v2 wins and the append must fail, not fork history
+    intercept[IllegalStateException] {
+      st.appendVersioned("race", Seq((2L, "b")).toDF("id", "payload"),
+        expectedVersion = Some(1L))
+    }
+    // the loser's data directory was cleaned up; the table still reads
+    assert(!new java.io.File(root.getParentFile, "data/v2").exists())
+    assert(st.readVersioned("race", 1).count() === 1)
+  }
+
+  test("versioned tables: reads of unknown names/versions refuse; delete removes the tree") {
+    val st = freshStorage()
+    intercept[IllegalArgumentException] { st.readVersioned("nope") }
+    intercept[IllegalArgumentException] {
+      st.appendVersioned("nope", Seq((1L, "a")).toDF("id", "payload"))
+    }
+    st.putVersioned("d", Seq((1L, "a")).toDF("id", "payload"))
+    intercept[IllegalArgumentException] { st.readVersioned("d", 9) }
+    assert(st.delete("d"))
+    assert(st.versions("d").isEmpty)
+  }
 }
