@@ -386,6 +386,16 @@ object Corpus {
   def bigramScored(df: DataFrame): DataFrame =
     TextAnalysis.bigramScored(df)
 
+  /** Exact integer waterfilling token allocation over a `(domain, c)`
+    * capacity frame: equal budget shares, small domains saturate at
+    * capacity, the freed budget waterfalls on — closed-form windows,
+    * no iteration, `Σ alloc = budget` to the token. Delegates to
+    * [[graft.operators.CorpusOps.waterfillAlloc]]; gated form
+    * `cp_waterfill`.
+    */
+  def waterfillAlloc(caps: DataFrame, budget: Option[Long] = None): DataFrame =
+    graft.operators.CorpusOps.waterfillAlloc(caps, budget)
+
   /** Per-document repetition statistics (`n_words`,
     * `n_distinct_words`, `dup_word_frac`, `n_grams`, `top_gram_frac`)
     * from the one-pass native kernel — zero shuffles. Delegates to

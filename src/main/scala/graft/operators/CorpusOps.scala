@@ -689,7 +689,111 @@ object CorpusOps {
        |FROM sized
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cp_waterfill — exact integer waterfilling token allocation.
+  // ---------------------------------------------------------------------
+
+  /** Waterfilling token allocation across domains: give every domain an
+    * equal share of the training budget, except that no domain can
+    * contribute more tokens than it has — small domains saturate at
+    * their capacity and the freed budget waterfalls to the rest. The
+    * fair-mixing allocator behind "cap the head, keep the tail whole"
+    * budget splits (the same fairness rule as max-min fair bandwidth
+    * sharing), here in EXACT INTEGER form: allocations are computed
+    * closed-form with window functions — no iterative λ search — and
+    * sum to the budget to the token.
+    *
+    * Closed form on the capacity-ascending order: domain i saturates
+    * iff `P_{i−1} + c_i·(n−i+1) ≤ B` (filling everyone to at least
+    * `c_i` after capping the smaller domains fits the budget); the
+    * condition is monotone along the order, so the saturated set is a
+    * prefix. The remaining budget divides evenly over the unsaturated
+    * suffix — integer `DIV`, with the `MOD` remainder handed one token
+    * each to the first unsaturated domains, so `Σ alloc = B` exactly
+    * (when `B ≤ Σc`; the default budget is `Σc DIV 2`).
+    *
+    * Scale shape: the corpus aggregates ONCE (map-side partials) onto
+    * one row per domain; every window below runs over that ≤|domains|
+    * relation — the global windows are deliberate and safe at any
+    * corpus size because their input is domain-count-sized, never
+    * corpus-sized.
+    */
+  def cpWaterfill(s: SparkSession, d: String): DataFrame =
+    waterfillAlloc(
+      documents(s, d)
+        .select(col("lang").as("domain"),
+          size(tokens(col("text"))).cast(LongType).as("t"))
+        .groupBy(col("domain")).agg(sum(col("t")).as("c")))
+      .orderBy(col("domain"))
+
+  /** Frame-parametric core of [[cpWaterfill]] over ANY `(domain, c)`
+    * capacity frame. `budget` defaults to half the total capacity.
+    */
+  def waterfillAlloc(caps: DataFrame, budget: Option[Long] = None): DataFrame = {
+    val byCap = Window.orderBy(col("c"), col("domain"))
+    val all = Window.partitionBy(lit(1))
+    caps
+      .withColumn("i", row_number().over(byCap))
+      .withColumn("pp", sum(col("c")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      // integer DIV, not `/` (Spark's Divide is double — exact only
+      // below 2^53; a token total on a real corpus is not)
+      .withColumn("budget", budget.map(lit(_).cast(LongType)).getOrElse {
+        sum(col("c")).over(all)
+      })
+      .withColumn("budget",
+        if (budget.isDefined) col("budget") else expr("budget DIV 2"))
+      .withColumn("saturated",
+        col("pp") - col("c") + col("c") * (col("n") - col("i") + 1) <= col("budget"))
+      .withColumn("k", sum(when(col("saturated"), 1L).otherwise(0L)).over(all))
+      .withColumn("psat",
+        sum(when(col("saturated"), col("c")).otherwise(0L)).over(all))
+      .withColumn("alloc",
+        when(col("saturated"), col("c")).otherwise {
+          val r = col("budget") - col("psat")
+          val u = col("n") - col("k")
+          val base = expr("(budget - psat) DIV (n - k)")
+          val rem = r - base * u
+          base + when(col("i") - col("k") <= rem, 1L).otherwise(0L)
+        })
+      .select(col("domain"), col("c").as("n_tokens"),
+        col("budget"), col("alloc"), col("saturated"))
+  }
+
+  val cpWaterfillSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH caps AS (
+       |  SELECT lang AS domain, CAST(SUM(len($toksSql)) AS BIGINT) AS c
+       |  FROM documents GROUP BY lang),
+       |staged AS (
+       |  SELECT domain, c,
+       |    CAST(ROW_NUMBER() OVER ord AS BIGINT) AS i,
+       |    CAST(SUM(c) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+       |    CAST(SUM(c) OVER () // 2 AS BIGINT) AS budget
+       |  FROM caps
+       |  WINDOW ord AS (ORDER BY c, domain)),
+       |flagged AS (
+       |  SELECT *, pp - c + c * (n - i + 1) <= budget AS saturated
+       |  FROM staged),
+       |scal AS (
+       |  SELECT *,
+       |    CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+       |    CAST(SUM(CASE WHEN saturated THEN c ELSE 0 END) OVER () AS BIGINT) AS psat
+       |  FROM flagged)
+       |SELECT domain, c AS n_tokens, budget,
+       |  CAST(CASE WHEN saturated THEN c
+       |       ELSE (budget - psat) // (n - k)
+       |            + (CASE WHEN i - k <= (budget - psat) % (n - k) THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS alloc,
+       |  saturated
+       |FROM scal
+       |ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_waterfill"    -> cpWaterfill _,
     "cp_domain_cap"   -> cpDomainCap _,
     "cp_dup_sample"   -> cpDupSample _,
     "cp_overlap"      -> cpOverlap _,
@@ -703,6 +807,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_waterfill"    -> cpWaterfillSql,
     "cp_domain_cap"   -> cpDomainCapSql,
     "cp_dup_sample"   -> cpDupSampleSql,
     "cp_overlap"      -> cpOverlapSql,

@@ -325,6 +325,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(kept === Set(1L, 2L, 3L), "no source at or under the cap loses a doc")
   }
 
+  test("waterfillAlloc: hand-computed saturation, exact budget, max-min fairness") {
+    import spark.implicits._
+    val caps = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("domain", "c")
+    // B = 65: a and b saturate (10 + 20·2 = 50 ≤ 65), c gets the rest
+    val out = CorpusOps.waterfillAlloc(caps, Some(65L)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out === Map("a" -> ((10L, true)), "b" -> ((20L, true)),
+      "c" -> ((35L, false))))
+
+    // remainder distribution: B = 7 over three 10-capacity domains →
+    // 3/2/2, the extra token to the capacity-order-first domain
+    val even = Seq(("x", 10L), ("y", 10L), ("z", 10L)).toDF("domain", "c")
+    val alloc7 = CorpusOps.waterfillAlloc(even, Some(7L)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(alloc7.values.sum === 7L)
+    assert(alloc7("x") === 3L && alloc7("y") === 2L && alloc7("z") === 2L)
+
+    // corpus invariants at the default half-capacity budget
+    val rows = CorpusOps.cpWaterfill(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val budget = rows.head._3
+    assert(rows.map(_._4).sum === budget, "allocations sum to the budget exactly")
+    rows.foreach { case (d, c, _, a, sat) =>
+      assert(a <= c, s"$d allocated past capacity")
+      if (sat) assert(a === c, s"$d saturated must mean filled to capacity")
+    }
+    // max-min fairness: every unsaturated domain's allocation is within
+    // one token of every other's
+    val unsat = rows.filter(!_._5).map(_._4)
+    if (unsat.length > 1) assert(unsat.max - unsat.min <= 1)
+  }
+
   test("cp_dup_sample: integer keep decision, deterministic, sizes independently verified") {
     val out = CorpusOps.cpDupSample(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
