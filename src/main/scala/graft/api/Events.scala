@@ -139,6 +139,21 @@ object Events {
       horizonUs: Long = EventAnalytics.AttributionHorizonUs): DataFrame =
     EventAnalytics.lastTouchAttribution(events, touchTypes, convType, horizonUs)
 
+  /** STREAMING last-touch attribution: each conversion emits exactly
+    * once — when the watermark passes its event time, at which point no
+    * in-watermark touch can change the answer — with the same channel
+    * the batch [[graft.operators.EventAnalytics.attributedPurchases]]
+    * assigns. State per user is watermark-bounded (pending conversions
+    * + in-flight touches collapsed behind the watermark) —
+    * [[graft.streaming.EventStreams.attributionStream]].
+    */
+  def attributionStream(events: Dataset[EventStreams.EventWithTs],
+      touchTypes: Seq[String] = EventAnalytics.TouchTypes,
+      convType: String = "purchase",
+      horizonNs: Long = EventAnalytics.AttributionHorizonUs * 1000L)
+      : Dataset[EventStreams.AttrOut] =
+    EventStreams.attributionStream(events, touchTypes, convType, horizonNs)
+
   /** First-order event-type transition matrix over `(user_id,
     * event_type, event_id, ts_us)` rows: per-user consecutive pairs
     * counted into `(from_type, to_type, n, n_from, p)` —

@@ -316,6 +316,24 @@ object EventAnalytics {
   def lastTouchAttribution(ev: DataFrame,
       touchTypes: Seq[String] = TouchTypes,
       convType: String = "purchase",
+      horizonUs: Long = AttributionHorizonUs): DataFrame =
+    attributedPurchases(ev, touchTypes, convType, horizonUs)
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(floor(col("value") * lit(100.0)).cast(org.apache.spark.sql.types.LongType))
+          .as("revenue_cents"))
+
+  /** Per-conversion attribution rows `(user_id, event_id, ts_us,
+    * channel, value)` — the pre-rollup stage of
+    * [[lastTouchAttribution]], and the batch reference the STREAMING
+    * [[graft.streaming.EventStreams.attributionStream]] is certified
+    * against.
+    */
+  def attributedPurchases(ev: DataFrame,
+      touchTypes: Seq[String] = TouchTypes,
+      convType: String = "purchase",
       horizonUs: Long = AttributionHorizonUs): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -331,12 +349,8 @@ object EventAnalytics {
         when(col("touch_us").isNotNull &&
           col("ts_us") - col("touch_us") <= horizonUs,
           col("touch_type")).otherwise("direct"))
-      .groupBy(col("channel"))
-      .agg(
-        count(lit(1)).as("n_conversions"),
-        countDistinct(col("user_id")).as("n_buyers"),
-        sum(floor(col("value") * lit(100.0)).cast(org.apache.spark.sql.types.LongType))
-          .as("revenue_cents"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("channel"), col("value"))
   }
 
   val evAttributionSql: String = {

@@ -492,6 +492,106 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming last-touch attribution — the continuously-maintained twin
+  // of graft.operators.EventAnalytics.attributedPurchases.
+  // ---------------------------------------------------------------------
+
+  final case class AttrTouch(tsNs: Long, eventId: Long, tpe: String)
+  final case class AttrPending(tsNs: Long, eventId: Long, value: Double)
+  final case class AttrState(touches: List[AttrTouch],
+      pending: List[AttrPending])
+  final case class AttrOut(user_id: Long, event_id: Long, ts_ns: Long,
+      channel: String, value: Double)
+
+  /** Streaming last-touch attribution with event-time finality: each
+    * conversion emits EXACTLY once, when the watermark passes its
+    * event time — at that point no in-watermark touch with an earlier
+    * timestamp can still arrive, so the attribution equals the batch
+    * [[graft.operators.EventAnalytics.attributedPurchases]] row for
+    * every conversion the watermark admits. Ordering matches the batch
+    * window frame: touches strictly before the conversion in
+    * (µs timestamp, event_id) order, latest wins, horizon checked in
+    * µs (comparisons quantize `ts_ns DIV 1000` so both forms agree on
+    * ties even for sub-µs sources).
+    *
+    * State is watermark-bounded on both sides:
+    *   - conversions leave state the moment they finalize;
+    *   - touches above the watermark are all kept (an earlier pending
+    *     conversion may still need any of them), but touches at or
+    *     below it collapse to the single LATEST one — every pending or
+    *     future conversion has event time above the watermark, so the
+    *     latest behind-watermark touch dominates the rest — and even
+    *     that one drops once the watermark passes its horizon (any
+    *     later conversion attributes `direct` regardless).
+    * An event-time timeout at the next finality boundary (earliest
+    * pending conversion, else the kept touch's horizon end) flushes
+    * users whose streams go quiet.
+    */
+  def attributionStream(events: Dataset[EventWithTs],
+      touchTypes: Seq[String] = graft.operators.EventAnalytics.TouchTypes,
+      convType: String = "purchase",
+      horizonNs: Long =
+        graft.operators.EventAnalytics.AttributionHorizonUs * 1000L)
+      : Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    val touchSet = touchTypes.toSet
+    // the batch window orders by (µs, event_id): quantize before comparing
+    def key(tsNs: Long, id: Long): (Long, Long) = (tsNs / 1000, id)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventWithTs],
+            state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            it.foreach { e =>
+              if (touchSet.contains(e.event_type))
+                st = st.copy(touches =
+                  AttrTouch(e.ts_ns, e.event_id, e.event_type) :: st.touches)
+              else if (e.event_type == convType)
+                st = st.copy(pending =
+                  AttrPending(e.ts_ns, e.event_id, e.value) :: st.pending)
+            }
+          }
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          // finalize: conversions the watermark has passed
+          val (fin, stillPending) = st.pending.partition(_.tsNs <= wmNs)
+          val out = fin.sortBy(p => key(p.tsNs, p.eventId)).map { p =>
+            val pk = key(p.tsNs, p.eventId)
+            val cand = st.touches.filter(t =>
+              Ordering[(Long, Long)].lt(key(t.tsNs, t.eventId), pk))
+            val channel = cand.sortBy(t => key(t.tsNs, t.eventId))
+              .lastOption match {
+              case Some(t) if p.tsNs / 1000 - t.tsNs / 1000 <=
+                horizonNs / 1000 => t.tpe
+              case _ => "direct"
+            }
+            AttrOut(userId, p.eventId, p.tsNs, channel, p.value)
+          }
+          // prune touches: all above the watermark, plus the latest at
+          // or below it (while its horizon can still reach a future
+          // conversion)
+          val (above, below) = st.touches.partition(_.tsNs > wmNs)
+          val keptBelow = below.sortBy(t => key(t.tsNs, t.eventId))
+            .lastOption.filter(t => t.tsNs + horizonNs >= wmNs).toList
+          st = AttrState(above ++ keptBelow, stillPending)
+          if (st.touches.isEmpty && st.pending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(st)
+            val boundaryNs =
+              if (st.pending.nonEmpty) st.pending.map(_.tsNs).min
+              else st.touches.map(_.tsNs + horizonNs).min
+            state.setTimeoutTimestamp(
+              math.max(boundaryNs / 1000000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Windowed top-k: the 3 most frequent event types per 5-minute
     * window (count desc, type as tiebreaker) — the batch form of the
     * per-window heavy-hitters question the streaming

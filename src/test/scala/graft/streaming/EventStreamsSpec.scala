@@ -544,6 +544,90 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got == Map(1L -> 3))
   }
 
+  private def runAttrStream(dir: java.nio.file.Path, queryName: String,
+      watermark: String = "0 seconds"): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", watermark)
+      .as[EventWithTs]
+    val q = attributionStream(es,
+      horizonNs = 60L * 60 * 1000000000L) // 1-hour horizon
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+  }
+
+  test("streaming attribution credits the last in-horizon touch once the watermark passes each purchase") {
+    val dir = Files.createTempDirectory("graft-attr-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    writeTypedBatch(dir, "001.parquet", Seq(
+      // user 1: view then purchase; a second purchase past the 1h horizon
+      (1L, 1L, t0, "view"), (2L, 1L, t0 + min, "purchase"),
+      (3L, 1L, t0 + 70 * min, "purchase"),
+      // user 2: purchase arrives FIRST; its click lands in the next
+      // micro-batch with an EARLIER event time (in-watermark disorder)
+      (11L, 2L, t0 + 2 * min, "purchase"),
+      // user 3: no touch at all
+      (30L, 3L, t0, "purchase"),
+      // user 4: click superseded by a later view
+      (20L, 4L, t0, "click"), (21L, 4L, t0 + min, "view"),
+      (23L, 4L, t0 + 2 * min, "purchase")))
+    writeTypedBatch(dir, "002.parquet", Seq(
+      (10L, 2L, t0 + 1 * min, "click")))
+    // sentinel pushes the watermark past every purchase
+    writeTypedBatch(dir, "003.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    runAttrStream(dir, "attr_out", watermark = "2 hours")
+    val got = spark.table("attr_out").collect()
+      .map(r => r.getLong(1) -> r.getString(3))
+    assert(got.length === got.map(_._1).distinct.length,
+      "each purchase emits exactly once")
+    assert(got.toMap === Map(
+      2L -> "view", 3L -> "direct", 11L -> "click",
+      30L -> "direct", 23L -> "view"))
+  }
+
+  test("randomized: streaming attribution equals the batch per-purchase rows") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(1717)
+    val dir = Files.createTempDirectory("graft-attr-rand-")
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val events = (for {
+      u <- 1L to 8L
+      i <- 0 until (12 + rng.nextInt(8))
+    } yield (u * 1000 + i, u, t0 + (rng.nextDouble() * 6 * hour).toLong,
+      types(rng.nextInt(types.length)))).sortBy(_._3)
+    events.grouped((events.size + 4) / 5).zipWithIndex.foreach {
+      case (chunk, i) => writeTypedBatch(dir, f"$i%03d.parquet", chunk)
+    }
+    // the sentinel must clear max-event-time + the 7h watermark lag,
+    // or the late tail of purchases never finalizes
+    writeTypedBatch(dir, "999.parquet",
+      Seq((9999L, 999L, t0 + 20 * hour, "view")))
+    runAttrStream(dir, "attr_rand_out", watermark = "7 hours")
+    val streamed = spark.table("attr_rand_out").collect()
+      .filter(_.getLong(0) != 999L)
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    val batch = graft.operators.EventAnalytics.attributedPurchases(
+      events.toDF("event_id", "user_id", "ts_ns", "event_type")
+        .selectExpr("user_id", "event_type", "event_id",
+          "1.0 AS value", "ts_ns DIV 1000 AS ts_us"),
+      horizonUs = 3600L * 1000000L)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(streamed === batch,
+      "every watermark-admitted purchase attributes identically to batch")
+    assert(batch.nonEmpty)
+  }
+
   test("randomized: streaming funnel equals the batch funnel under in-watermark disorder") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(4242)
