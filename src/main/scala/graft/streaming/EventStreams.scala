@@ -886,7 +886,50 @@ object EventStreams {
        |ORDER BY event_type, hour_s""".stripMargin
   }
 
+  /** Gated batch twin of [[attributionStream]]: the per-conversion
+    * attribution rows over the corpus, via the SAME core the rollup
+    * `ev_attribution` uses ([[graft.operators.EventAnalytics
+    * .attributedPurchases]]) — this row anchors the streaming path's
+    * semantics to a DuckDB oracle (the streaming execution itself is
+    * certified batch-equal in `EventStreamsSpec`).
+    */
+  def stAttr(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.attributedPurchases(
+      Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"), expr("ts_ns DIV 1000").as("ts_us")))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("channel"),
+        // integer cents, not the raw double: the driver compares
+        // hashed values and the double survives intact anyway, but
+        // cents keep this row consistent with ev_attribution's sums
+        floor(col("value") * lit(100.0)).cast(LongType).as("value_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  val stAttrSql: String = {
+    val touchList = graft.operators.EventAnalytics.TouchTypes
+      .map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |touched AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN $touchList THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+       |    last_value(CASE WHEN event_type IN $touchList THEN ts_us END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+       |  FROM ev)
+       |SELECT user_id, event_id, ts_us,
+       |  CASE WHEN touch_us IS NOT NULL
+       |       AND ts_us - touch_us <= ${graft.operators.EventAnalytics.AttributionHorizonUs}
+       |  THEN touch_type ELSE 'direct' END AS channel,
+       |  CAST(floor(value * 100.0) AS BIGINT) AS value_cents
+       |FROM touched WHERE event_type = 'purchase'
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_attr"           -> stAttr _,
     "st_anomaly"        -> stAnomaly _,
     "st_window_agg"     -> stWindowAgg _,
     "st_sliding_window" -> stSlidingWindow _,
@@ -898,6 +941,7 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_attr"           -> stAttrSql,
     "st_anomaly"        -> stAnomalySql,
     "st_window_agg"     -> stWindowAggSql,
     "st_sliding_window" -> stSlidingWindowSql,
