@@ -502,10 +502,10 @@ object DocStreams {
     *
     * Topology (the [[bm25Serve]] pattern): tokenize + explode
     * map-side; a stream-static LEFT join attaches each term's baseline
-    * count (null → 0: a NEW term); ONE watermarked windowed
-    * aggregation collects `(term, b)` structs and finishes in array
-    * space — lexicographic sort, run-merge fold to per-term counts,
-    * then integer folds for the drift sums. State per window is the
+    * count (null → 0: a NEW term); two CHAINED watermarked windowed
+    * aggregations (the multi-stateful-operator pattern) — per-(window,
+    * term) counts first, then one order-free integer fold over the
+    * distinct-term rows for the drift sums. State per window is the
     * window's distinct-term runs, evicted by the watermark; at 100 TB
     * the baseline join restricts to the top-V heavy-hitter vocabulary
     * (tail terms pool into the closed-form remainder, same identity),
@@ -527,24 +527,21 @@ object DocStreams {
       .select(col("ts"), explode(tokens(col("text"))).as("term"))
       .join(bRel, Seq("term"), "left")
       .select(col("ts"), col("term"), coalesce(col("b0"), lit(0L)).as("b"))
-    val emptyRuns = slice(array(struct(lit("").as("term"), lit(0L).as("c"),
-      lit(0L).as("b"))), lit(1), lit(0))
-    val runsOf = (parts: org.apache.spark.sql.Column) =>
-      aggregate(array_sort(parts), emptyRuns, (acc, p) => {
-        val last = element_at(acc, -1)
-        val same = size(acc) > 0 &&
-          last.getField("term") === p.getField("term")
-        when(same, concat(slice(acc, lit(1), size(acc) - 1),
-          array(struct(last.getField("term").as("term"),
-            (last.getField("c") + lit(1L)).as("c"),
-            last.getField("b").as("b")))))
-          .otherwise(concat(acc, array(struct(p.getField("term").as("term"),
-            lit(1L).as("c"), p.getField("b").as("b")))))
-      })
-    st.groupBy(window(col("ts"), s"$windowSec seconds"))
-      .agg(collect_list(struct(col("term"), col("b"))).as("parts"))
-      .withColumn("runs", runsOf(col("parts")))
-      .withColumn("n_tokens", size(col("parts")).cast("long"))
+    // per-term window counts come from a FIRST windowed aggregation
+    // (chained-stateful, like bm25Serve): the earlier form collected
+    // every token occurrence into one per-window array and run-merged
+    // it with an immutable-array fold — quadratic in the window's
+    // distinct-term count (measured ~3 s at the sf0.1 gate, unbounded
+    // at scale). Here the runs relation arrives pre-counted, and the
+    // remaining array folds are order-free integer sums over one row
+    // per distinct term (`b` is constant per term; `max` is just
+    // "the" value).
+    st.groupBy(window(col("ts"), s"$windowSec seconds"), col("term"))
+      .agg(count(lit(1)).as("c"), max(col("b")).as("b"))
+      .groupBy(col("window"))
+      .agg(collect_list(struct(col("term"), col("c"), col("b")))
+        .as("runs"),
+        sum(col("c")).as("n_tokens"))
       .withColumn("sum_abs", aggregate(col("runs"), lit(0L), (acc, r) =>
         acc + abs(r.getField("c") * lit(nB) -
           r.getField("b") * col("n_tokens"))))
