@@ -358,6 +358,36 @@ class CorpusOpsSpec extends SparkTestBase {
     if (unsat.length > 1) assert(unsat.max - unsat.min <= 1)
   }
 
+  test("waterfillAlloc: randomized invariants — exact budget, caps, max-min order") {
+    import spark.implicits._
+    val rng = new scala.util.Random(271828)
+    (1 to 12).foreach { trial =>
+      val n = 2 + rng.nextInt(7)
+      val caps = (0 until n).map(i => (s"d$i", 1L + rng.nextInt(1000)))
+      val total = caps.map(_._2).sum
+      // budgets across the whole regime, incl. > total capacity
+      val budget = 1L + rng.nextInt((total * 3 / 2).toInt)
+      val out = CorpusOps.waterfillAlloc(
+        caps.toDF("domain", "c"), Some(budget)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getBoolean(4)))
+      assert(out.map(_._3).sum === math.min(budget, total),
+        s"trial $trial: allocations must sum to min(budget, capacity)")
+      out.foreach { case (d, c, a, sat) =>
+        assert(a <= c, s"trial $trial: $d over capacity")
+        if (sat) assert(a === c, s"trial $trial: $d")
+      }
+      val sat = out.filter(_._4)
+      val unsat = out.filter(!_._4)
+      if (unsat.length > 1)
+        assert(unsat.map(_._3).max - unsat.map(_._3).min <= 1,
+          s"trial $trial: unsaturated allocations must be within one token")
+      if (sat.nonEmpty && unsat.nonEmpty)
+        assert(sat.map(_._2).max <= unsat.map(_._3).min,
+          s"trial $trial: max-min order — no saturated cap above an unsaturated share")
+    }
+  }
+
   test("cp_dup_sample: integer keep decision, deterministic, sizes independently verified") {
     val out = CorpusOps.cpDupSample(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
