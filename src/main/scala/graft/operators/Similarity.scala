@@ -630,6 +630,129 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // emb_assign2 — hierarchical (two-level) assignment certification.
+  // ---------------------------------------------------------------------
+
+  /** Two-level IVF assignment, certified against flat assignment row
+    * by row — the "next rung" SCALING.md names for index BUILDS past
+    * flat IVF's n×√n assignment term: at 10⁹ vectors flat assignment
+    * scores k₁ = ⌈√n⌉ ≈ 31 623 centroids per vector, while routing
+    * through k₂ = ⌈√k₁⌉ coarse cells first scores k₂ + (k₁/k₂ on
+    * average) ≈ 2·n^(1/4) ≈ 356 — a ~90× build-cost cut. The price is
+    * approximation: a vector lands on the true nearest centroid only
+    * if that centroid's coarse group is the vector's nearest coarse
+    * cell, so this query emits `(vec_id, cell_flat, cell2, agree)` for
+    * EVERY vector — the agreement relation is the certification
+    * artifact (serving recall is insulated by multi-cell probing; a
+    * mis-assigned vector sits in an adjacent list the probe set still
+    * covers).
+    *
+    * Determinism: the coarse level is the `cell % ⌈√k₁⌉ == 0` subset
+    * of the trained centroids (no second Lloyd run to mirror);
+    * centroid→coarse grouping is a k₁×k₂ argmax over an exact
+    * left-fold double dot (both engines fold in element order);
+    * per-vector coarse routing runs the same one-pass kernel as every
+    * other assignment. Ties break to the lowest cell everywhere.
+    *
+    * Plan: groups and coarse arrays are tiny and broadcast; the
+    * corpus is touched by two map-side passes (coarse kernel + the
+    * ≤(k₁/k₂)-candidate scored join) and one rank window per vector
+    * over those candidates.
+    */
+  /** Coarse cells probed per vector during two-level routing: one is
+    * the textbook form; two recovers most of the flat agreement on
+    * weakly-clustered data (a vector near a coarse boundary sees both
+    * groups) at 2·k₁/k₂ candidates — still ~n^(1/4)-ish per vector.
+    */
+  val CoarseProbes = 2
+
+  def embAssign2(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = cachedIvfCentroids(s, d)
+    val flat = cachedIvfAssignment(s, d)
+    val k1 = cent.count()
+    val step2 = math.max(1L, math.ceil(math.sqrt(k1.toDouble)).toLong)
+    val coarse = cent.filter(col("cell") % step2 === 0)
+    val dotDD = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val gw = Window.partitionBy(col("cell"))
+      .orderBy(col("gcos").desc, col("ccell"))
+    val groups = cent.crossJoin(broadcast(coarse
+        .select(col("cell").as("ccell"), col("cv").as("ccv"),
+          col("cnrm").as("ccnrm"))))
+      .select(col("cell"), col("cv"), col("cnrm"), col("ccell"),
+        (dotDD(col("cv"), col("ccv")) /
+          (col("cnrm") * col("ccnrm"))).as("gcos"))
+      .withColumn("gr", row_number().over(gw)).filter(col("gr") === 1)
+      .select(col("ccell"), col("cell"), col("cv"), col("cnrm"))
+    val ca = collectIvfArrays(coarse)
+    val base = e.select(col("vec_id"), col("embedding"),
+      VectorExpressions.l2NormF(col("embedding")).as("vn"))
+      .withColumn("ccell", explode(VectorExpressions.probeCellsF(
+        col("embedding"), ca.cellIds, ca.cents, ca.cnrms, ca.dim,
+        CoarseProbes)))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos2").desc, col("cell"))
+    val two = base.join(broadcast(groups), Seq("ccell"))
+      .select(col("vec_id"), col("cell"),
+        (VectorExpressions.dotFD(col("embedding"), col("cv")) /
+          (col("vn") * col("cnrm"))).as("cos2"))
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") === 1)
+      .select(col("vec_id"), col("cell").as("cell2"))
+    flat.select(col("c_id").as("vec_id"), col("icell").as("cell_flat"))
+      .join(two, "vec_id")
+      .select(col("vec_id"), col("cell_flat"), col("cell2"),
+        (col("cell_flat") === col("cell2")).as("agree"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embAssign2Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    ${kmNormSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |  FROM embeddings),
+       |$trainedCentCtesSql,
+       |k2par AS (
+       |  SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS step2
+       |  FROM cent),
+       |coarse AS (
+       |  SELECT cell AS ccell, cv AS ccv, cnrm AS ccnrm FROM cent
+       |  WHERE cell % (SELECT step2 FROM k2par) = 0),
+       |grp AS (
+       |  SELECT ccell, cell, cv, cnrm FROM (
+       |    SELECT c.cell, c.cv, c.cnrm, o.ccell,
+       |      ${kmDotSql("c.cv", "o.ccv")} / (c.cnrm * o.ccnrm) AS gcos
+       |    FROM cent c CROSS JOIN coarse o) z
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY gcos DESC, ccell) = 1),
+       |vb AS (
+       |  SELECT vec_id, v, nrm, ccell FROM (
+       |    SELECT e.vec_id, e.v, e.nrm, o.ccell,
+       |      ${kmDotSql("e.v", "o.ccv")} / (e.nrm * o.ccnrm) AS ccos
+       |    FROM e CROSS JOIN coarse o) z
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, ccell) <= $CoarseProbes),
+       |two AS (
+       |  SELECT vec_id, cell AS cell2 FROM (
+       |    SELECT vb.vec_id, g.cell,
+       |      ${kmDotSql("vb.v", "g.cv")} / (vb.nrm * g.cnrm) AS cos2
+       |    FROM vb JOIN grp g USING (ccell)) z
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos2 DESC, cell) = 1),
+       |flat AS (
+       |  SELECT vec_id, cell AS cell_flat FROM (
+       |    SELECT e.vec_id, cent.cell,
+       |      ${kmDotSql("e.v", "cent.cv")} / (e.nrm * cent.cnrm) AS cosf
+       |    FROM e CROSS JOIN cent) z
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cosf DESC, cell) = 1)
+       |SELECT f.vec_id, f.cell_flat, t.cell2, f.cell_flat = t.cell2 AS agree
+       |FROM flat f JOIN two t USING (vec_id)
+       |ORDER BY f.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // kNN self-join — every vector's neighbor list (the all-pairs form).
   // ---------------------------------------------------------------------
 
@@ -1951,6 +2074,7 @@ object Similarity {
     "sim_filtered_knn" -> simFilteredKnn _,
     "emb_quantize"   -> embQuantize _,
     "emb_outliers"   -> embOutliers _,
+    "emb_assign2"    -> embAssign2 _,
     "emb_kmeans"     -> embKmeans _,
     "sim_recall"     -> simRecall _,
     "sim_pq"         -> simPq _,
@@ -1967,6 +2091,7 @@ object Similarity {
     "sim_filtered_knn" -> simFilteredKnnSql,
     "emb_quantize"   -> embQuantizeSql,
     "emb_outliers"   -> embOutliersSql,
+    "emb_assign2"    -> embAssign2Sql,
     "emb_kmeans"     -> embKmeansSql,
     "sim_recall"     -> simRecallSql,
     "sim_pq"         -> simPqSql,

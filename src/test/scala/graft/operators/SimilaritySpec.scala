@@ -252,6 +252,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("emb_assign2: hierarchical assignment covers every vector and routes through real cells") {
+    import org.apache.spark.sql.functions.col
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    val out = Similarity.embAssign2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.length === n, "every vector gets a two-level home cell")
+    out.foreach { case (id, f, t, a) =>
+      assert(a === (f == t), s"vec $id agreement flag")
+    }
+    val agree = out.count(_._4).toDouble / out.length
+    // two-level can mis-route (that is the documented trade); on this
+    // corpus the majority of vectors must still land on their flat cell
+    assert(agree > 0.5 && agree <= 1.0, s"agreement $agree")
+    // cells referenced are real trained cells
+    val cells = Similarity.trainedCentroids(
+      graft.sources.Tables.embeddings(spark, sf0001),
+      Similarity.numCellsFor(n), n)
+      .select(col("cell")).collect().map(_.getInt(0)).toSet
+    out.foreach { case (id, f, t, _) =>
+      assert(cells.contains(f) && cells.contains(t), s"vec $id cells")
+    }
+    // deterministic across runs
+    val again = Similarity.embAssign2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("sim_ivf_upsert: assign-only delta equals a full rebuild under the frozen centroids") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.embeddings(spark, sf0001)
