@@ -761,34 +761,45 @@ object CorpusOps {
         col("budget"), col("alloc"), col("saturated"))
   }
 
-  val cpWaterfillSql: String = {
-    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
-    s"""WITH caps AS (
-       |  SELECT lang AS domain, CAST(SUM(len($toksSql)) AS BIGINT) AS c
-       |  FROM documents GROUP BY lang),
-       |staged AS (
+  /** The waterfill chain as reusable CTE text: expects a CTE
+    * `capsCte(domain, c)` in scope, yields `wf(domain, c, budget,
+    * alloc, saturated)` with budget = Σc // 2. Shared by the gated
+    * [[cpWaterfillSql]] mirror and [[Pipeline]]'s composed `pipe_mix`.
+    */
+  private[operators] def waterfillCtesSql(capsCte: String): String =
+    s"""wf_staged AS (
        |  SELECT domain, c,
        |    CAST(ROW_NUMBER() OVER ord AS BIGINT) AS i,
        |    CAST(SUM(c) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
        |    CAST(SUM(c) OVER () // 2 AS BIGINT) AS budget
-       |  FROM caps
+       |  FROM $capsCte
        |  WINDOW ord AS (ORDER BY c, domain)),
-       |flagged AS (
+       |wf_flagged AS (
        |  SELECT *, pp - c + c * (n - i + 1) <= budget AS saturated
-       |  FROM staged),
-       |scal AS (
+       |  FROM wf_staged),
+       |wf_scal AS (
        |  SELECT *,
        |    CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
        |    CAST(SUM(CASE WHEN saturated THEN c ELSE 0 END) OVER () AS BIGINT) AS psat
-       |  FROM flagged)
-       |SELECT domain, c AS n_tokens, budget,
-       |  CAST(CASE WHEN saturated THEN c
-       |       ELSE (budget - psat) // (n - k)
-       |            + (CASE WHEN i - k <= (budget - psat) % (n - k) THEN 1 ELSE 0 END)
-       |  END AS BIGINT) AS alloc,
-       |  saturated
-       |FROM scal
+       |  FROM wf_flagged),
+       |wf AS (
+       |  SELECT domain, c, budget,
+       |    CAST(CASE WHEN saturated THEN c
+       |         ELSE (budget - psat) // (n - k)
+       |              + (CASE WHEN i - k <= (budget - psat) % (n - k) THEN 1 ELSE 0 END)
+       |    END AS BIGINT) AS alloc,
+       |    saturated
+       |  FROM wf_scal)""".stripMargin
+
+  val cpWaterfillSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH caps AS (
+       |  SELECT lang AS domain, CAST(SUM(len($toksSql)) AS BIGINT) AS c
+       |  FROM documents GROUP BY lang),
+       |${waterfillCtesSql("caps")}
+       |SELECT domain, c AS n_tokens, budget, alloc, saturated
+       |FROM wf
        |ORDER BY domain""".stripMargin
   }
 

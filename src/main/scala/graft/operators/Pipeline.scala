@@ -485,7 +485,105 @@ object Pipeline {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // pipe_mix — waterfill-budgeted training mix in ONE plan.
+  // ---------------------------------------------------------------------
+
+  /** Composed mix assembly: quality floor → prefix-fingerprint dedup
+    * (the [[pipeE2e]] survivor stages) → per-language token capacities
+    * → [[CorpusOps.waterfillAlloc]] max-min allocation of half the
+    * surviving tokens → a salted-md5-ordered greedy cut PER LANGUAGE
+    * down to each language's allocation. One plan answers "what does
+    * tomorrow's training mix look like": per language, the available
+    * tokens, the fair allocation, and how many docs/tokens the cut
+    * actually keeps (a kept doc must FIT — `cum ≤ alloc`, unlike
+    * [[CorpusOps.tokenBudget]]'s start-before-budget rule, because an
+    * allocation is a hard ceiling where a corpus budget is a target).
+    *
+    * Scale: survivors partial-aggregate as in [[pipeQa]]; the
+    * allocation math runs on the ≤|languages| capacity relation; the
+    * per-language cut is one window over the language partitioning
+    * (the dominant-stratum caveat and two-pass fallback documented at
+    * [[CorpusOps.stratifiedSample]] apply identically). Languages
+    * whose allocation fits no document still emit their row — absence
+    * of kept docs is the finding.
+    */
+  def pipeMix(s: SparkSession, d: String): DataFrame = {
+    val kept = documents(s, d)
+      .filter(size(toks) > 0 &&
+        TextAnalysis.qualityScore(toks) >= QualityMin)
+      .select(col("doc_id"), col("lang"), toks.as("t"),
+        md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("t"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        size(col("k.t")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+    val caps = kept.groupBy(col("lang").as("domain"))
+      .agg(sum(col("n_tokens")).as("c"))
+    val alloc = CorpusOps.waterfillAlloc(caps)
+      .select(col("domain").as("lang"),
+        col("n_tokens").as("available_tokens"), col("alloc"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("__k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = kept
+      .withColumn("__k", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(alloc.select(col("lang"), col("alloc"))), Seq("lang"))
+      .filter(col("cum") <= col("alloc"))
+    val rolled = cut.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_kept"))
+    alloc.join(rolled, Seq("lang"), "left")
+      .select(col("lang"), col("available_tokens"), col("alloc"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val pipeMixSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, t,
+       |    md5(array_to_string(t[1:10], ' ')) AS fp
+       |  FROM toks
+       |  WHERE len(t) > 0 AND
+       |    ${TextAnalysis.qualityScoreSql("t")} >= $QualityMin),
+       |kept AS (
+       |  SELECT doc_id, lang, t
+       |  FROM (SELECT doc_id, lang, t,
+       |          doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+       |        FROM q) k
+       |  WHERE keep),
+       |sized AS (
+       |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens FROM kept),
+       |caps AS (
+       |  SELECT lang AS domain, CAST(SUM(n_tokens) AS BIGINT) AS c
+       |  FROM sized GROUP BY 1),
+       |${CorpusOps.waterfillCtesSql("caps")},
+       |cut AS (
+       |  SELECT s.lang, s.doc_id, s.n_tokens,
+       |    CAST(SUM(s.n_tokens) OVER (PARTITION BY s.lang
+       |      ORDER BY md5('mix:' || CAST(s.doc_id AS VARCHAR)), s.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM sized s),
+       |rolled AS (
+       |  SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept
+       |  FROM cut c JOIN wf ON c.lang = wf.domain
+       |  WHERE c.cum <= wf.alloc
+       |  GROUP BY c.lang)
+       |SELECT wf.domain AS lang, wf.c AS available_tokens, wf.alloc,
+       |  CAST(COALESCE(r.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(r.tokens_kept, 0) AS BIGINT) AS tokens_kept
+       |FROM wf LEFT JOIN rolled r ON wf.domain = r.lang
+       |ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mix"         -> pipeMix _,
     "ta_chunk"         -> taChunk _,
     "ta_pack"          -> taPack _,
     "ta_contamination" -> taContamination _,
@@ -496,6 +594,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_mix"         -> pipeMixSql,
     "ta_chunk"         -> taChunkSql,
     "ta_pack"          -> taPackSql,
     "ta_contamination" -> taContaminationSql,

@@ -120,4 +120,30 @@ class PipelineSpec extends SparkTestBase {
     assert(dropped.nonEmpty, "gate corpus must actually drop duplicates")
     assert(rows.forall { case (q, _, c) => !dropped(q) && !dropped(c) })
   }
+
+  test("pipe_mix: per-language cuts respect the waterfill allocation exactly") {
+    val rows = Pipeline.pipeMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, avail, alloc, nDocs, keptTok) =>
+      assert(keptTok <= alloc, s"$lang kept past its allocation")
+      assert(alloc <= avail, s"$lang allocated past its capacity")
+      assert(nDocs >= 0 && keptTok >= 0)
+    }
+    // the allocation is half the surviving tokens; the greedy fit-rule
+    // cut can at most leave one partial doc per language unfilled
+    val totalAvail = rows.map(_._2).sum
+    val totalAlloc = rows.map(_._3).sum
+    assert(totalAlloc === totalAvail / 2)
+    // every language row appears even if its cut kept nothing
+    val langs = graft.sources.Tables.documents(spark, sf001)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet === langs)
+    // deterministic
+    val again = Pipeline.pipeMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
