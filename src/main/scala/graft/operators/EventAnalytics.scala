@@ -445,7 +445,72 @@ object EventAnalytics {
       |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_path — most-traveled user journeys (event-type trigrams).
+  // ---------------------------------------------------------------------
+
+  val PathTopK = 20
+
+  /** Journey mining: the [[PathTopK]] most-traveled length-3 event-type
+    * paths across all users — the next order up from [[evMarkov]]'s
+    * pairwise transitions, and the summary a UX/fraud review reads
+    * first ("view>click>purchase" vs "error>error>error"). Two `lag`s
+    * on the same user window produce each consecutive triple; paths
+    * never cross a user boundary (the lags are user-partitioned).
+    *
+    * Same scale shape as the transition matrix: ONE hash exchange on
+    * `user_id`, then a wordcount aggregation onto ≤ |event types|³
+    * rows, and a rank over that tiny relation. Ties break by path
+    * string so the top-k is deterministic.
+    */
+  def evPath(s: SparkSession, d: String): DataFrame =
+    topPaths(
+      events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts_ns DIV 1000").as("ts_us")))
+      .orderBy(col("rank"))
+
+  /** Frame-parametric core of [[evPath]] over ANY
+    * `(user_id, event_type, event_id, ts_us)` frame.
+    */
+  def topPaths(ev: DataFrame, k: Int = PathTopK): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val rw = Window.orderBy(col("n").desc, col("path"))
+    ev
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      // the rank window is global but runs over the ≤|types|³ count
+      // relation, never the events — same posture as cp_waterfill
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("path"), col("n"))
+  }
+
+  val evPathSql: String =
+    s"""WITH tri AS (
+       |  SELECT lag(event_type, 2) OVER w AS p2,
+       |    lag(event_type, 1) OVER w AS p1,
+       |    event_type AS p0
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |counts AS (
+       |  SELECT p2 || '>' || p1 || '>' || p0 AS path,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tri WHERE p2 IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank,
+       |  path, n
+       |FROM counts
+       |QUALIFY rank <= $PathTopK
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path"        -> evPath _,
     "ev_funnel"      -> evFunnel _,
     "ev_retention"   -> evRetention _,
     "ev_anomaly"     -> evAnomaly _,
@@ -459,5 +524,6 @@ object EventAnalytics {
     "ev_anomaly"     -> evAnomalySql,
     "ev_attribution" -> evAttributionSql,
     "ev_markov"      -> evMarkovSql,
+    "ev_path"        -> evPathSql,
   )
 }

@@ -124,6 +124,18 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out.keySet === Set("view", "direct", "click"))
   }
 
+  test("topPaths: trigram journeys, counted across users, never across a user boundary") {
+    val ev = Seq(
+      (1L, "a", 1L, 10L), (1L, "b", 2L, 20L), (1L, "c", 3L, 30L),
+      (1L, "d", 4L, 40L),
+      (2L, "a", 5L, 5L), (2L, "b", 6L, 6L), (2L, "c", 7L, 7L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val out = EventAnalytics.topPaths(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "a>b>c", 2L), (2, "b>c>d", 1L)),
+      "a>b>c seen by both users; no path crosses from user 1 into user 2")
+  }
+
   test("transitionMatrix: per-user consecutive pairs, rows sum to probability 1") {
     // user 1: a -> b -> a;  user 2: a -> b   (no cross-user pair 'a after b of u1')
     val ev = Seq(

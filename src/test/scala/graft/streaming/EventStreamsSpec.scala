@@ -594,6 +594,42 @@ class EventStreamsSpec extends SparkTestBase {
       30L -> "direct", 23L -> "view"))
   }
 
+  test("attribution state survives a restart: a pre-restart touch credits a post-restart purchase") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-restart-attr-")
+    val cp = Files.createTempDirectory("graft-restart-attr-cp-")
+    val out = Files.createTempDirectory("graft-restart-attr-out-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def run(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val es = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        .withWatermark("ts", "0 seconds")
+        .as[EventWithTs]
+      val q = attributionStream(es, horizonNs = 60L * 60 * 1000000000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    writeTypedBatch(dir, "001.parquet", Seq((1L, 1L, t0, "click")))
+    run() // the touch is only in checkpointed state at shutdown
+    writeTypedBatch(dir, "002.parquet",
+      Seq((2L, 1L, t0 + min, "purchase")))
+    writeTypedBatch(dir, "003.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getLong(1), r.getString(3)))
+    assert(got.toSeq === Seq((2L, "click")),
+      "the restart must not lose the touch the purchase attributes to")
+  }
+
   test("randomized: streaming attribution equals the batch per-purchase rows") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(1717)
