@@ -163,6 +163,15 @@ object Events {
   def transitionMatrix(events: DataFrame): DataFrame =
     EventAnalytics.transitionMatrix(events)
 
+  /** Top-k most-traveled length-3 event-type paths (user journeys)
+    * over the same input shape —
+    * [[graft.operators.EventAnalytics.topPaths]]. Gated form:
+    * `ev_path`.
+    */
+  def topPaths(events: DataFrame,
+      k: Int = EventAnalytics.PathTopK): DataFrame =
+    EventAnalytics.topPaths(events, k)
+
   /** STREAMING anomaly scoring: watermarked hourly counts per event
     * type scored statelessly against a broadcast static baseline
     * (train the baseline batch-side with

@@ -109,10 +109,49 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the custom exec: each `purchase` joined to
+    * the user's EARLIEST at-or-after `view` ("what did they do next") —
+    * the time-mirrored contract, one peeked merge pass instead of a
+    * remembered row ([[graft.plans.AsOf.joinForward]]). Ties on
+    * (user, µs) dedupe to MIN event_id (forward picks the earliest, so
+    * the deterministic choice mirrors the direction). Oracle: DuckDB's
+    * native ASOF JOIN with the `<=` comparator.
+    */
+  def stAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+      .agg(min(col("event_id")).as("view_event_id"))
+    graft.plans.AsOf.joinForward(purchases, views,
+      probeKey = "user_id", buildKey = "v_user",
+      probeTs = "ts_us", buildTs = "view_us")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us").as("purchase_us"),
+        col("view_us"), col("view_event_id"),
+        (col("view_us") - col("ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val stAsofFwdSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id AS v_user, ts_us AS view_us, MIN(event_id) AS view_event_id
+      |      FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts_us AS purchase_us,
+      |  v.view_us, v.view_event_id, v.view_us - p.ts_us AS gap_us
+      |FROM p ASOF JOIN v ON p.user_id = v.v_user AND p.ts_us <= v.view_us
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_asof_join"   -> stAsofJoin _,
-    "st_asof_custom" -> stAsofCustom _)
+    "st_asof_custom" -> stAsofCustom _,
+    "st_asof_fwd"    -> stAsofFwd _)
   val oracles: Map[String, String] = Map(
     "st_asof_join"   -> stAsofJoinSql,
-    "st_asof_custom" -> stAsofJoinSql)
+    "st_asof_custom" -> stAsofJoinSql,
+    "st_asof_fwd"    -> stAsofFwdSql)
 }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class AsOfJoinPlan(
     probeKey: Expression, buildKey: Expression,
     probeTs: Expression, buildTs: Expression,
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
@@ -37,8 +38,8 @@ case class AsOfJoinPlan(
 
 object AsOfStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(pk, bk, pts, bts, l, r) =>
-      AsOfJoinExec(pk, bk, pts, bts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(pk, bk, pts, bts, l, r, fwd) =>
+      AsOfJoinExec(pk, bk, pts, bts, planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -46,7 +47,8 @@ object AsOfStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(
     probeKey: Expression, buildKey: Expression,
     probeTs: Expression, buildTs: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -90,6 +92,32 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
 
       val build = bIt.buffered
+      val fwd = forward
+
+      if (fwd) {
+        // FORWARD: the earliest build row with ts >= the probe's, same
+        // key. The match is PEEKED, never consumed — several probes can
+        // share one future build row; rows are only consumed once every
+        // remaining probe's ts is provably past them (probes ascend).
+        pIt.flatMap { pRow =>
+          val pKey = pKeyProj(pRow)
+          val pTs = pTsProj(pRow)
+          var advancing = true
+          while (advancing && build.hasNext) {
+            val bRow = build.head
+            val bKey = bKeyProj(bRow)
+            val kCmp = keyOrd.compare(bKey, pKey)
+            if (kCmp < 0) build.next()
+            else if (kCmp == 0 && tsOrd.compare(bTsProj(bRow), pTs) < 0)
+              build.next()
+            else advancing = false
+          }
+          if (build.hasNext &&
+              keyOrd.compare(bKeyProj(build.head), pKey) == 0)
+            Iterator.single(outProj(joined(pRow, build.head)))
+          else Iterator.empty
+        }
+      } else {
       // the remembered build row: latest (key, ts) <= current probe
       var heldKey: InternalRow = null
       var heldRow: InternalRow = null
@@ -118,6 +146,7 @@ case class AsOfJoinExec(
           Iterator.single(outProj(joined(pRow, heldRow)))
         else Iterator.empty
       }
+      }
     }
   }
 
@@ -145,6 +174,26 @@ object AsOf {
       UnresolvedAttribute(probeKey), UnresolvedAttribute(buildKey),
       UnresolvedAttribute(probeTs), UnresolvedAttribute(buildTs),
       ColumnBridge.logicalPlan(probe), ColumnBridge.logicalPlan(build))
+    ColumnBridge.dataFrame(spark, plan)
+  }
+
+  /** FORWARD as-of join through the same exec: for every probe row,
+    * the build row with the SMALLEST `buildTs >= probeTs` within the
+    * same key ("what happened next") — the time-mirrored contract of
+    * [[join]], same co-partitioned one-pass merge, except the match is
+    * peeked rather than consumed because consecutive probes may share
+    * one future build row. Keep the build side unique per (key, ts)
+    * (pre-aggregate ties) for a deterministic pick.
+    */
+  def joinForward(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, probeTs: String, buildTs: String): DataFrame = {
+    val spark = probe.sparkSession
+    ensureRegistered(spark)
+    val plan = AsOfJoinPlan(
+      UnresolvedAttribute(probeKey), UnresolvedAttribute(buildKey),
+      UnresolvedAttribute(probeTs), UnresolvedAttribute(buildTs),
+      ColumnBridge.logicalPlan(probe), ColumnBridge.logicalPlan(build),
+      forward = true)
     ColumnBridge.dataFrame(spark, plan)
   }
 
