@@ -882,7 +882,108 @@ object Dedup {
   /** Same answer as [[ddIncrementalSql]] — the bloom is plan-only. */
   val ddIncrementalBloomSql: String = ddIncrementalSql
 
+  // ---------------------------------------------------------------------
+  // dd_incremental_lsh — NEAR-dup batch-over-batch dedup.
+  // ---------------------------------------------------------------------
+
+  /** Incremental NEAR-dup dedup: every doc of today's batch probed
+    * against the seen corpus through the banded-LSH signature index —
+    * the daily-crawl-versus-lake question [[ddIncremental]] answers
+    * only for EXACT duplicates. Output: one row per batch doc with its
+    * best seen near-dup (highest estimated Jaccard, ties to the lowest
+    * seen id) or an explicit not-a-dup row. Within-batch duplicates
+    * are deliberately out of scope (compose with [[ddApplyLsh]] over
+    * the batch); the question here is strictly "is this new content
+    * already in the lake".
+    *
+    * Scale shape: the seen side's signatures and band keys ARE the
+    * persisted index a production lake maintains ([[ddIncrementalBloom]]'s
+    * posture at near-dup granularity — only the batch's signatures are
+    * computed fresh); the probe is one equi-join on the (band, keys)
+    * bucket, candidates re-score from the 64-long signatures, and the
+    * per-new-doc argmax partial-aggregates. Nothing quadratic: bucket
+    * collisions bound the pair space exactly as in [[nearDupCandidates]].
+    */
+  def ddIncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    incrementalNearDups(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-parametric core of [[ddIncrementalLsh]] over ANY batch/seen
+    * `(doc_id, text)` frames.
+    */
+  def incrementalNearDups(batch: DataFrame, seen: DataFrame,
+      minJaccard: Double = 0.3): DataFrame = {
+    val bSig = minhashSignatures(batch)
+    val sSig = minhashSignatures(seen)
+    def bandRows(sigs: DataFrame) = {
+      val keyCols = (0 until RowsPerBand).map(i =>
+        element_at(col("sig"), col("band") * RowsPerBand + i + 1).as(s"k$i"))
+      sigs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+        .select(col("doc_id") +: col("band") +: keyCols: _*)
+    }
+    val joinCond = col("a.band") === col("b.band") &&
+      (0 until RowsPerBand).map(i =>
+        col(s"a.k$i") === col(s"b.k$i")).reduce(_ && _)
+    val cand = bandRows(bSig).as("a")
+      .join(bandRows(sSig).as("b"), joinCond)
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("seen_id"))
+      .dropDuplicates("new_id", "seen_id")
+    val scored = cand
+      .join(bSig.select(col("doc_id").as("new_id"), col("sig").as("sig_a")),
+        "new_id")
+      .join(sSig.select(col("doc_id").as("seen_id"), col("sig").as("sig_b")),
+        "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        (graft.functions.MinHashSig.sigOverlap(col("sig_a"), col("sig_b"))
+          .cast(DoubleType) / NumHashes).as("est"))
+      .filter(col("est") >= minJaccard)
+    val best = scored.groupBy(col("new_id"))
+      .agg(max(struct(col("est"), (-col("seen_id")).as("nseen"),
+        col("seen_id"))).as("m"))
+      .select(col("new_id").as("doc_id"),
+        col("m.seen_id").as("match_id"), col("m.est").as("est_jaccard"))
+    batch.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id").isNotNull.as("is_near_dup"),
+        col("match_id"), col("est_jaccard"))
+  }
+
+  val ddIncrementalLshSql: String = {
+    val keyEq = (0 until RowsPerBand).map(i => s"a.k$i = b.k$i")
+      .mkString(" AND ")
+    s"""WITH $minhashCtesSql,
+       |icand AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS seen_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND $keyEq
+       |  WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
+       |iscored AS (
+       |  SELECT new_id, seen_id, $estJaccardSql AS est
+       |  FROM icand
+       |  JOIN sig sa ON sa.doc_id = seen_id
+       |  JOIN sig sb ON sb.doc_id = new_id
+       |  WHERE $estJaccardSql >= 0.3),
+       |ibest AS (
+       |  SELECT new_id, seen_id, est FROM (
+       |    SELECT new_id, seen_id, est,
+       |      ROW_NUMBER() OVER (PARTITION BY new_id
+       |        ORDER BY est DESC, seen_id) AS rn
+       |    FROM iscored) z WHERE rn = 1)
+       |SELECT t.doc_id,
+       |  ib.seen_id IS NOT NULL AS is_near_dup,
+       |  ib.seen_id AS match_id,
+       |  ib.est AS est_jaccard
+       |FROM toks t LEFT JOIN ibest ib ON t.doc_id = ib.new_id
+       |WHERE t.doc_id % 3 = 0
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental_lsh"   -> ddIncrementalLsh _,
     "dd_exact"             -> ddExact _,
     "dd_apply"             -> ddApply _,
     "dd_apply_lsh"         -> ddApplyLsh _,
@@ -910,5 +1011,6 @@ object Dedup {
     "dd_embed_cosine"      -> ddEmbedCosineSql,
     "dd_incremental"       -> ddIncrementalSql,
     "dd_incremental_bloom" -> ddIncrementalBloomSql,
+    "dd_incremental_lsh"   -> ddIncrementalLshSql,
   )
 }

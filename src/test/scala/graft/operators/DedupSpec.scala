@@ -191,4 +191,40 @@ class DedupSpec extends SparkTestBase {
         r.getLong(1).toDouble / (1e12 * r.getLong(0).toDouble))
     }
   }
+
+  test("incremental near-dup probe equals the cross-split slice of the full LSH pass") {
+    val out = Dedup.ddIncrementalLsh(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // every batch doc gets a verdict
+    val batchIds = graft.sources.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.keySet === batchIds)
+    // same banding, same signatures: the incremental probe must agree
+    // with the full-corpus LSH pass restricted to cross-split pairs
+    val full = Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossBest = full.flatMap { case (a, b, est) =>
+      (a % 3 == 0, b % 3 == 0) match {
+        case (true, false) => Seq(a -> ((est, b)))
+        case (false, true) => Seq(b -> ((est, a)))
+        case _ => Nil // new×new and seen×seen are out of scope
+      }
+    }.groupBy(_._1).map { case (id, hits) =>
+      id -> hits.map(_._2).minBy { case (est, seen) => (-est, seen) }
+    }
+    crossBest.foreach { case (id, (est, seen)) =>
+      assert(out(id) === ((true, Some(seen), Some(est))),
+        s"batch doc $id best seen match")
+    }
+    out.foreach { case (id, (flag, m, _)) =>
+      if (!crossBest.contains(id))
+        assert(!flag && m.isEmpty, s"batch doc $id must be clean")
+      m.foreach(s => assert(s % 3 != 0, s"match of $id must be a seen doc"))
+    }
+    assert(crossBest.nonEmpty, "the gate corpus has cross-split near-dups")
+  }
 }
