@@ -554,6 +554,10 @@ object Corpus {
       def mixtureSampled(rates: Map[String, Double]): DataFrame =
         Corpus.mixtureSampled(df, rates)
       def repetitionScored(): DataFrame = Corpus.repetitionScored(df)
+      def bigramScored(): DataFrame = Corpus.bigramScored(df)
+      def domainCapped(cap: Int = graft.operators.CorpusOps.DomainCap)
+          : DataFrame = Corpus.domainCapped(df, cap)
+      def dupSampled(): DataFrame = Corpus.dupSampled(df)
       def quantizedI8(): DataFrame = Corpus.quantizedI8(df)
       def semanticDupClusters(): DataFrame = Corpus.semanticDupClusters(df)
       def knnJoin(k: Int = graft.operators.Similarity.KnnK): DataFrame =
