@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated name prefixes — builder-side
+    // iteration aid only (the driver always passes exactly 2 args)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,6 +23,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (!selected(name)) ()
+      else
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,7 +35,7 @@ object Verify {
     // manifest: lets the gate detect rows-only queries that failed (they
     // have no oracle entry and would otherwise vanish silently)
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+      SparkEntry.queries.keys.toSeq.filter(selected).sorted.mkString("\n"))
     Files.writeString(Paths.get(s"$outDir/failures.txt"),
       failures.sorted.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +51,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

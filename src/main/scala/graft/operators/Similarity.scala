@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions._
 import graft.sources.Tables._
@@ -457,7 +457,16 @@ object Similarity {
       .withColumn("crank", row_number().over(w))
   }
 
-  def simIvf(s: SparkSession, d: String): DataFrame = {
+  /** The ONE definition of serving the persisted IVF-Flat index for
+    * the standard gate queries (`vec_id < NumQueryVectors`): probe the
+    * cached centroids, join probe cells against the cached inverted
+    * lists, exact-re-score candidates, per-query top-`k`. Shared by
+    * [[simIvf]] (k = [[TopK]]) and [[simHybrid]]'s dense arm
+    * (k = [[HybridArmK]]) so "the served index" means the same plan
+    * everywhere.
+    */
+  private[operators] def ivfServeTopK(s: SparkSession, d: String,
+      k: Int): DataFrame = {
     val e = embeddings(s, d)
     val cent = cachedIvfCentroids(s, d)
     val assigned = cachedIvfLists(s, d)
@@ -472,10 +481,12 @@ object Similarity {
         (VectorExpressions.dotF(col("qv"), col("cv_c")) /
           (col("qn") * col("cn_c"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
-      .orderBy(col("q_id"), col("rank"))
   }
+
+  def simIvf(s: SparkSession, d: String): DataFrame =
+    ivfServeTopK(s, d, TopK).orderBy(col("q_id"), col("rank"))
 
   val simIvfSql: String =
     s"""WITH e AS (
@@ -1920,65 +1931,65 @@ object Similarity {
   /** Hybrid retrieval: each query DOCUMENT (`doc_id < NumQueryVectors`
     * — documents and embeddings share the id space) retrieves related
     * documents through BOTH arms — lexical (BM25 over the query doc's
-    * distinct terms, the "more-like-this" mode) and dense (exact
-    * cosine over its embedding) — fused by Reciprocal Rank Fusion:
+    * distinct terms, the "more-like-this" mode) and dense (ANN over
+    * its embedding) — fused by Reciprocal Rank Fusion:
     * `rrf = Σ_arm 1/(60 + rank_arm)`, the standard score-free fusion
     * (ranks are comparable across arms where raw BM25 and cosine are
     * not). A doc missing from one arm's top-[[HybridArmK]] contributes
     * only its other rank. Self-matches are excluded from BOTH arms
     * before ranking, so arm ranks are over true candidates.
     *
+    * SERVED, both arms: the lexical arm joins the query terms against
+    * the session-cached BM25 postings index
+    * ([[graft.streaming.DocStreams.cachedPostings]] — the same
+    * build-once artifact `st_bm25` serves from; per-term df/dl/corpus
+    * stats are baked into each posting's score, so scores are
+    * IDENTICAL to the previous in-plan tf/df build, which filtered to
+    * query terms before grouping and hence computed the same per-term
+    * df), and the dense arm probes the persisted IVF inverted lists
+    * ([[ivfServeTopK]], the `sim_ivf` serve plan at k =
+    * [[HybridArmK]]). Serving cost is query-term postings + probe-cell
+    * candidates — independent of corpus size given the indexes, the
+    * posture a 100 TB hybrid endpoint requires. The IVF arm is
+    * approximate where exact cosine was not; the oracle mirrors the
+    * full IVF chain (train → assign → probe → re-score), so the gate
+    * still pins every rank.
+    *
     * Cross-engine exactness: ranks are integers; `1/(60 + rank)` is
     * one exact-rounded division; the two contributions add in a PINNED
-    * order (lexical + dense). Scale: the lexical arm is the
-    * [[TextAnalysis.taBm25]] shape (map-side vocabulary filter, the
-    * query-term table here derives from the query docs in-plan); the
-    * dense arm broadcasts the query vectors and never shuffles the
-    * corpus ([[cosineTopK]]); at scale it swaps for the served IVF
-    * index ([[simIvf]]) — fusion is rank-based, so the swap changes
-    * recall, not the fusion machinery. The fused join carries only
+    * order (lexical + dense). The fused join carries only
     * (query, doc, rank) triples — 2·ArmK rows per query.
     */
   def simHybrid(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val e = embeddings(s, d)
     val qterms = docs.filter(col("doc_id") < NumQueryVectors)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
-    // lexical arm — the bm25TopDocs shape with self-exclusion BEFORE
-    // the rank window
-    val toksC = tokens(col("text"))
-    val withDl = docs.select(col("doc_id"), size(toksC).as("dl"),
-      toksC.as("t"))
-    val stats = withDl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
-        "leftsemi")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val lexScored = tf
-      .join(broadcast(qterms), "term")
-      .join(broadcast(dfRel), "term")
-      .crossJoin(broadcast(stats))
+    // lexical arm — query terms against the cached postings index.
+    // The per-(doc, term) BM25 parts fold as QUANTIZED integers
+    // (`floor(sc·10¹²)` per posting — each sc is already bit-identical
+    // cross-engine, and an integer sum is partition-order-free where a
+    // double fold is not), so the aggregation stays a codegen'd
+    // hash-agg with map-side partials instead of a per-group
+    // collect_list + sort_array — the same exact-sum device the
+    // estimator-certification rows use.
+    val post = graft.streaming.DocStreams.cachedPostings(s, d)
+    val lexScored = post
+      .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), col("term"),
-        TextAnalysis.bm25TermScore(col("tf"), col("df"), col("dl"),
-          col("n_docs"), col("sum_dl")).as("sc"))
+      .select(col("query_id"), col("doc_id"),
+        floor(col("sc") * lit(1e12)).cast(LongType).as("sc_q"))
     val lexRank = lexScored
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("sc")))),
-        lit(0.0), (acc, x) => acc + x.getField("sc")).as("score"))
+      .agg(sum(col("sc_q")).as("score_q"))
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
       .filter(col("lex_rank") <= HybridArmK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    // dense arm — exact cosine, queries broadcast, self excluded
-    val denseRank = cosineTopK(e, e.filter(col("vec_id") < NumQueryVectors),
-      HybridArmK)
+    // dense arm — the served IVF index at arm depth, self excluded
+    // inside the serve plan
+    val denseRank = ivfServeTopK(s, d, HybridArmK)
       .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
         col("rank").cast("long").as("dense_rank"))
     val rrf =
@@ -2022,14 +2033,13 @@ object Similarity {
        |  WHERE tf.doc_id <> q.query_id),
        |lexagg AS (
        |  SELECT query_id, doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
-       |      (acc, x) -> acc + x) AS score
+       |    SUM(CAST(floor(sc * 1e12) AS BIGINT)) AS score_q
        |  FROM lexscored GROUP BY query_id, doc_id),
        |lexrank AS (
        |  SELECT query_id, doc_id, lex_rank FROM (
        |    SELECT query_id, doc_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY score DESC, doc_id) AS lex_rank
+       |        ORDER BY score_q DESC, doc_id) AS lex_rank
        |    FROM lexagg) t WHERE lex_rank <= $HybridArmK),
        |e AS (
        |  SELECT vec_id,
@@ -2038,13 +2048,27 @@ object Similarity {
        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (acc, x) -> acc + x)) AS nrm
        |  FROM embeddings),
+       |$trainedCentCtesSql,
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks
+       |           WHERE crank <= $NumProbes AND vec_id < $NumQueryVectors),
        |densescored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |  SELECT p.q_id AS query_id, a.c_id AS doc_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])),
-       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
-       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $NumQueryVectors),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id),
        |denserank AS (
        |  SELECT query_id, doc_id, dense_rank FROM (
        |    SELECT query_id, doc_id,

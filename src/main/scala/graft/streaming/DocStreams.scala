@@ -410,7 +410,7 @@ object DocStreams {
     */
   private val postingsCache = new scala.collection.concurrent.TrieMap[
     (SparkSession, String), DataFrame]
-  private[streaming] def cachedPostings(s: SparkSession,
+  private[graft] def cachedPostings(s: SparkSession,
       d: String): DataFrame =
     postingsCache.getOrElseUpdate((s, d),
       bm25Postings(graft.sources.Tables.documents(s, d)).localCheckpoint())

@@ -27,9 +27,14 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     outdir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--only=")), None)
     if "--skip-spark" not in sys.argv:
+        cmd = f'runMain graft.Verify {sfdir} {outdir}'
+        if only:
+            cmd += f' {only}'
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            ["sbt", "-batch", cmd],
             cwd="/root/repo", capture_output=True, text=True)
         sys.stdout.write("\n".join(
             l for l in r.stdout.splitlines()
