@@ -98,6 +98,41 @@ object Dedup {
           .wordShingleHashesNative(col("text"), 3)).as("sh"))
       .distinct()
 
+  /** Session-scoped cache of the shared dedup relations over the FULL
+    * corpus at `d` — the shingle relation, the MinHash signature table,
+    * and the 0.3-threshold banded-LSH candidate pairs. The suite's 18
+    * `dd_*` gates each rebuilt these independently (tokenize + hash +
+    * distinct per row — ~45 s of the round-7 full-suite 167 s); like
+    * the IVF lists / PQ codes / BM25 postings caches, this memo is the
+    * materialization a production lake persists ONCE (these ARE the
+    * dedup index artifacts a MinHash deployment maintains). Values are
+    * `localCheckpoint`ed, so the key includes the session the
+    * checkpoint lives in. NOTE the [[shingleRel]] Scaladoc's "don't
+    * persist" finding is about WITHIN-query reuse (cache
+    * materialization vs 2-3 recomputed branches of one plan); across
+    * 6+ independent gate executions the build amortizes and the
+    * tradeoff flips.
+    */
+  private val relCache = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String, String), DataFrame]
+
+  private[operators] def cachedShingleRel(s: SparkSession, d: String): DataFrame =
+    relCache.getOrElseUpdate((s, d, "shingles"),
+      shingleRel(s, d).localCheckpoint())
+
+  private[operators] def cachedSignatures(s: SparkSession, d: String): DataFrame =
+    relCache.getOrElseUpdate((s, d, "minhashsig"),
+      minhashSignatures(documents(s, d)).localCheckpoint())
+
+  /** The full-corpus banded-LSH candidate pairs at the default 0.3
+    * threshold — the near-dup pair table every LSH-sourced gate
+    * (`dd_minhash_lsh`, `dd_apply_lsh`, `dd_cluster_lsh`,
+    * `dd_minhash_est`) filters its own view of.
+    */
+  private[operators] def cachedCandidates(s: SparkSession, d: String): DataFrame =
+    relCache.getOrElseUpdate((s, d, "cand"),
+      nearDupCandidatesFromSigs(cachedSignatures(s, d)).localCheckpoint())
+
   /** DuckDB mirror of [[shingleRel]]. The hash stays UBIGINT on the
     * DuckDB side (a BIGINT cast range-checks instead of reinterpreting
     * bits): `s` is only ever a join/distinct key inside the CTEs, and
@@ -126,7 +161,7 @@ object Dedup {
     * list). Unordered and unlimited; consumers add their own view.
     */
   private[operators] def jaccardPairsAll(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRel(s, d)
+    val sh = cachedShingleRel(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -206,12 +241,20 @@ object Dedup {
     * the cap so both sides of the ratio live in the same space.
     */
   def containmentPairs(docs: DataFrame, maxDf: Int = MaxShingleDf,
-      threshold: Double = ContainThreshold): DataFrame = {
-    val sh = docs
+      threshold: Double = ContainThreshold): DataFrame =
+    containmentPairsFromShingles(docs
       .select(col("doc_id"),
         explode(graft.functions.WordShingleHashesExpr
           .wordShingleHashesNative(col("text"), 3)).as("sh"))
-      .distinct()
+      .distinct(), maxDf, threshold)
+
+  /** [[containmentPairs]] from an already-built `(doc_id, sh)` shingle
+    * relation — lets the gated entries serve from [[cachedShingleRel]]
+    * (the dedup-first variant semi-joins the cache on the kept ids,
+    * since the shingle relation is per-doc).
+    */
+  def containmentPairsFromShingles(sh: DataFrame, maxDf: Int = MaxShingleDf,
+      threshold: Double = ContainThreshold): DataFrame = {
     // no forced broadcasts here (unlike jaccardPairsAll's
     // certification-only core): hot and cnt both GROW with the corpus,
     // so the anti-join and the two count joins stay planner-sized —
@@ -240,7 +283,7 @@ object Dedup {
     * containment.
     */
   def ddContainment(s: SparkSession, d: String): DataFrame =
-    containmentPairs(documents(s, d))
+    containmentPairsFromShingles(cachedShingleRel(s, d))
       .orderBy(greatest(col("contain_a"), col("contain_b")).desc,
         col("a_id"), col("b_id"))
       .limit(100)
@@ -291,13 +334,12 @@ object Dedup {
     * removal keeps them while still collapsing the k² replica space.
     */
   def ddContainmentClean(s: SparkSession, d: String): DataFrame = {
-    val kept = documents(s, d)
-      .join(documents(s, d)
-          .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
-          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-    containmentPairs(kept)
+    val keptIds = documents(s, d)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    containmentPairsFromShingles(
+      cachedShingleRel(s, d).join(keptIds, Seq("doc_id"), "left_semi"))
       .orderBy(greatest(col("contain_a"), col("contain_b")).desc,
         col("a_id"), col("b_id"))
       .limit(100)
@@ -364,7 +406,7 @@ object Dedup {
     * is the LSH candidates instead of the exact join ([[ddApplyLsh]]).
     */
   def ddApply(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRel(s, d)
+    val sh = cachedShingleRel(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val nearDupDrop = sh.as("a")
       .join(sh.as("b"),
@@ -476,11 +518,18 @@ object Dedup {
     * would silently return a vanishing fraction of the qualifying
     * pairs, so it is rejected rather than half-honored.
     */
-  def nearDupCandidates(docs: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+  def nearDupCandidates(docs: DataFrame, minJaccard: Double = 0.3): DataFrame =
+    nearDupCandidatesFromSigs(minhashSignatures(docs), minJaccard)
+
+  /** [[nearDupCandidates]] from an already-materialized signature table
+    * — the entry the session-cached [[cachedSignatures]] feeds, so the
+    * signature build is not re-paid per gate.
+    */
+  def nearDupCandidatesFromSigs(sigs: DataFrame,
+      minJaccard: Double = 0.3): DataFrame = {
     require(minJaccard >= 0.3,
       s"minJaccard=$minJaccard is below the $Bands×$RowsPerBand banding's " +
         "recall floor (~0.3); lower thresholds need a wider banding")
-    val sigs = minhashSignatures(docs)
     // band rows carry only (doc_id, band, r key cols) — signatures are
     // NOT shuffled through the pair-join/dedup; they re-attach after.
     val keyCols = (0 until RowsPerBand).map(i =>
@@ -508,7 +557,7 @@ object Dedup {
   }
 
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
-    nearDupCandidates(documents(s, d))
+    cachedCandidates(s, d)
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
 
   /** Shared DuckDB CTE chain for the minhash+LSH pipeline (through the
@@ -595,9 +644,34 @@ object Dedup {
     * conservative direction.
     */
   def ddMinhashEst(s: SparkSession, d: String): DataFrame = {
-    val cand = nearDupCandidates(documents(s, d))
-    val exact = jaccardPairsAll(s, d)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val cand = cachedCandidates(s, d)
+    // exact arm RESTRICTED to the candidate pairs (the DuckDB mirror's
+    // shape): semi-join the shingle relation on candidate doc ids, then
+    // count common shingles per candidate pair — pair-scoped work
+    // (|cand| × shingles-per-doc rows) instead of the corpus-wide
+    // shared-shingle pair join the round-7 form paid (the last
+    // unrestricted pair join outside documented certification arms).
+    // Values are identical: a candidate pair's exact Jaccard does not
+    // depend on non-candidate docs, and zero-overlap candidates fall
+    // out of the count join exactly as they fell out of the corpus-wide
+    // pair join (both coalesce to 0 below).
+    val sh = cachedShingleRel(s, d)
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candIds), Seq("doc_id"), "leftsemi")
+    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val exact = cand.select(col("a_id"), col("b_id"))
+      .join(shc.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(shc.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(cnt.select(col("doc_id").as("a_id"),
+        col("n_sh").as("na"))), "a_id")
+      .join(broadcast(cnt.select(col("doc_id").as("b_id"),
+        col("n_sh").as("nb"))), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
     val errs = cand.join(exact, Seq("a_id", "b_id"), "left")
       .select(abs(col("est_jaccard") -
         coalesce(col("jaccard"), lit(0.0))).as("err"))

@@ -335,7 +335,7 @@ object Dedup2 {
     * the scalable edge source.
     */
   def ddClusterLsh(s: SparkSession, d: String): DataFrame =
-    clusterize(Dedup.nearDupCandidates(documents(s, d))
+    clusterize(Dedup.cachedCandidates(s, d)
       .filter(col("est_jaccard") >= ClusterThreshold)
       .select(col("a_id"), col("b_id")))
 
