@@ -416,6 +416,106 @@ object Multimodal {
       |WHERE hamming <= 6
       |ORDER BY hamming, a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_pair_mine — cross-modal caption-pair mining through the shared
+  // embedding space.
+  // ---------------------------------------------------------------------
+
+  /** Candidate text matches kept per image. */
+  val XModalTopK = 3
+
+  /** Pair-quality floor: a mined (image, text) pair below this cosine
+    * is noise, not a caption — at the gate corpora the floor prunes the
+    * weak tail of the top-3 lists (top-3 cosines span ~0.22–0.60).
+    */
+  val XModalMinCos = "0.3"
+
+  /** Cross-modal caption-pair mining: for every IMAGE row of the media
+    * table (`doc_id % 3 = 0`, the [[mediaTable]] modality split), find
+    * the top-[[XModalTopK]] TEXT rows (`doc_id % 3 ≠ 0`) by embedding
+    * cosine — the image↔text pair miner a multimodal training pipeline
+    * runs to assemble caption pairs from unaligned corpora (documents
+    * and embeddings share the id space, so a row's embedding stands in
+    * for both its rendered-image and its text representation; a real
+    * deployment swaps in per-modality encoders upstream and keeps this
+    * plan).
+    *
+    * SERVED: candidates come from the persisted IVF inverted lists
+    * ([[Similarity.cachedIvfLists]]) FILTERED to the text modality —
+    * modality is derivable from the id, so the filter prunes list rows
+    * before any scoring (the `sim_filtered_knn` posture with the filter
+    * on the stored side only; images never collide with themselves, so
+    * no self-exclusion is needed). Image probes run the one-pass
+    * centroid kernel ([[Similarity.kernelProbeCells]]); the cell join
+    * is keyed, never a crossJoin, and the query side GROWS with the
+    * corpus (n/3 rows), so no broadcast is forced — AQE broadcasts at
+    * gate scale, shuffles at 100 TB, exactly like `sim_knn_join`.
+    * Below-floor pairs drop AFTER ranking (rank is over true
+    * candidates; the floor is a quality gate on the output).
+    */
+  def mmPairMine(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val cent = Similarity.cachedIvfCentroids(s, d)
+    val textLists = Similarity.cachedIvfLists(s, d)
+      .filter(col("c_id") % 3 =!= 0)
+    val probes = Similarity.kernelProbeCells(
+      e.filter(col("vec_id") % 3 === 0), cent,
+      Similarity.NumProbes, "img_id", "qv", "qn")
+    val w = Window.partitionBy(col("img_id"))
+      .orderBy(col("cosine").desc, col("text_id"))
+    textLists.join(probes, Seq("cell"))
+      .select(col("img_id"), col("c_id").as("text_id"),
+        (graft.functions.VectorExpressions.dotF(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn_c"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= XModalTopK &&
+        col("cosine") >= lit(XModalMinCos.toDouble))
+      .select(col("img_id"), col("rank"), col("text_id"), col("cosine"))
+      .orderBy(col("img_id"), col("rank"))
+  }
+
+  /** DuckDB mirror: the full served-IVF chain (train → assign → probe →
+    * re-score) with the text-modality filter on the stored side and the
+    * image-modality filter on the probe side.
+    */
+  val mmPairMineSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |${Similarity.trainedCentCtesSqlFrom("embeddings")},
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks
+       |             WHERE crank = 1 AND vec_id % 3 <> 0),
+       |probes AS (SELECT vec_id AS img_id, cell FROM ranks
+       |           WHERE crank <= ${Similarity.NumProbes} AND vec_id % 3 = 0),
+       |scored AS (
+       |  SELECT p.img_id, a.c_id AS text_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.img_id
+       |  JOIN e ec ON ec.vec_id = a.c_id)
+       |SELECT img_id, rank, text_id, cosine
+       |FROM (SELECT img_id, text_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY img_id
+       |          ORDER BY cosine DESC, text_id) AS BIGINT) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $XModalTopK AND cosine >= $XModalMinCos
+       |ORDER BY img_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"            -> mmMeta _,
     "mm_decode_features" -> mmDecodeFeatures _,
@@ -423,6 +523,7 @@ object Multimodal {
     "mm_resize"          -> mmResize _,
     "mm_audio_energy"    -> mmAudioEnergy _,
     "mm_phash_dup"       -> mmPhashDup _,
+    "mm_pair_mine"       -> mmPairMine _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +533,6 @@ object Multimodal {
     "mm_resize"          -> mmResizeSql,
     "mm_audio_energy"    -> mmAudioEnergySql,
     "mm_phash_dup"       -> mmPhashDupSql,
+    "mm_pair_mine"       -> mmPairMineSql,
   )
 }

@@ -109,4 +109,47 @@ class MultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("mm_pair_mine: modality split, rank contract, and quality floor") {
+    val rows = Multimodal.mmPairMine(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 == 0, "probe side is the image modality")
+      assert(r.getLong(2) % 3 != 0, "stored side is the text modality")
+      assert(r.getDouble(3) >= Multimodal.XModalMinCos.toDouble,
+        "every mined pair clears the quality floor")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (img, rs) =>
+      assert(rs.length <= Multimodal.XModalTopK)
+      // ranks are 1..k BEFORE the floor, so kept ranks are a prefix-free
+      // subset of 1..k that is strictly increasing in rank order and
+      // non-increasing in cosine
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).distinct.length == sorted.length,
+        s"image $img has duplicate ranks")
+      sorted.map(_.getDouble(3)).sliding(2).filter(_.length == 2)
+        .foreach(w => assert(w(0) >= w(1),
+          s"image $img cosine increases down the ranking"))
+    }
+  }
+
+  test("mm_pair_mine: served candidates agree with brute force where both rank") {
+    // the IVF arm is approximate; where it DOES return a pair, the
+    // cosine must equal the brute-force cosine for that pair exactly
+    // (the serve path re-scores with the true vectors)
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val mined = Multimodal.mmPairMine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val brute = Similarity.cosineTopK(
+      e.filter(col("vec_id") % 3 =!= 0),
+      e.filter(col("vec_id") % 3 === 0), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlap = mined.keySet.intersect(brute.keySet)
+    assert(overlap.nonEmpty, "served and brute top-3 share pairs")
+    overlap.foreach { k =>
+      assert(mined(k) == brute(k), s"cosine mismatch on $k")
+    }
+  }
 }
