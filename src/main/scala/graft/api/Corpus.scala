@@ -529,6 +529,53 @@ object Corpus {
       k: Int = graft.operators.Pipeline.PairsK): DataFrame =
     graft.operators.Pipeline.minedPairs(docs, vectors, k)
 
+  /** Cross-modal pair mining over YOUR frames (the gated `mm_pair_mine`
+    * pass): top-`k` `texts` neighbors for every `images` vector via a
+    * flat-IVF index trained on the text side, keeping pairs at or
+    * above the `minCos` quality floor. Ids are assumed disjoint across
+    * the two frames. Output `(img_id, rank, text_id, cosine)`; ranks
+    * are assigned BEFORE the floor, so kept ranks may be a sparse
+    * prefix of 1..k. Approximate by construction ([[Similarity.annJoin]]).
+    */
+  def crossModalPairs(images: DataFrame, texts: DataFrame,
+      k: Int = graft.operators.Multimodal.XModalTopK,
+      minCos: Double = graft.operators.Multimodal.XModalMinCos.toDouble,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    graft.operators.Similarity.annJoin(
+      texts.select(col(id).as("vec_id"), col(vec).as("embedding")),
+      images.select(col(id).as("vec_id"), col(vec).as("embedding")), k)
+      .filter(col("cosine") >= minCos)
+      .select(col("q_id").as("img_id"), col("rank"),
+        col("c_id").as("text_id"), col("cosine"))
+
+  /** Hybrid more-like-this over YOUR frames (the gated `sim_hybrid`
+    * fusion): for each doc id in `queryIds`, retrieve related docs
+    * through a BM25 lexical arm (postings built in-plan over `docs` —
+    * swap for a persisted index at scale, as the gate does) and an
+    * exact-cosine dense arm over `vectors`, fused by Reciprocal Rank
+    * Fusion. `docs` is `(doc_id, text)`-shaped, `vectors`
+    * `(vec_id, embedding)`-shaped, sharing the id space. Output
+    * `(query_id, rank, doc_id, lex_rank, dense_rank, rrf_score)`.
+    */
+  def hybridTopK(docs: DataFrame, vectors: DataFrame,
+      queryIds: Seq[Long],
+      armK: Int = graft.operators.Similarity.HybridArmK,
+      topK: Int = graft.operators.Similarity.HybridTopK): DataFrame = {
+    val S = graft.operators.Similarity
+    val qset = queryIds.toSet
+    val isQuery = col("doc_id").isInCollection(qset)
+    val qterms = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(graft.functions.tokens(col("text"))))
+          .as("term"))
+    val post = graft.streaming.DocStreams.bm25Postings(docs)
+    val dense = S.cosineTopK(vectors,
+      vectors.filter(col("vec_id").isInCollection(qset)), armK)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    S.hybridFuse(qterms, post, dense, armK, topK)
+  }
+
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */
   object implicits {
     implicit class CorpusOps(private val df: DataFrame) {

@@ -817,6 +817,36 @@ object Similarity {
     knnJoinWithCentroids(e, cachedIvfCentroids(s, d), KnnK)
   }
 
+  /** Frame-parametric cross-corpus ANN join: top-`k` `corpus` rows for
+    * every `queries` vector through a flat-IVF index trained on the
+    * CORPUS side (the side being indexed) — the asymmetric sibling of
+    * [[knnJoinWithCentroids]] for query/corpus frames from DIFFERENT
+    * populations (cross-modal pair mining, probe-batch-vs-lake joins).
+    * Ids are assumed disjoint across frames, so no self-exclusion; both
+    * frames are `(vec_id, embedding)`-shaped. The cell join is keyed
+    * and unbroadcast (both sides can grow). Approximate by
+    * construction: a true neighbor in an unprobed cell is missed.
+    */
+  def annJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      numProbes: Int = NumProbes): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val n = c.count()
+    val cent = trainedCentroids(c, numCellsFor(n), n).localCheckpoint()
+    val assigned = kernelProbeCells(c, cent, 1, "c_id", "cv_c", "cn_c")
+    val probes = kernelProbeCells(
+      queries.select(col("vec_id"), col("embedding")), cent, numProbes,
+      "q_id", "qv", "qn")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    assigned.join(probes, Seq("cell"))
+      .select(col("q_id"), col("c_id"),
+        (VectorExpressions.dotF(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn_c"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
   /** Metadata-FILTERED ANN: top-k neighbors restricted to corpus
     * vectors sharing the query's `label` — the filtered-search shape
     * every production vector index needs (RAG over one tenant/language,
@@ -1974,6 +2004,26 @@ object Similarity {
     // collect_list + sort_array — the same exact-sum device the
     // estimator-certification rows use.
     val post = graft.streaming.DocStreams.cachedPostings(s, d)
+    // dense arm — the served IVF index at arm depth, self excluded
+    // inside the serve plan
+    val denseRank = ivfServeTopK(s, d, HybridArmK)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    hybridFuse(qterms, post, denseRank)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The ONE definition of the hybrid lexical-arm ranking + RRF fusion:
+    * `qterms (query_id, term)` joins a postings relation `(term,
+    * doc_id, sc)` (any source — the session-cached index in the gate,
+    * an in-plan build in the facade), per-(query, doc) BM25 parts fold
+    * as quantized integers, arm ranks fuse with an externally-supplied
+    * dense arm by `Σ 1/(60 + rank)`. Self-matches are excluded on the
+    * lexical side here; the dense arm excludes its own.
+    */
+  private[graft] def hybridFuse(qterms: DataFrame, post: DataFrame,
+      denseRank: DataFrame, armK: Int = HybridArmK,
+      topK: Int = HybridTopK): DataFrame = {
     val lexScored = post
       .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
@@ -1985,13 +2035,8 @@ object Similarity {
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
-      .filter(col("lex_rank") <= HybridArmK)
+      .filter(col("lex_rank") <= armK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    // dense arm — the served IVF index at arm depth, self excluded
-    // inside the serve plan
-    val denseRank = ivfServeTopK(s, d, HybridArmK)
-      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
-        col("rank").cast("long").as("dense_rank"))
     val rrf =
       coalesce(lit(1.0) / (lit(RrfK.toDouble) +
         col("lex_rank").cast(DoubleType)), lit(0.0)) +
@@ -2003,10 +2048,9 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= HybridTopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("lex_rank"), col("dense_rank"), col("rrf_score"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   val simHybridSql: String =

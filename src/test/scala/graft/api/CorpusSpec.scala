@@ -385,4 +385,56 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(tmApi === tmGated && tmApi.nonEmpty)
   }
+
+  test("crossModalPairs facade mines disjoint-id pairs with exact re-scored cosines") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val images = e.filter($"vec_id" % 3 === 0)
+    val texts = e.filter($"vec_id" % 3 =!= 0)
+    val mined = Corpus.crossModalPairs(images, texts, k = 3, minCos = 0.0)
+      .collect()
+    assert(mined.nonEmpty)
+    mined.foreach { r =>
+      assert(r.getLong(0) % 3 == 0 && r.getLong(2) % 3 != 0)
+    }
+    // re-scored cosines are exact: equal to brute force on shared pairs
+    val brute = Corpus.cosineTopK(texts, images, k = 3,
+      excludeSelfIds = false).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlap = mined.filter(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(overlap.nonEmpty)
+    overlap.foreach(r =>
+      assert(brute((r.getLong(0), r.getLong(2))) == r.getDouble(3)))
+  }
+
+  test("hybridTopK facade reproduces the gated sim_hybrid's lexical arm shape") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val ids = (0L until graft.operators.Similarity.NumQueryVectors)
+    val out = Corpus.hybridTopK(docs, e, ids).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet == ids.toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= graft.operators.Similarity.HybridTopK)
+      rows.foreach { r =>
+        assert(r.getLong(2) != r.getLong(0), "no self matches")
+        val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        val dense = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        val expected =
+          lex.map(v => 1.0 / (60.0 + v)).getOrElse(0.0) +
+            dense.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+        assert(r.getDouble(5) == expected)
+      }
+    }
+    // the facade's LEXICAL ranks equal the gated query's (same postings
+    // math; the dense arms differ by design — exact vs served IVF)
+    val gatedLex = graft.operators.Similarity.simHybrid(spark, sf0001)
+      .collect().filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val apiLex = out.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val shared = gatedLex.keySet.intersect(apiLex.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(gatedLex(k) == apiLex(k), s"lex rank on $k"))
+  }
 }
