@@ -111,17 +111,18 @@ object Dedup {
     * persist" finding is about WITHIN-query reuse (cache
     * materialization vs 2-3 recomputed branches of one plan); across
     * 6+ independent gate executions the build amortizes and the
-    * tradeoff flips.
+    * tradeoff flips. Population and lifetime guards live in
+    * [[RelCache]].
     */
-  private val relCache = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String, String), DataFrame]
+  private val relCache =
+    new RelCache[(SparkSession, String, String)](_._1)
 
   private[operators] def cachedShingleRel(s: SparkSession, d: String): DataFrame =
-    relCache.getOrElseUpdate((s, d, "shingles"),
+    relCache.getOrBuild((s, d, "shingles"))(
       shingleRel(s, d).localCheckpoint())
 
   private[operators] def cachedSignatures(s: SparkSession, d: String): DataFrame =
-    relCache.getOrElseUpdate((s, d, "minhashsig"),
+    relCache.getOrBuild((s, d, "minhashsig"))(
       minhashSignatures(documents(s, d)).localCheckpoint())
 
   /** The full-corpus banded-LSH candidate pairs at the default 0.3
@@ -130,7 +131,7 @@ object Dedup {
     * `dd_minhash_est`) filters its own view of.
     */
   private[operators] def cachedCandidates(s: SparkSession, d: String): DataFrame =
-    relCache.getOrElseUpdate((s, d, "cand"),
+    relCache.getOrBuild((s, d, "cand"))(
       nearDupCandidatesFromSigs(cachedSignatures(s, d)).localCheckpoint())
 
   /** DuckDB mirror of [[shingleRel]]. The hash stays UBIGINT on the

@@ -138,35 +138,107 @@ object Dedup2 {
     */
   val PropagationRoundCap = 8
 
-  /** Connected components of an undirected edge list: iterated
-    * min-label propagation — `comp(v) ← min(comp(v), min over
-    * neighbors comp(u))` — with an AUTOMATIC fallback to
-    * [[connectedComponentsStar]] if propagation has not converged
-    * within [[PropagationRoundCap]] rounds. Propagation is
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges two long columns `a_id`, `b_id`; undirected.
+    * @return one row per vertex: `id`, `comp` (min vertex id in its
+    *         component).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // Two-tier dispatch, the same small-side judgment a broadcast join
+    // makes: the DEDUPLICATED duplicate graph is orders of magnitude
+    // smaller than the corpus (edges exist only between near-identical
+    // pairs), and every distributed CC round costs 2-3 driver-scheduled
+    // jobs regardless of size — a 920-edge semantic graph measured
+    // 11.6 s through the iterative arm (8 capped propagation rounds +
+    // star fallback, pure per-round overhead) vs <0.5 s through a
+    // driver union-find. Below the cap, collect the edge list (≤ ~64 MB
+    // of long pairs, the broadcast-threshold ballpark) and solve
+    // exactly; above it, run the distributed propagation/contraction
+    // arm unchanged. Both label every vertex with its component's min
+    // id, so the cutover is result-invisible (spec-pinned equality).
+    // The checkpoint materializes the (possibly expensive) edge plan
+    // ONCE for the count and whichever arm runs.
+    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+    if (e.count() <= DriverCcMaxEdges) connectedComponentsDriver(e)
+    else connectedComponentsInstrumented(e)._1
+  }
+
+  /** Edge-count ceiling for the driver union-find arm of
+    * [[connectedComponents]] — 4M edges ≈ 64 MB of raw long pairs
+    * collected, the small-relation ballpark AQE broadcasts. Above it
+    * the distributed arm runs; the cap is on the THRESHOLDED duplicate
+    * graph, not the corpus, so a 100 TB dedup with a sane threshold
+    * usually still lands under it (and degrades to the distributed arm,
+    * not to failure, when it doesn't).
+    */
+  val DriverCcMaxEdges: Long = 1L << 22
+
+  /** Exact driver-side connected components: path-halving union-find
+    * over the collected edge array, then one pass pinning each root to
+    * its component's min member id. O(E α(V)) and allocation-light
+    * (primitive arrays after an id-compaction map). Same contract as
+    * the distributed arm: one `(id, comp)` row per vertex that appears
+    * in an edge, comp = min member id.
+    */
+  private[operators] def connectedComponentsDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.select(col("a_id"), col("b_id")).collect()
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def ix(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; ids.size - 1 })
+    val ea = new Array[Int](pairs.length)
+    val eb = new Array[Int](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      ea(i) = ix(pairs(i).getLong(0)); eb(i) = ix(pairs(i).getLong(1)); i += 1
+    }
+    val parent = Array.tabulate(ids.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    i = 0
+    while (i < ea.length) {
+      val ra = find(ea(i)); val rb = find(eb(i))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
+    }
+    val minId = new Array[Long](ids.size)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    i = 0
+    while (i < ids.size) {
+      val r = find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.size)
+    i = 0
+    while (i < ids.size) { out(i) = (ids(i), minId(find(i))); i += 1 }
+    import spark.implicits._
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("id", "comp")
+  }
+
+  /** The DISTRIBUTED components arm, plus (total rounds, whether the
+    * star fallback fired) — the spec hook for the cap-and-fallback
+    * behavior. Iterated min-label propagation — `comp(v) ←
+    * min(comp(v), min over neighbors comp(u))` — with an AUTOMATIC
+    * fallback to [[connectedComponentsStar]] if propagation has not
+    * converged within [[PropagationRoundCap]] rounds. Propagation is
     * deterministic (min is order-free) and converges in rounds =
     * graph diameter with better constants per round (one groupBy +
     * one join, a scalar-aggregate convergence check); near-dup
     * components are near-cliques, so 2–3 rounds in practice and the
     * fallback never fires. Chain-shaped graphs regress propagation to
     * diameter-many rounds — there the cap trips and star contraction
-    * finishes in O(log n) rounds (spec-pinned on a 1024-node chain
-    * routed through THIS entry point). Both variants label every
-    * vertex with its component's min id, so the fallback is
-    * result-invisible. Each propagation round is one shuffle (the
-    * groupBy); `localCheckpoint` cuts the growing lineage so round
-    * N's plan doesn't replay rounds 1..N-1 (on a cluster,
-    * `checkpoint` to reliable storage instead).
-    *
-    * @param edges two long columns `a_id`, `b_id`; undirected.
-    * @return one row per vertex: `id`, `comp` (min vertex id in its
-    *         component).
-    */
-  def connectedComponents(edges: DataFrame): DataFrame =
-    connectedComponentsInstrumented(edges)._1
-
-  /** [[connectedComponents]] plus (total rounds, whether the star
-    * fallback fired) — the spec hook for the cap-and-fallback
-    * behavior.
+    * finishes in O(log n) rounds (spec-pinned on a 1024-node chain).
+    * Both variants label every vertex with its component's min id, so
+    * the fallback is result-invisible. Each propagation round is one
+    * shuffle (the groupBy); `localCheckpoint` cuts the growing
+    * lineage so round N's plan doesn't replay rounds 1..N-1 (on a
+    * cluster, `checkpoint` to reliable storage instead).
     */
   private[operators] def connectedComponentsInstrumented(
       edges: DataFrame): (DataFrame, Int, Boolean) = {
@@ -485,15 +557,45 @@ object Dedup2 {
     */
   val SemanticThreshold = 0.4
 
+  /** Session-scoped cache of the semantic-dedup relations over the
+    * FULL corpus at `d` — the normalized-embedding frame, the
+    * hyperplane-LSH bucket relation, and the deduped candidate-id
+    * pairs. The MinHash side got this treatment in round 8
+    * ([[Dedup.cachedShingleRel]] etc.); these are the embedding-side
+    * equivalents — exactly the artifacts a production SemDeDup
+    * deployment persists once (normalized vectors + bucket index).
+    * Values are `localCheckpoint`ed, identical by construction to the
+    * inline builds (same expressions over the same scan), so all
+    * oracle hashes are unchanged. Guards live in [[RelCache]].
+    */
+  private val semCache =
+    new RelCache[(SparkSession, String, String)](_._1)
+
+  private[operators] def cachedNormEmbeddings(s: SparkSession,
+      d: String): DataFrame =
+    semCache.getOrBuild((s, d, "semnorm"))(
+      normRel(embeddings(s, d)).localCheckpoint())
+
+  private[operators] def cachedSemBuckets(s: SparkSession,
+      d: String): DataFrame =
+    semCache.getOrBuild((s, d, "sembuckets"))(
+      bucketRel(embeddings(s, d)).localCheckpoint())
+
+  private[operators] def cachedSemCandidates(s: SparkSession,
+      d: String): DataFrame =
+    semCache.getOrBuild((s, d, "semcand"))(
+      candidatesFromBuckets(cachedSemBuckets(s, d)).localCheckpoint())
+
   /** Exact-edge semantic dedup: all-pairs cosine ≥
     * [[SemanticThreshold]] (the same bit-exact left-fold kernels as
     * `dd_embed_cosine`) → connected components. The quadratic edge
     * source is the certification arm; [[ddSemanticLsh]] is the scale
-    * arm.
+    * arm. The input scan is the session-cached normalized frame —
+    * the pair join stays quadratic by design, but the corpus
+    * normalization needn't be rebuilt per run.
     */
   def ddSemantic(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    val e = cachedNormEmbeddings(s, d)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
@@ -517,31 +619,55 @@ object Dedup2 {
     * literals).
     */
   def ddSemanticLsh(s: SparkSession, d: String): DataFrame =
-    semanticClusters(embeddings(s, d))
+    semanticClustersFrom(cachedSemCandidates(s, d),
+      cachedNormEmbeddings(s, d), SemanticThreshold)
 
-  /** Frame-parametric core of [[ddSemanticLsh]] over ANY `(vec_id,
-    * embedding)` frame — the form `graft.api.Corpus.semanticDupClusters`
-    * exposes.
+  /** The hyperplane-LSH bucket relation of an embedding frame. Bucket
+    * rows carry ONLY (vec_id, table, bucket) — vectors are NOT
+    * shuffled through the pair-join/dedup, they re-attach after (the
+    * same narrow-candidates shape as Dedup.nearDupCandidates; the
+    * wide-row variant measured 5× slower at the 10× probe, where each
+    * candidate pair dragged two 64-float arrays through the shuffle).
     */
-  def semanticClusters(e: DataFrame,
-      threshold: Double = SemanticThreshold): DataFrame = {
-    // bucket rows carry ONLY (vec_id, table, bucket) — vectors are NOT
-    // shuffled through the pair-join/dedup, they re-attach after (the
-    // same narrow-candidates shape as Dedup.nearDupCandidates; the
-    // wide-row variant measured 5× slower at the 10× probe, where each
-    // candidate pair dragged two 64-float arrays through the shuffle)
-    val bk = e.select(col("vec_id"),
+  private[operators] def bucketRel(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBuckets
         .hyperplaneBuckets(col("embedding"))).as(Seq("table", "bucket")))
-    val candIds = bk.as("a")
+
+  /** Deduped candidate-id pairs from a bucket relation: vectors
+    * sharing a bucket in ANY table, each unordered pair once.
+    */
+  private[operators] def candidatesFromBuckets(bk: DataFrame): DataFrame =
+    bk.as("a")
       .join(bk.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val withNorm = e.select(col("vec_id"), col("embedding"),
+
+  /** The `(vec_id, embedding, nrm)` normalized frame both semantic
+    * arms score from.
+    */
+  private[operators] def normRel(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
       graft.functions.VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+
+  /** Frame-parametric core of [[ddSemanticLsh]] over ANY `(vec_id,
+    * embedding)` frame — the form `graft.api.Corpus.semanticDupClusters`
+    * exposes. Builds the relations in-plan; the gate serves them from
+    * the session cache instead.
+    */
+  def semanticClusters(e: DataFrame,
+      threshold: Double = SemanticThreshold): DataFrame =
+    semanticClustersFrom(candidatesFromBuckets(bucketRel(e)), normRel(e),
+      threshold)
+
+  /** Exact-score + threshold + cluster over pre-built candidate and
+    * normalized relations (cached in the gate, in-plan in the API).
+    */
+  private def semanticClustersFrom(candIds: DataFrame, withNorm: DataFrame,
+      threshold: Double): DataFrame = {
     val edges = candIds
       .join(withNorm.select(col("vec_id").as("a_id"),
         col("embedding").as("ea"), col("nrm").as("na")), "a_id")

@@ -275,19 +275,20 @@ object Similarity {
     * pinned in the block manager), so the key includes the session the
     * checkpoint lives in. Training is deterministic (modulo sample +
     * rank seeds), so cache hits are result-identical to retraining.
+    * Population and lifetime guards live in [[RelCache]].
     */
-  private val indexCache = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String, String), DataFrame]
+  private val indexCache =
+    new RelCache[(SparkSession, String, String)](_._1)
 
   private[operators] def cachedIvfCentroids(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d, "ivf"),
+    indexCache.getOrBuild((s, d, "ivf"))(
       ivfCentroids(embeddings(s, d)))
 
   private def cachedPqCodebooks(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d, "pq"), {
+    indexCache.getOrBuild((s, d, "pq")) {
       val e = embeddings(s, d)
       pqIndex(e, e.count()).localCheckpoint()
-    })
+    }
 
   /** The encoded CODES table (`(c_id, sub, cell)`, [[PqM]] rows per
     * corpus vector) — the other half of a persisted PQ index. Encoding
@@ -336,7 +337,7 @@ object Similarity {
           PqSubDim)).as(Seq("sub", "cell")))
 
   private[operators] def cachedPqCodes(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d, "pqcodes"), {
+    indexCache.getOrBuild((s, d, "pqcodes")) {
       // Collect the trained codebook (M×K tiny rows) and inline it into
       // the one-pass native encode kernel: the declarative
       // pqAssignAll(pqSubAll(corpus)) encode materializes n×M×K scored
@@ -350,14 +351,14 @@ object Similarity {
       pqKernelCodes(embeddings(s, d), arrays)
         .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
         .localCheckpoint()
-    })
+    }
 
   /** The corpus→cell coarse assignment (`(c_id, icell)`, one row per
     * vector) of the trained IVF index — the inverted-file lists
     * themselves, built once like the codes table.
     */
   private[operators] def cachedIvfAssignment(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d, "ivfassign"),
+    indexCache.getOrBuild((s, d, "ivfassign"))(
       // the narrow (c_id, icell) projection of the inverted lists —
       // derived from the checkpointed [[cachedIvfLists]] so the build
       // runs the n×k assignment kernel ONCE for both artifacts (the
@@ -380,7 +381,7 @@ object Similarity {
     * same trained centroids), so the DuckDB mirrors are unchanged.
     */
   private[operators] def cachedIvfLists(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d, "ivflists"),
+    indexCache.getOrBuild((s, d, "ivflists"))(
       kernelProbeCells(embeddings(s, d), cachedIvfCentroids(s, d), 1,
         "c_id", "cv_c", "cn_c", carry = Seq("label")).localCheckpoint())
 
@@ -540,16 +541,16 @@ object Similarity {
     * inverted lists, both cached like every other index artifact.
     */
   private def cachedBaseIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val cent = indexCache.getOrElseUpdate((s, d, "ivfbase"), {
+    val cent = indexCache.getOrBuild((s, d, "ivfbase")) {
       val e = embeddings(s, d)
       val base = e.filter(col("vec_id") < upsertThreshold(e.count()))
       ivfCentroids(base)
-    })
-    val lists = indexCache.getOrElseUpdate((s, d, "ivfbaselists"), {
+    }
+    val lists = indexCache.getOrBuild((s, d, "ivfbaselists")) {
       val e = embeddings(s, d)
       kernelProbeCells(e.filter(col("vec_id") < upsertThreshold(e.count())),
         cent, 1, "c_id", "cv_c", "cn_c").localCheckpoint()
-    })
+    }
     (cent, lists)
   }
 

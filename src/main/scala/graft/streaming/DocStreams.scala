@@ -408,11 +408,11 @@ object DocStreams {
     * linear postings build per execution (measured 36 s at the 100×
     * probe corpus vs ~1 s serve-only).
     */
-  private val postingsCache = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String), DataFrame]
+  private val postingsCache =
+    new graft.operators.RelCache[(SparkSession, String)](_._1)
   private[graft] def cachedPostings(s: SparkSession,
       d: String): DataFrame =
-    postingsCache.getOrElseUpdate((s, d),
+    postingsCache.getOrBuild((s, d))(
       bm25Postings(graft.sources.Tables.documents(s, d)).localCheckpoint())
 
   def bm25Serve(queries: DataFrame, corpus: DataFrame,

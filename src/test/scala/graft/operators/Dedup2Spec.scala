@@ -80,6 +80,29 @@ class Dedup2Spec extends SparkTestBase {
       s"near-clique graph took $rounds rounds (star=$usedStar)")
   }
 
+  test("driver union-find arm labels exactly like both distributed arms") {
+    import spark.implicits._
+    // mixed shapes — chains (high diameter), a triangle, a pair, plus
+    // a pseudo-random graph — the cutover in connectedComponents must
+    // be result-invisible vs propagation AND star contraction
+    val rng = new scala.util.Random(7)
+    val random = Seq.fill(300)((rng.nextInt(120).toLong,
+      rng.nextInt(120).toLong + 100L))
+    val edges = (Seq((2L, 1L), (2L, 3L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (31L, 30L)) ++
+      (500L until 540L).map(i => (i, i + 1)) ++ random)
+      .toDF("a_id", "b_id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = toMap(Dedup2.connectedComponentsDriver(edges))
+    val prop = toMap(Dedup2.connectedComponentsInstrumented(edges)._1)
+    val star = toMap(Dedup2.connectedComponentsStar(edges))
+    assert(driver == prop)
+    assert(driver == star)
+    // and the public entry (which dispatches on edge count) agrees too
+    assert(toMap(Dedup2.connectedComponents(edges)) == driver)
+  }
+
   test("star contraction: empty edge list yields zero rows in zero rounds") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
