@@ -529,51 +529,88 @@ object Corpus {
       k: Int = graft.operators.Pipeline.PairsK): DataFrame =
     graft.operators.Pipeline.minedPairs(docs, vectors, k)
 
+  /** Build a flat-IVF [[AnnIndex]] over a `(id, vec)` frame — the
+    * handle every serve-side entry here accepts, so one training pass
+    * answers many query batches (the session-cache posture of the
+    * gated queries, in explicit-handle form for caller-owned frames).
+    */
+  def buildAnnIndex(corpus: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): AnnIndex =
+    Indexes.buildAnn(corpus, id, vec)
+
   /** Cross-modal pair mining over YOUR frames (the gated `mm_pair_mine`
     * pass): top-`k` `texts` neighbors for every `images` vector via a
-    * flat-IVF index trained on the text side, keeping pairs at or
-    * above the `minCos` quality floor. Ids are assumed disjoint across
-    * the two frames. Output `(img_id, rank, text_id, cosine)`; ranks
-    * are assigned BEFORE the floor, so kept ranks may be a sparse
-    * prefix of 1..k. Approximate by construction ([[Similarity.annJoin]]).
+    * flat-IVF index over the text side, keeping pairs at or above the
+    * `minCos` quality floor. Ids are assumed disjoint across the two
+    * frames. Output `(img_id, rank, text_id, cosine)`; ranks are
+    * assigned BEFORE the floor, so kept ranks may be a sparse prefix
+    * of 1..k. Approximate by construction.
+    *
+    * Pass `index` (from [[buildAnnIndex]] over `texts`) to mine many
+    * image batches against ONE trained index — without it, each call
+    * trains afresh (correct, but the per-call cost a production pair
+    * miner avoids; `CorpusSpec` pins result equality between the two
+    * paths and that the served call re-runs no training).
     */
   def crossModalPairs(images: DataFrame, texts: DataFrame,
       k: Int = graft.operators.Multimodal.XModalTopK,
       minCos: Double = graft.operators.Multimodal.XModalMinCos.toDouble,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    graft.operators.Similarity.annJoin(
-      texts.select(col(id).as("vec_id"), col(vec).as("embedding")),
-      images.select(col(id).as("vec_id"), col(vec).as("embedding")), k)
+      id: String = "vec_id", vec: String = "embedding",
+      index: Option[AnnIndex] = None): DataFrame = {
+    val idx = index.getOrElse(buildAnnIndex(texts, id, vec))
+    idx.topK(
+        images.select(col(id).as("vec_id"), col(vec).as("embedding")), k)
       .filter(col("cosine") >= minCos)
       .select(col("q_id").as("img_id"), col("rank"),
         col("c_id").as("text_id"), col("cosine"))
+  }
+
+  /** Build a [[HybridIndex]] over a `(doc_id, text)` docs frame and
+    * its id-linked `(vec_id, embedding)` vectors frame: the BM25
+    * postings relation plus the dense [[AnnIndex]], both materialized
+    * — the two artifacts a hybrid endpoint persists once.
+    */
+  def buildHybridIndex(docs: DataFrame, vectors: DataFrame): HybridIndex =
+    HybridIndex(
+      graft.streaming.DocStreams.bm25Postings(docs).localCheckpoint(),
+      buildAnnIndex(vectors))
 
   /** Hybrid more-like-this over YOUR frames (the gated `sim_hybrid`
-    * fusion): for each doc id in `queryIds`, retrieve related docs
-    * through a BM25 lexical arm (postings built in-plan over `docs` —
-    * swap for a persisted index at scale, as the gate does) and an
-    * exact-cosine dense arm over `vectors`, fused by Reciprocal Rank
-    * Fusion. `docs` is `(doc_id, text)`-shaped, `vectors`
+    * fusion, SERVE POSTURE on both arms): for each doc id in
+    * `queryIds`, retrieve related docs through a BM25 lexical arm
+    * (query terms joined against the index's postings) and a dense arm
+    * probing the index's IVF inverted lists at arm depth (self
+    * excluded — queries come from the corpus), fused by Reciprocal
+    * Rank Fusion. `docs` is `(doc_id, text)`-shaped, `vectors`
     * `(vec_id, embedding)`-shaped, sharing the id space. Output
     * `(query_id, rank, doc_id, lex_rank, dense_rank, rrf_score)`.
+    *
+    * Pass `index` (from [[buildHybridIndex]]) to serve many query
+    * batches from ONE build — the gates' session-cache posture as an
+    * explicit handle; without it, each call builds both index halves
+    * in-plan. `CorpusSpec` pins path equality, equality with the gated
+    * `sim_hybrid` on the gate's query set, and that the served call
+    * re-runs no training.
     */
   def hybridTopK(docs: DataFrame, vectors: DataFrame,
       queryIds: Seq[Long],
       armK: Int = graft.operators.Similarity.HybridArmK,
-      topK: Int = graft.operators.Similarity.HybridTopK): DataFrame = {
+      topK: Int = graft.operators.Similarity.HybridTopK,
+      index: Option[HybridIndex] = None): DataFrame = {
     val S = graft.operators.Similarity
+    val idx = index.getOrElse(buildHybridIndex(docs, vectors))
     val qset = queryIds.toSet
     val isQuery = col("doc_id").isInCollection(qset)
     val qterms = docs.filter(isQuery)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(graft.functions.tokens(col("text"))))
           .as("term"))
-    val post = graft.streaming.DocStreams.bm25Postings(docs)
-    val dense = S.cosineTopK(vectors,
-      vectors.filter(col("vec_id").isInCollection(qset)), armK)
+    val dense = idx.ann.topK(
+        vectors.filter(col("vec_id").isInCollection(qset)), armK,
+        excludeSelf = true)
       .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
         col("rank").cast("long").as("dense_rank"))
-    S.hybridFuse(qterms, post, dense, armK, topK)
+    S.hybridFuse(qterms, idx.postings, dense, armK, topK)
   }
 
   /** Fluent syntax: `docs.chunked().qualityScored()` etc. */

@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** A BUILT flat-IVF index over an embedding frame: the trained
+  * centroid table and the inverted lists (one row per indexed vector —
+  * home cell, raw vector, norm), both `localCheckpoint`-materialized.
+  * This is the handle form of the build-once/serve-many split the
+  * gated queries get from their session caches ([[graft.operators
+  * .Similarity.cachedIvfLists]]): build it once with
+  * [[Corpus.buildAnnIndex]], then answer any number of query batches
+  * through [[topK]] without retraining — each serve costs
+  * O(|queries|·√n) probe-kernel work plus the candidate cell join,
+  * independent of corpus size. At 100 TB, persist the two frames as
+  * tables and reconstruct the handle from the parquet.
+  */
+final case class AnnIndex private[api] (
+    centroids: DataFrame, lists: DataFrame) {
+
+  /** Top-`k` indexed vectors for every `(vec_id, embedding)` query row
+    * — `(q_id, rank, c_id, cosine)` with exact re-scored cosines,
+    * approximate candidate recall by construction (an unprobed cell's
+    * true neighbor is missed). `excludeSelf` drops `q_id == c_id`
+    * pairs before ranking (set it when queries come from the indexed
+    * corpus).
+    */
+  def topK(queries: DataFrame, k: Int,
+      numProbes: Int = Similarity.NumProbes,
+      excludeSelf: Boolean = false): DataFrame =
+    Similarity.annServeWith(centroids, lists, queries, k, numProbes,
+      excludeSelf)
+}
+
+/** A built hybrid-retrieval index: the BM25 postings relation (per
+  * (term, doc) scores with corpus stats baked in — the artifact
+  * `st_bm25` and the gated `sim_hybrid` serve from) plus the dense
+  * [[AnnIndex]]. Build once with [[Corpus.buildHybridIndex]]; serve
+  * with [[Corpus.hybridTopK]] passing the handle.
+  */
+final case class HybridIndex private[api] (
+    postings: DataFrame, ann: AnnIndex)
+
+private[api] object Indexes {
+
+  /** Train + materialize a flat-IVF index over a `(vec_id, embedding)`
+    * frame: ⌈√n⌉ kmeans-trained centroids (sampled Lloyd, the
+    * [[Similarity.trainedCentroids]] build every gated index runs) and
+    * the one-pass kernel-assigned inverted lists.
+    */
+  def buildAnn(corpus: DataFrame, id: String, vec: String): AnnIndex = {
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("embedding"))
+    val n = c.count()
+    val cent = Similarity.trainedCentroids(c, Similarity.numCellsFor(n), n)
+      .localCheckpoint()
+    val lists = Similarity.kernelProbeCells(c, cent, 1,
+      "c_id", "cv_c", "cn_c").localCheckpoint()
+    AnnIndex(cent, lists)
+  }
+}

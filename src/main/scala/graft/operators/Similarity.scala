@@ -414,7 +414,7 @@ object Similarity {
     * the difference between an n×√n-row shuffle per index pass and a
     * scan-bound map.
     */
-  private[operators] def kernelProbeCells(df: DataFrame, cent: DataFrame,
+  private[graft] def kernelProbeCells(df: DataFrame, cent: DataFrame,
       p: Int, idCol: String, vecCol: String, normCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val a = collectIvfArrays(cent)
@@ -834,12 +834,31 @@ object Similarity {
     val n = c.count()
     val cent = trainedCentroids(c, numCellsFor(n), n).localCheckpoint()
     val assigned = kernelProbeCells(c, cent, 1, "c_id", "cv_c", "cn_c")
+    annServeWith(cent, assigned, queries, k, numProbes)
+  }
+
+  /** Serve top-`k` ANN against a PRE-BUILT flat-IVF index (`cent` =
+    * trained centroids, `assigned` = the inverted lists as
+    * [[kernelProbeCells]] emits them) — the serve half of [[annJoin]],
+    * split out so an index built (or persisted) once can answer many
+    * query batches without retraining; the probe cost is
+    * O(|queries|·√n) kernel work plus the candidate cell join,
+    * independent of corpus size given the index.
+    * `excludeSelf` drops `q_id == c_id` pairs before ranking — set it
+    * when the queries are drawn from the indexed corpus (the
+    * [[ivfServeTopK]] gate posture); leave it off for disjoint-id
+    * frames (cross-modal mining).
+    */
+  private[graft] def annServeWith(cent: DataFrame, assigned: DataFrame,
+      queries: DataFrame, k: Int, numProbes: Int = NumProbes,
+      excludeSelf: Boolean = false): DataFrame = {
     val probes = kernelProbeCells(
       queries.select(col("vec_id"), col("embedding")), cent, numProbes,
       "q_id", "qv", "qn")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
-    assigned.join(probes, Seq("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
+    (if (excludeSelf) cand.filter(col("q_id") =!= col("c_id")) else cand)
       .select(col("q_id"), col("c_id"),
         (VectorExpressions.dotF(col("qv"), col("cv_c")) /
           (col("qn") * col("cn_c"))).as("cosine"))
@@ -1042,8 +1061,17 @@ object Similarity {
     * rows by construction), never the corpus; for dense multiple-of-
     * step ids the two seedings coincide exactly.
     */
+  /** Test hook: Lloyd training passes started in this JVM. The
+    * serve-posture specs assert a call served from a pre-built index
+    * leaves this UNCHANGED — the deterministic form of
+    * "second call is cheap" (wall-clock comparisons flake; a training
+    * pass either ran or it didn't).
+    */
+  private[graft] val trainingPasses = new java.util.concurrent.atomic.AtomicLong
+
   def trainedCentroids(corpus: DataFrame, k: Int, n: Long,
       iters: Int = KmIters): DataFrame = {
+    trainingPasses.incrementAndGet()
     val step = math.max(1L, n / (KmSamplePerCell.toLong * k))
     // materialize the ~KmSamplePerCell·k-row sample once: every Lloyd
     // round otherwise re-scans the FULL corpus to re-derive it (the

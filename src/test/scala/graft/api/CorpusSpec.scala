@@ -426,15 +426,49 @@ class CorpusSpec extends SparkTestBase {
         assert(r.getDouble(5) == expected)
       }
     }
-    // the facade's LEXICAL ranks equal the gated query's (same postings
-    // math; the dense arms differ by design — exact vs served IVF)
-    val gatedLex = graft.operators.Similarity.simHybrid(spark, sf0001)
-      .collect().filter(!_.isNullAt(3))
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
-    val apiLex = out.filter(!_.isNullAt(3))
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
-    val shared = gatedLex.keySet.intersect(apiLex.keySet)
-    assert(shared.nonEmpty)
-    shared.foreach(k => assert(gatedLex(k) == apiLex(k), s"lex rank on $k"))
+    // the facade now runs the gated sim_hybrid's plan on BOTH arms
+    // (postings-served lexical + IVF-served dense), so on the gate's
+    // query set the full fused rows must match exactly
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5))
+    val gated = graft.operators.Similarity.simHybrid(spark, sf0001)
+      .collect().map(rowKey).toSet
+    assert(out.map(rowKey).toSet == gated)
+  }
+
+  test("hybridTopK served from a prebuilt HybridIndex: path equality, zero retraining") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val ids = (0L until graft.operators.Similarity.NumQueryVectors)
+    val idx = Corpus.buildHybridIndex(docs, e)
+    val inPlan = Corpus.hybridTopK(docs, e, ids).collect()
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val served = Corpus.hybridTopK(docs, e, ids, index = Some(idx)).collect()
+    // the served call must not start a single Lloyd pass — the
+    // deterministic "second call is cheap" (training either ran or not)
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "served hybridTopK retrained the IVF index")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(served.map(key).toSet == inPlan.map(key).toSet && served.nonEmpty)
+  }
+
+  test("crossModalPairs served from a prebuilt AnnIndex: path equality, zero retraining") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val images = e.filter($"vec_id" % 3 === 0)
+    val texts = e.filter($"vec_id" % 3 =!= 0)
+    val idx = Corpus.buildAnnIndex(texts)
+    val inPlan = Corpus.crossModalPairs(images, texts, k = 3, minCos = 0.0)
+      .collect()
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val served = Corpus.crossModalPairs(images, texts, k = 3, minCos = 0.0,
+      index = Some(idx)).collect()
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "served crossModalPairs retrained the IVF index")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    assert(served.map(key).toSet == inPlan.map(key).toSet && served.nonEmpty)
   }
 }
