@@ -486,6 +486,149 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------------
+  // pipe_pairs_upsert — INCREMENTAL pair mining: a new document batch
+  // mines positives against the persisted clean-corpus IVF index.
+  // ---------------------------------------------------------------------
+
+  /** Session cache of the base (pre-batch) clean-corpus pair-mining
+    * index: centroids trained on the base KEPT corpus and its inverted
+    * lists — the persisted artifact a nightly contrastive-data
+    * pipeline probes each new batch against. Same posture as
+    * [[Similarity.cachedBaseIvf]]; guards in [[RelCache]].
+    */
+  private val pairsIndexCache =
+    new RelCache[(SparkSession, String, String)](_._1)
+
+  /** The quality-floor + prefix-fingerprint relation of [[minedPairs]]
+    * — `(doc_id, fp)` for docs above the floor; the dedup key both the
+    * batch-local and base-vs-batch survivor logic run on.
+    */
+  private def qualityFp(docs: DataFrame): DataFrame =
+    docs.filter(size(toks) > 0 &&
+        TextAnalysis.qualityScore(toks) >= QualityMin)
+      .select(col("doc_id"), md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
+
+  /** Incremental contrastive-pair mining — the lake-incremental form of
+    * [[pipePairs]] a production pipeline runs nightly: the first 4/5 of
+    * the corpus (by doc_id, [[Similarity.upsertThreshold]]) is
+    * "yesterday's" cleaned-and-indexed base; the last 1/5 is the
+    * newly-arrived batch. The batch passes the same QA the base did —
+    * quality floor, batch-local fingerprint dedup, AND a fingerprint
+    * anti-join against the base survivors (the `dd_incremental`
+    * posture: a re-crawl of an already-kept doc must not mine itself) —
+    * then mines each surviving NEW doc's top-[[PairsK]] neighbors from
+    * the base index with the batch UPSERTED by assignment (the
+    * `sim_ivf_upsert` contract: no retrain, no touch of existing
+    * lists). Candidates span base ∪ batch, so a new doc can pair with
+    * the whole kept corpus.
+    *
+    * Per-run cost given the cached base index is O(|batch|): the
+    * batch-side QA scans the batch slice (the threshold pushes to the
+    * parquet footer), assignment + probing run the one-pass centroid
+    * kernel per batch vector, and the mining join touches only probed
+    * cells. The base index builds ONCE ([[pairsIndexCache]]) — exactly
+    * what `SCALING.md`'s upsert ladder measures.
+    */
+  def pipePairsUpsert(s: SparkSession, d: String): DataFrame = {
+    val S = Similarity
+    val docs = documents(s, d)
+    val vectors = embeddings(s, d)
+    val thr = S.upsertThreshold(docs.count())
+    val qf = qualityFp(docs)
+    def baseKept = qf.filter(col("doc_id") < thr)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
+    def eBase = vectors
+      .join(baseKept.select(col("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val cent = pairsIndexCache.getOrBuild((s, d, "cent")) {
+      val n = eBase.count()
+      S.trainedCentroids(eBase, S.numCellsFor(n), n).localCheckpoint()
+    }
+    val baseLists = pairsIndexCache.getOrBuild((s, d, "lists"))(
+      S.kernelProbeCells(eBase, cent, 1, "c_id", "cv_c", "cn_c")
+        .localCheckpoint())
+    val deltaKept = qf.filter(col("doc_id") >= thr)
+      .join(baseKept.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val eDelta = vectors.join(deltaKept, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val lists = baseLists.union(
+      S.kernelProbeCells(eDelta, cent, 1, "c_id", "cv_c", "cn_c"))
+    S.annServeWith(cent, lists, eDelta, PairsK, excludeSelf = true)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB mirror: base/delta kept CTEs (quality + fingerprint
+    * survivor + cross-batch anti-join), centroids trained on the BASE
+    * kept relation only, assignment over base ∪ delta, probes
+    * restricted to the delta — the full served chain.
+    */
+  val pipePairsUpsertSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH tq AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |thr AS (SELECT COUNT(*) * 4 // 5 AS th FROM documents),
+       |qf AS (
+       |  SELECT doc_id, md5(array_to_string(t[1:10], ' ')) AS fp
+       |  FROM tq
+       |  WHERE len(t) > 0 AND
+       |    ${TextAnalysis.qualityScoreSql("t")} >= $QualityMin),
+       |basekept AS (
+       |  SELECT fp, MIN(doc_id) AS vec_id FROM qf
+       |  WHERE doc_id < (SELECT th FROM thr) GROUP BY fp),
+       |deltakept AS (
+       |  SELECT MIN(doc_id) AS vec_id FROM qf
+       |  WHERE doc_id >= (SELECT th FROM thr)
+       |    AND fp NOT IN (SELECT fp FROM basekept)
+       |  GROUP BY fp),
+       |e AS (
+       |  SELECT em.vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings em JOIN basekept USING (vec_id)),
+       |ed AS (
+       |  SELECT em.vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings em JOIN deltakept USING (vec_id)),
+       |eall AS (SELECT * FROM e UNION ALL SELECT * FROM ed),
+       |${Similarity.trainedCentCtesSqlFrom("e")},
+       |ranks AS (
+       |  SELECT eall.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY eall.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(eall.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (eall.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM eall CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks
+       |           WHERE crank <= ${Similarity.NumProbes}
+       |             AND vec_id IN (SELECT vec_id FROM deltakept)),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN eall eq ON eq.vec_id = p.q_id
+       |  JOIN eall ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id)
+       |SELECT q_id, rank, c_id, cosine
+       |FROM (SELECT q_id, c_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |      FROM scored) t
+       |WHERE rank <= $PairsK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // pipe_mix — waterfill-budgeted training mix in ONE plan.
   // ---------------------------------------------------------------------
 
@@ -591,6 +734,7 @@ object Pipeline {
     "pipe_qa"          -> pipeQa _,
     "pipe_ingest"      -> pipeIngest _,
     "pipe_pairs"       -> pipePairs _,
+    "pipe_pairs_upsert" -> pipePairsUpsert _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,5 +746,6 @@ object Pipeline {
     "pipe_qa"          -> pipeQaSql,
     "pipe_ingest"      -> pipeIngestSql,
     "pipe_pairs"       -> pipePairsSql,
+    "pipe_pairs_upsert" -> pipePairsUpsertSql,
   )
 }

@@ -121,6 +121,46 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.forall { case (q, _, c) => !dropped(q) && !dropped(c) })
   }
 
+  test("incremental pair mining: only NEW kept docs mine, base index builds once") {
+    import org.apache.spark.sql.functions.{col, concat_ws, md5, size, slice}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val thr = Similarity.upsertThreshold(docs.count())
+    val toks = graft.functions.tokens(col("text"))
+    val qf = docs.filter(size(toks) > 0 &&
+        TextAnalysis.qualityScore(toks) >= Pipeline.QualityMin)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val baseFps = qf.filter(_._1 < thr).map(_._2).toSet
+    // expected batch survivors: quality, >= threshold, min-id per fp
+    // within the batch, fp unseen in the base
+    val deltaKept = qf.filter { case (id, fp) => id >= thr && !baseFps(fp) }
+      .groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val rows = Pipeline.pipePairsUpsert(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // queries are EXACTLY the new-batch survivors with >=1 candidate;
+    // never a base doc, never a dropped duplicate
+    assert(rows.forall { case (q, _, _) => deltaKept(q) })
+    // candidates come from the kept corpus (base survivors or batch
+    // survivors) and exclude self
+    val baseKept = qf.filter(_._1 < thr)
+      .groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(rows.forall { case (q, _, c) =>
+      (baseKept(c) || deltaKept(c)) && c != q })
+    rows.groupBy(_._1).values.foreach { g =>
+      val ranks = g.map(_._2).sorted
+      assert(ranks.length <= Pipeline.PairsK &&
+        ranks.toSeq == (1 to ranks.length))
+    }
+    // O(delta) serve contract: a second run must not retrain the base
+    // index (the session cache IS the persisted artifact)
+    val passesBefore = Similarity.trainingPasses.get()
+    Pipeline.pipePairsUpsert(spark, sf0001).collect()
+    assert(Similarity.trainingPasses.get() == passesBefore,
+      "second pipe_pairs_upsert run retrained the base index")
+  }
+
   test("pipe_mix: per-language cuts respect the waterfill allocation exactly") {
     val rows = Pipeline.pipeMix(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
