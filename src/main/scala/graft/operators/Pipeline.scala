@@ -534,9 +534,16 @@ object Pipeline {
     val docs = documents(s, d)
     val vectors = embeddings(s, d)
     val thr = S.upsertThreshold(docs.count())
-    val qf = qualityFp(docs)
-    def baseKept = qf.filter(col("doc_id") < thr)
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
+    // the base survivor relation (fp, kept id) is itself a persisted
+    // artifact — the dd_incremental "seen fingerprints" table; without
+    // it every batch run re-tokenizes the WHOLE base corpus just to
+    // know what yesterday kept (measured 8.7 s warm at the 10× probe
+    // vs 2.5 s with it cached — the difference between O(corpus) and
+    // O(batch) per nightly run)
+    val baseKept = pairsIndexCache.getOrBuild((s, d, "basekept"))(
+      qualityFp(docs).filter(col("doc_id") < thr)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
+        .localCheckpoint())
     def eBase = vectors
       .join(baseKept.select(col("vec_id")), "vec_id")
       .select(col("vec_id"), col("embedding"))
@@ -547,12 +554,19 @@ object Pipeline {
     val baseLists = pairsIndexCache.getOrBuild((s, d, "lists"))(
       S.kernelProbeCells(eBase, cent, 1, "c_id", "cv_c", "cn_c")
         .localCheckpoint())
-    val deltaKept = qf.filter(col("doc_id") >= thr)
+    val deltaKept = qualityFp(docs).filter(col("doc_id") >= thr)
       .join(baseKept.select(col("fp")), Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
       .select(col("vec_id"))
+    // materialize the surviving batch ONCE per run: it feeds three
+    // consumers (list upsert, probe side, exact re-score) and its
+    // lineage is the batch tokenize/QA pass — without the checkpoint
+    // each consumer re-runs that pass (measured 8.8 s warm at 10× vs
+    // ~4 s with it; the batch is the SMALL side, so the materialization
+    // is O(batch) by definition)
     val eDelta = vectors.join(deltaKept, "vec_id")
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val lists = baseLists.union(
       S.kernelProbeCells(eDelta, cent, 1, "c_id", "cv_c", "cn_c"))
     S.annServeWith(cent, lists, eDelta, PairsK, excludeSelf = true)

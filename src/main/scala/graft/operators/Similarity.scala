@@ -280,7 +280,7 @@ object Similarity {
   private val indexCache =
     new RelCache[(SparkSession, String, String)](_._1)
 
-  private[operators] def cachedIvfCentroids(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedIvfCentroids(s: SparkSession, d: String): DataFrame =
     indexCache.getOrBuild((s, d, "ivf"))(
       ivfCentroids(embeddings(s, d)))
 
@@ -380,7 +380,7 @@ object Similarity {
     * Values are bit-identical to the inline assignment (same kernel,
     * same trained centroids), so the DuckDB mirrors are unchanged.
     */
-  private[operators] def cachedIvfLists(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedIvfLists(s: SparkSession, d: String): DataFrame =
     indexCache.getOrBuild((s, d, "ivflists"))(
       kernelProbeCells(embeddings(s, d), cachedIvfCentroids(s, d), 1,
         "c_id", "cv_c", "cn_c", carry = Seq("label")).localCheckpoint())

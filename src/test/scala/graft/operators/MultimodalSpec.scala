@@ -152,4 +152,35 @@ class MultimodalSpec extends SparkTestBase {
       assert(mined(k) == brute(k), s"cosine mismatch on $k")
     }
   }
+
+  test("mm_pair_mine: pair recall vs brute force holds its floor") {
+    // pair recall of the served miner against exact cosine, same
+    // modality split and quality floor on both arms — deterministic
+    // (trained index + fixed corpus), so the floor is a regression pin,
+    // not a statistical bound. The ABSOLUTE level is low by corpus
+    // design (iid random vectors, √n cells, NumProbes=2 — the
+    // documented IVF recall law; `graft.tools.XModalRecall` records
+    // the ladder and the probes→recall knob in SCALING.md).
+    import org.apache.spark.sql.functions._
+    val floor = Multimodal.XModalMinCos.toDouble
+    def pairs(dir: String) = {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val mined = Multimodal.mmPairMine(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val brute = Similarity.cosineTopK(
+          e.filter(col("vec_id") % 3 =!= 0),
+          e.filter(col("vec_id") % 3 === 0), k = Multimodal.XModalTopK,
+          excludeSelfIds = false)
+        .filter(col("cosine") >= lit(floor))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (mined, brute)
+    }
+    for ((dir, recallFloor) <- Seq(sf0001 -> 0.30, sf001 -> 0.30)) {
+      val (mined, brute) = pairs(dir)
+      assert(brute.nonEmpty)
+      val recall = mined.intersect(brute).size.toDouble / brute.size
+      assert(recall >= recallFloor,
+        f"pair recall $recall%.3f below floor $recallFloor at $dir")
+    }
+  }
 }
