@@ -79,6 +79,73 @@ class Bm25ServeSpec extends SparkTestBase {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("BM25 serve state survives a restart and drops sub-watermark queries (served postings)") {
+    // the st_attr restart pattern applied to the st_bm25 SERVE path: a
+    // query whose window is still open at shutdown must rank from
+    // checkpointed state after the restart, and a query arriving below
+    // the advanced watermark must be dropped, not mis-ranked
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val postings = DocStreams.bm25Postings(corpus).localCheckpoint()
+    val dir = Files.createTempDirectory("graft-bm25-restart-")
+    val cp = Files.createTempDirectory("graft-bm25-restart-cp-")
+    val out = Files.createTempDirectory("graft-bm25-restart-out-")
+    def writeBatch(name: String, ids: Seq[Int], sentinel: Boolean = false): Unit = {
+      val staging = Files.createTempDirectory("graft-bm25-restart-stage-")
+      val rows =
+        if (sentinel)
+          queryFrame.filter(col("query_id") === 1)
+            .select(lit(99).as("query_id"),
+              expr(s"timestamp_seconds($t0 + 999999)").as("ts"),
+              col("text"))
+        else queryFrame.filter(col("query_id").isInCollection(ids))
+      rows.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(queryFrame.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = DocStreams.bm25Serve(stream, corpus, postings = Some(postings))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    // run 1: query 1 alone — its window cannot finalize, so its term
+    // state exists ONLY in the checkpoint at shutdown
+    writeBatch("001.parquet", Seq(1))
+    run()
+    // run 2 (restart): query 2 lands in the SAME window, sentinel
+    // closes it — the emitted rankings must equal the batch form over
+    // both queries, which requires query 1's pre-restart state
+    writeBatch("002.parquet", Seq(2))
+    writeBatch("003.parquet", Seq.empty, sentinel = true)
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .filter(_.getInt(1) < 99)
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val batch = DocStreams.bm25Serve(
+      queryFrame.filter(col("query_id").isInCollection(Seq(1, 2))),
+      corpus, postings = Some(postings)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got == batch && got.size == 2,
+      "restart lost the open window's query state")
+    // run 3: query 3 arrives at t0+3, far below the advanced watermark
+    // (t0 + 999999 - 1h) — streaming-aggregation semantics DROP it;
+    // its closed window must not re-emit or grow
+    writeBatch("004.parquet", Seq(3))
+    run()
+    val after = spark.read.parquet(out.toString).collect()
+      .filter(_.getInt(1) < 99)
+    assert(after.length == 2 && !after.exists(_.getInt(1) == 3),
+      "sub-watermark query was not dropped")
+  }
+
   test("per-doc fold merges score runs exactly: a two-term doc sums in term order") {
     // tiny corpus where doc 1 matches both terms, doc 2 one term
     val docs = spark.createDataFrame(Seq(

@@ -108,4 +108,70 @@ class DriftSpec extends SparkTestBase {
       .toMap
     assert(streamed == batch && streamed.size === 2)
   }
+
+  test("drift state survives a restart and drops sub-watermark docs") {
+    // st_attr's restart pattern on the drift monitor: a window open at
+    // shutdown must finish from checkpointed state, and a doc arriving
+    // below the advanced watermark must be dropped, never re-opening
+    // its finalized window
+    val base = graft.sources.Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-drift-restart-")
+    val cp = Files.createTempDirectory("graft-drift-restart-cp-")
+    val out = Files.createTempDirectory("graft-drift-restart-out-")
+    def stamped(pred: org.apache.spark.sql.Column, ts: String) =
+      base.filter(pred).select(expr(ts).as("ts"), col("text"))
+    def writeBatch(name: String, frame: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = Files.createTempDirectory("graft-drift-restart-stage-")
+      frame.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+    }
+    val schema = stamped(col("doc_id") < 0, s"timestamp_seconds($t0)").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = DocStreams.driftMonitor(stream, base)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    // run 1: half the window's docs — the window stays open, its
+    // per-term counts exist only in the checkpoint at shutdown
+    writeBatch("001.parquet",
+      stamped(col("doc_id") < 100, s"timestamp_seconds($t0)"))
+    run()
+    // run 2 (restart): the window's other half + a far-future sentinel
+    // that closes it — the emitted row must equal the batch form over
+    // ALL the window's docs, which requires the pre-restart state
+    writeBatch("002.parquet",
+      stamped(col("doc_id") >= 100 && col("doc_id") < 200,
+        s"timestamp_seconds($t0)"))
+    writeBatch("003.parquet",
+      stamped(col("doc_id") === 0, s"timestamp_seconds($t0 + 999999)"))
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .filter(_.getLong(0) < t0 + 500000)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = DocStreams.driftMonitor(
+      stamped(col("doc_id") < 200, s"timestamp_seconds($t0)"), base)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == batch && got.size === 1,
+      "restart lost the open window's term state")
+    // run 3: a doc stamped back at t0 — far below the advanced
+    // watermark — must be dropped; the finalized window cannot re-emit
+    writeBatch("004.parquet",
+      stamped(col("doc_id") === 5, s"timestamp_seconds($t0)"))
+    run()
+    val after = spark.read.parquet(out.toString).collect()
+      .filter(_.getLong(0) < t0 + 500000)
+    assert(after.length == 1, "sub-watermark doc re-opened a closed window")
+  }
 }
