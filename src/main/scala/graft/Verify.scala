@@ -20,7 +20,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear stale contents so outDir always holds exactly ONE run: a
+    // prefix-filtered run otherwise overwrites the manifests with its
+    // subset while older full-run parquet dirs remain alongside, and a
+    // later reader of the dir can mix the two runs
+    val outRoot = new java.io.File(outDir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
+    Option(outRoot.listFiles()).foreach(_.foreach(deleteRec))
+    outRoot.mkdirs()
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!selected(name)) ()

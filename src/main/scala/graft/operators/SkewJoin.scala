@@ -21,6 +21,34 @@ object SkewJoin {
 
   private val SaltCol = "__graft_salt"
 
+  /** Did AQE's `OptimizeSkewedJoin` actually SPLIT a hot partition in
+    * this executed plan? Detected structurally: the rule's work product
+    * is an `AQEShuffleReadExec` whose partition specs include
+    * `PartialReducerPartitionSpec` (one reducer partition read in
+    * slices by several tasks). Plan-STRING matching on "skew=true" is
+    * rendering-dependent across Spark versions; the node types are the
+    * contract. Shared by `SkewJoinSpec` and `graft.tools.SkewProbe` so
+    * the ladder numbers and the spec pin the same fact.
+    */
+  def planWasSkewSplit(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+    // hand-rolled walk: TreeNode.collect stops at QueryStageExec
+    // (a LEAF wrapping its materialized sub-plan) and at
+    // AdaptiveSparkPlanExec, so the interesting nodes are invisible
+    // to it in any adapted plan
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: AQEShuffleReadExec
+          if r.partitionSpecs
+            .exists(_.isInstanceOf[PartialReducerPartitionSpec]) => true
+      case other => other.children.exists(walk)
+    }
+    walk(plan)
+  }
+
   /** Inner equi-join `left ⋈ right ON left(key) = right(key)` with the
     * left (large, skewed) side salted into `salts` sub-keys.
     *

@@ -71,10 +71,10 @@ object SkewProbe {
         // pre-AQE plan. The result is ≤97 segment rows.
         q.collect()
         val sec = (System.nanoTime() - t0) / 1e9
-        val split = q.queryExecution.executedPlan.toString
-        if (sys.env.contains("GRAFT_SKEW_DEBUG")) System.err.println(split)
-        (sec, split.contains("skew=true") ||
-          split.toLowerCase.contains("skewed"))
+        if (sys.env.contains("GRAFT_SKEW_DEBUG"))
+          System.err.println(q.queryExecution.executedPlan.toString)
+        (sec, graft.operators.SkewJoin
+          .planWasSkewSplit(q.queryExecution.executedPlan))
       }
       println(f"[skewprobe] handler=$arm%-3s reps=${times.map(t => f"${t._1}%.2f").mkString(",")} skew_split=${times.map(_._2).mkString(",")}")
     }

@@ -118,6 +118,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("incremental pair mining serves with keyed joins only — no nested loop, no retrain nodes") {
+    // the served plan reads the checkpointed base index (LogicalRDD
+    // scans, not a re-derivation) and joins probes to lists on the
+    // cell key; any CartesianProduct / BroadcastNestedLoopJoin here
+    // means the index degenerated to all-pairs
+    val p = plan("pipe_pairs_upsert")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pipe_pairs_upsert must stay keyed:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed base-index scans in:\n$p")
+  }
+
   test("PII scrub is scan-bound: the only exchange is the presentation sort") {
     val p = plan("ta_pii")
     assert("Exchange".r.findAllIn(p).size == 1, p)

@@ -100,10 +100,9 @@ class SkewJoinSpec extends SparkTestBase {
       val skewed = agg()
       val rows = skewed.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      val plan = skewed.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true") ||
-        plan.toLowerCase.contains("skewed"),
-        s"hot-keyed SMJ was not skew-split by AQE:\n$plan")
+      assert(SkewJoin.planWasSkewSplit(skewed.queryExecution.executedPlan),
+        "hot-keyed SMJ was not skew-split by AQE:\n" +
+          skewed.queryExecution.executedPlan.toString)
       // same join with the handler off: identical results, so the
       // split is pure execution strategy, never semantics
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
