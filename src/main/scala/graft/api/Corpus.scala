@@ -575,6 +575,37 @@ object Corpus {
       graft.streaming.DocStreams.bm25Postings(docs).localCheckpoint(),
       buildAnnIndex(vectors))
 
+  /** Build the persisted base of an incremental pair-mining pipeline
+    * over a `(doc_id, text)` docs frame and id-linked `(vec_id,
+    * embedding)` vectors: QA the corpus (quality floor + prefix-
+    * fingerprint dedup, the [[minedPairs]] pass), train the IVF index
+    * on the KEPT vectors, and materialize the survivor fingerprints.
+    * These three artifacts are what the nightly batch run reads.
+    */
+  def buildPairMiningBase(docs: DataFrame, vectors: DataFrame): PairMiningBase = {
+    val P = graft.operators.Pipeline
+    val kept = P.qualityFp(docs)
+      .groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("vec_id"))
+      .localCheckpoint()
+    val keptVecs = vectors.join(kept.select(col("vec_id")), "vec_id")
+    PairMiningBase(buildAnnIndex(keptVecs), kept)
+  }
+
+  /** Mine contrastive positives for a NEW document batch against a
+    * prebuilt [[PairMiningBase]] (the gated `pipe_pairs_upsert` pass
+    * over YOUR frames): the batch passes the same QA as the base plus
+    * an anti-join against the base fingerprints, upserts the index by
+    * assignment (no retrain — `CorpusSpec` asserts zero training
+    * passes), and mines each surviving batch doc's top-`k` neighbors
+    * from base ∪ batch. Per-call cost is O(batch) given the base.
+    */
+  def minePairsIncremental(batchDocs: DataFrame, batchVectors: DataFrame,
+      base: PairMiningBase,
+      k: Int = graft.operators.Pipeline.PairsK): DataFrame =
+    graft.operators.Pipeline.minedPairsUpsert(batchDocs, batchVectors,
+      base.index.centroids, base.index.lists, base.fingerprints, k)
+
   /** Hybrid more-like-this over YOUR frames (the gated `sim_hybrid`
     * fusion, SERVE POSTURE on both arms): for each doc id in
     * `queryIds`, retrieve related docs through a BM25 lexical arm

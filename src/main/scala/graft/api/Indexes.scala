@@ -43,6 +43,17 @@ final case class AnnIndex private[api] (
 final case class HybridIndex private[api] (
     postings: DataFrame, ann: AnnIndex)
 
+/** The persisted base of an incremental pair-mining pipeline (the
+  * gated `pipe_pairs_upsert` posture): the IVF index trained on the
+  * QA-kept base corpus, its inverted lists, and the base survivor
+  * fingerprints (the `dd_incremental` "seen fps" relation a new batch
+  * anti-joins). Build once with [[Corpus.buildPairMiningBase]]; mine
+  * each new batch with [[Corpus.minePairsIncremental]] at O(batch)
+  * cost.
+  */
+final case class PairMiningBase private[api] (
+    index: AnnIndex, fingerprints: DataFrame)
+
 private[api] object Indexes {
 
   /** Train + materialize a flat-IVF index over a `(vec_id, embedding)`

@@ -152,15 +152,19 @@ object Dedup2 {
     // jobs regardless of size — a 920-edge semantic graph measured
     // 11.6 s through the iterative arm (8 capped propagation rounds +
     // star fallback, pure per-round overhead) vs <0.5 s through a
-    // driver union-find. Below the cap, collect the edge list (≤ ~64 MB
-    // of long pairs, the broadcast-threshold ballpark) and solve
-    // exactly; above it, run the distributed propagation/contraction
-    // arm unchanged. Both label every vertex with its component's min
-    // id, so the cutover is result-invisible (spec-pinned equality).
-    // The checkpoint materializes the (possibly expensive) edge plan
-    // ONCE for the count and whichever arm runs.
-    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
-    if (e.count() <= DriverCcMaxEdges) connectedComponentsDriver(e)
+    // driver union-find. Probe with limit(cap+1).collect(): ONE
+    // incremental execution (Spark grows the partition scan only until
+    // the limit fills), no checkpoint job, no lingering blocks. At or
+    // under the cap the collected array (≤ ~64 MB of long pairs, the
+    // broadcast-threshold ballpark) is solved exactly on the driver;
+    // over it, the distributed propagation/contraction arm runs
+    // unchanged (it re-executes the edge plan — acceptable for the
+    // rare huge-graph case). Both label every vertex with its
+    // component's min id, so the cutover is result-invisible
+    // (spec-pinned equality).
+    val e = edges.select(col("a_id"), col("b_id"))
+    val head = e.limit(DriverCcMaxEdges.toInt + 1).collect()
+    if (head.length <= DriverCcMaxEdges) unionFind(head, e.sparkSession)
     else connectedComponentsInstrumented(e)._1
   }
 
@@ -181,9 +185,12 @@ object Dedup2 {
     * the distributed arm: one `(id, comp)` row per vertex that appears
     * in an edge, comp = min member id.
     */
-  private[operators] def connectedComponentsDriver(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    val pairs = edges.select(col("a_id"), col("b_id")).collect()
+  private[operators] def connectedComponentsDriver(edges: DataFrame): DataFrame =
+    unionFind(edges.select(col("a_id"), col("b_id")).collect(),
+      edges.sparkSession)
+
+  private def unionFind(pairs: Array[org.apache.spark.sql.Row],
+      spark: SparkSession): DataFrame = {
     val idx = scala.collection.mutable.LongMap.empty[Int]
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     def ix(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; ids.size - 1 })

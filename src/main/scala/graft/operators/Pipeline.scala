@@ -503,7 +503,7 @@ object Pipeline {
     * — `(doc_id, fp)` for docs above the floor; the dedup key both the
     * batch-local and base-vs-batch survivor logic run on.
     */
-  private def qualityFp(docs: DataFrame): DataFrame =
+  private[graft] def qualityFp(docs: DataFrame): DataFrame =
     docs.filter(size(toks) > 0 &&
         TextAnalysis.qualityScore(toks) >= QualityMin)
       .select(col("doc_id"), md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
@@ -529,6 +529,34 @@ object Pipeline {
     * cells. The base index builds ONCE ([[pairsIndexCache]]) — exactly
     * what `SCALING.md`'s upsert ladder measures.
     */
+  /** Frame-parametric core of [[pipePairsUpsert]]'s batch pass: QA the
+    * batch (quality floor + batch-local fp dedup + anti-join against
+    * `baseFps`, the persisted seen-fingerprint relation), upsert the
+    * survivors into the base index by assignment, and mine each
+    * survivor's top-`k` from base ∪ batch. The handle form
+    * `graft.api.Corpus.minePairsIncremental` exposes. `baseCent` /
+    * `baseLists` are a trained IVF index over the base KEPT vectors;
+    * all per-run work is O(batch).
+    */
+  private[graft] def minedPairsUpsert(batchDocs: DataFrame,
+      batchVectors: DataFrame, baseCent: DataFrame, baseLists: DataFrame,
+      baseFps: DataFrame, k: Int = PairsK): DataFrame = {
+    val S = Similarity
+    val kept = qualityFp(batchDocs)
+      .join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
+      .select(col("vec_id"))
+    // one materialization of the surviving batch — it feeds the list
+    // upsert, the probe side, and the exact re-score (see the gate's
+    // Scaladoc for the measured cost of skipping this)
+    val eBatch = batchVectors.join(kept, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val lists = baseLists.union(
+      S.kernelProbeCells(eBatch, baseCent, 1, "c_id", "cv_c", "cn_c"))
+    S.annServeWith(baseCent, lists, eBatch, k, excludeSelf = true)
+  }
+
   def pipePairsUpsert(s: SparkSession, d: String): DataFrame = {
     val S = Similarity
     val docs = documents(s, d)
@@ -554,22 +582,8 @@ object Pipeline {
     val baseLists = pairsIndexCache.getOrBuild((s, d, "lists"))(
       S.kernelProbeCells(eBase, cent, 1, "c_id", "cv_c", "cn_c")
         .localCheckpoint())
-    val deltaKept = qualityFp(docs).filter(col("doc_id") >= thr)
-      .join(baseKept.select(col("fp")), Seq("fp"), "left_anti")
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("vec_id"))
-      .select(col("vec_id"))
-    // materialize the surviving batch ONCE per run: it feeds three
-    // consumers (list upsert, probe side, exact re-score) and its
-    // lineage is the batch tokenize/QA pass — without the checkpoint
-    // each consumer re-runs that pass (measured 8.8 s warm at 10× vs
-    // ~4 s with it; the batch is the SMALL side, so the materialization
-    // is O(batch) by definition)
-    val eDelta = vectors.join(deltaKept, "vec_id")
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
-    val lists = baseLists.union(
-      S.kernelProbeCells(eDelta, cent, 1, "c_id", "cv_c", "cn_c"))
-    S.annServeWith(cent, lists, eDelta, PairsK, excludeSelf = true)
+    minedPairsUpsert(docs.filter(col("doc_id") >= thr), vectors,
+      cent, baseLists, baseKept)
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -534,7 +534,7 @@ object Similarity {
     * corpus (by vec_id) is "yesterday's" indexed base, the last 1/5 is
     * the newly-arrived batch.
     */
-  private[operators] def upsertThreshold(n: Long): Long = n * 4 / 5
+  private[graft] def upsertThreshold(n: Long): Long = n * 4 / 5
 
   /** Centroids trained ONLY on the base slice (the persisted index's
     * training set — the delta must not retrain), plus the base

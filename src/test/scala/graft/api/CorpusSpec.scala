@@ -455,6 +455,24 @@ class CorpusSpec extends SparkTestBase {
     assert(served.map(key).toSet == inPlan.map(key).toSet && served.nonEmpty)
   }
 
+  test("minePairsIncremental over a prebuilt base equals the gated pipe_pairs_upsert") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val thr = graft.operators.Similarity.upsertThreshold(docs.count())
+    val base = Corpus.buildPairMiningBase(
+      docs.filter($"doc_id" < thr), vecs)
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val mined = Corpus.minePairsIncremental(
+      docs.filter($"doc_id" >= thr), vecs, base).collect()
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "incremental mining retrained the base index")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val gated = graft.operators.Pipeline.pipePairsUpsert(spark, sf0001)
+      .collect().map(key).toSet
+    assert(mined.map(key).toSet == gated && mined.nonEmpty)
+  }
+
   test("crossModalPairs served from a prebuilt AnnIndex: path equality, zero retraining") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val images = e.filter($"vec_id" % 3 === 0)
