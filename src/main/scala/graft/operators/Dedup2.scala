@@ -635,11 +635,19 @@ object Dedup2 {
     * same narrow-candidates shape as Dedup.nearDupCandidates; the
     * wide-row variant measured 5× slower at the 10× probe, where each
     * candidate pair dragged two 64-float arrays through the shuffle).
+    * Resolution scales with the corpus
+    * ([[graft.functions.HyperplaneBuckets.resolutionBits]]) — a fixed
+    * 64-bucket table saturates quadratically (the 100× probe filled
+    * the disk before this); the count is one metadata-cheap job per
+    * build.
     */
-  private[operators] def bucketRel(e: DataFrame): DataFrame =
+  private[operators] def bucketRel(e: DataFrame): DataFrame = {
+    val bits = graft.functions.HyperplaneBuckets.resolutionBits(e.count())
     e.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBuckets
-        .hyperplaneBuckets(col("embedding"))).as(Seq("table", "bucket")))
+        .hyperplaneBuckets(col("embedding"), bits))
+        .as(Seq("table", "bucket")))
+  }
 
   /** Deduped candidate-id pairs from a bucket relation: vectors
     * sharing a bucket in ANY table, each unordered pair once.

@@ -153,12 +153,16 @@ object Similarity {
     val e = embeddings(s, d)
     // all NumTables buckets in ONE codegen'd pass over the vector
     // (the per-plane HOF formulation was interpreted — 48 boxed
-    // 64-element folds per row, the dominant cost of this query)
+    // 64-element folds per row, the dominant cost of this query);
+    // resolution scales with the corpus so candidates stay O(n)
+    // (HyperplaneBuckets.resolutionBits — 6 at every gate scale)
+    val bits = HyperplaneBuckets.resolutionBits(e.count())
     def withBuckets(df: DataFrame, idCol: String, vecCol: String,
         normCol: String) =
       df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
         VectorExpressions.l2NormF(col("embedding")).as(normCol),
-        posexplode(HyperplaneBuckets.hyperplaneBuckets(col("embedding")))
+        posexplode(
+          HyperplaneBuckets.hyperplaneBuckets(col("embedding"), bits))
           .as(Seq("table", "bucket")))
     val q = withBuckets(e.filter(col("vec_id") < NumQueryVectors),
       "q_id", "qv", "qn")
@@ -188,14 +192,29 @@ object Similarity {
     * [[simAnnLshSql]] and the semantic-dedup oracle in [[Dedup2]].
     */
   private[graft] val bucketsCtesSql: String = {
+    val H = HyperplaneBuckets
+    // base planes (bits 0..5) then extension planes (bits 6..15) —
+    // the same layout the codegen'd kernel reads; the pbits CTE is the
+    // INTEGER form of HyperplaneBuckets.resolutionBits (a count of
+    // corpus-size threshold crossings — no floating log, so both
+    // engines derive the identical resolution), and the mask keeps
+    // the low pbits bits exactly as the kernel's truncated loop does
     val planeRows = (0 until NumTables).flatMap { t =>
-      (0 until PlanesPerTable).map { p =>
-        val pl = hyperplanes(t * PlanesPerTable + p).mkString("[", ", ", "]")
-        s"($t, $p, $pl::DOUBLE[])"
+      (0 until H.MaxPlanesPerTable).map { p =>
+        val arr =
+          if (p < H.PlanesPerTable) H.hyperplanes(t * H.PlanesPerTable + p)
+          else H.hyperplanesExt(
+            t * H.ExtPlanesPerTable + (p - H.PlanesPerTable))
+        s"($t, $p, ${arr.mkString("[", ", ", "]")}::DOUBLE[])"
       }
     }.mkString(",\n    ")
     s"""planes(t, p, pl) AS (VALUES
        |    $planeRows),
+       |pbits AS (
+       |  SELECT ${H.PlanesPerTable} + COUNT(*) AS p
+       |  FROM (SELECT unnest(range(1, ${H.ExtPlanesPerTable + 1})) AS k)
+       |  WHERE (SELECT COUNT(*) FROM embeddings) >=
+       |    ${H.BaseCorpus} * (1::BIGINT << k)),
        |e AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -211,7 +230,8 @@ object Similarity {
        |  FROM e CROSS JOIN planes),
        |buckets AS (
        |  SELECT vec_id, t,
-       |    SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+       |      % (1::BIGINT << (SELECT p FROM pbits)) AS bucket
        |  FROM dots GROUP BY vec_id, t)""".stripMargin
   }
 

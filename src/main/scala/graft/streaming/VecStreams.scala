@@ -61,16 +61,22 @@ object VecStreams {
   def annServe(queries: DataFrame, corpus: DataFrame,
       k: Int = Similarity.TopK,
       excludeSelfIds: Boolean = true): DataFrame = {
+    // resolution from the STATIC corpus side (one batch count at plan
+    // build); the query stream masks to the same bits, so collisions
+    // agree — see HyperplaneBuckets.resolutionBits
+    val bits = HyperplaneBuckets.resolutionBits(corpus.count())
     val c = corpus.select(col("vec_id").as("c_id"),
       col("embedding").as("cv"),
       VectorExpressions.l2NormF(col("embedding")).as("cn"),
-      posexplode(HyperplaneBuckets.hyperplaneBuckets(col("embedding")))
+      posexplode(
+        HyperplaneBuckets.hyperplaneBuckets(col("embedding"), bits))
         .as(Seq("table", "bucket")))
     val qb = queries.withWatermark("ts", "1 hour")
       .select(col("vec_id").as("q_id"), col("ts"),
         col("embedding").as("qv"),
         VectorExpressions.l2NormF(col("embedding")).as("qn"),
-        posexplode(HyperplaneBuckets.hyperplaneBuckets(col("embedding")))
+        posexplode(
+          HyperplaneBuckets.hyperplaneBuckets(col("embedding"), bits))
           .as(Seq("table", "bucket")))
     val selfCond =
       if (excludeSelfIds) col("q_id") =!= col("c_id") else lit(true)

@@ -66,11 +66,49 @@ class VectorExpressionsSpec extends SparkTestBase {
       }.reduce(_ + _)
     }: _*)
     val both = e.select(
-      HyperplaneBuckets.hyperplaneBuckets(col("embedding")).as("native"),
+      HyperplaneBuckets
+        .hyperplaneBuckets(col("embedding"), HyperplaneBuckets.PlanesPerTable)
+        .as("native"),
       hofBuckets.as("hof")).collect()
     assert(both.nonEmpty)
     both.foreach { r =>
       assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
+  test("hyperplane resolution APPENDS bits: finer buckets mask down to coarser ones") {
+    import org.apache.spark.sql.functions._
+    val H = HyperplaneBuckets
+    val e = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val rows = e.select(
+      H.hyperplaneBuckets(col("embedding"), H.PlanesPerTable).as("b6"),
+      H.hyperplaneBuckets(col("embedding"), 12).as("b12"),
+      H.hyperplaneBuckets(col("embedding")).as("b16")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b6, b12, b16) =
+        (r.getSeq[Int](0), r.getSeq[Int](1), r.getSeq[Int](2))
+      (0 until H.NumTables).foreach { t =>
+        assert((b16(t) & 63) == b6(t), s"table $t: 16-bit must extend 6-bit")
+        assert((b16(t) & 4095) == b12(t))
+        assert(b16(t) >= 0 && b16(t) < (1 << H.MaxPlanesPerTable))
+      }
+    }
+  }
+
+  test("LSH resolution rule: base at gate scales, one bit per corpus doubling, capped") {
+    val H = HyperplaneBuckets
+    // every driver gate corpus (n <= 2000) stays at the base 6 bits —
+    // the invariant that keeps all LSH oracle hashes unchanged
+    assert(Seq(0L, 1L, 500L, 2000L, 3999L).forall(
+      H.resolutionBits(_) == H.PlanesPerTable))
+    assert(H.resolutionBits(4000L) == 7)
+    assert(H.resolutionBits(200000L) == 12) // the 100x probe corpus
+    assert(H.resolutionBits(Long.MaxValue) == H.MaxPlanesPerTable)
+    // bucket population stays in a bounded band: n / 2^bits in [~31, 62)
+    Seq(4000L, 50000L, 1000000L).foreach { n =>
+      val pop = n.toDouble / (1 << H.resolutionBits(n))
+      assert(pop >= 15 && pop < 63, s"n=$n population $pop out of band")
     }
   }
 
