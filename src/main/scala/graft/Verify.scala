@@ -26,7 +26,11 @@ object Verify {
     // later reader of the dir can mix the two runs
     val outRoot = new java.io.File(outDir)
     def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      // never FOLLOW a symlink: listFiles on a linked dir enumerates
+      // the target's children — recursing would delete files the run
+      // never owned; unlink the link itself instead
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete(): Unit
     }
     Option(outRoot.listFiles()).foreach(_.foreach(deleteRec))

@@ -618,10 +618,13 @@ object Corpus {
     *
     * Pass `index` (from [[buildHybridIndex]]) to serve many query
     * batches from ONE build — the gates' session-cache posture as an
-    * explicit handle; without it, each call builds both index halves
-    * in-plan. `CorpusSpec` pins path equality, equality with the gated
-    * `sim_hybrid` on the gate's query set, and that the served call
-    * re-runs no training.
+    * explicit handle; without it, each CALL (not each action) builds
+    * and MATERIALIZES both index halves — counting, training, and
+    * checkpointing run eagerly at construction, unlike a plain lazy
+    * plan-builder, so construct-several-execute-one callers should
+    * build the index once themselves. `CorpusSpec` pins path equality,
+    * equality with the gated `sim_hybrid` on the gate's query set, and
+    * that the served call re-runs no training.
     */
   def hybridTopK(docs: DataFrame, vectors: DataFrame,
       queryIds: Seq[Long],

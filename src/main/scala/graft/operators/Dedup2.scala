@@ -162,21 +162,29 @@ object Dedup2 {
     // rare huge-graph case). Both label every vertex with its
     // component's min id, so the cutover is result-invisible
     // (spec-pinned equality).
-    val e = edges.select(col("a_id"), col("b_id"))
+    // cast keeps the entry type-agnostic like the distributed arms
+    // were (the public clusterize contract admits handmade int-typed
+    // edge frames; getLong on an IntegerType row would throw)
+    val e = edges.select(col("a_id").cast("long").as("a_id"),
+      col("b_id").cast("long").as("b_id"))
     val head = e.limit(DriverCcMaxEdges.toInt + 1).collect()
     if (head.length <= DriverCcMaxEdges) unionFind(head, e.sparkSession)
     else connectedComponentsInstrumented(e)._1
   }
 
   /** Edge-count ceiling for the driver union-find arm of
-    * [[connectedComponents]] — 4M edges ≈ 64 MB of raw long pairs
-    * collected, the small-relation ballpark AQE broadcasts. Above it
-    * the distributed arm runs; the cap is on the THRESHOLDED duplicate
-    * graph, not the corpus, so a 100 TB dedup with a sane threshold
-    * usually still lands under it (and degrades to the distributed arm,
-    * not to failure, when it doesn't).
+    * [[connectedComponents]]. The collected form is BOXED `Row`s
+    * (~100 B/edge with the two boxed longs — an order of magnitude
+    * over the 16 B of raw payload), so 2M edges is ~200 MB of
+    * transient driver allocation before the primitive arrays build:
+    * safe on any analytics-sized driver, and still far above any
+    * thresholded duplicate graph the gate corpora produce. Above the
+    * cap the distributed arm runs; the cap is on the THRESHOLDED
+    * duplicate graph, not the corpus, so a 100 TB dedup with a sane
+    * threshold usually still lands under it (and degrades to the
+    * distributed arm, not to failure, when it doesn't).
     */
-  val DriverCcMaxEdges: Long = 1L << 22
+  val DriverCcMaxEdges: Long = 1L << 21
 
   /** Exact driver-side connected components: path-halving union-find
     * over the collected edge array, then one pass pinning each root to
@@ -674,9 +682,15 @@ object Dedup2 {
     * the session cache instead.
     */
   def semanticClusters(e: DataFrame,
-      threshold: Double = SemanticThreshold): DataFrame =
-    semanticClustersFrom(candidatesFromBuckets(bucketRel(e)), normRel(e),
+      threshold: Double = SemanticThreshold): DataFrame = {
+    // materialize the caller's frame ONCE: the resolution count, the
+    // bucket relation, and the normalized scoring frame all read it —
+    // without this an expensive upstream plan (joins, scoring) would
+    // execute several times, one of them just to pick a bit width
+    val eM = e.select(col("vec_id"), col("embedding")).localCheckpoint()
+    semanticClustersFrom(candidatesFromBuckets(bucketRel(eM)), normRel(eM),
       threshold)
+  }
 
   /** Exact-score + threshold + cluster over pre-built candidate and
     * normalized relations (cached in the gate, in-plan in the API).

@@ -421,11 +421,7 @@ object Pipeline {
     */
   def minedPairs(docs: DataFrame, vectors: DataFrame,
       k: Int = PairsK): DataFrame = {
-    val kept = docs
-      .filter(size(toks) > 0 &&
-        TextAnalysis.qualityScore(toks) >= QualityMin)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(toks, 1, 10))).as("fp"))
+    val kept = qualityFp(docs)
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("vec_id"))
       .select(col("vec_id"))

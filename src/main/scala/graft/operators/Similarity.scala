@@ -1081,17 +1081,23 @@ object Similarity {
     * rows by construction), never the corpus; for dense multiple-of-
     * step ids the two seedings coincide exactly.
     */
-  /** Test hook: Lloyd training passes started in this JVM. The
+  /** Test hook: Lloyd training passes started ON THIS THREAD. The
     * serve-posture specs assert a call served from a pre-built index
     * leaves this UNCHANGED — the deterministic form of
     * "second call is cheap" (wall-clock comparisons flake; a training
-    * pass either ran or it didn't).
+    * pass either ran or it didn't). Thread-local so a concurrent
+    * suite's cache build can never trip another test's pin: training
+    * runs synchronously on the plan-constructing thread, which in a
+    * spec is the test's own thread.
     */
-  private[graft] val trainingPasses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] object trainingPasses extends ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+    def increment(): Unit = set(get() + 1L)
+  }
 
   def trainedCentroids(corpus: DataFrame, k: Int, n: Long,
       iters: Int = KmIters): DataFrame = {
-    trainingPasses.incrementAndGet()
+    trainingPasses.increment()
     val step = math.max(1L, n / (KmSamplePerCell.toLong * k))
     // materialize the ~KmSamplePerCell·k-row sample once: every Lloyd
     // round otherwise re-scans the FULL corpus to re-derive it (the

@@ -80,6 +80,18 @@ class Dedup2Spec extends SparkTestBase {
       s"near-clique graph took $rounds rounds (star=$usedStar)")
   }
 
+  test("clusterize accepts handmade INT-typed edge frames (the documented entry)") {
+    import spark.implicits._
+    // dupClusters' scaladoc directs users to pass handmade edge frames
+    // to clusterize; the natural Seq((1,2),...) literal yields
+    // IntegerType columns, which the driver union-find arm must not
+    // getLong-crash on
+    val edges = Seq((1, 2), (2, 3), (10, 11)).toDF("a_id", "b_id")
+    val comp = Dedup2.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("driver union-find arm labels exactly like both distributed arms") {
     import spark.implicits._
     // mixed shapes — chains (high diameter), a triangle, a pair, plus
