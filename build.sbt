@@ -26,8 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: local[32] churns allocation across 32 task threads; an
-  // 8g heap put multi-second GC tails on unrelated queries (the machine
-  // has 128 GiB)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default: local[32] churns allocation across 32 task threads,
+  // and the session-cached index artifacts (shingles, signatures, IVF
+  // lists, PQ codes, postings, LSH relations) now pin a real storage
+  // working set for the life of a suite run — at 24g the 146-query
+  // bench measured 161 s with broad GC tails on unrelated sub-second
+  // queries vs 137.5 s at 48g (an 8g heap was worse still). The
+  // machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
