@@ -501,7 +501,25 @@ object Dedup2 {
     * no window sort. Output: one row per cluster with the kept doc and
     * what it beat.
     */
-  def ddCanonical(s: SparkSession, d: String): DataFrame = {
+  def ddCanonical(s: SparkSession, d: String): DataFrame =
+    canonicalFrom(s, d, ddCluster_edges(s, d))
+
+  /** [[ddCanonical]] with the banded-LSH edge source — the scale arm
+    * (the [[ddClusterLsh]] edges with [[ddCanonical]]'s keep-the-
+    * cleanest policy): the exact 3-gram pair join that dominates the
+    * exact arm at the 100× probe (≈31 s of its cost) is replaced by
+    * the signature-estimated candidate edges served from the session
+    * cache. Same quality argmax, same output shape; components differ
+    * only where the banding's recall differs from the exact graph.
+    */
+  def ddCanonicalLsh(s: SparkSession, d: String): DataFrame =
+    canonicalFrom(s, d, Dedup.cachedCandidates(s, d)
+      .filter(col("est_jaccard") >= ClusterThreshold)
+      .select(col("a_id"), col("b_id")))
+
+  /** Edge-source-parametric core of the canonical selection. */
+  private def canonicalFrom(s: SparkSession, d: String,
+      edges: DataFrame): DataFrame = {
     val toks = graft.functions.tokens(col("text"))
     val quality = documents(s, d).select(col("doc_id"),
       when(size(toks) > 0, TextAnalysis.qualityScore(toks))
@@ -509,7 +527,7 @@ object Dedup2 {
     // components directly — not via ddCluster/clusterize, whose
     // size-join and presentation sort this groupBy would just throw
     // away (cluster_size falls out of the count here)
-    connectedComponents(ddCluster_edges(s, d))
+    connectedComponents(edges)
       .select(col("id").as("doc_id"), col("comp"))
       .join(quality, "doc_id")
       .groupBy(col("comp"))
@@ -523,15 +541,12 @@ object Dedup2 {
       .orderBy(col("comp"))
   }
 
-  /** DuckDB mirror: same component fixpoint as [[ddClusterSql]], then
-    * the same lexicographic struct argmax (DuckDB orders ROWs
-    * field-by-field like Spark orders structs).
+  /** The component fixpoint + quality argmax tail shared by both
+    * canonical oracles; expects an `edges(a_id, b_id)` CTE in scope.
     */
-  val ddCanonicalSql: String = {
+  private val canonicalTailSql: String = {
     val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
-    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtesSql},
-       |edges AS (SELECT a_id, b_id FROM pj WHERE jaccard >= $ClusterThreshold),
-       |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+    s"""und AS (SELECT a_id AS src, b_id AS dst FROM edges
        |        UNION ALL SELECT b_id, a_id FROM edges),
        |nodes AS (SELECT DISTINCT src AS id FROM und),
        |reach AS (
@@ -556,6 +571,24 @@ object Dedup2 {
        |FROM best
        |ORDER BY comp""".stripMargin
   }
+
+  val ddCanonicalSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtesSql},
+       |edges AS (SELECT a_id, b_id FROM pj WHERE jaccard >= $ClusterThreshold),
+       |$canonicalTailSql""".stripMargin
+
+  /** DuckDB mirror of [[ddCanonicalLsh]]: the [[ddClusterLshSql]] edge
+    * chain (bit-identical signatures → identical candidates and
+    * estimates) with the shared canonical tail.
+    */
+  val ddCanonicalLshSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashCtesSql},
+       |edges AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE ${Dedup.estJaccardSql} >= $ClusterThreshold),
+       |$canonicalTailSql""".stripMargin
 
   // ---------------------------------------------------------------------
   // Semantic dedup (SemDeDup, Abbas et al.): duplicate clusters in
@@ -740,20 +773,22 @@ object Dedup2 {
        |${componentsTailSql("vec_id")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_spans"        -> ddSpans _,
-    "dd_cluster"      -> ddCluster _,
-    "dd_canonical"    -> ddCanonical _,
-    "dd_cluster_lsh"  -> ddClusterLsh _,
-    "dd_semantic"     -> ddSemantic _,
-    "dd_semantic_lsh" -> ddSemanticLsh _,
+    "dd_spans"         -> ddSpans _,
+    "dd_cluster"       -> ddCluster _,
+    "dd_canonical"     -> ddCanonical _,
+    "dd_canonical_lsh" -> ddCanonicalLsh _,
+    "dd_cluster_lsh"   -> ddClusterLsh _,
+    "dd_semantic"      -> ddSemantic _,
+    "dd_semantic_lsh"  -> ddSemanticLsh _,
   )
 
   val oracles: Map[String, String] = Map(
-    "dd_spans"        -> ddSpansSql,
-    "dd_cluster"      -> ddClusterSql,
-    "dd_canonical"    -> ddCanonicalSql,
-    "dd_cluster_lsh"  -> ddClusterLshSql,
-    "dd_semantic"     -> ddSemanticSql,
-    "dd_semantic_lsh" -> ddSemanticLshSql,
+    "dd_spans"         -> ddSpansSql,
+    "dd_cluster"       -> ddClusterSql,
+    "dd_canonical"     -> ddCanonicalSql,
+    "dd_canonical_lsh" -> ddCanonicalLshSql,
+    "dd_cluster_lsh"   -> ddClusterLshSql,
+    "dd_semantic"      -> ddSemanticSql,
+    "dd_semantic_lsh"  -> ddSemanticLshSql,
   )
 }

@@ -185,6 +185,45 @@ class Dedup2Spec extends SparkTestBase {
     }
   }
 
+  test("dd_canonical_lsh keeps the argmax-quality member of each LSH component") {
+    import org.apache.spark.sql.functions.{lit, size, struct, when}
+    // quality as the engine computes it, materialized per doc
+    val toks = graft.functions.tokens(col("text"))
+    val quality = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        when(size(toks) > 0, TextAnalysis.qualityScore(toks))
+          .otherwise(lit(0.0)).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup2.ddClusterLsh(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val rows = Dedup2.ddCanonicalLsh(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length == members.size)
+    rows.foreach { r =>
+      val (comp, keep, keepQ, sz, dropped) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))
+      val ms = members(comp)
+      // keep = max quality, ties to min id; sizes consistent
+      val want = ms.maxBy(id => (quality(id), -id))
+      assert(keep == want, s"component $comp kept $keep, argmax is $want")
+      assert(keepQ == quality(keep) && sz == ms.size && dropped == sz - 1)
+    }
+    // where the LSH clustering recovered an exact component verbatim,
+    // the kept doc must agree with the exact arm's choice
+    val exactKeep = Dedup2.ddCanonical(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactMembers = Dedup2.ddCluster(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val shared = members.filter { case (c, ms) => exactMembers.get(c).contains(ms) }
+    assert(shared.nonEmpty)
+    val keepByComp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    shared.keys.foreach { c =>
+      assert(keepByComp(c) == exactKeep(c),
+        s"identical component $c: LSH kept ${keepByComp(c)}, exact kept ${exactKeep(c)}")
+    }
+  }
+
   test("dd_spans matches a single-threaded re-derivation on sf0.001") {
     val texts = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
