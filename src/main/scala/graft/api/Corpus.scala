@@ -173,6 +173,19 @@ object Corpus {
     graft.operators.Dedup2.duplicatedSpans(
       df.select(col(id).as("doc_id"), col(text).as("text")), window)
 
+  /** Span-level dedup APPLIED (the transform, not the report): remove
+    * every duplicated `window`-token span except its first occurrence
+    * in (doc_id, position) order and return the affected docs with
+    * their cleaned text — one row per doc that lost tokens,
+    * `(doc_id, orig_len, new_len, n_removed, cleaned_text)`. Delegates
+    * to [[graft.operators.Dedup2.spansRemoved]]; linear end to end.
+    */
+  def spansRemoved(df: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      window: Int = graft.operators.Dedup2.SpanWindow): DataFrame =
+    graft.operators.Dedup2.spansRemoved(
+      df.select(col(id).as("doc_id"), col(text).as("text")), window)
+
   /** Duplicate clusters: connected components over the banded-LSH
     * near-dup graph at estimated Jaccard ≥ `threshold` — one row per
     * clustered doc `(doc_id, comp, cluster_size, is_canonical)`, where
@@ -659,6 +672,7 @@ object Corpus {
       def nearDupPairs(minJaccard: Double = 0.3): DataFrame =
         Corpus.nearDupPairs(df, minJaccard = minJaccard)
       def duplicatedSpans(): DataFrame = Corpus.duplicatedSpans(df)
+      def spansRemoved(): DataFrame = Corpus.spansRemoved(df)
       def dupClusters(): DataFrame = Corpus.dupClusters(df)
       def tfidfTopTerms(topK: Int = 5): DataFrame =
         Corpus.tfidfTopTerms(df, topK = topK)

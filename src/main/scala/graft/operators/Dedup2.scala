@@ -123,6 +123,113 @@ object Dedup2 {
        |LIMIT 100""".stripMargin
   }
 
+  /** Span-level dedup APPLY: the transform production pipelines run
+    * after [[ddSpans]]'s detection — remove every duplicated
+    * [[SpanWindow]]-token window except its FIRST occurrence in corpus
+    * order (min (doc_id, pos) across all occurrences; Lee et al. §4's
+    * "except one" rule), and emit the cleaned documents. One row per
+    * AFFECTED doc: original/new token counts, tokens removed, and the
+    * cleaned text (kept tokens re-joined).
+    *
+    * Where duplicated regions align across docs, the whole region of
+    * the lowest-id doc survives and the copies collapse — the actual
+    * byte-reduction step of substring dedup, not just the report.
+    *
+    * Shape: the same linear window-hash relation as [[ddSpans]] (one
+    * codegen'd loop per row); the kept-occurrence choice is an
+    * order-free `min(struct(doc_id, pos))` per hash — partial-
+    * aggregated, so a boilerplate window repeated 10⁷× collapses to
+    * per-task partials, never a window sort; the join-back probe side
+    * is AQE-skew-splittable. The removal itself is a per-doc map-side
+    * HOF over the marked starts (docs carry only their OWN marked
+    * positions — bounded by doc length, never corpus-sized). Nothing
+    * quadratic; linear in corpus bytes end to end.
+    */
+  def ddSpansApply(s: SparkSession, d: String): DataFrame =
+    spansRemoved(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[ddSpansApply]] over ANY `(doc_id,
+    * text)` frame — the form `graft.api.Corpus` exposes.
+    */
+  def spansRemoved(docs: DataFrame,
+      window: Int = SpanWindow): DataFrame = {
+    val win = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordShingleHashesExpr
+          .wordShingleHashesNative(col("text"), window))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("h"))
+    // first occurrence of each duplicated window, as an order-free
+    // struct argmin (same discipline as ddCanonical's argmax)
+    val keep = win.groupBy(col("h"))
+      .agg(min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("k"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val marked = win.join(keep, "h")
+      .filter(!(col("doc_id") === col("k.d") && col("pos") === col("k.p")))
+      .select(col("doc_id"), col("pos"))
+    val starts = marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    // every doc here has a marked window, so size(__t) >= window >= 2
+    // and sequence(1, size) is always ascending
+    docs.join(starts, "doc_id")
+      .withColumn("__t", graft.functions.tokens(col("text")))
+      .withColumn("__kept", expr(
+        s"""transform(
+           |  filter(sequence(1, size(__t)),
+           |    p -> NOT exists(ss, s -> s <= p AND p <= s + ${window - 1})),
+           |  p -> element_at(__t, p))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("__t")).cast(LongType).as("orig_len"),
+        size(col("__kept")).cast(LongType).as("new_len"),
+        (size(col("__t")) - size(col("__kept"))).cast(LongType)
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("cleaned_text"))
+  }
+
+  /** DuckDB mirror of [[ddSpansApply]]: the [[ddSpansSql]] window
+    * relation, the struct argmin (DuckDB orders ROWs field-by-field
+    * like Spark orders structs), and the same position-filter rebuild
+    * (`range` end-exclusive ↔ Spark `sequence` inclusive; both index
+    * token lists 1-based here).
+    */
+  val ddSpansApplySql: String = {
+    val w = SpanWindow
+    val cat = (0 until w).map(j =>
+      if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(t) - ${w - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(t) - ${w - 2}),
+       |      i -> CAST(('0x' || substr(md5($cat), 1, 16)) AS UBIGINT))) AS h
+       |  FROM toks WHERE len(t) >= $w),
+       |keep AS (
+       |  SELECT h, MIN({'d': doc_id, 'p': pos}) AS k
+       |  FROM w GROUP BY h HAVING COUNT(*) > 1),
+       |marked AS (
+       |  SELECT doc_id, pos FROM w JOIN keep USING (h)
+       |  WHERE NOT (doc_id = k.d AND pos = k.p)),
+       |starts AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS ss FROM marked GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT t.doc_id, t.t,
+       |    list_transform(
+       |      list_filter(range(1, len(t.t) + 1),
+       |        p -> len(list_filter(s.ss, x -> x <= p AND p <= x + ${w - 1})) = 0),
+       |      p -> t.t[p]) AS kept
+       |  FROM toks t JOIN starts s USING (doc_id))
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS orig_len,
+       |  CAST(len(kept) AS BIGINT) AS new_len,
+       |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+       |FROM cleaned
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Near-dup pairs at/above this exact-Jaccard threshold become the
     * edges of the duplicate graph.
     */
@@ -774,6 +881,7 @@ object Dedup2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_spans"         -> ddSpans _,
+    "dd_spans_apply"   -> ddSpansApply _,
     "dd_cluster"       -> ddCluster _,
     "dd_canonical"     -> ddCanonical _,
     "dd_canonical_lsh" -> ddCanonicalLsh _,
@@ -784,6 +892,7 @@ object Dedup2 {
 
   val oracles: Map[String, String] = Map(
     "dd_spans"         -> ddSpansSql,
+    "dd_spans_apply"   -> ddSpansApplySql,
     "dd_cluster"       -> ddClusterSql,
     "dd_canonical"     -> ddCanonicalSql,
     "dd_canonical_lsh" -> ddCanonicalLshSql,

@@ -146,6 +146,15 @@ class CorpusSpec extends SparkTestBase {
     assert(gated.forall { case (k, v) => api.get(k).contains(v) })
   }
 
+  test("spansRemoved facade equals the gated dd_spans_apply rows") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val api = Corpus.spansRemoved(docs).collect().map(key).toMap
+    val gated = graft.operators.Dedup2.ddSpansApply(spark, sf0001)
+      .collect().map(key).toMap
+    assert(api == gated && api.nonEmpty)
+  }
+
   test("dupClusters facade equals clusterize over the gated LSH edges") {
     def key(r: org.apache.spark.sql.Row) =
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))

@@ -256,6 +256,56 @@ class Dedup2Spec extends SparkTestBase {
     assert(got == expectedTop)
   }
 
+  test("dd_spans_apply matches a single-threaded re-derivation on sf0.001") {
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val k = Dedup2.SpanWindow
+    val winRows = texts.flatMap { case (id, t) =>
+      graft.functions.WordShingleHashesExpr.shingleHashes(t, k)
+        .zipWithIndex.map { case (h, i) => (id, i + 1L, h) }
+    }
+    // first occurrence (min (doc_id, pos)) of each duplicated hash
+    val byHash = winRows.groupBy(_._3)
+    val marked = byHash.valuesIterator.filter(_.length > 1).flatMap { rs =>
+      val keep = rs.map(r => (r._1, r._2)).min
+      rs.filter(r => (r._1, r._2) != keep)
+    }.toSeq
+    val startsByDoc = marked.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val expected = startsByDoc.toSeq.sortBy(_._1).map { case (id, ss) =>
+      val toks = texts.toMap.apply(id).split("\\s+").filter(_.nonEmpty)
+      val kept = toks.zipWithIndex.collect {
+        case (tok, i0) if !ss.exists(s => s <= i0 + 1 && i0 + 1 <= s + k - 1)
+          => tok
+      }
+      (id, toks.length.toLong, kept.length.toLong,
+        (toks.length - kept.length).toLong, kept.mkString(" "))
+    }
+    val got = Dedup2.ddSpansApply(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("spansRemoved keeps the first copy of an aligned cross-doc span and drops the rest") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three $span four five"),
+      (3L, "no duplicated content here at all " + ("u " * 6).trim)
+    ).toDF("doc_id", "text")
+    val out = Dedup2.spansRemoved(docs).orderBy("doc_id").collect()
+    // doc 1 holds the min (doc_id, pos) for every shared window: kept
+    // verbatim means NOT in the output (no marked windows); doc 2
+    // loses exactly the 12 span tokens; doc 3 is untouched
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    val r2 = out.head
+    assert(r2.getLong(1) == 17L && r2.getLong(2) == 5L && r2.getLong(3) == 12L)
+    assert(r2.getString(4) == "one two three four five")
+  }
+
   test("duplicatedSpans survives a planted 10^4-copy boilerplate window without a hash window partition") {
     import spark.implicits._
     // 10^4 docs sharing one 10-token boilerplate page + 2 unique docs:
