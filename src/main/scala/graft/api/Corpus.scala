@@ -173,6 +173,17 @@ object Corpus {
     graft.operators.Dedup2.duplicatedSpans(
       df.select(col(id).as("doc_id"), col(text).as("text")), window)
 
+  /** BPE merge-table induction (Sennrich et al.): learn the first `n`
+    * merge rules from the corpus — `(rank, left, right, merged, freq)`
+    * per rule. After one corpus-sized wordcount every round runs over
+    * the distinct vocabulary. Delegates to
+    * [[graft.operators.TextAnalysis.bpeMerges]].
+    */
+  def bpeMerges(df: DataFrame, n: Int = TextAnalysis.BpeTrainMerges,
+      text: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.bpeMerges(
+      df.select(col(text).as("text")), n)
+
   /** Span-level dedup APPLIED (the transform, not the report): remove
     * every duplicated `window`-token span except its first occurrence
     * in (doc_id, position) order and return the affected docs with
@@ -673,6 +684,8 @@ object Corpus {
         Corpus.nearDupPairs(df, minJaccard = minJaccard)
       def duplicatedSpans(): DataFrame = Corpus.duplicatedSpans(df)
       def spansRemoved(): DataFrame = Corpus.spansRemoved(df)
+      def bpeMerges(n: Int = TextAnalysis.BpeTrainMerges): DataFrame =
+        Corpus.bpeMerges(df, n)
       def dupClusters(): DataFrame = Corpus.dupClusters(df)
       def tfidfTopTerms(topK: Int = 5): DataFrame =
         Corpus.tfidfTopTerms(df, topK = topK)

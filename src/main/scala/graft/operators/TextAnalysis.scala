@@ -477,6 +477,134 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ta_bpe_train — BPE merge-table induction over the corpus.
+  // ---------------------------------------------------------------------
+
+  /** Number of merges the gated query learns. A production vocab runs
+    * the same loop to 30k–100k; each round is one vocabulary-sized
+    * aggregation, so the gate's 10 certify the loop, not the budget.
+    */
+  val BpeTrainMerges = 10
+
+  /** BPE vocabulary induction (Sennrich et al. 2016): learn the first
+    * [[BpeTrainMerges]] merge rules from the corpus — the TRAINING side
+    * of the tokenizer whose application [[taBpeTokens]] stands in for.
+    * Each round counts adjacent symbol pairs weighted by word
+    * frequency, merges the most frequent pair everywhere (ties broken
+    * lexicographically), and repeats. Output: one row per learned rule
+    * `(rank, left, right, merged, freq)`.
+    *
+    * Scale shape — why this is a 100 TB job and not a driver script:
+    * the ONE corpus-sized pass is the initial wordcount; after it the
+    * working relation is the DISTINCT vocabulary with counts (the
+    * classic BPE collapse — ~10⁷ rows for a 100 TB corpus), and every
+    * round is a map-side pair explode + one partial-aggregated shuffle
+    * over that vocabulary, `localCheckpoint`ed per round to cut the
+    * 10-deep lineage. The per-round `.collect()` is ONE row — the
+    * learned merge, a model parameter like [[Similarity]]'s k-means
+    * centroids, never data.
+    *
+    * Exact-greedy trick shared with the oracle: symbol sequences live
+    * as DOUBLE-space-delimited strings (`" l  o  w "`), so one pass of
+    * standard non-overlapping `replace(s, " l  o ", " lo ")` IS
+    * greedy left-to-right BPE merging in both engines — each pair
+    * pattern consumes one space of each boundary, so back-to-back
+    * occurrences (`a a a a` → `aa aa`, never `aa a a`) merge exactly
+    * as the sequential algorithm does. Single-space delimiting would
+    * NOT (the shared middle space makes replace skip every second
+    * occurrence). Words are restricted to `[A-Za-z0-9]+` so the
+    * symbol alphabet never collides with the delimiters and both
+    * engines' regex/char semantics agree.
+    */
+  def taBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeMerges(documents(s, d), BpeTrainMerges)
+
+  /** Frame-parametric core of [[taBpeTrain]] over ANY `(doc_id, text)`
+    * frame — the form `graft.api.Corpus.bpeMerges` exposes.
+    */
+  def bpeMerges(docs: DataFrame, n: Int = BpeTrainMerges): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(lit(" "),
+          rtrim(regexp_replace(col("w"), "(.)", "$1  ")),
+          lit(" ")).as("s"))
+      .localCheckpoint()
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to n if !exhausted) {
+      val top = vocab
+        .select(col("cnt"), split(trim(col("s")), "  ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(a, 1, greatest(size(a) - 1, 0)),
+            |         slice(a, 2, greatest(size(a) - 1, 0)),
+            |         (x, y) -> struct(x AS l, y AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((rank, l, r, l + r, c))
+        // symbols are alphanumeric by the vocabulary filter, so the
+        // literal interpolation cannot break the expression
+        vocab = vocab.select(col("cnt"),
+          expr(s"replace(s, ' $l  $r ', ' ${l + r} ')").as("s"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "merged", "freq")
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB mirror of [[taBpeTrain]]: the loop unrolled as
+    * [[BpeTrainMerges]] CTE stages — each stage's argmax is a 1-row
+    * `ORDER BY c DESC, l, r LIMIT 1` CTE cross-joined into the next
+    * vocabulary rewrite, with the same double-space `replace` trick.
+    */
+  val taBpeTrainSql: String = {
+    val pairsOf = (v: String) =>
+      s"""SELECT p.l AS l, p.r AS r, SUM(cnt) AS c FROM (
+         |  SELECT cnt, unnest(list_transform(range(1, len(a)),
+         |    i -> struct_pack(l := a[i], r := a[i+1]))) AS p
+         |  FROM (SELECT cnt, string_split(trim(s), '  ') AS a FROM $v) z
+         |  WHERE len(a) >= 2) u
+         |GROUP BY 1, 2""".stripMargin
+    val stages = (1 to BpeTrainMerges).map { i =>
+      s"""m$i AS (SELECT l, r, c FROM (${pairsOf(s"v${i - 1}")}) q
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |v$i AS (
+         |  SELECT cnt, replace(s, ' ' || l || '  ' || r || ' ',
+         |    ' ' || l || r || ' ') AS s
+         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeTrainMerges).map { i =>
+      s"""SELECT $i AS "rank", l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS freq FROM m$i"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+       |    FROM documents) t
+       |  WHERE regexp_full_match(w, '[A-Za-z0-9]+')
+       |  GROUP BY w),
+       |v0 AS (
+       |  SELECT cnt,
+       |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
+       |  FROM words),
+       |$stages
+       |$out
+       |ORDER BY "rank"""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ta_length_tails — per-domain length-tail trimming.
   // ---------------------------------------------------------------------
 
@@ -844,6 +972,7 @@ object TextAnalysis {
     "ta_tfidf"       -> taTfidf _,
     "ta_unigram_score" -> taUnigramScore _,
     "ta_bigram_score"  -> taBigramScore _,
+    "ta_bpe_train"     -> taBpeTrain _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -860,6 +989,7 @@ object TextAnalysis {
     "ta_tfidf"       -> taTfidfSql,
     "ta_unigram_score" -> taUnigramScoreSql,
     "ta_bigram_score"  -> taBigramScoreSql,
+    "ta_bpe_train"     -> taBpeTrainSql,
     "ta_bm25"        -> taBm25Sql,
   )
 }

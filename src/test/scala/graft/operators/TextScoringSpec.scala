@@ -43,4 +43,86 @@ class TextScoringSpec extends SparkTestBase {
         "pair counts can never exceed their opener counts")
     }
   }
+
+  // ── ta_bpe_train ────────────────────────────────────────────────────
+
+  /** Sequential greedy left-to-right merge of one learned pair. */
+  private def applyMerge(syms: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Textbook single-threaded BPE trainer over word counts. */
+  private def referenceBpe(words: Map[String, Long],
+      n: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), cc) => (-cc, a, b) }
+        out += ((rank, l, r, l + r, c))
+        vocab = vocab.toSeq
+          .map { case (syms, cnt) => applyMerge(syms, l, r) -> cnt }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  private def bpeRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq
+
+  test("bpeMerges learns the textbook merges on a hand corpus") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val exp = referenceBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 5)
+    assert(bpeRows(TextAnalysis.bpeMerges(docs, 5)) == exp)
+  }
+
+  test("bpeMerges merges overlapping runs greedily: aaaa -> [aa, aa], never [aa, a, a]") {
+    val docs = Seq((1L, "aaaa aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got = bpeRows(TextAnalysis.bpeMerges(docs, 2))
+    // merge 1: (a,a) over 3 pair positions x count 4; after the greedy
+    // merge the word is [aa, aa], so merge 2 is (aa,aa) — a
+    // single-space replace would leave [aa, a, a] and learn (a,a)
+    // again at rank 2
+    assert(got == Seq((1, "a", "a", "aa", 12L), (2, "aa", "aa", "aaaa", 4L)))
+  }
+
+  test("ta_bpe_train matches the single-threaded trainer on sf0.001") {
+    val wordCounts = graft.sources.Tables.documents(spark, sf0001)
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split("\\s+"))
+      .filter(w => w.nonEmpty && w.forall(ch => ch.isLetterOrDigit && ch < 128.toChar))
+      .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val exp = referenceBpe(wordCounts, TextAnalysis.BpeTrainMerges)
+    assert(exp.length == TextAnalysis.BpeTrainMerges)
+    assert(bpeRows(TextAnalysis.taBpeTrain(spark, sf0001)) == exp)
+  }
 }
