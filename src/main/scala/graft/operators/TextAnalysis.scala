@@ -516,8 +516,27 @@ object TextAnalysis {
     * symbol alphabet never collides with the delimiters and both
     * engines' regex/char semantics agree.
     */
-  def taBpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeMerges(documents(s, d), BpeTrainMerges)
+  def taBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, d).toDF("rank", "left", "right", "merged", "freq")
+      .orderBy(col("rank"))
+  }
+
+  /** Session-scoped cache of the learned merge table per (session,
+    * corpus) — the BPE analog of the IVF-centroid / BM25-postings
+    * model caches: training runs once per suite, the 10-row model is
+    * plain driver data (no checkpointed blocks to leak; a racing
+    * double-build just recomputes the same deterministic rows).
+    */
+  private val bpeModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+
+  private def trainedMerges(s: SparkSession,
+      d: String): Seq[(Int, String, String, String, Long)] =
+    bpeModelCache.getOrElseUpdate((s, d),
+      bpeMerges(documents(s, d), BpeTrainMerges).collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))))
 
   /** Frame-parametric core of [[taBpeTrain]] over ANY `(doc_id, text)`
     * frame — the form `graft.api.Corpus.bpeMerges` exposes.
@@ -565,12 +584,10 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
-  /** DuckDB mirror of [[taBpeTrain]]: the loop unrolled as
-    * [[BpeTrainMerges]] CTE stages — each stage's argmax is a 1-row
-    * `ORDER BY c DESC, l, r LIMIT 1` CTE cross-joined into the next
-    * vocabulary rewrite, with the same double-space `replace` trick.
+  /** The shared training CTE chain (`words`, `v0`, and the unrolled
+    * `m1`/`v1` … stages), used by both BPE oracles.
     */
-  val taBpeTrainSql: String = {
+  private val bpeStagesSql: String = {
     val pairsOf = (v: String) =>
       s"""SELECT p.l AS l, p.r AS r, SUM(cnt) AS c FROM (
          |  SELECT cnt, unnest(list_transform(range(1, len(a)),
@@ -583,13 +600,10 @@ object TextAnalysis {
          |  ORDER BY c DESC, l, r LIMIT 1),
          |v$i AS (
          |  SELECT cnt, replace(s, ' ' || l || '  ' || r || ' ',
-         |    ' ' || l || r || ' ') AS s
+         |    ' ' || l || r || ' ' ) AS s
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeTrainMerges).map { i =>
-      s"""SELECT $i AS "rank", l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS freq FROM m$i"""
-    }.mkString("\nUNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
        |    FROM documents) t
@@ -599,9 +613,102 @@ object TextAnalysis {
        |  SELECT cnt,
        |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
        |  FROM words),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  /** DuckDB mirror of [[taBpeTrain]]: the loop unrolled as
+    * [[BpeTrainMerges]] CTE stages — each stage's argmax is a 1-row
+    * `ORDER BY c DESC, l, r LIMIT 1` CTE cross-joined into the next
+    * vocabulary rewrite, with the same double-space `replace` trick.
+    */
+  val taBpeTrainSql: String = {
+    val out = (1 to BpeTrainMerges).map { i =>
+      s"""SELECT $i AS "rank", l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS freq FROM m$i"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeStagesSql
        |$out
        |ORDER BY "rank"""".stripMargin
+  }
+
+  /** BPE tokenization under the LEARNED merge table — the serve side
+    * of [[taBpeTrain]], closing the train→apply loop (where
+    * [[taBpeTokens]] applies a fixed heuristic). Per document:
+    * alphanumeric word count, character count, and the BPE token count
+    * after applying all [[BpeTrainMerges]] learned merges in rank
+    * order.
+    *
+    * Scale shape: training runs once (see [[bpeMerges]]); the learned
+    * table is 10 rows — a MODEL, collected to the driver and inlined
+    * as literals, the same posture as broadcasting k-means centroids.
+    * The application is then one shuffle-free map-side pass: per-word
+    * chained `replace` inside an `aggregate` HOF, linear in corpus
+    * bytes, embarrassingly parallel at 100 TB.
+    */
+  def taBpeApply(s: SparkSession, d: String): DataFrame =
+    bpeAppliedWith(documents(s, d),
+      trainedMerges(s, d).map(m => (m._2, m._3)))
+
+  /** Frame-parametric core of [[taBpeApply]] over ANY `(doc_id, text)`
+    * frame: trains in-plan, then applies. The gate serves the merge
+    * table from the session model cache instead.
+    */
+  def bpeApplied(docs: DataFrame, n: Int = BpeTrainMerges): DataFrame =
+    bpeAppliedWith(docs,
+      bpeMerges(docs, n).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Apply a given merge table (rank order) to a corpus. */
+  def bpeAppliedWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    // symbols are alphanumeric by the vocabulary filter, so literal
+    // inlining cannot break the expression
+    val applied = merges.foldLeft(
+      "concat(' ', rtrim(regexp_replace(w, '(.)', '$1  ')), ' ')") {
+      case (e, (l, r)) => s"replace($e, ' $l  $r ', ' ${l + r} ')"
+    }
+    docs
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("__ws",
+        expr("filter(__toks, w -> w rlike '^[A-Za-z0-9]+$')"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast(LongType).as("n_words"),
+        expr("aggregate(__ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .as("n_chars"),
+        expr(s"""aggregate(__ws, CAST(0 AS BIGINT),
+                |  (acc, w) -> acc + size(split(trim($applied), '  ')))""".stripMargin)
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[taBpeApply]]: re-derives the merge table via
+    * [[bpeStagesSql]], cross-joins the ten 1-row merge CTEs into the
+    * per-doc relation as plain columns (DuckDB lambdas cannot hold
+    * subqueries), and applies the same chained double-space replaces.
+    */
+  val taBpeApplySql: String = {
+    val mergeCols = (1 to BpeTrainMerges).map { i =>
+      s"m$i.l AS l$i, m$i.r AS r$i"
+    }.mkString(", ")
+    val crossJoins = (1 to BpeTrainMerges).map(i => s"CROSS JOIN m$i").mkString(" ")
+    val applied = (1 to BpeTrainMerges).foldLeft(
+      "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '") {
+      case (e, i) =>
+        s"replace($e, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
+    }
+    s"""WITH $bpeStagesSql,
+       |docw AS (
+       |  SELECT doc_id,
+       |    list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      w -> regexp_full_match(w, '[A-Za-z0-9]+')) AS ws,
+       |    $mergeCols
+       |  FROM documents $crossJoins)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(list_sum(list_transform(ws,
+       |    w -> len(string_split(trim($applied), '  ')))), 0) AS BIGINT) AS n_bpe_tokens
+       |FROM docw
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -973,6 +1080,7 @@ object TextAnalysis {
     "ta_unigram_score" -> taUnigramScore _,
     "ta_bigram_score"  -> taBigramScore _,
     "ta_bpe_train"     -> taBpeTrain _,
+    "ta_bpe_apply"     -> taBpeApply _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -990,6 +1098,7 @@ object TextAnalysis {
     "ta_unigram_score" -> taUnigramScoreSql,
     "ta_bigram_score"  -> taBigramScoreSql,
     "ta_bpe_train"     -> taBpeTrainSql,
+    "ta_bpe_apply"     -> taBpeApplySql,
     "ta_bm25"        -> taBm25Sql,
   )
 }

@@ -115,6 +115,27 @@ class TextScoringSpec extends SparkTestBase {
     assert(got == Seq((1, "a", "a", "aa", 12L), (2, "aa", "aa", "aaaa", 4L)))
   }
 
+  test("bpeApplied counts BPE tokens under the learned merges (hand corpus)") {
+    val docs = Seq(
+      (1L, "low lower low!"),   // "low!" is not alphanumeric -> excluded
+      (2L, "newest newest"),
+      (3L, "")).toDF("doc_id", "text")
+    val words = Map("low" -> 1L, "lower" -> 1L, "newest" -> 2L)
+    val merges = referenceBpe(words, 5).map(m => (m._2, m._3))
+    def bpeLen(w: String): Long =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (l, r)) => applyMerge(syms, l, r)
+      }.length.toLong
+    val got = TextAnalysis.bpeApplied(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2L, 8L, bpeLen("low") + bpeLen("lower"))))
+    assert(got(2L) == ((2L, 12L, 2 * bpeLen("newest"))))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    // merged tokens genuinely compress: fewer BPE tokens than chars
+    assert(got(1L)._3 < 8L && got(2L)._3 < 12L)
+  }
+
   test("ta_bpe_train matches the single-threaded trainer on sf0.001") {
     val wordCounts = graft.sources.Tables.documents(spark, sf0001)
       .select("text").collect().iterator
