@@ -332,6 +332,27 @@ class Dedup2Spec extends SparkTestBase {
       r.getLong(1) == 1L && r.getLong(2) == 10L && r.getLong(3) == 10L))
   }
 
+  test("spansRemoved marks duplicated windows with a partial aggregate, never a hash window") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 1000L).map(i => (i, boiler)) ++
+      Seq((20000L, (1 to 12).map(i => s"u$i").mkString(" ")))).toDF("doc_id", "text")
+    val out = Dedup2.spansRemoved(docs)
+    // the keep-first argmin must partial-aggregate on the window hash
+    // (skew-collapsible), and no window function may partition by the
+    // hash — the same shape duplicatedSpans pins
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+    assert(!plan.contains("windowspecdefinition(h"), plan)
+    // doc 0 holds every min (doc_id, pos): the 999 other copies lose
+    // all 10 tokens; the unique doc is untouched
+    val rows = out.collect()
+    assert(rows.length == 999)
+    assert(rows.forall(r => r.getLong(0) > 0L && r.getLong(0) < 1000L &&
+      r.getLong(3) == 10L && r.getString(4).isEmpty))
+  }
+
   test("dd_semantic: components are closed over the exact cosine edges") {
     import graft.functions.VectorExpressions
     val e = graft.sources.Tables.embeddings(spark, sf0001)
