@@ -55,16 +55,22 @@ object Dedup2 {
     * (unordered, unlimited) over ANY `(doc_id, text)` frame — shared by
     * the gated query and the `graft.api.Corpus.duplicatedSpans` facade.
     */
-  def duplicatedSpans(docs: DataFrame,
-      window: Int = SpanWindow): DataFrame = {
-    val win = docs
+  /** The positional `(doc_id, pos, h)` window-hash relation shared by
+    * [[duplicatedSpans]] and [[spansRemoved]] (1-based positions,
+    * widened to long to match the oracle's BIGINT).
+    */
+  private def winRel(docs: DataFrame, window: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordShingleHashesExpr
           .wordShingleHashesNative(col("text"), window))
           .as(Seq("pos0", "h")))
-      // 1-based positions, widened to long to match the oracle's BIGINT
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("h"))
+
+  def duplicatedSpans(docs: DataFrame,
+      window: Int = SpanWindow): DataFrame = {
+    val win = winRel(docs, window)
     // duplicated-window marking as a partial-aggregated groupBy joined
     // back on the hash, NOT `count over (partition by h)`: a boilerplate
     // window repeated 10⁷× would land in ONE AQE-unsplittable window
@@ -94,11 +100,13 @@ object Dedup2 {
     * reinterpretation of the same 64 bits induces identical equality
     * classes).
     */
-  val ddSpansSql: String = {
-    val w = SpanWindow
+  /** The `toks` + positional window-hash `w` CTEs shared by the span
+    * oracles ([[ddSpansSql]], [[ddSpansApplySql]]).
+    */
+  private def spanWindowCtesSql(w: Int): String = {
     val cat = (0 until w).map(j =>
       if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
        |  FROM documents),
        |w AS (
@@ -106,7 +114,12 @@ object Dedup2 {
        |    unnest(range(1, len(t) - ${w - 2})) AS pos,
        |    unnest(list_transform(range(1, len(t) - ${w - 2}),
        |      i -> CAST(('0x' || substr(md5($cat), 1, 16)) AS UBIGINT))) AS h
-       |  FROM toks WHERE len(t) >= $w),
+       |  FROM toks WHERE len(t) >= $w)""".stripMargin
+  }
+
+  val ddSpansSql: String = {
+    val w = SpanWindow
+    s"""WITH ${spanWindowCtesSql(w)},
        |dup AS (
        |  SELECT doc_id, pos FROM (
        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM w) z
@@ -150,16 +163,21 @@ object Dedup2 {
 
   /** Frame-parametric core of [[ddSpansApply]] over ANY `(doc_id,
     * text)` frame — the form `graft.api.Corpus` exposes.
+    *
+    * The rebuild re-tokenizes with `\\p{javaWhitespace}+`, the Java
+    * regex class that IS `Character.isWhitespace` — the rule
+    * [[graft.functions.WordShingleHashesExpr]] derived the marked
+    * POSITIONS from. A `\\s+` rebuild (ASCII-only) would misalign the
+    * positions on exotic whitespace (U+2003 etc.) and silently remove
+    * the wrong tokens; with the aligned tokenizer the engine is
+    * internally consistent on ANY input, and the oracle equivalence
+    * carries the same documented ASCII-whitespace-corpus caveat as
+    * every other text operator ([[graft.functions.RepetitionStatsExpr]]'s
+    * note).
     */
   def spansRemoved(docs: DataFrame,
       window: Int = SpanWindow): DataFrame = {
-    val win = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.WordShingleHashesExpr
-          .wordShingleHashesNative(col("text"), window))
-          .as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-        col("h"))
+    val win = winRel(docs, window)
     // first occurrence of each duplicated window, as an order-free
     // struct argmin (same discipline as ddCanonical's argmax)
     val keep = win.groupBy(col("h"))
@@ -169,17 +187,31 @@ object Dedup2 {
     val marked = win.join(keep, "h")
       .filter(!(col("doc_id") === col("k.d") && col("pos") === col("k.p")))
       .select(col("doc_id"), col("pos"))
-    val starts = marked.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    // coalesce marked starts into cover intervals with the same
+    // gaps-and-islands pass ddSpans uses (per-doc window, bounded by
+    // doc length): the per-token rebuild then scans a handful of
+    // intervals, not every marked start — a fully-boilerplate 10k-token
+    // doc is ONE interval, where a start-list `exists` would be
+    // 10k × 10k lambda evaluations inside one row
+    val isl = marked.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val ivs = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("lo"),
+        (max(col("pos")) + (window - 1)).as("hi"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("iv"))
     // every doc here has a marked window, so size(__t) >= window >= 2
     // and sequence(1, size) is always ascending
-    docs.join(starts, "doc_id")
-      .withColumn("__t", graft.functions.tokens(col("text")))
+    docs.join(ivs, "doc_id")
+      .withColumn("__t",
+        filter(split(col("text"), "\\p{javaWhitespace}+"),
+          t => length(t) > 0))
       .withColumn("__kept", expr(
-        s"""transform(
-           |  filter(sequence(1, size(__t)),
-           |    p -> NOT exists(ss, s -> s <= p AND p <= s + ${window - 1})),
-           |  p -> element_at(__t, p))""".stripMargin))
+        """transform(
+          |  filter(sequence(1, size(__t)),
+          |    p -> NOT exists(iv, i -> p >= i.lo AND p <= i.hi)),
+          |  p -> element_at(__t, p))""".stripMargin))
       .select(col("doc_id"),
         size(col("__t")).cast(LongType).as("orig_len"),
         size(col("__kept")).cast(LongType).as("new_len"),
@@ -196,32 +228,30 @@ object Dedup2 {
     */
   val ddSpansApplySql: String = {
     val w = SpanWindow
-    val cat = (0 until w).map(j =>
-      if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
-       |  FROM documents),
-       |w AS (
-       |  SELECT doc_id,
-       |    unnest(range(1, len(t) - ${w - 2})) AS pos,
-       |    unnest(list_transform(range(1, len(t) - ${w - 2}),
-       |      i -> CAST(('0x' || substr(md5($cat), 1, 16)) AS UBIGINT))) AS h
-       |  FROM toks WHERE len(t) >= $w),
+    s"""WITH ${spanWindowCtesSql(w)},
        |keep AS (
        |  SELECT h, MIN({'d': doc_id, 'p': pos}) AS k
        |  FROM w GROUP BY h HAVING COUNT(*) > 1),
        |marked AS (
        |  SELECT doc_id, pos FROM w JOIN keep USING (h)
        |  WHERE NOT (doc_id = k.d AND pos = k.p)),
-       |starts AS (
-       |  SELECT doc_id, list_sort(list(pos)) AS ss FROM marked GROUP BY doc_id),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM marked),
+       |ivr AS (
+       |  SELECT doc_id, MIN(pos) AS lo, MAX(pos) + ${w - 1} AS hi
+       |  FROM isl GROUP BY doc_id, grp),
+       |ivs AS (
+       |  SELECT doc_id, list_sort(list(struct_pack(lo := lo, hi := hi))) AS iv
+       |  FROM ivr GROUP BY doc_id),
        |cleaned AS (
        |  SELECT t.doc_id, t.t,
        |    list_transform(
        |      list_filter(range(1, len(t.t) + 1),
-       |        p -> len(list_filter(s.ss, x -> x <= p AND p <= x + ${w - 1})) = 0),
+       |        p -> len(list_filter(s.iv, i -> p >= i.lo AND p <= i.hi)) = 0),
        |      p -> t.t[p]) AS kept
-       |  FROM toks t JOIN starts s USING (doc_id))
+       |  FROM toks t JOIN ivs s USING (doc_id))
        |SELECT doc_id, CAST(len(t) AS BIGINT) AS orig_len,
        |  CAST(len(kept) AS BIGINT) AS new_len,
        |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,

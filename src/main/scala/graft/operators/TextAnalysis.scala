@@ -532,11 +532,17 @@ object TextAnalysis {
     .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
 
   private def trainedMerges(s: SparkSession,
-      d: String): Seq[(Int, String, String, String, Long)] =
+      d: String): Seq[(Int, String, String, String, Long)] = {
+    // evict entries whose session is gone (the RelCache.purgeStopped
+    // concern): a stopped SparkSession key would otherwise pin its
+    // whole context graph for the JVM lifetime
+    bpeModelCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
     bpeModelCache.getOrElseUpdate((s, d),
       bpeMerges(documents(s, d), BpeTrainMerges).collect().toSeq
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))))
+  }
 
   /** Frame-parametric core of [[taBpeTrain]] over ANY `(doc_id, text)`
     * frame — the form `graft.api.Corpus.bpeMerges` exposes.
@@ -644,9 +650,19 @@ object TextAnalysis {
     * chained `replace` inside an `aggregate` HOF, linear in corpus
     * bytes, embarrassingly parallel at 100 TB.
     */
-  def taBpeApply(s: SparkSession, d: String): DataFrame =
-    bpeAppliedWith(documents(s, d),
-      trainedMerges(s, d).map(m => (m._2, m._3)))
+  def taBpeApply(s: SparkSession, d: String): DataFrame = {
+    val m = trainedMerges(s, d)
+    // the oracle unrolls exactly BpeTrainMerges stages and would go
+    // EMPTY on an exhausted vocabulary (its per-doc relation cross-
+    // joins every 1-row merge CTE), while the frame-parametric core
+    // degrades gracefully — fail loudly rather than diverge silently
+    // on a degenerate corpus
+    require(m.size == BpeTrainMerges,
+      s"vocabulary exhausted after ${m.size} merges; ta_bpe_apply's " +
+        s"oracle requires $BpeTrainMerges learnable merges — use " +
+        "bpeApplied for degenerate corpora")
+    bpeAppliedWith(documents(s, d), m.map(x => (x._2, x._3)))
+  }
 
   /** Frame-parametric core of [[taBpeApply]] over ANY `(doc_id, text)`
     * frame: trains in-plan, then applies. The gate serves the merge

@@ -332,6 +332,23 @@ class Dedup2Spec extends SparkTestBase {
       r.getLong(1) == 1L && r.getLong(2) == 10L && r.getLong(3) == 10L))
   }
 
+  test("spansRemoved rebuild positions align with the hash tokenizer on Unicode whitespace") {
+    import spark.implicits._
+    // U+2003 (em space) splits tokens under Character.isWhitespace —
+    // the rule the window hashes are derived with — but NOT under the
+    // ASCII-only \s+; a \s+ rebuild would see 13 tokens where the hash
+    // relation saw 14 and remove the wrong positions
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span"),
+      (2L, s"pre amble $span")).toDF("doc_id", "text")
+    val out = Dedup2.spansRemoved(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    val r = out.head
+    assert(r.getLong(1) == 14L && r.getLong(2) == 2L && r.getLong(3) == 12L)
+    assert(r.getString(4) == "pre amble")
+  }
+
   test("spansRemoved marks duplicated windows with a partial aggregate, never a hash window") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
