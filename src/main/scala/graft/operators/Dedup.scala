@@ -733,6 +733,91 @@ object Dedup {
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd_lsh_pr — banding certification: pair-level precision/recall.
+  // ---------------------------------------------------------------------
+
+  /** Floors (integer percent) for the banded pipeline's pair-level
+    * precision and recall vs exact truth at the 0.3 threshold. Both
+    * sides of each boundary flip with the ~0.06 estimator error
+    * (pairs with exact J just above 0.3 can estimate below it and
+    * vice versa), so the floors certify "the banding works", not
+    * "the estimator is exact" — [[ddMinhashEst]] certifies that.
+    */
+  val LshRecallFloorPct = 60L
+  val LshPrecisionFloorPct = 60L
+
+  /** Certification row for the BANDING itself — the companion of
+    * [[ddMinhashEst]] (which certifies the estimator on the pairs the
+    * banding found, but says nothing about pairs it MISSED). Compares
+    * the reported pair set (bucket collision + est ≥ 0.3, exactly
+    * what `dd_minhash_lsh` emits) against exact truth (shingle
+    * Jaccard ≥ 0.3 over all pairs) and pins integer-percent
+    * precision/recall floors TRUE, so a banding regression — wrong
+    * band count, a broken band key, rows-per-band drift — hash-fails
+    * the gate even when every reported pair's estimate is accurate.
+    *
+    * The truth arm is the same corpus-wide shared-shingle pair join
+    * the exact dedup gates run (a documented certification-arm cost,
+    * served from the session shingle cache); counts and floors are
+    * integer-only, so nothing float-ordering-dependent is hashed.
+    */
+  def ddLshPr(s: SparkSession, d: String): DataFrame = {
+    val truth = jaccardPairsAll(s, d).filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_t"))
+    val rep = cachedCandidates(s, d)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_r"))
+    truth.join(rep, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("in_r"), lit(0L))).as("n_reported"),
+        sum(when(col("in_t").isNotNull && col("in_r").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_reported"), col("n_hit"),
+        (col("n_hit") * 100 >= col("n_true") * LshRecallFloorPct)
+          .as("recall_floor"),
+        (col("n_hit") * 100 >= col("n_reported") * LshPrecisionFloorPct)
+          .as("precision_floor"))
+  }
+
+  /** DuckDB mirror: the minhash chain for the reported pairs plus the
+    * renamed shingle relation (`shx`, as in [[ddMinhashEstSql]]) for
+    * the corpus-wide truth arm.
+    */
+  val ddLshPrSql: String =
+    s"""WITH $minhashCtesSql,
+       |rep AS (
+       |  SELECT a_id, b_id
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE $estJaccardSql >= 0.3),
+       |shx AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(shs) AS s FROM sh) r),
+       |cntx AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+       |truth AS (
+       |  SELECT p.a_id, p.b_id
+       |  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+       |        FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) p
+       |  JOIN cntx ca ON ca.doc_id = p.a_id
+       |  JOIN cntx cb ON cb.doc_id = p.b_id
+       |  WHERE CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) >= 0.3),
+       |f AS (
+       |  SELECT
+       |    CAST(COUNT(t.a_id) AS BIGINT) AS n_true,
+       |    CAST(COUNT(r.a_id) AS BIGINT) AS n_reported,
+       |    CAST(SUM(CASE WHEN t.a_id IS NOT NULL AND r.a_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM truth t FULL OUTER JOIN rep r
+       |    ON t.a_id = r.a_id AND t.b_id = r.b_id)
+       |SELECT n_true, n_reported, n_hit,
+       |  n_hit * 100 >= n_true * $LshRecallFloorPct AS recall_floor,
+       |  n_hit * 100 >= n_reported * $LshPrecisionFloorPct AS precision_floor
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
   // SimHash — Hamming-bucketed near-dup.
   // ---------------------------------------------------------------------
 
@@ -1067,6 +1152,7 @@ object Dedup {
     "dd_containment_clean" -> ddContainmentClean _,
     "dd_minhash_lsh"       -> ddMinhashLsh _,
     "dd_minhash_est"       -> ddMinhashEst _,
+    "dd_lsh_pr"            -> ddLshPr _,
     "dd_simhash"           -> ddSimhash _,
     "dd_embed_cosine"      -> ddEmbedCosine _,
     "dd_incremental"       -> ddIncremental _,
@@ -1082,6 +1168,7 @@ object Dedup {
     "dd_containment_clean" -> ddContainmentCleanSql,
     "dd_minhash_lsh"       -> ddMinhashLshSql,
     "dd_minhash_est"       -> ddMinhashEstSql,
+    "dd_lsh_pr"            -> ddLshPrSql,
     "dd_simhash"           -> ddSimhashSql,
     "dd_embed_cosine"      -> ddEmbedCosineSql,
     "dd_incremental"       -> ddIncrementalSql,

@@ -192,6 +192,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("banding certification: pair-level precision/recall floors hold at both SFs") {
+    Seq(sf0001, sf001).foreach { sf =>
+      val r = Dedup.ddLshPr(spark, sf).collect().head
+      val (nTrue, nRep, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nTrue > 0 && nRep > 0, s"$sf: both arms non-empty")
+      assert(nHit <= math.min(nTrue, nRep), s"$sf: hit-count identity")
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"$sf: P/R floors hold (true=$nTrue reported=$nRep hit=$nHit)")
+      // the reported set is exactly what dd_minhash_lsh emits
+      assert(nRep == Dedup.ddMinhashLsh(spark, sf).count())
+    }
+  }
+
   test("incremental near-dup probe equals the cross-split slice of the full LSH pass") {
     val out = Dedup.ddIncrementalLsh(spark, sf0001).collect()
       .map(r => r.getLong(0) ->
