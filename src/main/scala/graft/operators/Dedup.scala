@@ -568,7 +568,7 @@ object Dedup {
     * bit-identical across engines. Shared by [[ddMinhashLshSql]] and
     * [[ddApplyLshSql]].
     */
-  private[operators] val minhashCtesSql: String = {
+  private[graft] val minhashCtesSql: String = {
     val p = graft.functions.MinHashSig.MersennePrime
     val sigList = (0 until NumHashes).map { i =>
       val a = graft.functions.MinHashSig.coefA(i)

@@ -629,13 +629,84 @@ object DocStreams {
        |FROM agg a JOIN wn ON a.w = wn.w CROSS JOIN nb
        |ORDER BY win_start_s""".stripMargin
 
+  /** Deterministic arrival epoch for [[stNeardup]]; the 37-step spread
+    * puts the corpus across two [[VoteHorizonMs]]-sized hours (chain
+    * resets exercised) and twelve [[VoteWindowSec]] verdict windows.
+    */
+  val NeardupServeT0 = 1700000000L
+
+  /** Gated batch twin of [[streamingNearDupVoted]] — the full 16-band
+    * MinHash LSH vote, run through the REAL two-stateful-operator plan
+    * (`flatMapGroupsWithState` + windowed vote; batch mode starts
+    * every bucket's state empty and the watermark no-ops). Documents
+    * arrive at `ts = T0 + (doc_id · 37) mod 7200`.
+    *
+    * Oracle-able because the verdict is a pure function of event
+    * times: within a band bucket rows are processed in (ts, doc_id)
+    * order and a row is a dup iff its gap to the PREVIOUS sighting is
+    * ≤ the horizon (the state's lastMs always holds exactly the
+    * previous row's time) — `LAG` over the bucket in SQL. The vote is
+    * then a per-(window, doc) boolean OR across the 16 bands. Docs too
+    * short to shingle take the singleton band — never dups.
+    */
+  def stNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text"),
+      expr(s"timestamp_seconds($NeardupServeT0 + (doc_id * 37) % 7200)")
+        .as("ts"))
+    streamingNearDupVoted(docs).orderBy(col("win_start_s"), col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[stNeardup]]: the shared minhash signature
+    * chain, 16 band rows per signed doc, the LAG-per-bucket dup rule,
+    * and the windowed boolean vote; shingle-less docs append as
+    * never-dup rows.
+    */
+  val stNeardupSql: String = {
+    val horizonS = VoteHorizonMs / 1000
+    val keys = (0 until VoteRowsPerBand).map(i =>
+      s"sig[band * $VoteRowsPerBand + ${i + 1}] AS k$i").mkString(", ")
+    val keyCols = (0 until VoteRowsPerBand).map(i => s"k$i").mkString(", ")
+    s"""WITH ${graft.operators.Dedup.minhashCtesSql},
+       |arr AS (
+       |  SELECT doc_id, $NeardupServeT0 + (doc_id * 37) % 7200 AS tse
+       |  FROM documents),
+       |bandrows AS (
+       |  SELECT s.doc_id, a.tse, band, $keys
+       |  FROM sig s JOIN arr a USING (doc_id)
+       |  CROSS JOIN range($VoteBands) r(band)),
+       |verd AS (
+       |  SELECT doc_id, tse,
+       |    (lag_t IS NOT NULL AND tse - lag_t <= $horizonS) AS dup
+       |  FROM (
+       |    SELECT doc_id, tse,
+       |      LAG(tse) OVER (PARTITION BY band, $keyCols
+       |                     ORDER BY tse, doc_id) AS lag_t
+       |    FROM bandrows) z),
+       |voted AS (
+       |  SELECT CAST((tse // $VoteWindowSec) * $VoteWindowSec AS BIGINT)
+       |      AS win_start_s,
+       |    doc_id, bool_or(dup) AS is_dup
+       |  FROM verd GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT CAST((tse // $VoteWindowSec) * $VoteWindowSec AS BIGINT),
+       |    doc_id, false
+       |  FROM arr WHERE doc_id NOT IN (SELECT doc_id FROM sig))
+       |SELECT win_start_s, doc_id, is_dup
+       |FROM voted
+       |ORDER BY win_start_s, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_bm25"  -> stBm25 _,
-    "st_drift" -> stDrift _,
+    "st_bm25"    -> stBm25 _,
+    "st_drift"   -> stDrift _,
+    "st_neardup" -> stNeardup _,
   )
 
   val oracles: Map[String, String] = Map(
-    "st_bm25"  -> stBm25Sql,
-    "st_drift" -> stDriftSql,
+    "st_bm25"    -> stBm25Sql,
+    "st_drift"   -> stDriftSql,
+    "st_neardup" -> stNeardupSql,
   )
 }

@@ -109,6 +109,43 @@ class DocStreamsSpec extends SparkTestBase {
     streamed.foreach { case (k, v) => assert(batch(k) == v, s"key $k") }
   }
 
+  test("st_neardup gate matches a single-threaded re-derivation of the banded vote") {
+    val horizonS = DocStreams.VoteHorizonMs / 1000
+    val winS = DocStreams.VoteWindowSec
+    val r = DocStreams.VoteRowsPerBand
+    def tse(id: Long) = DocStreams.NeardupServeT0 + (id * 37) % 7200
+    // engine signatures (certified elsewhere); the stateful vote is
+    // what this spec re-derives independently
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      graft.sources.Tables.documents(spark, sf0001))
+      .collect()
+      .map(row => row.getLong(0) -> row.getSeq[Long](1).toVector).toMap
+    val allIds = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val dupByDoc = scala.collection.mutable.Map.empty[Long, Boolean]
+      .withDefaultValue(false)
+    val buckets = scala.collection.mutable
+      .Map.empty[(Int, Vector[Long]), scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    for (id <- allIds; sig <- sigs.get(id)
+         if sig.exists(_ != Long.MaxValue); b <- 0 until DocStreams.VoteBands)
+      buckets.getOrElseUpdate(
+        (b, sig.slice(b * r, b * r + r)),
+        scala.collection.mutable.ArrayBuffer.empty) += ((tse(id), id))
+    buckets.values.foreach { rows =>
+      val sorted = rows.sorted
+      sorted.zip(sorted.tail).foreach { case ((t1, _), (t2, id2)) =>
+        if (t2 - t1 <= horizonS) dupByDoc(id2) = true
+      }
+    }
+    val expected = allIds.map(id =>
+      (tse(id) / winS * winS, id) -> dupByDoc(id)).toMap
+    val got = DocStreams.stNeardup(spark, sf0001).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getBoolean(2)).toMap
+    assert(got == expected)
+    assert(got.valuesIterator.exists(identity),
+      "fixture exercises at least one near-dup flag")
+  }
+
   test("streaming ingestion: quality filter + in-horizon dedup + chunk stats, equals batch twin") {
     val dir = Files.createTempDirectory("graft-ingest-")
     val t0 = 1704067200L // window-aligned (t0 % 600 == 0)
