@@ -146,6 +146,54 @@ class DocStreamsSpec extends SparkTestBase {
       "fixture exercises at least one near-dup flag")
   }
 
+  test("voted near-dup state survives a restart; late docs below the watermark are dropped") {
+    // the st_attr/st_bm25 restart pattern applied to BOTH chained
+    // stateful operators: the first copy's band buckets AND its open
+    // verdict window live only in the checkpoint at shutdown; after
+    // the restart an exact copy must vote dup (bucket state) and both
+    // verdicts must emit in the correct windows (window state)
+    val dir = Files.createTempDirectory("graft-vote-restart-")
+    val cp = Files.createTempDirectory("graft-vote-restart-cp-")
+    val out = Files.createTempDirectory("graft-vote-restart-out-")
+    val t0 = 1704067200L
+    def run(): Unit = {
+      val docs = spark.readStream.schema(DocStreams.docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = DocStreams.streamingNearDupVoted(docs)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    // run 1: first copy of A only — nothing can emit (window open)
+    writeBatch(dir, "001.parquet", Seq((1L, A, t0)))
+    run()
+    assert(spark.read.parquet(out.toString).isEmpty,
+      "open window must not emit before the watermark passes")
+    // run 2 (restart): exact copy + fresh doc, then a sentinel far
+    // ahead closes every window
+    writeBatch(dir, "002.parquet", Seq((2L, A, t0 + 60), (4L, B, t0 + 60)))
+    writeBatch(dir, "003.parquet", Seq((99L, C, t0 + 300 * 60)))
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .filter(_.getLong(1) < 99)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    val win = t0 / 600 * 600
+    assert(got == Map((win, 1L) -> false, (win, 2L) -> true,
+      (win, 4L) -> false),
+      s"restart lost bucket or window state: $got")
+    // run 3: a copy of A arriving below the advanced watermark — its
+    // verdict window is closed; the downstream aggregation drops it
+    writeBatch(dir, "004.parquet", Seq((5L, A, t0 + 30)))
+    run()
+    val after = spark.read.parquet(out.toString).collect()
+      .filter(_.getLong(1) < 99)
+    assert(after.length == 3 && !after.exists(_.getLong(1) == 5L),
+      "sub-watermark doc was not dropped")
+  }
+
   test("streaming ingestion: quality filter + in-horizon dedup + chunk stats, equals batch twin") {
     val dir = Files.createTempDirectory("graft-ingest-")
     val t0 = 1704067200L // window-aligned (t0 % 600 == 0)
