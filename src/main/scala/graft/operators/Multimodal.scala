@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables._
 
@@ -235,7 +236,10 @@ object Multimodal {
     * shape of every audio featurizer (VAD, loudness, fingerprinting).
     * Integer math end to end, so the oracle reproduces it exactly.
     */
-  def mmAudioEnergy(s: SparkSession, d: String): DataFrame = {
+  /** The unordered `(doc_id, win_idx, n_samples, energy)` window
+    * relation shared by [[mmAudioEnergy]] and [[mmSilenceTrim]].
+    */
+  private def audioWindows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .filter(_.media_type == "audio")
@@ -256,11 +260,53 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy(col("doc_id"), col("win_idx"))
   }
 
-  val mmAudioEnergySql: String =
-    s"""WITH b AS (
+  def mmAudioEnergy(s: SparkSession, d: String): DataFrame =
+    audioWindows(s, d).orderBy(col("doc_id"), col("win_idx"))
+
+  /** Silence trimming over the windowed energy — the VAD-shaped
+    * TRANSFORM of the audio path (the [[mmAudioEnergy]] report's
+    * analog of `dd_spans_apply`): a window is silent iff its
+    * PER-SAMPLE energy falls below half the document's mean per-sample
+    * energy, cross-multiplied so the compare stays in exact integers
+    * (`2·energy·total_samples < total_energy·n_samples` — the
+    * [[mmPhashDup]] discipline). One row per audio doc: window/silence
+    * counts, original vs kept bytes, and the kept window indices in
+    * order — what a real pipeline would use to slice the PCM before
+    * feature extraction.
+    *
+    * Shape: the map-side 1→N window pass, one per-doc aggregation for
+    * the totals, an equi-join back (both sides doc-keyed), and the
+    * final per-doc aggregation — linear in payload bytes, nothing
+    * corpus-wide.
+    */
+  def mmSilenceTrim(s: SparkSession, d: String): DataFrame = {
+    val en = audioWindows(s, d)
+    val tot = en.groupBy(col("doc_id"))
+      .agg(sum(col("energy")).as("tot_e"),
+        sum(col("n_samples")).cast(LongType).as("tot_n"),
+        count(lit(1)).as("n_windows"))
+    en.join(tot, "doc_id")
+      .withColumn("silent",
+        col("energy") * col("tot_n") * 2 < col("tot_e") * col("n_samples"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        sum(col("n_samples")).cast(LongType).as("orig_bytes"),
+        sum(when(!col("silent"), col("n_samples")).otherwise(0))
+          .cast(LongType).as("kept_bytes"),
+        array_join(
+          expr("transform(sort_array(collect_list(CASE WHEN NOT silent THEN win_idx END)), x -> CAST(x AS STRING))"),
+          ",").as("kept_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The `en(doc_id, win_idx, n_samples, energy)` window CTE chain
+    * shared by the audio oracles.
+    */
+  private val audioWindowsCteSql: String =
+    s"""b AS (
        |  SELECT doc_id,
        |    list_transform(regexp_split_to_array(text, ''), x -> CAST(ord(x) AS BIGINT)) AS bs
        |  FROM documents
@@ -268,14 +314,45 @@ object Multimodal {
        |w AS (
        |  SELECT doc_id, bs,
        |    unnest(range(0, (len(bs) + ${AudioWindowBytes - 1}) // $AudioWindowBytes)) AS win_idx
-       |  FROM b)
-       |SELECT doc_id, win_idx,
-       |  CAST(LEAST((win_idx + 1) * $AudioWindowBytes, len(bs)) - win_idx * $AudioWindowBytes AS INTEGER) AS n_samples,
-       |  CAST(list_sum(list_transform(
-       |    bs[win_idx * $AudioWindowBytes + 1 : LEAST((win_idx + 1) * $AudioWindowBytes, len(bs))],
-       |    v -> (v - 128) * (v - 128))) AS BIGINT) AS energy
-       |FROM w
+       |  FROM b),
+       |en AS (
+       |  SELECT doc_id, win_idx,
+       |    CAST(LEAST((win_idx + 1) * $AudioWindowBytes, len(bs)) - win_idx * $AudioWindowBytes AS BIGINT) AS n_samples,
+       |    CAST(list_sum(list_transform(
+       |      bs[win_idx * $AudioWindowBytes + 1 : LEAST((win_idx + 1) * $AudioWindowBytes, len(bs))],
+       |      v -> (v - 128) * (v - 128))) AS BIGINT) AS energy
+       |  FROM w)""".stripMargin
+
+  val mmAudioEnergySql: String =
+    s"""WITH $audioWindowsCteSql
+       |SELECT doc_id, win_idx, CAST(n_samples AS INTEGER) AS n_samples, energy
+       |FROM en
        |ORDER BY doc_id, win_idx""".stripMargin
+
+  /** DuckDB mirror of [[mmSilenceTrim]]: the shared window chain, one
+    * per-doc totals aggregation, the cross-multiplied silence flag,
+    * and the per-doc rollup with a FILTERed kept-index list.
+    */
+  val mmSilenceTrimSql: String =
+    s"""WITH $audioWindowsCteSql,
+       |tot AS (
+       |  SELECT doc_id, SUM(energy) AS tot_e, SUM(n_samples) AS tot_n,
+       |    CAST(COUNT(*) AS BIGINT) AS n_windows
+       |  FROM en GROUP BY doc_id),
+       |fl AS (
+       |  SELECT en.doc_id, en.win_idx, en.n_samples, t.n_windows,
+       |    (2 * en.energy * t.tot_n < t.tot_e * en.n_samples) AS silent
+       |  FROM en JOIN tot t USING (doc_id))
+       |SELECT doc_id,
+       |  MAX(n_windows) AS n_windows,
+       |  CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       |  CAST(SUM(n_samples) AS BIGINT) AS orig_bytes,
+       |  CAST(SUM(CASE WHEN NOT silent THEN n_samples ELSE 0 END) AS BIGINT) AS kept_bytes,
+       |  COALESCE(array_to_string(
+       |    list_sort(list(win_idx) FILTER (WHERE NOT silent)), ','), '') AS kept_idx
+       |FROM fl
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   final case class PhashRow(doc_id: Long, phash: Long)
 
@@ -522,6 +599,7 @@ object Multimodal {
     "mm_frame_sample"    -> mmFrameSample _,
     "mm_resize"          -> mmResize _,
     "mm_audio_energy"    -> mmAudioEnergy _,
+    "mm_silence_trim"    -> mmSilenceTrim _,
     "mm_phash_dup"       -> mmPhashDup _,
     "mm_pair_mine"       -> mmPairMine _,
   )
@@ -532,6 +610,7 @@ object Multimodal {
     "mm_frame_sample"    -> mmFrameSampleSql,
     "mm_resize"          -> mmResizeSql,
     "mm_audio_energy"    -> mmAudioEnergySql,
+    "mm_silence_trim"    -> mmSilenceTrimSql,
     "mm_phash_dup"       -> mmPhashDupSql,
     "mm_pair_mine"       -> mmPairMineSql,
   )

@@ -110,6 +110,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("silence trim matches a re-derivation from the energy windows and discriminates") {
+    val wins = Multimodal.mmAudioEnergy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+      .groupBy(_._1)
+    val expected = wins.map { case (id, ws) =>
+      val totE = ws.map(_._4).sum
+      val totN = ws.map(_._3).sum
+      val silent = ws.map(w => w._2 -> (2 * w._4 * totN < totE * w._3)).toMap
+      val keptIdx = ws.map(_._2).filterNot(silent).sorted
+      id -> ((ws.length.toLong, silent.count(_._2).toLong, totN,
+        ws.filterNot(w => silent(w._2)).map(_._3).sum,
+        keptIdx.mkString(",")))
+    }
+    val got = Multimodal.mmSilenceTrim(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got == expected)
+    // the threshold genuinely splits: some windows trimmed, some kept
+    assert(got.values.exists(_._2 > 0) && got.values.forall(v => v._4 <= v._3))
+    assert(got.values.exists(v => v._2 < v._1))
+  }
+
   test("mm_pair_mine: modality split, rank contract, and quality floor") {
     val rows = Multimodal.mmPairMine(spark, sf0001).collect()
     assert(rows.nonEmpty)
