@@ -101,14 +101,17 @@ object Dedup2 {
     * classes).
     */
   /** The `toks` + positional window-hash `w` CTEs shared by the span
-    * oracles ([[ddSpansSql]], [[ddSpansApplySql]]).
+    * oracles ([[ddSpansSql]], [[ddSpansApplySql]]) — `src`
+    * parameterizes the `(doc_id, text)` source relation so pipeline
+    * compositions can span-dedup a CLEANED intermediate.
     */
-  private def spanWindowCtesSql(w: Int): String = {
+  private[operators] def spanWindowCtesSqlFrom(w: Int,
+      src: String): String = {
     val cat = (0 until w).map(j =>
       if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
-       |  FROM documents),
+       |  FROM $src),
        |w AS (
        |  SELECT doc_id,
        |    unnest(range(1, len(t) - ${w - 2})) AS pos,
@@ -116,6 +119,40 @@ object Dedup2 {
        |      i -> CAST(('0x' || substr(md5($cat), 1, 16)) AS UBIGINT))) AS h
        |  FROM toks WHERE len(t) >= $w)""".stripMargin
   }
+
+  private def spanWindowCtesSql(w: Int): String =
+    spanWindowCtesSqlFrom(w, "documents")
+
+  /** The full spans-APPLY CTE chain through relation `cleaned(doc_id,
+    * t, kept)` — shared by [[ddSpansApplySql]] and the pipeline
+    * compositions ([[Pipeline.pipeScrubSql]]).
+    */
+  private[operators] def spansApplyCtesSqlFrom(w: Int,
+      src: String): String =
+    s"""${spanWindowCtesSqlFrom(w, src)},
+       |keep AS (
+       |  SELECT h, MIN({'d': doc_id, 'p': pos}) AS k
+       |  FROM w GROUP BY h HAVING COUNT(*) > 1),
+       |marked AS (
+       |  SELECT doc_id, pos FROM w JOIN keep USING (h)
+       |  WHERE NOT (doc_id = k.d AND pos = k.p)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM marked),
+       |ivr AS (
+       |  SELECT doc_id, MIN(pos) AS lo, MAX(pos) + ${w - 1} AS hi
+       |  FROM isl GROUP BY doc_id, grp),
+       |ivs AS (
+       |  SELECT doc_id, list_sort(list(struct_pack(lo := lo, hi := hi))) AS iv
+       |  FROM ivr GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT t.doc_id, t.t,
+       |    list_transform(
+       |      list_filter(range(1, len(t.t) + 1),
+       |        p -> len(list_filter(s.iv, i -> p >= i.lo AND p <= i.hi)) = 0),
+       |      p -> t.t[p]) AS kept
+       |  FROM toks t JOIN ivs s USING (doc_id))""".stripMargin
 
   val ddSpansSql: String = {
     val w = SpanWindow
@@ -228,30 +265,7 @@ object Dedup2 {
     */
   val ddSpansApplySql: String = {
     val w = SpanWindow
-    s"""WITH ${spanWindowCtesSql(w)},
-       |keep AS (
-       |  SELECT h, MIN({'d': doc_id, 'p': pos}) AS k
-       |  FROM w GROUP BY h HAVING COUNT(*) > 1),
-       |marked AS (
-       |  SELECT doc_id, pos FROM w JOIN keep USING (h)
-       |  WHERE NOT (doc_id = k.d AND pos = k.p)),
-       |isl AS (
-       |  SELECT doc_id, pos,
-       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |  FROM marked),
-       |ivr AS (
-       |  SELECT doc_id, MIN(pos) AS lo, MAX(pos) + ${w - 1} AS hi
-       |  FROM isl GROUP BY doc_id, grp),
-       |ivs AS (
-       |  SELECT doc_id, list_sort(list(struct_pack(lo := lo, hi := hi))) AS iv
-       |  FROM ivr GROUP BY doc_id),
-       |cleaned AS (
-       |  SELECT t.doc_id, t.t,
-       |    list_transform(
-       |      list_filter(range(1, len(t.t) + 1),
-       |        p -> len(list_filter(s.iv, i -> p >= i.lo AND p <= i.hi)) = 0),
-       |      p -> t.t[p]) AS kept
-       |  FROM toks t JOIN ivs s USING (doc_id))
+    s"""WITH ${spansApplyCtesSqlFrom(w, "documents")}
        |SELECT doc_id, CAST(len(t) AS BIGINT) AS orig_len,
        |  CAST(len(kept) AS BIGINT) AS new_len,
        |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,

@@ -86,7 +86,7 @@ object Pii {
     * so the detector must find EXACTLY the planted entities: a regex
     * that under- or over-matches in either engine breaks the hash.
     */
-  private def injectedText: Column = concat(
+  private[operators] def injectedText: Column = concat(
     col("text"),
     when(col("doc_id") % 11 === 0,
       concat(lit(" see http://ex"), (col("doc_id") % 50).cast("string"),
@@ -109,9 +109,11 @@ object Pii {
         col("n_ips"), col("n_phones"), col("redacted"))
       .orderBy(col("doc_id"))
 
-  val taPiiSql: String =
-    s"""WITH inj AS (
-       |  SELECT doc_id, text ||
+  /** The SQL form of [[injectedText]], shared by [[taPiiSql]] and
+    * [[Pipeline.pipeScrubSql]].
+    */
+  private[operators] val injectedTextSql: String =
+    s"""text ||
        |    CASE WHEN doc_id % 11 = 0
        |         THEN ' see http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.org/p' || CAST(doc_id AS VARCHAR)
        |         ELSE '' END ||
@@ -123,7 +125,11 @@ object Pii {
        |         ELSE '' END ||
        |    CASE WHEN doc_id % 5 = 0
        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |         ELSE '' END AS t
+       |         ELSE '' END""".stripMargin
+
+  val taPiiSql: String =
+    s"""WITH inj AS (
+       |  SELECT doc_id, $injectedTextSql AS t
        |  FROM documents),
        |s1 AS (
        |  SELECT doc_id,

@@ -190,6 +190,128 @@ object Pipeline {
        |ORDER BY lang""".stripMargin
   }
 
+  /** The production pre-training CLEANING pipeline as one composed
+    * plan — the scrub-order counterpart of [[pipeE2e]]'s assembly
+    * order, threading the round-9 span transform through a pipeline:
+    *
+    *  1. PII scrub FIRST (redaction is per-doc and must precede any
+    *     stage that could replicate text into derived artifacts) —
+    *     [[Pii.piiScrubbed]] over the same deterministic injection the
+    *     `ta_pii` gate certifies, so the stage provably redacts;
+    *  2. duplicated-span removal over the scrubbed corpus
+    *     ([[Dedup2.spansRemoved]] — the Lee-et-al ExactSubstr order:
+    *     substring dedup runs BEFORE document fingerprints are
+    *     computed, so shared boilerplate can neither mask a re-crawl's
+    *     fingerprint nor split a fingerprint group); docs emptied by
+    *     the cleaning are dropped;
+    *  3. exact prefix-fingerprint dedup on the CLEANED text (the
+    *     [[pipeE2e]] struct-min survivor);
+    *  4. per-language summary: docs in/kept, PII entities redacted,
+    *     span tokens removed, and the corpus's final token count.
+    *
+    * Shape: stages 1 and 4 are map-side; stage 2 is the spans
+    * transform's linear window-hash pass; stage 3 is one fingerprint
+    * shuffle. Nothing quadratic, nothing corpus-wide beyond the keyed
+    * shuffles the semantics require.
+    */
+  def pipeScrub(s: SparkSession, d: String): DataFrame = {
+    def jtoks(c: org.apache.spark.sql.Column) =
+      filter(split(c, "\\p{javaWhitespace}+"), t => length(t) > 0)
+    val scr = Pii.piiScrubbed(
+      documents(s, d).select(col("doc_id"), col("lang"),
+        Pii.injectedText.as("text")))
+      .select(col("doc_id"), col("lang"),
+        (col("n_urls") + col("n_emails") + col("n_ips") + col("n_phones"))
+          .as("n_pii"),
+        col("redacted"))
+    val sp = Dedup2.spansRemoved(
+      scr.select(col("doc_id"), col("redacted").as("text")))
+      .select(col("doc_id"), col("cleaned_text"), col("n_removed"))
+    val cleaned = scr.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_pii"),
+        coalesce(col("n_removed"), lit(0L)).as("nr"),
+        jtoks(coalesce(col("cleaned_text"), col("redacted"))).as("tt"))
+      .filter(size(col("tt")) > 0)
+    val kept = cleaned
+      .withColumn("fp", md5(concat_ws(" ", slice(col("tt"), 1, 10))))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_pii"),
+        col("nr"), size(col("tt")).cast("long").as("toks_out"))).as("k"))
+      .select(col("k.lang").as("lang"), col("k.n_pii").as("n_pii"),
+        col("k.nr").as("nr"), col("k.toks_out").as("toks_out"))
+    val inCnt = scr.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_in"))
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_pii")).as("n_pii_redacted"),
+        sum(col("nr")).as("span_tokens_removed"),
+        sum(col("toks_out")).as("total_tokens_out"))
+      .join(broadcast(inCnt), "lang")
+      .select(col("lang"), col("n_docs_in"), col("n_docs_kept"),
+        col("n_pii_redacted"), col("span_tokens_removed"),
+        col("total_tokens_out"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB mirror of [[pipeScrub]]: the shared injection fragment,
+    * the four scrub stages generated from [[Pii.Passes]], the
+    * window-min survivor, and the shared spans-apply chain
+    * re-rooted at the deduped relation.
+    */
+  val pipeScrubSql: String = {
+    val scrubStages = Pii.Passes.zipWithIndex.map {
+      case ((re, tok, cname), i) =>
+        val prev = if (i == 0) "inj" else s"s$i"
+        val carried = ("lang" +: Pii.Passes.take(i).map(_._3))
+          .mkString(", ")
+        s"""s${i + 1} AS (
+           |  SELECT doc_id, $carried,
+           |    CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS $cname,
+           |    regexp_replace(t, '$re', '$tok', 'g') AS t
+           |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH inj AS (
+       |  SELECT doc_id, lang, ${Pii.injectedTextSql} AS t
+       |  FROM documents),
+       |$scrubStages,
+       |scr AS (
+       |  SELECT doc_id, lang,
+       |    n_urls + n_emails + n_ips + n_phones AS n_pii,
+       |    t AS rtext
+       |  FROM s4),
+       |scrdocs AS (SELECT doc_id, rtext AS text FROM scr),
+       |${Dedup2.spansApplyCtesSqlFrom(Dedup2.SpanWindow, "scrdocs")},
+       |cl AS (
+       |  SELECT s.doc_id, s.lang, s.n_pii,
+       |    COALESCE(CAST(len(c.t) - len(c.kept) AS BIGINT), 0) AS nr,
+       |    COALESCE(c.kept, tk.t) AS tt
+       |  FROM scr s
+       |  JOIN toks tk USING (doc_id)
+       |  LEFT JOIN cleaned c USING (doc_id)
+       |  WHERE len(COALESCE(c.kept, tk.t)) > 0),
+       |fpr AS (
+       |  SELECT doc_id, lang, n_pii, nr,
+       |    CAST(len(tt) AS BIGINT) AS toks_out,
+       |    md5(COALESCE(array_to_string(tt[1:10], ' '), '')) AS fp
+       |  FROM cl),
+       |minfp AS (
+       |  SELECT lang, n_pii, nr, toks_out
+       |  FROM (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS kp
+       |        FROM fpr) z
+       |  WHERE kp),
+       |incnt AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_in
+       |  FROM scr GROUP BY lang)
+       |SELECT m.lang, i.n_docs_in,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(m.n_pii) AS BIGINT) AS n_pii_redacted,
+       |  CAST(SUM(m.nr) AS BIGINT) AS span_tokens_removed,
+       |  CAST(SUM(m.toks_out) AS BIGINT) AS total_tokens_out
+       |FROM minfp m JOIN incnt i USING (lang)
+       |GROUP BY m.lang, i.n_docs_in
+       |ORDER BY m.lang""".stripMargin
+  }
+
   val ContamGram = 8     // n-gram width for contamination checks
   val EvalBuckets = 20L  // md5 bucket count; bucket 0 = the eval split
 
@@ -755,6 +877,7 @@ object Pipeline {
     "ta_pack"          -> taPack _,
     "ta_contamination" -> taContamination _,
     "pipe_e2e"         -> pipeE2e _,
+    "pipe_scrub"       -> pipeScrub _,
     "pipe_qa"          -> pipeQa _,
     "pipe_ingest"      -> pipeIngest _,
     "pipe_pairs"       -> pipePairs _,
@@ -767,6 +890,7 @@ object Pipeline {
     "ta_pack"          -> taPackSql,
     "ta_contamination" -> taContaminationSql,
     "pipe_e2e"         -> pipeE2eSql,
+    "pipe_scrub"       -> pipeScrubSql,
     "pipe_qa"          -> pipeQaSql,
     "pipe_ingest"      -> pipeIngestSql,
     "pipe_pairs"       -> pipePairsSql,

@@ -186,4 +186,27 @@ class PipelineSpec extends SparkTestBase {
         r.getLong(4)))
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("pipe_scrub: every stage bites and the summary is internally consistent") {
+    val rows = Pipeline.pipeScrub(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).sum == 500L, "every doc enters")
+    rows.foreach { case (lang, nIn, nKept, nPii, nSpan, nToks) =>
+      assert(nKept <= nIn && nKept > 0, s"$lang kept")
+      assert(nPii > 0, s"$lang: the injected PII must be redacted")
+      assert(nSpan >= 0 && nToks > 0, s"$lang totals")
+    }
+    // the scrub and span stages each remove something somewhere, and
+    // the dedup stage drops at least one re-crawl
+    assert(rows.map(_._5).sum > 0, "span stage removed tokens")
+    assert(rows.map(_._2).sum > rows.map(_._3).sum, "dedup dropped docs")
+    // per-lang PII totals over kept docs can never exceed the gate's
+    // full-corpus redaction counts
+    val fullPii = graft.operators.Pii.taPii(spark, sf001).collect()
+      .map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4))
+      .sum
+    assert(rows.map(_._4).sum <= fullPii)
+  }
 }
