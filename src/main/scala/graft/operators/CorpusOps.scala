@@ -803,7 +803,128 @@ object CorpusOps {
        |ORDER BY domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cp_datacard — the per-source corpus release summary.
+  // ---------------------------------------------------------------------
+
+  /** Per-source data card: the one-page summary a corpus RELEASE ships
+    * (Datasheets for Datasets / Dolma-style) — for every source: doc
+    * and token counts, language spread (distinct langs + dominant lang
+    * with its share), exact-duplicate rate (1 − distinct fingerprints /
+    * docs), mean heuristic quality, and the exact median length. One
+    * composed plan over certified cores: [[graft.functions.fingerprintMd5]]
+    * (the `dd_exact` key), [[TextAnalysis.qualityScore]] (the `ta_quality`
+    * formula), [[Percentiles.exactSelect]] (the `q26` selection core).
+    *
+    * Determinism discipline: every ratio is ONE IEEE division of exact
+    * integers — quality is floor-quantized to 6 decimals per doc (the
+    * `cp_importance` pattern) so the per-source mean is an exact long
+    * sum; the dominant language is an order-free `max(struct(count,
+    * lang))` argmax, never a window rank.
+    *
+    * Scale shape: four independent sub-aggregates, each partial-
+    * aggregated — per-source moments (one pass), distinct fingerprints
+    * (narrow `(source, fp)` rows, two-level aggregate instead of a
+    * `countDistinct` expand which would triple the shuffle), language
+    * counts (≤ sources×langs rows), and the histogram-selection median
+    * (no per-group sort — the window-rank form would sort each source's
+    * rows in ONE task). The joins unify ≤|sources| summary rows —
+    * broadcast by size — so the corpus itself is never joined or
+    * re-shuffled wholesale.
+    */
+  def cpDatacard(s: SparkSession, d: String): DataFrame =
+    dataCard(documents(s, d)).orderBy(col("source"))
+
+  /** Frame-parametric core of [[cpDatacard]] over ANY `(text, lang,
+    * source, n_chars)` corpus frame.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val base = docs.select(
+      col("source"), col("lang"), col("n_chars"),
+      fingerprintMd5(col("text")).as("fp"),
+      size(toksC).cast(LongType).as("n_tok"),
+      floor(when(size(toksC) > 0, TextAnalysis.qualityScore(toksC))
+        .otherwise(lit(0.0)) * lit(1000000.0)).cast(LongType).as("q6"))
+    val moments = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("q6")).as("q_sum6"))
+    val distinctFp = base.select(col("source"), col("fp")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("c").as("c"), col("lang").as("l"))).as("t"),
+        count(lit(1)).as("n_langs"))
+    val median = Percentiles.exactSelect(
+      docs.select(col("source"), col("n_chars")),
+      "source", "n_chars", Seq(("p50_chars", 0.5)))
+    moments
+      .join(broadcast(distinctFp), "source")
+      .join(broadcast(topLang), "source")
+      .join(broadcast(median), "source")
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("t.l").as("top_lang"),
+        (col("t.c").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("top_lang_share"),
+        ((col("n_docs") - col("n_fp")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"),
+        (col("q_sum6").cast(DoubleType) /
+          (col("n_docs").cast(DoubleType) * lit(1000000.0)))
+          .as("avg_quality"),
+        col("p50_chars"))
+  }
+
+  /** DuckDB mirror: the same four sub-aggregates (the median via
+    * [[Percentiles.exactSql]], op-for-op with the selection core) and
+    * the same single-division ratios over exact integers. The struct
+    * argmax compares field-by-field in declaration order in both
+    * engines, so language ties break identically (max lang string).
+    */
+  val cpDatacardSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    s"""WITH base AS (
+       |  SELECT source, lang, n_chars,
+       |    md5(lower(trim(text))) AS fp,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    CAST(FLOOR(CASE WHEN len($toksSql) > 0
+       |      THEN ${TextAnalysis.qualityScoreSql(toksSql)}
+       |      ELSE 0.0 END * 1000000.0) AS BIGINT) AS q6
+       |  FROM documents),
+       |moments AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(q6) AS BIGINT) AS q_sum6
+       |  FROM base GROUP BY source),
+       |dfp AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp
+       |  FROM (SELECT DISTINCT source, fp FROM base) GROUP BY source),
+       |lc AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM base GROUP BY source, lang),
+       |tl AS (
+       |  SELECT source, MAX({'c': c, 'l': lang}) AS t,
+       |    CAST(COUNT(*) AS BIGINT) AS n_langs
+       |  FROM lc GROUP BY source),
+       |pct AS (
+       |${Percentiles.exactSql("documents", "source", "n_chars",
+          Seq(("p50_chars", 0.5)))})
+       |SELECT m.source, m.n_docs, m.n_tokens, tl.n_langs,
+       |  t.l AS top_lang,
+       |  CAST(t.c AS DOUBLE) / CAST(m.n_docs AS DOUBLE) AS top_lang_share,
+       |  CAST(m.n_docs - dfp.n_fp AS DOUBLE) / CAST(m.n_docs AS DOUBLE) AS dup_rate,
+       |  CAST(m.q_sum6 AS DOUBLE) / (CAST(m.n_docs AS DOUBLE) * 1000000.0) AS avg_quality,
+       |  pct.p50_chars
+       |FROM moments m
+       |JOIN dfp USING (source) JOIN tl ON tl.source = m.source
+       |JOIN pct ON pct.source = m.source
+       |ORDER BY m.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_datacard"     -> cpDatacard _,
     "cp_waterfill"    -> cpWaterfill _,
     "cp_domain_cap"   -> cpDomainCap _,
     "cp_dup_sample"   -> cpDupSample _,
@@ -818,6 +939,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_datacard"     -> cpDatacardSql,
     "cp_waterfill"    -> cpWaterfillSql,
     "cp_domain_cap"   -> cpDomainCapSql,
     "cp_dup_sample"   -> cpDupSampleSql,

@@ -509,6 +509,92 @@ object EventAnalytics {
        |QUALIFY rank <= $PathTopK
        |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_scd2 — changelog → slowly-changing-dimension type-2 intervals.
+  // ---------------------------------------------------------------------
+
+  /** SCD Type-2 compaction of the event changelog: per user, collapse
+    * CONSECUTIVE same-type events into one validity interval and emit
+    * `[valid_from_us, valid_to_us)` rows — the warehouse "dimension
+    * history" table, and the type-2 complement of
+    * [[graft.streaming.EventStreams.stLatestByKey]]'s type-1 snapshot.
+    * Only a CHANGE of `event_type` opens a new interval (real SCD2
+    * semantics — re-asserting the same value extends the current
+    * interval instead of fragmenting history); the open interval has
+    * `valid_to_us` null and `is_current` true.
+    *
+    * Shape: ONE hash exchange on `user_id` shared by all three stages —
+    * the change-flag window (`lag` + running sum = interval id, the
+    * gaps-and-islands pass [[Dedup2.ddSpans]] also uses), the per-
+    * interval aggregate (grouping on `(user_id, run)` reuses the
+    * `user_id` partitioning — `ClusteredDistribution` is satisfied by
+    * any subset hash, so no second exchange), and the interval-chaining
+    * `lead` that closes each interval with the next one's start. State
+    * per user is bounded by that user's event count; nothing cross-user
+    * ever forms.
+    */
+  def evScd2(s: SparkSession, d: String): DataFrame =
+    scd2Intervals(
+      events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts_ns DIV 1000").as("ts_us")))
+      .orderBy(col("user_id"), col("valid_from_us"))
+
+  /** Frame-parametric core of [[evScd2]] over ANY `(user_id,
+    * event_type, event_id, ts_us)` changelog frame — the tracked
+    * dimension is the `event_type` column; callers project their own
+    * attribute into it.
+    */
+  def scd2Intervals(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    val prev = lag(col("event_type"), 1).over(w)
+    ev
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run"))
+      // event_type is constant within a run; min is the order-free pick
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** DuckDB mirror: identical lag → change flag → running-sum interval
+    * id → per-interval aggregate → `LEAD` chain; all arithmetic is
+    * integer (epoch micros, counts), so the engines agree bit-for-bit.
+    */
+  val evScd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    lag(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |r AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, run, MIN(event_type) AS event_type,
+      |    CAST(MIN(ts_us) AS BIGINT) AS valid_from_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM r GROUP BY user_id, run)
+      |SELECT user_id, event_type, valid_from_us,
+      |  LEAD(valid_from_us) OVER wr AS valid_to_us,
+      |  n_events,
+      |  LEAD(valid_from_us) OVER wr IS NULL AS is_current
+      |FROM g
+      |WINDOW wr AS (PARTITION BY user_id ORDER BY run)
+      |ORDER BY user_id, valid_from_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_path"        -> evPath _,
     "ev_funnel"      -> evFunnel _,
@@ -516,6 +602,7 @@ object EventAnalytics {
     "ev_anomaly"     -> evAnomaly _,
     "ev_attribution" -> evAttribution _,
     "ev_markov"      -> evMarkov _,
+    "ev_scd2"        -> evScd2 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -525,5 +612,6 @@ object EventAnalytics {
     "ev_attribution" -> evAttributionSql,
     "ev_markov"      -> evMarkovSql,
     "ev_path"        -> evPathSql,
+    "ev_scd2"        -> evScd2Sql,
   )
 }

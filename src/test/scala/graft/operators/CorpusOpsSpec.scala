@@ -414,4 +414,44 @@ class CorpusOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("cp_datacard: hand-computed card on a synthetic corpus") {
+    import spark.implicits._
+    // source A: an exact duplicate pair, a German doc, a longer English
+    // doc; source B: one doc (all ratios degenerate to exact values)
+    val docs = Seq(
+      ("the cat", "en", "A", 7L),
+      ("the cat", "en", "A", 7L),
+      ("ein hund ist da", "de", "A", 15L),
+      ("a b c d e", "en", "A", 9L),
+      ("solo doc here", "en", "B", 13L))
+      .toDF("text", "lang", "source", "n_chars")
+    val card = CorpusOps.dataCard(docs).orderBy("source").collect()
+    assert(card.length === 2)
+    val a = card(0)
+    assert(a.getString(0) === "A")
+    assert(a.getLong(1) === 4L, "n_docs")
+    assert(a.getLong(2) === 2L + 2L + 4L + 5L, "n_tokens")
+    assert(a.getLong(3) === 2L, "n_langs: en + de")
+    assert(a.getString(4) === "en", "dominant language")
+    assert(a.getDouble(5) === 3.0 / 4.0, "top_lang_share")
+    assert(a.getDouble(6) === 1.0 / 4.0,
+      "dup_rate: 4 docs, 3 distinct fingerprints")
+    // exact interpolated median of [7, 7, 9, 15] = 7 + (9-7)*0.5
+    assert(a.getDouble(8) === 8.0, "p50_chars")
+    // mean quality == mean of the per-doc floor-quantized ta_quality
+    // scores — the card must report the SAME formula ta_quality gates
+    val q6 = docs.filter(col("source") === "A")
+      .select(floor(TextAnalysis.qualityScore(
+        graft.functions.tokens(col("text"))) * lit(1000000.0))
+        .cast("long")).collect().map(_.getLong(0))
+    assert(a.getDouble(7) === q6.sum.toDouble / (4.0 * 1000000.0),
+      "avg_quality")
+
+    val b = card(1)
+    assert(b.getString(0) === "B" && b.getLong(1) === 1L &&
+      b.getLong(2) === 3L && b.getString(4) === "en")
+    assert(b.getDouble(5) === 1.0 && b.getDouble(6) === 0.0)
+    assert(b.getDouble(8) === 13.0, "single-doc median is the value itself")
+  }
 }

@@ -158,4 +158,53 @@ class EventAnalyticsSpec extends SparkTestBase {
       assert(rows.map(_.getLong(2)).sum === rows.head.getLong(3))
     }
   }
+
+  test("scd2: same-value runs collapse, changes open intervals, open interval is current") {
+    val ev = Seq(
+      // user 1: view,view,click,view — the repeated view must NOT
+      // fragment (real SCD2: only a CHANGE opens an interval), and the
+      // final view is a NEW interval (value returned after a change)
+      (1L, "view", 1L, 100L), (1L, "view", 2L, 200L),
+      (1L, "click", 3L, 300L), (1L, "view", 4L, 400L),
+      // user 2: a single event is one open interval
+      (2L, "error", 5L, 50L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val out = EventAnalytics.scd2Intervals(ev)
+      .orderBy("user_id", "valid_from_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, "view", 100L, 300L, 2L, false),
+      (1L, "click", 300L, 400L, 1L, false),
+      (1L, "view", 400L, -1L, 1L, true),
+      (2L, "error", 50L, -1L, 1L, true)))
+  }
+
+  test("scd2 on the corpus: intervals tile each user's history exactly") {
+    val rows = EventAnalytics.evScd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    val byUser = rows.groupBy(_._1)
+    val evCounts = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser.keySet === evCounts.keySet)
+    byUser.foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      // contiguous: each interval closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 === b._2,
+          s"user $u: interval ending ${a._3} != next start ${b._2}")
+        case _ =>
+      }
+      // exactly one open (current) interval per user, and it is the last
+      assert(ivs.count(_._5) === 1, s"user $u: one current interval")
+      assert(sorted.last._5 && sorted.last._3 === Long.MaxValue)
+      // every event is accounted for in exactly one interval
+      assert(sorted.map(_._4).sum === evCounts(u),
+        s"user $u: n_events must sum to the changelog length")
+    }
+  }
 }
