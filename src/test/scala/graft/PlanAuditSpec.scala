@@ -369,4 +369,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
+
+  test("SCD2 compaction: one user_id exchange shared by windows and the run aggregate") {
+    val p = plan("ev_scd2")
+    // the change-flag window, the (user_id, run) aggregate, and the
+    // interval-chaining lead all reuse ONE user_id hash exchange —
+    // ClusteredDistribution(user_id, run) is satisfied by the subset
+    // hash, so a second exchange appearing means the reuse broke
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"all three stages must share ONE user partitioning:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"only the user hash + presentation sort may exchange:\n$p")
+    assert(!p.contains("Join"), s"no self-join of the changelog:\n$p")
+  }
+
+  test("data card: broadcast-only joins over partial-aggregated summaries") {
+    val p = plan("cp_datacard")
+    // every sub-aggregate unifies on a ≤|sources| relation: the joins
+    // must all broadcast, and nothing may fall back to SMJ/NLJ of the
+    // corpus against itself
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"summary joins must broadcast:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"per-source moments must map-side partial:\n$p")
+    // the exact median must come from histogram selection, not a
+    // corpus-wide per-group rank (the low-cardinality window trap)
+    assert(!p.contains("row_number() windowspecdefinition(source, n_chars"),
+      s"median must not rank every doc per source:\n$p")
+  }
 }
