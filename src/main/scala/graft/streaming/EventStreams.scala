@@ -705,6 +705,81 @@ object EventStreams {
       }
   }
 
+  final case class Scd2Buf(tsNs: Long, eventId: Long, tpe: String)
+  final case class Scd2Open(tpe: String, fromUs: Long, n: Long)
+  final case class Scd2State(buf: List[Scd2Buf], open: Option[Scd2Open])
+  final case class Scd2Out(user_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+  /** Continuously-maintained SCD Type-2: the streaming twin of
+    * [[graft.operators.EventAnalytics.scd2Intervals]]. Emits each
+    * CLOSED validity interval exactly once, the moment the different-
+    * value event that closes it is processed; the open interval lives
+    * in state (it is the dimension's current row — the thing
+    * [[latestByKeyStream]] emits — and in append mode it is
+    * unemittable because a closing event may always arrive).
+    *
+    * Event-time correctness under disorder: arrivals buffer until the
+    * watermark passes them, then fold into the open interval in
+    * `(ts, event_id)` order — so interval boundaries are decided by
+    * EVENT time regardless of arrival order, and every emitted row is
+    * final (nothing at-or-below the watermark can still arrive:
+    * beyond-watermark stragglers are dropped on entry, the watermark
+    * contract, matching the admission rule of the windowed aggs).
+    * State per user = one open interval + the in-flight buffer, which
+    * the watermark bounds — the changelog itself is never retained.
+    * Closed intervals equal the batch core's non-current rows
+    * (spec-pinned, randomized); the batch query's `is_current` row is
+    * the end-of-stream view append mode never reaches.
+    */
+  def scd2Stream(events: Dataset[EventWithTs]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    // the batch window orders by (µs, event_id): quantize before comparing
+    def key(b: Scd2Buf): (Long, Long) = (b.tsNs / 1000, b.eventId)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventWithTs],
+            state: GroupState[Scd2State]) =>
+          var st = state.getOption.getOrElse(Scd2State(Nil, None))
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          // admit only above-watermark arrivals (the contract: the
+          // watermark promises nothing at-or-below it arrives again —
+          // admitting a straggler would un-finalize an emitted row)
+          if (!state.hasTimedOut) it.foreach { e =>
+            if (e.ts_ns > wmNs)
+              st = st.copy(buf = Scd2Buf(e.ts_ns, e.event_id, e.event_type)
+                :: st.buf)
+          }
+          // fold the events the watermark has passed, in event order
+          val (ready, waiting) = st.buf.partition(_.tsNs <= wmNs)
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+          var open = st.open
+          ready.sortBy(key).foreach { b =>
+            val us = b.tsNs / 1000
+            open match {
+              case Some(o) if o.tpe == b.tpe =>
+                open = Some(o.copy(n = o.n + 1))
+              case Some(o) =>
+                out += Scd2Out(userId, o.tpe, o.fromUs, us, o.n)
+                open = Some(Scd2Open(b.tpe, us, 1L))
+              case None =>
+                open = Some(Scd2Open(b.tpe, us, 1L))
+            }
+          }
+          state.update(Scd2State(waiting, open))
+          // a non-empty buffer must wake this group when the watermark
+          // passes its earliest event — without a timeout, a group no
+          // batch touches again would never fold its tail
+          if (waiting.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(waiting.map(_.tsNs).min / 1000000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming as-of enrichment: each purchase joined to the LATEST
     * same-user view at-or-before it within a 1-hour lookback — the
     * continuous form of the as-of join ([[graft.operators.AsOfJoin]]).

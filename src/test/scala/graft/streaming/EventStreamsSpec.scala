@@ -806,4 +806,123 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(batch.exists(_._2._3), "expected at least one flagged hour")
   }
+
+  private def runScd2Stream(dir: java.nio.file.Path, queryName: String,
+      watermark: String = "0 seconds"): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", watermark)
+      .as[EventWithTs]
+    val q = scd2Stream(es)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+  }
+
+  test("streaming SCD2 closes intervals across batches and under in-watermark disorder") {
+    val dir = Files.createTempDirectory("graft-scd2-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // user 1's click arrives a batch EARLY relative to event time (the
+    // second view lands before it in event order, via a later file) —
+    // the 2h watermark holds both in the buffer until order is settled
+    writeTypedBatch(dir, "001.parquet", Seq(
+      (1L, 1L, t0, "view"), (3L, 1L, t0 + 30 * min, "click")))
+    writeTypedBatch(dir, "002.parquet", Seq(
+      (2L, 1L, t0 + 10 * min, "view"),
+      (10L, 2L, t0, "error")))
+    // sentinel pushes the watermark past everything above
+    writeTypedBatch(dir, "003.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    runScd2Stream(dir, "scd2_out", watermark = "2 hours")
+    val got = spark.table("scd2_out").collect()
+      .filter(_.getLong(0) != 999L)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // the two views collapse into ONE interval despite arriving in
+    // different files; user 2's open error interval never emits
+    assert(got.toSet === Set(
+      (1L, "view", t0 / 1000, (t0 + 30 * min) / 1000, 2L)))
+  }
+
+  test("randomized: streaming SCD2 equals the batch core's closed intervals") {
+    val rng = new scala.util.Random(4242)
+    val dir = Files.createTempDirectory("graft-scd2-rand-")
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val types = Array("view", "click", "purchase", "error")
+    val events = (for {
+      u <- 1L to 8L
+      i <- 0 until (12 + rng.nextInt(8))
+    } yield (u * 1000 + i, u, t0 + (rng.nextDouble() * 6 * hour).toLong,
+      types(rng.nextInt(types.length)))).sortBy(_._3)
+    events.grouped((events.size + 4) / 5).zipWithIndex.foreach {
+      case (chunk, i) => writeTypedBatch(dir, f"$i%03d.parquet", chunk)
+    }
+    writeTypedBatch(dir, "999.parquet",
+      Seq((9999L, 999L, t0 + 20 * hour, "view")))
+    runScd2Stream(dir, "scd2_rand_out", watermark = "7 hours")
+    val streamed = spark.table("scd2_rand_out").collect()
+      .filter(_.getLong(0) != 999L)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.operators.EventAnalytics.scd2Intervals(
+      events.toDF("event_id", "user_id", "ts_ns", "event_type")
+        .selectExpr("user_id", "event_type", "event_id",
+          "ts_ns DIV 1000 AS ts_us"))
+      .filter(!org.apache.spark.sql.functions.col("is_current")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed === batch,
+      "every closed interval must match the batch compaction exactly")
+    assert(batch.nonEmpty)
+  }
+
+  test("SCD2 state survives a restart: a pre-restart open interval closes after it") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-restart-scd2-")
+    val cp = Files.createTempDirectory("graft-restart-scd2-cp-")
+    val out = Files.createTempDirectory("graft-restart-scd2-out-")
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    def run(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val es = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        .withWatermark("ts", "0 seconds")
+        .as[EventWithTs]
+      val q = scd2Stream(es)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    // run 1: the view interval OPENS (watermark passes it via the
+    // mid-sentinel) but cannot close — only checkpointed state holds it
+    writeTypedBatch(dir, "001.parquet", Seq((1L, 1L, t0, "view")))
+    writeTypedBatch(dir, "002.parquet",
+      Seq((50L, 500L, t0 + 30 * min, "view")))
+    run()
+    // run 2: the click closes the pre-restart interval
+    writeTypedBatch(dir, "003.parquet",
+      Seq((2L, 1L, t0 + 60 * min, "click")))
+    writeTypedBatch(dir, "004.parquet",
+      Seq((99L, 999L, t0 + 600 * min, "view")))
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .filter(r => r.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("view", t0 / 1000, (t0 + 60 * min) / 1000, 1L)),
+      "the restart must not lose the open interval the click closes")
+  }
 }
