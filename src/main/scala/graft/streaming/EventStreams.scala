@@ -1003,8 +1003,57 @@ object EventStreams {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Gated batch twin of [[scd2Stream]]: the CLOSED validity intervals
+    * over the corpus — exactly the rows append-mode streaming can ever
+    * emit (the open interval per user is the end-of-stream `is_current`
+    * row the batch form [[graft.operators.EventAnalytics.evScd2]] also
+    * reports; a stream never reaches end-of-stream). Same core
+    * ([[graft.operators.EventAnalytics.scd2Intervals]]); the streaming
+    * execution itself is certified batch-equal under disorder and
+    * restart in `EventStreamsSpec`'s randomized SCD2 fixture.
+    */
+  def stScd2(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.scd2Intervals(
+      Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts_ns DIV 1000").as("ts_us")))
+      .filter(!col("is_current"))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+
+  /** DuckDB mirror: [[graft.operators.EventAnalytics.evScd2Sql]]'s
+    * chain with the open (`LEAD IS NULL`) interval filtered out.
+    */
+  val stScd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    lag(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |r AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, run, MIN(event_type) AS event_type,
+      |    CAST(MIN(ts_us) AS BIGINT) AS valid_from_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM r GROUP BY user_id, run),
+      |iv AS (
+      |  SELECT user_id, event_type, valid_from_us,
+      |    LEAD(valid_from_us) OVER wr AS valid_to_us, n_events
+      |  FROM g
+      |  WINDOW wr AS (PARTITION BY user_id ORDER BY run))
+      |SELECT user_id, event_type, valid_from_us, valid_to_us, n_events
+      |FROM iv WHERE valid_to_us IS NOT NULL
+      |ORDER BY user_id, valid_from_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attr"           -> stAttr _,
+    "st_scd2"           -> stScd2 _,
     "st_anomaly"        -> stAnomaly _,
     "st_window_agg"     -> stWindowAgg _,
     "st_sliding_window" -> stSlidingWindow _,
@@ -1017,6 +1066,7 @@ object EventStreams {
 
   val oracles: Map[String, String] = Map(
     "st_attr"           -> stAttrSql,
+    "st_scd2"           -> stScd2Sql,
     "st_anomaly"        -> stAnomalySql,
     "st_window_agg"     -> stWindowAggSql,
     "st_sliding_window" -> stSlidingWindowSql,
