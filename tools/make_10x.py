@@ -14,9 +14,14 @@ Two modes over the sf0.1 corpus:
 - distinct (--distinct): same key shifts, but each replica's content is
   put through a replica-keyed bijection so replicas are NOT near-dups
   of each other while within-replica structure is preserved exactly:
-    * documents: every word gets a "_<i>" suffix (a bijective token
-      renaming -- Jaccard/minhash/simhash relations WITHIN a replica
-      are unchanged; ACROSS replicas shingle overlap is zero);
+    * documents: every word gets an "x<i>" suffix (a bijective token
+      renaming -- no sf0.1 word contains 'x', so the map is collision-
+      free; Jaccard/minhash/simhash relations WITHIN a replica are
+      unchanged; ACROSS replicas shingle overlap is zero). The suffix
+      is ALPHANUMERIC on purpose: an earlier "_<i>" suffix made every
+      suffixed word invisible to the ^[A-Za-z0-9]+$ vocabulary filter
+      the BPE family uses, so their 100x rows measured the corpus scan
+      over an EMPTY vocabulary -- a probe artifact, fixed here;
     * embeddings: dims circular-shifted by i and sign-flipped by a
       hash of (i, dim) -- an orthogonal transform, so within-replica
       cosines are bit-preserved while cross-replica pairs decorrelate.
@@ -58,7 +63,7 @@ def main():
 
     if distinct:
         doc_text = r"""regexp_replace(text, '(\w+)',
-                         '\1_' || CAST(i AS VARCHAR), 'g')"""
+                         '\1x' || CAST(i AS VARCHAR), 'g')"""
         documents = f"""SELECT doc_id + i*10000000 AS doc_id,
                                {doc_text} AS text, lang, source,
                                CAST(length({doc_text}) AS BIGINT) AS n_chars"""
