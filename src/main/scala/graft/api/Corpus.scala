@@ -184,6 +184,38 @@ object Corpus {
     graft.operators.TextAnalysis.bpeMerges(
       df.select(col(text).as("text")), n)
 
+  /** Per-document BPE token counts under a learned merge table:
+    * `(doc_id, n_words, n_chars, n_bpe_tokens)`. Trains in-plan when
+    * `merges` is empty (pass [[bpeMerges]]' collected rows to reuse a
+    * trained tokenizer). The merge chain runs over the distinct
+    * vocabulary and occurrences broadcast-join it — merge work scales
+    * with |vocab|, not corpus bytes. Delegates to
+    * [[graft.operators.TextAnalysis.bpeAppliedWith]].
+    */
+  def bpeApplied(df: DataFrame,
+      merges: Seq[(String, String)] = Nil,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val shaped = df.select(col(id).as("doc_id"), col(text).as("text"))
+    if (merges.nonEmpty)
+      graft.operators.TextAnalysis.bpeAppliedWith(shaped, merges)
+    else graft.operators.TextAnalysis.bpeApplied(shaped)
+  }
+
+  /** The release TOKENIZATION job as one composed plan: PII scrub →
+    * duplicated-span removal → exact prefix dedup → BPE tokenize each
+    * kept doc under `merges` → pack the token stream into fixed-budget
+    * training sequences per doc-id shard. Returns the per-document
+    * pack manifest a trainer consumes: `(doc_id, shard, n_bpe_tokens,
+    * start_off, pack_id, crosses_boundary)`. Delegates to
+    * [[graft.operators.Pipeline.tokenizePacked]]; every stage is the
+    * linear partial-aggregated shape its standalone operator
+    * certifies, and the pack windows run per shard, never globally.
+    */
+  def tokenizePacked(df: DataFrame, merges: Seq[(String, String)],
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    graft.operators.Pipeline.tokenizePacked(
+      df.select(col(id).as("doc_id"), col(text).as("text")), merges)
+
   /** Span-level dedup APPLIED (the transform, not the report): remove
     * every duplicated `window`-token span except its first occurrence
     * in (doc_id, position) order and return the affected docs with
@@ -716,6 +748,10 @@ object Corpus {
       def containmentPairs(): DataFrame = Corpus.containmentPairs(df)
       def temperatureSampled(domain: String = "lang"): DataFrame =
         Corpus.temperatureSampled(df, domain)
+      def bpeApplied(merges: Seq[(String, String)] = Nil): DataFrame =
+        Corpus.bpeApplied(df, merges)
+      def tokenizePacked(merges: Seq[(String, String)]): DataFrame =
+        Corpus.tokenizePacked(df, merges)
     }
   }
 }

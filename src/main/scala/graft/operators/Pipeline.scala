@@ -312,6 +312,164 @@ object Pipeline {
        |ORDER BY m.lang""".stripMargin
   }
 
+  /** pipe_tokenize — the release TOKENIZATION job: scrub (PII redact +
+    * duplicated-span removal) → exact prefix-fingerprint dedup → BPE
+    * tokenize each kept document under the corpus-trained merge table
+    * → pack the BPE token stream into [[PackBudget]]-token training
+    * sequences per [[ShardDocs]]-doc shard. The output is the
+    * per-document pack manifest a trainer consumes: which pack each
+    * document starts in, at what offset, and whether it straddles a
+    * boundary. This is [[pipeScrub]]'s cleaning order composed with
+    * [[graft.operators.TextAnalysis.taBpeApply]]'s vocabulary-join
+    * tokenization and [[taPack]]'s per-shard windows — the full
+    * "corpus in, training sequences out" plan every LLM pretraining
+    * pipeline runs.
+    *
+    * The tokenizer (merge table) is the RAW-corpus session model: a
+    * tokenizer is a fixed asset trained once on a reference corpus;
+    * per-release cleaning happens downstream of tokenizer training.
+    * The vocabulary joined against is derived from the CLEANED kept
+    * docs in-plan (scrubbing rewrites text, so the raw-corpus
+    * vocabulary cache does not cover it — injected/redacted tokens
+    * differ).
+    *
+    * Scale shape: the scrub stages are per-row regex passes; the span
+    * chain and prefix dedup are the linear partial-aggregated shapes
+    * certified on `pipe_scrub`; tokenization is explode →
+    * broadcast-join(|vocab|) → per-doc partial agg; packing windows
+    * run per shard, never globally. No corpus-sized sort, no
+    * quadratic stage anywhere.
+    */
+  def pipeTokenize(s: SparkSession, d: String): DataFrame = {
+    val m = TextAnalysis.trainedMerges(s, d)
+    require(m.size == TextAnalysis.BpeTrainMerges,
+      s"vocabulary exhausted after ${m.size} merges; pipe_tokenize's " +
+        s"oracle requires ${TextAnalysis.BpeTrainMerges} learnable merges")
+    tokenizePacked(
+      documents(s, d).select(col("doc_id"), Pii.injectedText.as("text")),
+      m.map(x => (x._2, x._3)))
+  }
+
+  /** Frame-parametric core of [[pipeTokenize]] over ANY `(doc_id,
+    * text)` frame and merge table — the form `graft.api.Corpus
+    * .tokenizePacked` exposes (the gate injects the synthetic PII and
+    * serves the merges from the session model cache).
+    */
+  def tokenizePacked(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    def jtoks(c: org.apache.spark.sql.Column) =
+      filter(split(c, "\\p{javaWhitespace}+"), t => length(t) > 0)
+    val scr = docs.select(col("doc_id"),
+      Pii.redacted(col("text")).as("redacted"))
+    val sp = Dedup2.spansRemoved(
+      scr.select(col("doc_id"), col("redacted").as("text")))
+      .select(col("doc_id"), col("cleaned_text"))
+    val cleaned = scr.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        jtoks(coalesce(col("cleaned_text"), col("redacted"))).as("tt"))
+      .filter(size(col("tt")) > 0)
+    val kept = cleaned
+      .withColumn("fp", md5(concat_ws(" ", slice(col("tt"), 1, 10))))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("tt"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.tt").as("tt"))
+    // explode_outer: a kept doc whose tokens are all non-alphanumeric
+    // (fully redacted) still occupies its place in the pack stream
+    // with n_bpe_tokens = 0
+    val occ = kept.select(col("doc_id"),
+      explode_outer(expr("filter(tt, w -> w rlike '^[A-Za-z0-9]+$')"))
+        .as("w"))
+    val vocabTok = TextAnalysis.bpeVocabTok(
+      occ.filter(col("w").isNotNull).select(col("w")).distinct(),
+      merges)
+    val perdoc = occ.join(broadcast(vocabTok), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("__n_tok")), lit(0L))
+        .cast("long").as("n_bpe_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perdoc
+      .withColumn("shard", expr(s"doc_id DIV $ShardDocs"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_bpe_tokens"),
+        col("start_off"),
+        expr(s"start_off DIV $PackBudget").as("pack_id"),
+        (col("n_bpe_tokens") > 0 &&
+          expr(s"(start_off + n_bpe_tokens - 1) DIV $PackBudget") =!=
+            expr(s"start_off DIV $PackBudget")).as("crosses_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[pipeTokenize]]: the scrub replaces (counts
+    * not needed here), the shared spans-apply chain re-rooted at the
+    * scrubbed relation, the window-min prefix survivor, the BPE
+    * training CTEs ([[graft.operators.TextAnalysis.bpeStagesSql]],
+    * over RAW documents — the same corpus-trained model the engine
+    * serves), the vocabulary-join tokenization, and [[taPackSql]]'s
+    * shard windows.
+    */
+  val pipeTokenizeSql: String = {
+    val scrubStages = Pii.Passes.zipWithIndex.map {
+      case ((re, tok, _), i) =>
+        val prev = if (i == 0) "inj" else s"s$i"
+        s"""s${i + 1} AS (
+           |  SELECT doc_id, regexp_replace(t, '$re', '$tok', 'g') AS t
+           |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH inj AS (
+       |  SELECT doc_id, ${Pii.injectedTextSql} AS t
+       |  FROM documents),
+       |$scrubStages,
+       |scrdocs AS (SELECT doc_id, t AS text FROM s${Pii.Passes.size}),
+       |${Dedup2.spansApplyCtesSqlFrom(Dedup2.SpanWindow, "scrdocs")},
+       |cl AS (
+       |  SELECT sd.doc_id, COALESCE(c.kept, tk.t) AS tt
+       |  FROM scrdocs sd
+       |  JOIN toks tk USING (doc_id)
+       |  LEFT JOIN cleaned c USING (doc_id)
+       |  WHERE len(COALESCE(c.kept, tk.t)) > 0),
+       |keptd AS (
+       |  SELECT doc_id, tt FROM (
+       |    SELECT doc_id, tt,
+       |      doc_id = MIN(doc_id) OVER (PARTITION BY
+       |        md5(COALESCE(array_to_string(tt[1:10], ' '), ''))) AS kp
+       |    FROM cl) z
+       |  WHERE kp),
+       |${TextAnalysis.bpeStagesSql},
+       |aw AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(tt) AS w FROM keptd) u
+       |  WHERE regexp_full_match(w, '[A-Za-z0-9]+')),
+       |voc AS (SELECT DISTINCT w FROM aw),
+       |vt AS (
+       |  SELECT w,
+       |    CAST(len(string_split(trim(${TextAnalysis.bpeAppliedChainSql}), '  ')) AS BIGINT) AS n_tok
+       |  FROM (SELECT voc.w, ${TextAnalysis.bpeMergeColsSql}
+       |        FROM voc ${TextAnalysis.bpeMergeCrossJoinsSql}) q),
+       |perdoc AS (
+       |  SELECT k.doc_id,
+       |    CAST(COALESCE(sums.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM keptd k LEFT JOIN (
+       |    SELECT aw.doc_id, SUM(vt.n_tok) AS n_bpe
+       |    FROM aw JOIN vt USING (w) GROUP BY aw.doc_id) sums
+       |  USING (doc_id)),
+       |offs AS (
+       |  SELECT doc_id, doc_id // $ShardDocs AS shard, n_bpe_tokens,
+       |    CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+       |      PARTITION BY doc_id // $ShardDocs ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM perdoc)
+       |SELECT doc_id, shard, n_bpe_tokens, start_off,
+       |  start_off // $PackBudget AS pack_id,
+       |  n_bpe_tokens > 0 AND
+       |    (start_off + n_bpe_tokens - 1) // $PackBudget <>
+       |      start_off // $PackBudget AS crosses_boundary
+       |FROM offs
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val ContamGram = 8     // n-gram width for contamination checks
   val EvalBuckets = 20L  // md5 bucket count; bucket 0 = the eval split
 
@@ -878,6 +1036,7 @@ object Pipeline {
     "ta_contamination" -> taContamination _,
     "pipe_e2e"         -> pipeE2e _,
     "pipe_scrub"       -> pipeScrub _,
+    "pipe_tokenize"    -> pipeTokenize _,
     "pipe_qa"          -> pipeQa _,
     "pipe_ingest"      -> pipeIngest _,
     "pipe_pairs"       -> pipePairs _,
@@ -891,6 +1050,7 @@ object Pipeline {
     "ta_contamination" -> taContaminationSql,
     "pipe_e2e"         -> pipeE2eSql,
     "pipe_scrub"       -> pipeScrubSql,
+    "pipe_tokenize"    -> pipeTokenizeSql,
     "pipe_qa"          -> pipeQaSql,
     "pipe_ingest"      -> pipeIngestSql,
     "pipe_pairs"       -> pipePairsSql,

@@ -557,7 +557,7 @@ object TextAnalysis {
   private val bpeModelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
 
-  private def trainedMerges(s: SparkSession,
+  private[operators] def trainedMerges(s: SparkSession,
       d: String): Seq[(Int, String, String, String, Long)] = {
     // evict entries whose session is gone (the RelCache.purgeStopped
     // concern): a stopped SparkSession key would otherwise pin its
@@ -619,7 +619,7 @@ object TextAnalysis {
   /** The shared training CTE chain (`words`, `v0`, and the unrolled
     * `m1`/`v1` … stages), used by both BPE oracles.
     */
-  private val bpeStagesSql: String = {
+  private[operators] val bpeStagesSql: String = {
     val pairsOf = (v: String) =>
       s"""SELECT p.l AS l, p.r AS r, SUM(cnt) AS c FROM (
          |  SELECT cnt, unnest(list_transform(range(1, len(a)),
@@ -700,6 +700,22 @@ object TextAnalysis {
     * memo is that materialization, and it spares [[taBpeApply]] a
     * second full-corpus tokenize pass just to re-derive it.
     */
+  /** Tokenize a `(w)` vocabulary frame under a merge table (rank
+    * order): appends `__n_tok`, the BPE token count of each word.
+    * Symbols are alphanumeric by the vocabulary filter, so literal
+    * inlining cannot break the expression.
+    */
+  private[operators] def bpeVocabTok(vocab: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val applied = merges.foldLeft(
+      "concat(' ', rtrim(regexp_replace(w, '(.)', '$1  ')), ' ')") {
+      case (e, (l, r)) => s"replace($e, ' $l  $r ', ' ${l + r} ')"
+    }
+    vocab.select(col("w"),
+      expr(s"size(split(trim($applied), '  '))")
+        .cast(LongType).as("__n_tok"))
+  }
+
   def cachedBpeVocab(s: SparkSession, d: String): DataFrame =
     bpeVocabCache.getOrBuild((s, d))(
       documents(s, d)
@@ -744,12 +760,6 @@ object TextAnalysis {
   def bpeAppliedWith(docs: DataFrame,
       merges: Seq[(String, String)],
       vocab: Option[DataFrame] = None): DataFrame = {
-    // symbols are alphanumeric by the vocabulary filter, so literal
-    // inlining cannot break the expression
-    val applied = merges.foldLeft(
-      "concat(' ', rtrim(regexp_replace(w, '(.)', '$1  ')), ' ')") {
-      case (e, (l, r)) => s"replace($e, ' $l  $r ', ' ${l + r} ')"
-    }
     // explode_outer keeps zero-word documents as a single null-word
     // row: count(w) skips nulls, the sums coalesce to 0 — the
     // (0, 0, 0) row the aggregate-HOF form emitted
@@ -758,11 +768,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode_outer(expr("filter(__toks, w -> w rlike '^[A-Za-z0-9]+$')"))
           .as("w"))
-    val vocabTok = vocab.getOrElse(
-        occ.filter(col("w").isNotNull).select(col("w")).distinct())
-      .select(col("w"),
-        expr(s"size(split(trim($applied), '  '))")
-          .cast(LongType).as("__n_tok"))
+    val vocabTok = bpeVocabTok(vocab.getOrElse(
+      occ.filter(col("w").isNotNull).select(col("w")).distinct()), merges)
     occ.join(broadcast(vocabTok), Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -777,16 +784,26 @@ object TextAnalysis {
     * per-doc relation as plain columns (DuckDB lambdas cannot hold
     * subqueries), and applies the same chained double-space replaces.
     */
-  val taBpeApplySql: String = {
-    val mergeCols = (1 to BpeTrainMerges).map { i =>
-      s"m$i.l AS l$i, m$i.r AS r$i"
-    }.mkString(", ")
-    val crossJoins = (1 to BpeTrainMerges).map(i => s"CROSS JOIN m$i").mkString(" ")
-    val applied = (1 to BpeTrainMerges).foldLeft(
+  // shared DuckDB fragments for applying the m1..mN merge CTEs of
+  // [[bpeStagesSql]] to a word column `w`: select the merge symbols as
+  // plain columns (DuckDB lambdas cannot hold subqueries), cross-join
+  // the N 1-row CTEs in, and run the chained double-space replaces
+  private[operators] val bpeMergeColsSql: String =
+    (1 to BpeTrainMerges).map(i => s"m$i.l AS l$i, m$i.r AS r$i")
+      .mkString(", ")
+  private[operators] val bpeMergeCrossJoinsSql: String =
+    (1 to BpeTrainMerges).map(i => s"CROSS JOIN m$i").mkString(" ")
+  private[operators] val bpeAppliedChainSql: String =
+    (1 to BpeTrainMerges).foldLeft(
       "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '") {
       case (e, i) =>
         s"replace($e, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
     }
+
+  val taBpeApplySql: String = {
+    val mergeCols = bpeMergeColsSql
+    val crossJoins = bpeMergeCrossJoinsSql
+    val applied = bpeAppliedChainSql
     s"""WITH $bpeStagesSql,
        |docw AS (
        |  SELECT doc_id,

@@ -399,4 +399,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("row_number() windowspecdefinition(source, n_chars"),
       s"median must not rank every doc per source:\n$p")
   }
+
+  test("tokenize pipeline: partial-agg survivor, broadcast vocab join, shard-partitioned pack window") {
+    val p = plan("pipe_tokenize")
+    // prefix dedup must stay the struct-min partial aggregate, never a
+    // window over the fingerprint (the unsplittable hot-fp trap)
+    assert(p.contains("partial_min"),
+      s"survivor selection must partial-aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition(fp"),
+      s"no window over fp:\n$p")
+    // occurrences join the tokenized vocabulary by broadcast — the
+    // corpus side must never shuffle for this join
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$p")
+    // the packing cumsum runs per shard, not as one global window
+    assert(p.contains("hashpartitioning(shard"),
+      s"pack window must partition by shard:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

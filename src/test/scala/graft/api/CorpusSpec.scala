@@ -30,6 +30,38 @@ class CorpusSpec extends SparkTestBase {
     assert(api == gated)
   }
 
+  test("facade bpeApplied (in-plan training) equals the gated ta_bpe_apply rows") {
+    val api = Corpus.bpeApplied(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val gated = graft.operators.TextAnalysis.taBpeApply(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+  }
+
+  test("tokenizePacked composes scrub, dedup, BPE and packing on a hand corpus") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val hand = Seq(
+      (0L, "low low low"),
+      (1L, "low low low"),                 // exact dup of doc 0 → dropped
+      (205L, "see http://ex5.org/p205 low"), // URL redacted → no BPE token
+      (206L, "low low")                    // same shard as 205
+    ).toDF("doc_id", "text")
+    val got = Corpus.tokenizePacked(hand, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(!got.contains(1L), "exact duplicate must be dropped")
+    // "low" = l o w → lo w → low = 1 token; "see" = s e e = 3 tokens
+    assert(got(0L) == ((0L, 3L, 0L, 0L, false)))
+    assert(got(205L) == ((2L, 4L, 0L, 0L, false)),
+      "the redacted [URL] token must not count as a BPE token")
+    assert(got(206L) == ((2L, 2L, 4L, 0L, false)),
+      "doc 206 must start after doc 205's 4 tokens in shard 2")
+  }
+
   test("fluent ops compose: dedup then quality then chunk") {
     import Corpus.implicits._
     val out = docs.exactDeduped().qualityScored().chunked()
