@@ -214,24 +214,43 @@ object Pipeline {
     * shuffle. Nothing quadratic, nothing corpus-wide beyond the keyed
     * shuffles the semantics require.
     */
+  /** Session-cached CLEANED-corpus relation per (session, dir):
+    * `(doc_id, lang, n_pii, nr, tt)` — every document (pre any
+    * emptiness filter) with its PII-redaction count, span-removal
+    * count, and cleaned token array. This IS the artifact a release
+    * materializes once (the scrubbed corpus every downstream job
+    * reads); within a suite run the memo is that materialization,
+    * shared by [[pipeScrub]] and [[pipeTokenize]] — the scrub regexes
+    * and the span chain run once, not once per consumer.
+    */
+  private[operators] def cachedCleanedRel(s: SparkSession,
+      d: String): DataFrame =
+    cleanedRelCache.getOrBuild((s, d)) {
+      def jtoks(c: org.apache.spark.sql.Column) =
+        filter(split(c, "\\p{javaWhitespace}+"), t => length(t) > 0)
+      val scr = Pii.piiScrubbed(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          Pii.injectedText.as("text")))
+        .select(col("doc_id"), col("lang"),
+          (col("n_urls") + col("n_emails") + col("n_ips") + col("n_phones"))
+            .as("n_pii"),
+          col("redacted"))
+      val sp = Dedup2.spansRemoved(
+        scr.select(col("doc_id"), col("redacted").as("text")))
+        .select(col("doc_id"), col("cleaned_text"), col("n_removed"))
+      scr.join(sp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_pii"),
+          coalesce(col("n_removed"), lit(0L)).as("nr"),
+          jtoks(coalesce(col("cleaned_text"), col("redacted"))).as("tt"))
+        .localCheckpoint()
+    }
+
+  private val cleanedRelCache =
+    new RelCache[(SparkSession, String)](_._1)
+
   def pipeScrub(s: SparkSession, d: String): DataFrame = {
-    def jtoks(c: org.apache.spark.sql.Column) =
-      filter(split(c, "\\p{javaWhitespace}+"), t => length(t) > 0)
-    val scr = Pii.piiScrubbed(
-      documents(s, d).select(col("doc_id"), col("lang"),
-        Pii.injectedText.as("text")))
-      .select(col("doc_id"), col("lang"),
-        (col("n_urls") + col("n_emails") + col("n_ips") + col("n_phones"))
-          .as("n_pii"),
-        col("redacted"))
-    val sp = Dedup2.spansRemoved(
-      scr.select(col("doc_id"), col("redacted").as("text")))
-      .select(col("doc_id"), col("cleaned_text"), col("n_removed"))
-    val cleaned = scr.join(sp, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("n_pii"),
-        coalesce(col("n_removed"), lit(0L)).as("nr"),
-        jtoks(coalesce(col("cleaned_text"), col("redacted"))).as("tt"))
-      .filter(size(col("tt")) > 0)
+    val rel = cachedCleanedRel(s, d)
+    val cleaned = rel.filter(size(col("tt")) > 0)
     val kept = cleaned
       .withColumn("fp", md5(concat_ws(" ", slice(col("tt"), 1, 10))))
       .groupBy(col("fp"))
@@ -239,7 +258,8 @@ object Pipeline {
         col("nr"), size(col("tt")).cast("long").as("toks_out"))).as("k"))
       .select(col("k.lang").as("lang"), col("k.n_pii").as("n_pii"),
         col("k.nr").as("nr"), col("k.toks_out").as("toks_out"))
-    val inCnt = scr.groupBy(col("lang"))
+    // input counts are PRE-filter: the cache carries every document
+    val inCnt = rel.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_in"))
     kept.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
@@ -345,15 +365,20 @@ object Pipeline {
     require(m.size == TextAnalysis.BpeTrainMerges,
       s"vocabulary exhausted after ${m.size} merges; pipe_tokenize's " +
         s"oracle requires ${TextAnalysis.BpeTrainMerges} learnable merges")
-    tokenizePacked(
-      documents(s, d).select(col("doc_id"), Pii.injectedText.as("text")),
+    // the gate reads the session-cached cleaned corpus (the shared
+    // release artifact [[pipeScrub]] also consumes) instead of
+    // re-running the scrub + span chain in-plan
+    packManifest(
+      cachedCleanedRel(s, d).filter(size(col("tt")) > 0)
+        .select(col("doc_id"), col("tt")),
       m.map(x => (x._2, x._3)))
   }
 
   /** Frame-parametric core of [[pipeTokenize]] over ANY `(doc_id,
     * text)` frame and merge table — the form `graft.api.Corpus
-    * .tokenizePacked` exposes (the gate injects the synthetic PII and
-    * serves the merges from the session model cache).
+    * .tokenizePacked` exposes. Cleans in-plan (PII scrub + span
+    * removal); the gate serves the cleaned relation from the session
+    * cache instead.
     */
   def tokenizePacked(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
@@ -368,6 +393,15 @@ object Pipeline {
       .select(col("doc_id"),
         jtoks(coalesce(col("cleaned_text"), col("redacted"))).as("tt"))
       .filter(size(col("tt")) > 0)
+    packManifest(cleaned, merges)
+  }
+
+  /** Prefix-dedup, BPE-tokenize and pack a cleaned `(doc_id, tt)`
+    * token-array frame — the shared tail of [[pipeTokenize]] (cached
+    * cleaned relation) and [[tokenizePacked]] (in-plan cleaning).
+    */
+  private def packManifest(cleaned: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val kept = cleaned
       .withColumn("fp", md5(concat_ws(" ", slice(col("tt"), 1, 10))))
       .groupBy(col("fp"))
