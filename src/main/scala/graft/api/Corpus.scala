@@ -184,6 +184,21 @@ object Corpus {
     graft.operators.TextAnalysis.bpeMerges(
       df.select(col(text).as("text")), n)
 
+  /** Curriculum ordering key: global quality decile (0 = lowest; exact
+    * interpolated p10..p90 fences over the corpus's quality scores)
+    * plus a reproducible salted-md5 shuffle key within the decile —
+    * `(doc_id, quality_score, decile, curriculum_key)`. Sort shards by
+    * `(decile, curriculum_key)` ascending for easy-to-hard warmup or
+    * descending for quality-annealed final epochs. Delegates to
+    * [[graft.operators.CorpusOps.curriculumOrdered]]; the fences
+    * broadcast and the assignment is map-side — the corpus is never
+    * globally sorted by the operator itself.
+    */
+  def curriculumOrdered(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    graft.operators.CorpusOps.curriculumOrdered(
+      df.select(col(id).as("doc_id"), col(text).as("text")))
+
   /** Per-document BPE token counts under a learned merge table:
     * `(doc_id, n_words, n_chars, n_bpe_tokens)`. Trains in-plan when
     * `merges` is empty (pass [[bpeMerges]]' collected rows to reuse a
@@ -752,6 +767,7 @@ object Corpus {
         Corpus.bpeApplied(df, merges)
       def tokenizePacked(merges: Seq[(String, String)]): DataFrame =
         Corpus.tokenizePacked(df, merges)
+      def curriculumOrdered(): DataFrame = Corpus.curriculumOrdered(df)
     }
   }
 }

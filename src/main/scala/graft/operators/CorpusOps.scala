@@ -923,7 +923,79 @@ object CorpusOps {
        |ORDER BY m.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cp_curriculum — quality-decile curriculum ordering.
+  // ---------------------------------------------------------------------
+
+  /** Curriculum ordering: assign every non-empty document a GLOBAL
+    * quality decile (0 = lowest) plus a reproducible salted-md5
+    * shuffle key within its decile — the sort key
+    * `(decile, curriculum_key)` a curriculum-scheduled training run
+    * writes its shards in (ascending for easy-to-hard warmup,
+    * descending for quality-annealed final epochs), shuffled within
+    * each quality band so the band's docs arrive in random order.
+    *
+    * Decile fences are the exact interpolated p10..p90 of the quality
+    * score ([[Percentiles.exact]] over one global group — a 1-row,
+    * 9-column frame that broadcasts); `decile` counts the fences
+    * strictly below the doc's score, so ties at a fence land in the
+    * lower band identically in both engines (the fence doubles and
+    * the score doubles are both certified IEEE-exact cross-engine —
+    * `ta_quality` / `ta_length_tails` pin the arithmetic).
+    *
+    * Scale shape: one tiny fence aggregate (the global-group rank
+    * window ranks scores, not the corpus — at 100 TB use
+    * [[Percentiles.exactSelect]], same answers), a broadcast join,
+    * map-side decile + md5 key, and the presentation sort. The
+    * operator never global-sorts the corpus; the CONSUMER sorts by
+    * the emitted key at write time, which is the shuffle it was
+    * already paying for shard layout.
+    */
+  def cpCurriculum(s: SparkSession, d: String): DataFrame =
+    curriculumOrdered(documents(s, d))
+
+  /** Frame-parametric core of [[cpCurriculum]] over ANY
+    * `(doc_id, text)` frame.
+    */
+  def curriculumOrdered(docs: DataFrame): DataFrame = {
+    val qs = docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(tokens(col("text"))).as("quality_score"),
+        lit(1).as("__g"))
+    val fences = Percentiles.exact(qs, "__g", "quality_score",
+      (1 to 9).map(i => (s"__f$i", i / 10.0)))
+    val decile = (1 to 9).map(i =>
+      when(col("quality_score") > col(s"__f$i"), 1).otherwise(0))
+      .reduce(_ + _).cast(IntegerType)
+    qs.join(broadcast(fences), "__g")
+      .select(col("doc_id"), col("quality_score"),
+        decile.as("decile"),
+        saltedKey("curr", col("doc_id")).as("curriculum_key"))
+      .orderBy(col("decile"), col("curriculum_key"), col("doc_id"))
+  }
+
+  val cpCurriculumSql: String = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val decile = (1 to 9).map(i =>
+      s"CASE WHEN q.quality_score > p.__f$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT doc_id, ${TextAnalysis.qualityScoreSql(toksSql)} AS quality_score,
+       |    1 AS __g
+       |  FROM documents WHERE len($toksSql) > 0),
+       |pct AS (
+       |${Percentiles.exactSql("q", "__g", "quality_score",
+          (1 to 9).map(i => (s"__f$i", i / 10.0)))})
+       |SELECT q.doc_id, q.quality_score,
+       |  CAST($decile AS INTEGER) AS decile,
+       |  ${saltedKeySql("curr", "q.doc_id")} AS curriculum_key
+       |FROM q JOIN pct p USING (__g)
+       |ORDER BY decile, curriculum_key, q.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_curriculum"   -> cpCurriculum _,
     "cp_datacard"     -> cpDatacard _,
     "cp_waterfill"    -> cpWaterfill _,
     "cp_domain_cap"   -> cpDomainCap _,
@@ -939,6 +1011,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_curriculum"   -> cpCurriculumSql,
     "cp_datacard"     -> cpDatacardSql,
     "cp_waterfill"    -> cpWaterfillSql,
     "cp_domain_cap"   -> cpDomainCapSql,

@@ -454,4 +454,35 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(b.getDouble(5) === 1.0 && b.getDouble(6) === 0.0)
     assert(b.getDouble(8) === 13.0, "single-doc median is the value itself")
   }
+
+  test("cp_curriculum: monotone deciles, ~10% bands, deterministic key, no global sort") {
+    val out = CorpusOps.cpCurriculum(spark, sf001).collect()
+    val n = out.length
+    assert(n > 0)
+    // quality order implies decile order (ties at a fence share a band)
+    val byQ = out.map(r => (r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    byQ.sliding(2).foreach { case Array((q1, d1), (q2, d2)) =>
+      assert(d1 <= d2, s"decile must be monotone in quality: ($q1,$d1) vs ($q2,$d2)") }
+    // interpolated fences put roughly a tenth of the corpus in each band
+    val sizes = out.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((0 to 9).toSet))
+    sizes.values.foreach(c => assert(c < n * 0.35,
+      "no band may swallow the corpus — fences must spread"))
+    // the key is a pure function of doc_id: recomputing on half the
+    // corpus changes nobody's key (fences may shift deciles; keys never)
+    val halfKeys = Corpus01HalfKeys()
+    val fullKeys = out.map(r => r.getLong(0) -> r.getString(3)).toMap
+    halfKeys.foreach { case (id, k) => assert(fullKeys(id) === k) }
+    // presentation order IS the curriculum: decile asc, then shuffled key
+    val order = out.map(r => (r.getInt(2), r.getString(3)))
+    assert(order.sameElements(order.sorted))
+  }
+
+  private def Corpus01HalfKeys(): Map[Long, String] = {
+    import graft.api.Corpus
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 2 === 0)
+    Corpus.curriculumOrdered(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+  }
 }
