@@ -557,6 +557,22 @@ object Corpus {
     * clustered sparse ids would skew it. Seeding is rank-based and
     * sparse-id-safe.
     */
+  /** MMR-diversified top-k: rerank each query's `poolK`-candidate
+    * cosine pool with maximal marginal relevance (greedy
+    * `λ·relevance − (1−λ)·max-sim-to-selected`), so one dense
+    * duplicate cluster cannot fill the result list. Delegates to
+    * [[graft.operators.Similarity.mmrRerank]]; the rerank touches
+    * only |queries|·poolK² narrow rows keyed by query — plug an
+    * ANN shortlist in as `corpus` at serving scale.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = graft.operators.Similarity.MmrK,
+      poolK: Int = graft.operators.Similarity.MmrPoolK,
+      lambda: Double = graft.operators.Similarity.MmrLambda,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    graft.operators.Similarity.mmrRerank(
+      corpus, queries, k, poolK, lambda, id, vec)
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding",
       excludeSelfIds: Boolean = true): DataFrame = {

@@ -98,6 +98,161 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // sim_mmr — maximal-marginal-relevance diversified rerank.
+  // ---------------------------------------------------------------------
+
+  val MmrK = 3          // diversified selections per query
+  val MmrPoolK = TopK   // candidate pool size (the certified brute top-k)
+  val MmrLambda = 0.5   // relevance vs diversity blend
+
+  /** MMR rerank (Carbonell & Goldstein): from each query's top-`poolK`
+    * candidate pool, greedily select `k` results maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected set` —
+    * the diversity-aware retrieval step a training-data miner runs so
+    * one dense duplicate cluster cannot fill a query's whole result
+    * list. Empty-set penalty is 0, so selection 1 is the plain
+    * relevance argmax; ties break on the lower candidate id in both
+    * engines.
+    *
+    * Scale shape: the pool is `poolK` rows per query (from ANY
+    * candidate source — the gate uses the certified brute top-k; at
+    * serving scale the IVF/PQ shortlist plugs in unchanged), so the
+    * pairwise-similarity relation is ≤ |queries|·poolK² narrow rows
+    * keyed by q_id, and each greedy round is one keyed aggregation
+    * over ≤ poolK rows per query. Nothing corpus-sized enters the
+    * rerank; the pool is localCheckpointed once so the k rounds reread
+    * a materialized few-hundred-row relation instead of re-running the
+    * candidate scan per round.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      k: Int = MmrK, poolK: Int = MmrPoolK,
+      lambda: Double = MmrLambda,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cv = corpus.select(col(id).as("c_id"), col(vec).as("v"),
+      VectorExpressions.l2NormF(col(vec)).as("n"))
+    val pool = cosineTopK(corpus, queries, poolK, id, vec)
+      .join(cv, "c_id")
+      .select(col("q_id"), col("c_id"), col("cosine").as("rel"),
+        col("v"), col("n"))
+      .localCheckpoint()
+    val pairs = pool.as("a").join(pool.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.c_id") =!= col("b.c_id"))
+      .select(col("a.q_id").as("q_id"), col("a.c_id").as("a_id"),
+        col("b.c_id").as("b_id"),
+        (VectorExpressions.dotF(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n"))).as("sim"))
+    val base = pool.select(col("q_id"), col("c_id"), col("rel"))
+    def argmax(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy(col("q_id"))
+        .agg(max(struct(col("mmr_score"), (-col("c_id")).as("__neg"),
+          col("c_id"), col("rel"))).as("k"))
+        .select(col("q_id"), lit(rank).as("mmr_rank"),
+          col("k.c_id").as("c_id"), col("k.rel").as("rel"),
+          col("k.mmr_score").as("mmr_score"))
+    var selected = argmax(base.select(col("q_id"), col("c_id"), col("rel"),
+      (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0))
+        .as("mmr_score")), 1)
+    for (t <- 2 to k) {
+      val pen = pairs
+        .join(selected.select(col("q_id"), col("c_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("c_id"))
+        .agg(max(col("sim")).as("pen"))
+      val scored = base
+        .join(selected.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"), "left_anti")
+        .join(pen, Seq("q_id", "c_id"))
+        .select(col("q_id"), col("c_id"), col("rel"),
+          (lit(lambda) * col("rel") - lit(1 - lambda) * col("pen"))
+            .as("mmr_score"))
+      selected = selected.unionByName(argmax(scored, t))
+    }
+    selected.select(col("q_id"), col("mmr_rank"), col("c_id"),
+      col("rel").as("relevance"), col("mmr_score"))
+  }
+
+  def simMmr(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    mmrRerank(e, e.filter(col("vec_id") < NumQueryVectors))
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
+  /** DuckDB mirror of [[simMmr]]: the brute scored/ranked pool, the
+    * in-pool pairwise cosines, and [[MmrK]] unrolled greedy stages —
+    * each an `ORDER BY λ·rel − (1−λ)·pen DESC, c_id` window argmax,
+    * with the penalty a MAX over the pairs to the selected-so-far
+    * union. Float ops mirror the engine op-for-op (`0.5*rel − 0.5*pen`,
+    * penalty 0.0 literal at stage 1).
+    */
+  val simMmrSql: String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda
+    val stages = (2 to MmrK).map { t =>
+      val selUnion = (1 until t).map(j => s"SELECT q_id, c_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""sel${t - 1} AS ($selUnion),
+         |p$t AS (
+         |  SELECT c.q_id, c.c_id, c.rel, MAX(p.sim) AS pen
+         |  FROM cand c
+         |  JOIN pairs p ON p.q_id = c.q_id AND p.a_id = c.c_id
+         |  JOIN sel${t - 1} sl ON sl.q_id = p.q_id AND sl.c_id = p.b_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.c_id = c.c_id)
+         |  GROUP BY c.q_id, c.c_id, c.rel),
+         |s$t AS (
+         |  SELECT q_id, c_id, rel, mmr_score FROM (
+         |    SELECT q_id, c_id, rel, $lam*rel - $oneMinus*pen AS mmr_score,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY $lam*rel - $oneMinus*pen DESC, c_id) AS rk
+         |    FROM p$t) z
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map { t =>
+      s"SELECT q_id, CAST($t AS INTEGER) AS mmr_rank, c_id, rel AS relevance, mmr_score FROM s$t"
+    }.mkString("\nUNION ALL ")
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueryVectors),
+       |cand AS (
+       |  SELECT q_id, c_id, cosine AS rel FROM (
+       |    SELECT q_id, c_id, cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, c_id) AS rk
+       |    FROM scored) z
+       |  WHERE rk <= $MmrPoolK),
+       |pairs AS (
+       |  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+       |    ${dot("ea.v", "eb.v")} / (ea.nrm * eb.nrm) AS sim
+       |  FROM cand a
+       |  JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+       |  JOIN e ea ON ea.vec_id = a.c_id
+       |  JOIN e eb ON eb.vec_id = b.c_id),
+       |s1 AS (
+       |  SELECT q_id, c_id, rel, mmr_score FROM (
+       |    SELECT q_id, c_id, rel, $lam*rel - $oneMinus*0.0 AS mmr_score,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY $lam*rel - $oneMinus*0.0 DESC, c_id) AS rk
+       |    FROM cand) z
+       |  WHERE rk = 1),
+       |$stages
+       |$out
+       |ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
   val simTopkBruteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id,
@@ -2190,6 +2345,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hybrid"     -> simHybrid _,
     "sim_topk_brute" -> simTopkBrute _,
+    "sim_mmr"        -> simMmr _,
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
     "sim_ivf_upsert" -> simIvfUpsert _,
@@ -2207,6 +2363,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_hybrid"     -> simHybridSql,
     "sim_topk_brute" -> simTopkBruteSql,
+    "sim_mmr"        -> simMmrSql,
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,
     "sim_ivf_upsert" -> simIvfUpsertSql,

@@ -314,5 +314,62 @@ class SimilaritySpec extends SparkTestBase {
       s"the delta pass must scan only the new slice:\n$plan")
   }
 
+  test("mmrRerank: greedy reference equality and the diversity property on a planted cluster") {
+    import spark.implicits._
+    // a tight near-duplicate cluster along e1 plus two genuinely
+    // different directions; query 0 points at the cluster
+    val vecs: Map[Long, Array[Float]] = Map(
+      0L -> Array(1f, 0f, 0f),
+      10L -> Array(0.99f, 0.14f, 0f),   // cluster
+      11L -> Array(0.99f, 0.141f, 0f),  // cluster (near-dup of 10)
+      12L -> Array(0.98f, 0.15f, 0f),   // cluster (near-dup of 10/11)
+      20L -> Array(0.6f, 0f, 0.8f),     // off-cluster, still relevant
+      21L -> Array(0.5f, 0.5f, 0.70710678f))
+    val df = vecs.toSeq.map { case (i, v) => (i, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(
+      df, df.filter($"vec_id" === 0L), k = 3, poolK = 5)
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+
+    // scala reference: the same greedy over the same float-kernel cosines
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      def nrm(x: Array[Float]) = math.sqrt(dot(x, x))
+      dot(a, b) / (nrm(a) * nrm(b))
+    }
+    val pool = (vecs - 0L).toSeq
+      .map { case (i, v) => (i, cos(vecs(0L), v)) }
+      .sortBy { case (i, r) => (-r, i) }.take(5)
+    var sel = Vector.empty[(Int, Long, Double, Double)]
+    for (t <- 1 to 3) {
+      val picked = pool.filterNot(c => sel.exists(_._2 == c._1)).map {
+        case (i, r) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(sl => cos(vecs(sl._2), vecs(i))).max
+          (i, r, 0.5 * r - 0.5 * pen)
+      }.minBy { case (i, _, sc) => (-sc, i) }
+      sel = sel :+ ((t, picked._1, picked._2, picked._3))
+    }
+    // kernel dot order and the zip/sum reference can differ in the last
+    // ulp; compare ids exactly and scores to 1e-9
+    assert(got.map(_._2).toSeq == sel.map(_._2),
+      s"selection ids must match the greedy reference: $got vs $sel")
+    got.zip(sel).foreach { case ((_, _, gr, gs), (_, _, er, es)) =>
+      assert(math.abs(gr - er) < 1e-9 && math.abs(gs - es) < 1e-9) }
+    // the diversity property itself: plain top-3 is the duplicate
+    // cluster; MMR's second pick must ESCAPE the cluster to the
+    // relevant off-cluster doc (the third greedily weighs the
+    // remaining candidates — with this fixture it correctly returns
+    // to the cluster, because 21 is itself too close to pick 2)
+    val plain = pool.take(3).map(_._1).toSet
+    assert(plain == Set(10L, 11L, 12L), s"fixture broken: $pool")
+    val mmrIds = got.map(_._2).toSet
+    assert(mmrIds != plain, "MMR must differ from the plain top-k")
+    assert(got(0)._2 == 10L && got(1)._2 == 20L,
+      s"rank 1 is the relevance argmax, rank 2 escapes the cluster: $got")
+  }
+
   private val TopKShown = Similarity.TopK
 }
