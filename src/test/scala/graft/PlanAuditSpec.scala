@@ -418,4 +418,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("MMR rerank: materialized pool, partial-aggregated greedy argmax") {
+    val p = plan("sim_mmr")
+    // the k greedy rounds must reread the localCheckpointed pool, not
+    // re-run the candidate scan per round
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"pool must be materialized once:\n$p")
+    // each selection is an order-free struct argmax, map-side partialed
+    assert(p.contains("partial_max"),
+      s"greedy picks must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("curriculum: decile fences broadcast onto the corpus") {
+    val p = plan("cp_curriculum")
+    // joining on the constant __g folds the key away, so the 1-row
+    // fence frame arrives as a BroadcastNestedLoopJoin build side —
+    // a map-side append of nine columns, the intended shape (what
+    // must NEVER appear is a corpus-side shuffle for this join)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row fence frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+  }
 }
