@@ -958,17 +958,26 @@ object CorpusOps {
     * `(doc_id, text)` frame.
     */
   def curriculumOrdered(docs: DataFrame): DataFrame = {
+    // materialize the narrow scored relation ONCE: the fence
+    // selection makes several passes over it (per-group stats, bin
+    // counts, bracketing-row picks), and each would otherwise re-run
+    // the corpus-sized tokenize + stopword scoring scan
     val qs = docs
       .filter(size(tokens(col("text"))) > 0)
       .select(col("doc_id"),
         TextAnalysis.qualityScore(tokens(col("text"))).as("quality_score"),
-        lit(1).as("__g"))
-    val fences = Percentiles.exact(qs, "__g", "quality_score",
+        lit(1).as("__fence_g"))
+      .localCheckpoint()
+    // exactSelect, not exact: the fence group is ONE global group, so
+    // the rank-window form would sort every score in a single task —
+    // the histogram-selection form finds the same bracketing rows
+    // (bitwise-identical fences) with map-side passes only
+    val fences = Percentiles.exactSelect(qs, "__fence_g", "quality_score",
       (1 to 9).map(i => (s"__f$i", i / 10.0)))
     val decile = (1 to 9).map(i =>
       when(col("quality_score") > col(s"__f$i"), 1).otherwise(0))
       .reduce(_ + _).cast(IntegerType)
-    qs.join(broadcast(fences), "__g")
+    qs.join(broadcast(fences), "__fence_g")
       .select(col("doc_id"), col("quality_score"),
         decile.as("decile"),
         saltedKey("curr", col("doc_id")).as("curriculum_key"))
