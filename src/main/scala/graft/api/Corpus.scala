@@ -693,6 +693,20 @@ object Corpus {
     graft.operators.Pipeline.minedPairsUpsert(batchDocs, batchVectors,
       base.index.centroids, base.index.lists, base.fingerprints, k)
 
+  /** Retire a corpus directory's session-cached index artifacts: every
+    * operator family's internal build-once relation (shingles,
+    * signatures, IVF centroids/lists, PQ codebooks, BM25 postings,
+    * BPE vocabulary, …) built for `(session, dir)` is evicted and its
+    * checkpoint blocks freed. Returns the number of artifacts freed.
+    * The complement of the handles' `close()`: handles free what YOU
+    * built; this frees what the gated operators built behind the
+    * scenes. Growth is also bounded automatically (per-session LRU) —
+    * this is the eager form for pipelines that know a corpus is done.
+    */
+  def evictCaches(session: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    graft.operators.RelCache.evictCorpus(session, dir)
+
   /** Hybrid more-like-this over YOUR frames (the gated `sim_hybrid`
     * fusion, SERVE POSTURE on both arms): for each doc id in
     * `queryIds`, retrieve related docs through a BM25 lexical arm

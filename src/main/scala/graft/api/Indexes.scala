@@ -32,6 +32,18 @@ final case class AnnIndex private[api] (
       excludeSelf: Boolean = false): DataFrame =
     Similarity.annServeWith(centroids, lists, queries, k, numProbes,
       excludeSelf)
+
+  /** Release the index's checkpoint blocks. The handle (and any
+    * DataFrame served from it that has not been materialized) must not
+    * be used afterwards — a local checkpoint cannot recompute. The
+    * lifecycle half of build-once/serve-many: a session cycling
+    * through many corpora closes each index as it retires instead of
+    * pinning every one until the session dies.
+    */
+  def close(): Unit = {
+    graft.operators.RelCache.freeLocalCheckpoint(centroids)
+    graft.operators.RelCache.freeLocalCheckpoint(lists)
+  }
 }
 
 /** A built hybrid-retrieval index: the BM25 postings relation (per
@@ -41,7 +53,14 @@ final case class AnnIndex private[api] (
   * with [[Corpus.hybridTopK]] passing the handle.
   */
 final case class HybridIndex private[api] (
-    postings: DataFrame, ann: AnnIndex)
+    postings: DataFrame, ann: AnnIndex) {
+
+  /** Release both arms' checkpoint blocks (see [[AnnIndex.close]]). */
+  def close(): Unit = {
+    graft.operators.RelCache.freeLocalCheckpoint(postings)
+    ann.close()
+  }
+}
 
 /** The persisted base of an incremental pair-mining pipeline (the
   * gated `pipe_pairs_upsert` posture): the IVF index trained on the
@@ -52,7 +71,14 @@ final case class HybridIndex private[api] (
   * cost.
   */
 final case class PairMiningBase private[api] (
-    index: AnnIndex, fingerprints: DataFrame)
+    index: AnnIndex, fingerprints: DataFrame) {
+
+  /** Release the base's checkpoint blocks (see [[AnnIndex.close]]). */
+  def close(): Unit = {
+    graft.operators.RelCache.freeLocalCheckpoint(fingerprints)
+    index.close()
+  }
+}
 
 private[api] object Indexes {
 

@@ -115,7 +115,7 @@ object Dedup {
     * [[RelCache]].
     */
   private val relCache =
-    new RelCache[(SparkSession, String, String)](_._1)
+    new RelCache[(SparkSession, String, String)](_._1, _._2)
 
   private[operators] def cachedShingleRel(s: SparkSession, d: String): DataFrame =
     relCache.getOrBuild((s, d, "shingles"))(

@@ -295,7 +295,11 @@ object Dedup2 {
     * @return one row per vertex: `id`, `comp` (min vertex id in its
     *         component).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponents(edges, DriverCcMaxEdges)
+
+  private[operators] def connectedComponents(edges: DataFrame,
+      cap: Long): DataFrame = {
     // Two-tier dispatch, the same small-side judgment a broadcast join
     // makes: the DEDUPLICATED duplicate graph is orders of magnitude
     // smaller than the corpus (edges exist only between near-identical
@@ -303,24 +307,35 @@ object Dedup2 {
     // jobs regardless of size — a 920-edge semantic graph measured
     // 11.6 s through the iterative arm (8 capped propagation rounds +
     // star fallback, pure per-round overhead) vs <0.5 s through a
-    // driver union-find. Probe with limit(cap+1).collect(): ONE
-    // incremental execution (Spark grows the partition scan only until
-    // the limit fills), no checkpoint job, no lingering blocks. At or
-    // under the cap the collected array (≤ ~64 MB of long pairs, the
-    // broadcast-threshold ballpark) is solved exactly on the driver;
-    // over it, the distributed propagation/contraction arm runs
-    // unchanged (it re-executes the edge plan — acceptable for the
-    // rare huge-graph case). Both label every vertex with its
-    // component's min id, so the cutover is result-invisible
-    // (spec-pinned equality).
+    // driver union-find. The edge relation is localCheckpoint'ed ONCE
+    // before the cap probe: the edge lineage (typically an expensive
+    // shingle/LSH self-join) executes exactly once regardless of which
+    // arm runs — the probe reads the materialized blocks, the under-cap
+    // union-find frees them the moment its collect lands, and the
+    // over-cap distributed arm rides them instead of recomputing the
+    // join per propagation round's `und` build (the round-9 finding).
+    // At or under the cap the collected array (≤ ~64 MB of long pairs,
+    // the broadcast-threshold ballpark) is solved exactly on the
+    // driver; both arms label every vertex with its component's min
+    // id, so the cutover is result-invisible (spec-pinned equality).
     // cast keeps the entry type-agnostic like the distributed arms
     // were (the public clusterize contract admits handmade int-typed
     // edge frames; getLong on an IntegerType row would throw)
     val e = edges.select(col("a_id").cast("long").as("a_id"),
       col("b_id").cast("long").as("b_id"))
-    val head = e.limit(DriverCcMaxEdges.toInt + 1).collect()
-    if (head.length <= DriverCcMaxEdges) unionFind(head, e.sparkSession)
-    else connectedComponentsInstrumented(e)._1
+      .localCheckpoint()
+    val head = e.limit(cap.toInt + 1).collect()
+    if (head.length <= cap) {
+      val out = unionFind(head, e.sparkSession)
+      // union-find built its answer from the driver array; the edge
+      // blocks are dead weight from here
+      RelCache.freeLocalCheckpoint(e)
+      out
+    } else {
+      val out = connectedComponentsInstrumented(e)._1
+      RelCache.freeLocalCheckpoint(e)
+      out
+    }
   }
 
   /** Edge-count ceiling for the driver union-find arm of
@@ -768,7 +783,7 @@ object Dedup2 {
     * oracle hashes are unchanged. Guards live in [[RelCache]].
     */
   private val semCache =
-    new RelCache[(SparkSession, String, String)](_._1)
+    new RelCache[(SparkSession, String, String)](_._1, _._2)
 
   private[operators] def cachedNormEmbeddings(s: SparkSession,
       d: String): DataFrame =

@@ -246,7 +246,7 @@ object Pipeline {
     }
 
   private val cleanedRelCache =
-    new RelCache[(SparkSession, String)](_._1)
+    new RelCache[(SparkSession, String)](_._1, _._2)
 
   def pipeScrub(s: SparkSession, d: String): DataFrame = {
     val rel = cachedCleanedRel(s, d)
@@ -807,7 +807,7 @@ object Pipeline {
     * [[Similarity.cachedBaseIvf]]; guards in [[RelCache]].
     */
   private val pairsIndexCache =
-    new RelCache[(SparkSession, String, String)](_._1)
+    new RelCache[(SparkSession, String, String)](_._1, _._2)
 
   /** The quality-floor + prefix-fingerprint relation of [[minedPairs]]
     * — `(doc_id, fp)` for docs above the floor; the dedup key both the

@@ -116,8 +116,9 @@ object Similarity {
     * engines.
     *
     * Scale shape: the pool is `poolK` rows per query (from ANY
-    * candidate source — the gate uses the certified brute top-k; at
-    * serving scale the IVF/PQ shortlist plugs in unchanged), so the
+    * candidate source — the gate uses the certified brute top-k;
+    * [[simMmrServed]] runs the SAME core over the persisted-IVF
+    * shortlist, the serving-scale composition), so the
     * pairwise-similarity relation is ≤ |queries|·poolK² narrow rows
     * keyed by q_id, and each greedy round is one keyed aggregation
     * over ≤ poolK rows per query. Nothing corpus-sized enters the
@@ -135,7 +136,26 @@ object Similarity {
       .join(cv, "c_id")
       .select(col("q_id"), col("c_id"), col("cosine").as("rel"),
         col("v"), col("n"))
-      .localCheckpoint()
+    mmrRerankFromPool(pool, k, lambda)
+  }
+
+  /** The pool-parametric MMR core: greedy diversified selection over a
+    * PRE-BUILT candidate pool `(q_id, c_id, rel, v, n)` — the seam
+    * that makes the rerank candidate-source-agnostic ([[mmrRerank]]
+    * feeds it the brute top-k, [[simMmrServed]] the persisted-IVF
+    * shortlist; a PQ shortlist plugs in the same way).
+    *
+    * The pool is localCheckpointed once; `selected` is ALSO
+    * localCheckpointed per greedy round (a ≤ k·|queries|-row frame),
+    * because each round references the previous selection three times
+    * (penalty join, anti-join, union) — left symbolic, the logical
+    * plan grows ~3^k and Catalyst analysis time explodes around
+    * k ≈ 12 even though the data is tiny. Checkpointing keeps plan
+    * depth constant, so any k the caller asks for plans in O(k) work.
+    */
+  private[graft] def mmrRerankFromPool(pool0: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    val pool = pool0.localCheckpoint()
     val pairs = pool.as("a").join(pool.as("b"),
         col("a.q_id") === col("b.q_id") && col("a.c_id") =!= col("b.c_id"))
       .select(col("a.q_id").as("q_id"), col("a.c_id").as("a_id"),
@@ -154,19 +174,23 @@ object Similarity {
       (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0))
         .as("mmr_score")), 1)
     for (t <- 2 to k) {
+      // materialize rounds 1..t-1 so this round's three references
+      // (penalty join, anti-join, union) share one tiny scan instead
+      // of tripling the symbolic plan
+      val selC = selected.localCheckpoint()
       val pen = pairs
-        .join(selected.select(col("q_id"), col("c_id").as("b_id")),
+        .join(selC.select(col("q_id"), col("c_id").as("b_id")),
           Seq("q_id", "b_id"))
         .groupBy(col("q_id"), col("a_id").as("c_id"))
         .agg(max(col("sim")).as("pen"))
       val scored = base
-        .join(selected.select(col("q_id"), col("c_id")),
+        .join(selC.select(col("q_id"), col("c_id")),
           Seq("q_id", "c_id"), "left_anti")
         .join(pen, Seq("q_id", "c_id"))
         .select(col("q_id"), col("c_id"), col("rel"),
           (lit(lambda) * col("rel") - lit(1 - lambda) * col("pen"))
             .as("mmr_score"))
-      selected = selected.unionByName(argmax(scored, t))
+      selected = selC.unionByName(argmax(scored, t))
     }
     selected.select(col("q_id"), col("mmr_rank"), col("c_id"),
       col("rel").as("relevance"), col("mmr_score"))
@@ -178,6 +202,28 @@ object Similarity {
       .orderBy(col("q_id"), col("mmr_rank"))
   }
 
+  /** MMR rerank over the SERVED pool — the production composition the
+    * brute-pooled [[simMmr]] gate certifies the greedy rule for: the
+    * candidate pool is the persisted-IVF shortlist ([[ivfServeTopK]],
+    * the `sim_ivf` serve plan at k = [[MmrPoolK]]), so a rerank at
+    * serving scale costs one probe-kernel pass over the queries plus
+    * the pool-sized greedy rounds — the corpus enters only through the
+    * pre-built inverted lists. Same core, same tie rules; the pool
+    * differs from brute exactly where IVF recall does (unprobed-cell
+    * misses), which the oracle mirrors by running the same IVF chain.
+    */
+  def simMmrServed(s: SparkSession, d: String): DataFrame = {
+    val cv = embeddings(s, d).select(col("vec_id").as("c_id"),
+      col("embedding").as("v"),
+      VectorExpressions.l2NormF(col("embedding")).as("n"))
+    val pool = ivfServeTopK(s, d, MmrPoolK)
+      .join(cv, "c_id")
+      .select(col("q_id"), col("c_id"), col("cosine").as("rel"),
+        col("v"), col("n"))
+    mmrRerankFromPool(pool, MmrK, MmrLambda)
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   /** DuckDB mirror of [[simMmr]]: the brute scored/ranked pool, the
     * in-pool pairwise cosines, and [[MmrK]] unrolled greedy stages —
     * each an `ORDER BY λ·rel − (1−λ)·pen DESC, c_id` window argmax,
@@ -185,7 +231,13 @@ object Similarity {
     * union. Float ops mirror the engine op-for-op (`0.5*rel − 0.5*pen`,
     * penalty 0.0 literal at stage 1).
     */
-  val simMmrSql: String = {
+  /** The shared greedy-stage CTE chain of BOTH MMR oracles — from a
+    * `scored (q_id, c_id, cosine)` CTE (whatever the candidate source)
+    * through the pool cut, the in-pool pairwise cosines, and the
+    * [[MmrK]] unrolled greedy argmax stages. [[simMmrSql]] feeds it the
+    * brute scores, [[simMmrServedSql]] the IVF-served scores.
+    */
+  private val mmrTailSql: String = {
     val lam = MmrLambda
     val oneMinus = 1 - MmrLambda
     val stages = (2 to MmrK).map { t =>
@@ -208,26 +260,11 @@ object Similarity {
          |    FROM p$t) z
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to MmrK).map { t =>
-      s"SELECT q_id, CAST($t AS INTEGER) AS mmr_rank, c_id, rel AS relevance, mmr_score FROM s$t"
-    }.mkString("\nUNION ALL ")
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
          |      (acc, x) -> acc + x)""".stripMargin
-    s"""WITH e AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-       |      (acc, x) -> acc + x)) AS nrm
-       |  FROM embeddings),
-       |scored AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-       |    ${dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
-       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $NumQueryVectors),
-       |cand AS (
+    s"""cand AS (
        |  SELECT q_id, c_id, cosine AS rel FROM (
        |    SELECT q_id, c_id, cosine,
        |      ROW_NUMBER() OVER (PARTITION BY q_id
@@ -248,10 +285,73 @@ object Similarity {
        |        ORDER BY $lam*rel - $oneMinus*0.0 DESC, c_id) AS rk
        |    FROM cand) z
        |  WHERE rk = 1),
-       |$stages
-       |$out
-       |ORDER BY q_id, mmr_rank""".stripMargin
+       |$stages""".stripMargin
   }
+
+  private val mmrOutSql: String =
+    (1 to MmrK).map { t =>
+      s"SELECT q_id, CAST($t AS INTEGER) AS mmr_rank, c_id, rel AS relevance, mmr_score FROM s$t"
+    }.mkString("\nUNION ALL ") + "\nORDER BY q_id, mmr_rank"
+
+  val simMmrSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueryVectors),
+       |$mmrTailSql
+       |$mmrOutSql""".stripMargin
+  }
+
+  /** DuckDB mirror of [[simMmrServed]]: the [[simIvfSql]] candidate
+    * chain (trained centroids, assignment, probing, candidate
+    * re-scoring) cut at [[MmrPoolK]] as the pool, then the same
+    * unrolled greedy stages as [[simMmrSql]].
+    */
+  // lazy: NumProbes is declared further down the object; a strict val
+  // here would interpolate its uninitialized 0
+  lazy val simMmrServedSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings),
+       |$trainedCentCtesSql,
+       |ranks AS (
+       |  SELECT e.vec_id, cent.cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])),
+       |          (acc, x) -> acc + x) / (e.nrm * cent.cnrm) DESC,
+       |        cent.cell) AS INTEGER) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (SELECT vec_id AS c_id, cell FROM ranks WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM ranks
+       |           WHERE crank <= $NumProbes AND vec_id < $NumQueryVectors),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(eq.v, ec.v), pr -> pr[1] * pr[2])),
+       |      (acc, x) -> acc + x) / (eq.nrm * ec.nrm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = a.c_id
+       |  WHERE p.q_id <> a.c_id),
+       |$mmrTailSql
+       |$mmrOutSql""".stripMargin
 
   val simTopkBruteSql: String =
     s"""WITH e AS (
@@ -453,7 +553,7 @@ object Similarity {
     * Population and lifetime guards live in [[RelCache]].
     */
   private val indexCache =
-    new RelCache[(SparkSession, String, String)](_._1)
+    new RelCache[(SparkSession, String, String)](_._1, _._2)
 
   private[graft] def cachedIvfCentroids(s: SparkSession, d: String): DataFrame =
     indexCache.getOrBuild((s, d, "ivf"))(
@@ -2346,6 +2446,7 @@ object Similarity {
     "sim_hybrid"     -> simHybrid _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_mmr"        -> simMmr _,
+    "sim_mmr_served" -> simMmrServed _,
     "sim_ann_lsh"    -> simAnnLsh _,
     "sim_ivf"        -> simIvf _,
     "sim_ivf_upsert" -> simIvfUpsert _,
@@ -2364,6 +2465,7 @@ object Similarity {
     "sim_hybrid"     -> simHybridSql,
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_mmr"        -> simMmrSql,
+    "sim_mmr_served" -> simMmrServedSql,
     "sim_ann_lsh"    -> simAnnLshSql,
     "sim_ivf"        -> simIvfSql,
     "sim_ivf_upsert" -> simIvfUpsertSql,

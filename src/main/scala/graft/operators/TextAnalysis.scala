@@ -443,7 +443,7 @@ object TextAnalysis {
   }
 
   private val taRelCache =
-    new RelCache[(SparkSession, String, String)](_._1)
+    new RelCache[(SparkSession, String, String)](_._1, _._2)
 
   /** The exploded `(doc_id, w1, w2)` adjacent-pair relation. */
   private def bigramPairRel(docs: DataFrame): DataFrame = docs
@@ -571,9 +571,79 @@ object TextAnalysis {
   }
 
   /** Frame-parametric core of [[taBpeTrain]] over ANY `(doc_id, text)`
-    * frame — the form `graft.api.Corpus.bpeMerges` exposes.
+    * frame — the form `graft.api.Corpus.bpeMerges` exposes. EXACT
+    * sequential-greedy semantics, but internally BATCHED: each Spark
+    * round learns every merge of the maximal ranked prefix that is
+    * provably what sequential greedy would pick (see
+    * [[bpeMergesBatched]]), so the driver-round count drops below the
+    * merge count whenever the top of the pair ranking is
+    * symbol-disjoint — with bit-identical output (spec-pinned against
+    * the one-merge-per-round reference on randomized tie-heavy
+    * corpora; the DuckDB oracle unrolls exact sequential stages).
     */
-  def bpeMerges(docs: DataFrame, n: Int = BpeTrainMerges): DataFrame = {
+  def bpeMerges(docs: DataFrame, n: Int = BpeTrainMerges): DataFrame =
+    bpeMergesBatched(docs, n, exact = true, BpeMaxMergesPerRound)
+
+  /** The PRODUCTION-SCALE trainer: standard batched greedy ("take the
+    * top-m pairwise symbol-disjoint merges per round"), which SKIPS
+    * conflicting candidates instead of stopping at them, so every
+    * round learns up to `maxPerRound` merges regardless of how the top
+    * of the ranking shares symbols. This is the classic large-vocab
+    * BPE batching: the learned table can deviate from exact sequential
+    * greedy order where a skipped (symbol-sharing) candidate's count
+    * would have survived the earlier merges — in practice the same
+    * merge inventory a few ranks shuffled — in exchange for cutting
+    * the 30k–100k driver rounds a real tokenizer train would cost to
+    * n/maxPerRound. Amortized per-merge cost ≈ (one vocabulary-sized
+    * pair count + one vocabulary rewrite) / batch, laddered in
+    * SCALING.md. `bpeMergesDisjoint(docs, n, 1)` degenerates to exact
+    * sequential (spec-pinned).
+    */
+  def bpeMergesDisjoint(docs: DataFrame, n: Int,
+      maxPerRound: Int = BpeMaxMergesPerRound): DataFrame =
+    bpeMergesBatched(docs, n, exact = false, maxPerRound)
+
+  /** Merges learned per Spark round in the batched trainers — bounds
+    * driver memory (the candidate collect is ~3× this, tiny rows) and
+    * the per-round replace-chain depth (codegen handles hundreds).
+    */
+  val BpeMaxMergesPerRound = 64
+
+  /** Shared batched trainer. One Spark round = one pair count over the
+    * DISTINCT vocabulary + ONE candidate collect (≤ `3·want + 1` tiny
+    * rows — a model-sized transfer, never data) + one chained-replace
+    * vocabulary rewrite + one localCheckpoint, independent of how many
+    * merges the round learns.
+    *
+    * EXACT mode selects the maximal ranked conflict-free PREFIX of the
+    * candidate list and then shrinks it so every accepted count
+    * STRICTLY exceeds the best excluded candidate's. That prefix is
+    * provably what n sequential greedy rounds would pick:
+    *
+    *  - accepted merges are pairwise disjoint over {left, right,
+    *    merged}, so applying one leaves the others' pair counts
+    *    untouched (a pair's occurrences only change where its symbols
+    *    border the rewritten one, and `merged` is included so a merge
+    *    output cannot create new occurrences of a later accepted
+    *    pair);
+    *  - every pair NOT accepted — the first conflicting candidate,
+    *    everything ranked after it, and every pair damaged or created
+    *    by an earlier accepted merge (created pairs inherit ≤ their
+    *    source pair's count, and the source shares a symbol, so it is
+    *    excluded) — has count ≤ the excluded bound < every accepted
+    *    count, so it can never be sequential's argmax during the
+    *    batch; ties are impossible across the strict bound, and among
+    *    accepted candidates the ranked (count desc, l, r) order IS
+    *    sequential's tie-break.
+    *
+    * The batch head is always kept (the global argmax is exact by
+    * definition), so progress is guaranteed and the worst case —
+    * tie-heavy or symbol-dense rankings — degrades to sequential, not
+    * to wrong answers. APPROX mode (`exact = false`) keeps scanning
+    * past conflicts (see [[bpeMergesDisjoint]]).
+    */
+  private def bpeMergesBatched(docs: DataFrame, n: Int, exact: Boolean,
+      maxPerRound: Int): DataFrame = {
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
@@ -587,7 +657,9 @@ object TextAnalysis {
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
-    for (rank <- 1 to n if !exhausted) {
+    while (learned.size < n && !exhausted) {
+      val want = math.min(n - learned.size, maxPerRound)
+      val fetch = 3 * want + 1
       val top = vocab
         .select(col("cnt"), split(trim(col("s")), "  ").as("a"))
         .filter(size(col("a")) >= 2)
@@ -598,16 +670,43 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(fetch).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        learned += ((rank, l, r, l + r, c))
-        // symbols are alphanumeric by the vocabulary filter, so the
-        // literal interpolation cannot break the expression
-        vocab = vocab.select(col("cnt"),
-          expr(s"replace(s, ' $l  $r ', ' ${l + r} ')").as("s"))
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var bound = -1L // best excluded candidate's count (exact mode)
+        var stop = false
+        val it = top.iterator
+        while (it.hasNext && !stop) {
+          val row = it.next()
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (batch.size >= want) { bound = c; stop = true }
+          else if (Seq(l, r, l + r).exists(used.contains)) {
+            if (exact) { bound = c; stop = true } // prefix rule
+            // approx: skip the conflict, keep scanning the window
+          } else {
+            used ++= Seq(l, r, l + r)
+            batch += ((l, r, c))
+          }
+        }
+        // strict-descent guard: drop accepted merges that do not
+        // strictly beat the bound (head stays — the global argmax,
+        // ties and all, is sequential's round-1 pick by construction)
+        if (exact && bound >= 0)
+          while (batch.length > 1 && batch.last._3 <= bound)
+            batch.remove(batch.length - 1)
+        batch.foreach { case (l, r, c) =>
+          learned += ((learned.size + 1, l, r, l + r, c))
+        }
+        // one vocabulary rewrite applies the whole batch in rank order
+        // (symbols are alphanumeric by the vocabulary filter, so the
+        // literal interpolation cannot break the expression)
+        val applied = batch.foldLeft("s") { case (e, (l, r, _)) =>
+          s"replace($e, ' $l  $r ', ' ${l + r} ')"
+        }
+        vocab = vocab.select(col("cnt"), expr(applied).as("s"))
           .localCheckpoint()
       }
     }
@@ -725,7 +824,7 @@ object TextAnalysis {
         .localCheckpoint())
 
   private val bpeVocabCache =
-    new RelCache[(SparkSession, String)](_._1)
+    new RelCache[(SparkSession, String)](_._1, _._2)
 
   /** Frame-parametric core of [[taBpeApply]] over ANY `(doc_id, text)`
     * frame: trains in-plan, then applies. The gate serves the merge
@@ -756,6 +855,14 @@ object TextAnalysis {
     * corpus scan an in-plan distinct would cost. When absent, the
     * vocabulary derives in-plan from `docs` (the self-contained
     * frame-parametric form `graft.api.Corpus` exposes).
+    *
+    * PRECONDITION on a supplied `vocab`: it must COVER the corpus —
+    * every alphanumeric word of `docs` appears in it. A stale persisted
+    * vocabulary would otherwise join to null token counts and silently
+    * undercount `n_bpe_tokens`; the plan guards the join with a
+    * `raise_error` on any uncovered word, so a stale artifact fails the
+    * job loudly instead (the guard is a codegen'd null-check branch —
+    * free on the covered path).
     */
   def bpeAppliedWith(docs: DataFrame,
       merges: Seq[(String, String)],
@@ -771,6 +878,14 @@ object TextAnalysis {
     val vocabTok = bpeVocabTok(vocab.getOrElse(
       occ.filter(col("w").isNotNull).select(col("w")).distinct()), merges)
     occ.join(broadcast(vocabTok), Seq("w"), "left")
+      // coverage guard: a real word that missed the vocabulary join is
+      // a stale/incomplete vocab artifact — fail loudly, never
+      // undercount (null w = the explode_outer zero-word-doc row, fine)
+      .withColumn("__n_tok",
+        when(col("w").isNotNull && col("__n_tok").isNull,
+          raise_error(concat(
+            lit("BPE vocabulary does not cover corpus word: "), col("w"))))
+          .otherwise(col("__n_tok")))
       .groupBy(col("doc_id"))
       .agg(
         count(col("w")).as("n_words"),

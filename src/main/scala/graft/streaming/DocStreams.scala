@@ -409,7 +409,7 @@ object DocStreams {
     * probe corpus vs ~1 s serve-only).
     */
   private val postingsCache =
-    new graft.operators.RelCache[(SparkSession, String)](_._1)
+    new graft.operators.RelCache[(SparkSession, String)](_._1, _._2)
   private[graft] def cachedPostings(s: SparkSession,
       d: String): DataFrame =
     postingsCache.getOrBuild((s, d))(

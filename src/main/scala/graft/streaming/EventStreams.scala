@@ -731,8 +731,23 @@ object EventStreams {
     * Closed intervals equal the batch core's non-current rows
     * (spec-pinned, randomized); the batch query's `is_current` row is
     * the end-of-stream view append mode never reaches.
+    *
+    * BOUNDARY SEMANTICS: admission is strict (`ts > watermark`) while
+    * the fold finalizes `ts <= watermark`, so an arrival whose event
+    * time lands EXACTLY on the current (ms-granularity) watermark is
+    * dropped on entry — one tick stricter than Spark's own stateful
+    * late filter, which keeps `ts >= watermark` rows. Strictness is
+    * what keeps every emitted row final (admitting an at-watermark
+    * event after the fold already finalized that instant would
+    * un-finalize an emitted interval). The drop is observable, not
+    * silent: pass `droppedAtWatermark` and every entry-dropped event
+    * increments it (the monitoring hook a production job alerts on —
+    * boundary drops should be ~0; a nonzero rate means the upstream
+    * timestamp granularity is coarser than the watermark's).
     */
-  def scd2Stream(events: Dataset[EventWithTs]): Dataset[Scd2Out] = {
+  def scd2Stream(events: Dataset[EventWithTs],
+      droppedAtWatermark: Option[org.apache.spark.util.LongAccumulator] =
+        None): Dataset[Scd2Out] = {
     import events.sparkSession.implicits._
     // the batch window orders by (µs, event_id): quantize before comparing
     def key(b: Scd2Buf): (Long, Long) = (b.tsNs / 1000, b.eventId)
@@ -751,6 +766,7 @@ object EventStreams {
             if (e.ts_ns > wmNs)
               st = st.copy(buf = Scd2Buf(e.ts_ns, e.event_id, e.event_type)
                 :: st.buf)
+            else droppedAtWatermark.foreach(_.add(1L))
           }
           // fold the events the watermark has passed, in event order
           val (ready, waiting) = st.buf.partition(_.tsNs <= wmNs)

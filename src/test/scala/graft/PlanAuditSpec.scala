@@ -395,8 +395,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count") && p.contains("partial_sum"),
       s"per-source moments must map-side partial:\n$p")
     // the exact median must come from histogram selection, not a
-    // corpus-wide per-group rank (the low-cardinality window trap)
-    assert(!p.contains("row_number() windowspecdefinition(source, n_chars"),
+    // corpus-wide per-group rank (the low-cardinality window trap).
+    // Plan strings print attributes WITH expression ids
+    // (`source#12, n_chars#13`), so match with an id-tolerant regex —
+    // a literal "source, n_chars" can never appear and would make the
+    // guard vacuous.
+    assert("""windowspecdefinition\(source#\d+, n_chars#\d+""".r
+        .findFirstIn(p).isEmpty,
       s"median must not rank every doc per source:\n$p")
   }
 
@@ -429,6 +434,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_max"),
       s"greedy picks must partial-aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("MMR served rerank: materialized served pool, same greedy shape") {
+    // the gate's own plan starts AFTER the pool checkpoint, so the
+    // serve-side shape (kernel probing, persisted lists, no corpus
+    // re-assignment) is pinned where it lives: on the pool plan the
+    // rerank materializes — ivfServeTopK, the exact plan the sim_ivf
+    // test audits. Here: greedy stays pool-sized and partial-aggregated.
+    val p = plan("sim_mmr_served")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"pool must be materialized once:\n$p")
+    assert(p.contains("partial_max"),
+      s"greedy picks must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized relations (documents/embeddings parquet) must
+    // not appear in the rerank plan at all — only pool-derived scans
+    assert(!p.contains("Scan parquet"),
+      s"rerank must never rescan the corpus:\n$p")
   }
 
   test("curriculum: decile fences broadcast onto the corpus") {

@@ -1,56 +1,104 @@
 package graft.operators
 
-import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
-import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.SparkTestBase
 
-/** The population guards [[RelCache]] exists for: concurrent first
-  * access must run the (expensive, checkpointing) builder exactly
-  * once — a lost race would orphan a localCheckpoint's blocks in the
-  * block manager for the life of the session.
-  */
 class RelCacheSpec extends SparkTestBase {
-  import spark.implicits._
 
-  test("concurrent first access builds once; all callers get the same frame") {
-    val cache = new RelCache[(org.apache.spark.sql.SparkSession, String)](_._1)
-    val builds = new AtomicInteger(0)
-    val gate = new CountDownLatch(1)
-    val pool = Executors.newFixedThreadPool(8)
-    try {
-      val futures = (1 to 8).map { _ =>
-        pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
-          def call(): org.apache.spark.sql.DataFrame = {
-            gate.await()
-            cache.getOrBuild((spark, "corpus-a")) {
-              builds.incrementAndGet()
-              Seq(1L, 2L, 3L).toDF("v").localCheckpoint()
-            }
-          }
-        })
-      }
-      gate.countDown()
-      val frames = futures.map(_.get(120, TimeUnit.SECONDS))
-      assert(builds.get() == 1,
-        s"builder ran ${builds.get()} times under 8-way first access")
-      // every caller got the one built frame (same checkpointed plan)
-      assert(frames.map(_.queryExecution.logical).distinct.size == 1)
-      assert(frames.head.collect().map(_.getLong(0)).sorted.toSeq ==
-        Seq(1L, 2L, 3L))
-    } finally pool.shutdownNow()
+  /** RDD ids currently persisted in the shared session's context. */
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** The persisted RDD ids backing a localCheckpointed frame. */
+  private def idsOf(df: DataFrame): Set[Int] = {
+    val ids = scala.collection.mutable.Set.empty[Int]
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => ids += l.rdd.id
+      case _ =>
+    }
+    ids.toSet
   }
 
-  test("distinct keys build independently; repeat access is a pure hit") {
-    val cache = new RelCache[(org.apache.spark.sql.SparkSession, String)](_._1)
-    val builds = new AtomicInteger(0)
-    def get(d: String) = cache.getOrBuild((spark, d)) {
-      builds.incrementAndGet()
-      Seq(d.length.toLong).toDF("v").localCheckpoint()
+  test("evictWhere frees the evicted entry's checkpoint blocks") {
+    val cache = new RelCache[(SparkSession, String)](_._1, _._2)
+    var builds = 0
+    def build(): DataFrame = {
+      builds += 1
+      spark.range(100).toDF("x").localCheckpoint()
     }
-    val a1 = get("a"); val b1 = get("bb"); val a2 = get("a")
-    assert(builds.get() == 2)
-    assert(a1 eq a2, "repeat access must return the cached instance")
-    assert(b1.collect().head.getLong(0) == 2L)
+    val df = cache.getOrBuild((spark, "/corpus/a"))(build())
+    val ids = idsOf(df)
+    assert(ids.nonEmpty, "localCheckpoint must register a persisted RDD")
+    assert(ids.subsetOf(persistedIds), "blocks live while cached")
+    // a second access is a hit, not a rebuild
+    cache.getOrBuild((spark, "/corpus/a"))(build())
+    assert(builds == 1)
+    assert(cache.evictWhere(_._2 == "/corpus/a") == 1)
+    assert(ids.intersect(persistedIds).isEmpty,
+      "eviction must unpersist the checkpointed RDD")
+    // an evicted key rebuilds on next use
+    cache.getOrBuild((spark, "/corpus/a"))(build())
+    assert(builds == 2)
+  }
+
+  test("the per-session LRU bound evicts the least recently used entry and frees its blocks") {
+    val cache = new RelCache[(SparkSession, String)](_._1, _._2,
+      maxPerSession = 2)
+    def build(n: Int): DataFrame =
+      spark.range(n).toDF("x").localCheckpoint()
+    val a = cache.getOrBuild((spark, "a"))(build(1))
+    val b = cache.getOrBuild((spark, "b"))(build(2))
+    val aIds = idsOf(a)
+    val bIds = idsOf(b)
+    // touch a so b is now the LRU entry
+    var rebuiltA = false
+    cache.getOrBuild((spark, "a")) { rebuiltA = true; build(1) }
+    assert(!rebuiltA, "a is cached; the touch must be a hit")
+    val c = cache.getOrBuild((spark, "c"))(build(3))
+    assert(bIds.intersect(persistedIds).isEmpty,
+      "inserting c over the bound must evict LRU entry b and free it")
+    assert(aIds.subsetOf(persistedIds) && idsOf(c).subsetOf(persistedIds),
+      "recently used entries keep their blocks")
+    // b rebuilds on next use
+    var rebuiltB = false
+    cache.getOrBuild((spark, "b")) { rebuiltB = true; build(2) }
+    assert(rebuiltB)
+  }
+
+  test("RelCache.evictCorpus retires a corpus dir across every registered cache") {
+    val c1 = new RelCache[(SparkSession, String)](_._1, _._2)
+    val c2 = new RelCache[(SparkSession, String, String)](_._1, _._2)
+    val d1 = c1.getOrBuild((spark, "/corpus/x"))(
+      spark.range(10).toDF("x").localCheckpoint())
+    val d2 = c2.getOrBuild((spark, "/corpus/x", "lists"))(
+      spark.range(20).toDF("x").localCheckpoint())
+    val keep = c1.getOrBuild((spark, "/corpus/y"))(
+      spark.range(30).toDF("x").localCheckpoint())
+    val freed = RelCache.evictCorpus(spark, "/corpus/x")
+    assert(freed >= 2, s"both caches' /corpus/x entries must retire: $freed")
+    assert(idsOf(d1).intersect(persistedIds).isEmpty)
+    assert(idsOf(d2).intersect(persistedIds).isEmpty)
+    assert(idsOf(keep).subsetOf(persistedIds),
+      "another corpus's artifacts must survive")
+    // the facade delegates to the same registry
+    assert(graft.api.Corpus.evictCaches(spark, "/corpus/y") >= 1)
+    assert(idsOf(keep).intersect(persistedIds).isEmpty)
+  }
+
+  test("AnnIndex.close frees the handle's centroid and list blocks") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 23 / 23.0f))))
+      .toDF("vec_id", "embedding")
+    val idx = graft.api.Corpus.buildAnnIndex(vecs)
+    val ids = idsOf(idx.centroids) ++ idsOf(idx.lists)
+    assert(ids.nonEmpty && ids.subsetOf(persistedIds))
+    // the handle serves before close
+    assert(idx.topK(vecs.filter($"vec_id" < 2), k = 3,
+      excludeSelf = true).count() > 0)
+    idx.close()
+    assert(ids.intersect(persistedIds).isEmpty,
+      "close() must unpersist the index artifacts")
   }
 }

@@ -371,5 +371,82 @@ class SimilaritySpec extends SparkTestBase {
       s"rank 1 is the relevance argmax, rank 2 escapes the cluster: $got")
   }
 
+  test("simMmrServed: greedy over the SERVED pool matches the driver reference; agrees with brute where pools coincide") {
+    // the served pool per query IS simIvf's result (MmrPoolK == TopK)
+    val served = Similarity.simIvf(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq }
+    val mmrServed = Similarity.simMmrServed(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getDouble(4))).toSeq }
+    // every query answers with a full diversified list
+    assert(mmrServed.keySet == (0L until Similarity.NumQueryVectors).toSet)
+    mmrServed.values.foreach(sel => assert(sel.size == Similarity.MmrK))
+    // driver greedy reference over the exact pool the engine served —
+    // certifies the rerank core ran unchanged on the IVF shortlist
+    val poolIds = served.values.flatten.map(_._1).toSet
+    val emb: Map[Long, Array[Float]] =
+      graft.sources.Tables.embeddings(spark, sf001)
+        .select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Float](1).toArray).toMap
+        .view.filterKeys(poolIds.contains).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    served.foreach { case (q, pool) =>
+      var sel = Vector.empty[(Long, Double)]
+      for (_ <- 1 to Similarity.MmrK) {
+        val pick = pool.filterNot(c => sel.exists(_._1 == c._1)).map {
+          case (i, r) =>
+            val pen = if (sel.isEmpty) 0.0
+              else sel.map(sl => cos(emb(sl._1), emb(i))).max
+            (i, 0.5 * r - 0.5 * pen)
+        }.minBy { case (i, sc) => (-sc, i) }
+        sel = sel :+ pick
+      }
+      val got = mmrServed(q)
+      assert(got.map(_._1) == sel.map(_._1),
+        s"query $q: served rerank must equal the greedy reference " +
+          s"over its own pool ($got vs $sel)")
+      got.zip(sel).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9) }
+    }
+    // and wherever the served pool coincides with brute, the served
+    // rerank IS the brute rerank (vacuously true only if recall never
+    // hits 1.0 on any query — checked, not assumed, by the reference
+    // equality above)
+    val mmrBrute = Similarity.simMmr(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    brute.keys.foreach { q =>
+      if (brute(q).toSet == served(q).map(_._1).toSet)
+        assert(mmrBrute(q) == mmrServed(q).map(_._1),
+          s"query $q: equal pools must rerank identically")
+    }
+  }
+
+  test("mmrRerankFromPool: deep k plans in O(k) — selected is materialized per round") {
+    import spark.implicits._
+    // 40 candidates, one query; k = 14 — past the ~12 where a 3^k
+    // symbolic plan stalls Catalyst for minutes. The per-round
+    // localCheckpoint keeps this instant; a hang here IS the failure.
+    val vecs = (0L to 40L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 13) % 17 / 17.0f))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, df.filter($"vec_id" === 0L),
+      k = 14, poolK = 20).collect()
+    assert(got.length == 14)
+    assert(got.map(_.getLong(2)).distinct.length == 14,
+      "greedy must never reselect a candidate")
+  }
+
   private val TopKShown = Similarity.TopK
 }

@@ -136,6 +136,53 @@ class TextScoringSpec extends SparkTestBase {
     assert(got(1L)._3 < 8L && got(2L)._3 < 12L)
   }
 
+  test("batched exact trainer equals sequential greedy on randomized tie-heavy corpora") {
+    // tiny alphabet + random counts force exactly the cases the
+    // strict-descent prefix guard exists for: count ties, symbol-dense
+    // rankings, merges whose outputs collide with later candidates'
+    // symbols. The batched trainer must match one-merge-per-round
+    // sequential BIT-FOR-BIT (ranks, symbols, freqs) on all of them.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 6) {
+      val words = (1 to 12).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        val w = Seq.fill(len)(if (rnd.nextBoolean()) "a" else "b").mkString
+        w -> (1L + rnd.nextInt(6))
+      }.toMap
+      val docs = words.toSeq.zipWithIndex.map { case ((w, c), i) =>
+        (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val exp = referenceBpe(words, 12)
+      val batched = bpeRows(TextAnalysis.bpeMerges(docs, 12))
+      val sequential = bpeRows(TextAnalysis.bpeMergesDisjoint(docs, 12, 1))
+      assert(sequential == exp, s"trial $trial: sequential lost vs reference")
+      assert(batched == exp,
+        s"trial $trial: batched != sequential for words $words\n" +
+          s"got $batched\nexp $exp")
+    }
+  }
+
+  test("disjoint batched trainer: full inventory at scale batch, degenerates to exact at batch 1") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val exact = bpeRows(TextAnalysis.bpeMerges(docs, 8))
+    assert(bpeRows(TextAnalysis.bpeMergesDisjoint(docs, 8, 1)) == exact)
+    val fast = bpeRows(TextAnalysis.bpeMergesDisjoint(docs, 8))
+    // the approximation keeps the inventory CONTRACT: n distinct
+    // merges, every merged token the concat of its parts, ranks dense
+    assert(fast.length == 8)
+    assert(fast.map(_._4).distinct.length == 8)
+    assert(fast.map(_._1) == (1 to 8))
+    fast.foreach { case (_, l, r, m, c) =>
+      assert(m == l + r && c >= 1L) }
+    // and on this corpus the top of every round is disjoint enough
+    // that the fast path finds the same first merges
+    assert(fast.head == exact.head)
+  }
+
   test("ta_bpe_train matches the single-threaded trainer on sf0.001") {
     val wordCounts = graft.sources.Tables.documents(spark, sf0001)
       .select("text").collect().iterator
