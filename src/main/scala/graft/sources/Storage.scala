@@ -485,6 +485,46 @@ final class Storage(spark: SparkSession, warehouse: String) {
     commitVersion(name, Some(df), readManifest(name, cur), Some(cur))
   }
 
+  /** IDEMPOTENT streaming append: commit micro-batch `batchId` to the
+    * versioned table exactly once, no matter how many times the batch
+    * is replayed. The batch's data directory is NAMED by the batch id
+    * (`data/b<id>`), and since every append manifest carries the full
+    * directory list, "has batch N committed?" is one read of the
+    * latest manifest — no sidecar ledger whose update could tear away
+    * from the data commit. Returns the committed version, or None when
+    * the batch was already in the table (the replay case — a no-op).
+    *
+    * Crash analysis (the exactly-once contract with a replayable
+    * source + checkpointed offsets — Structured Streaming re-delivers
+    * the same batch id after any failure):
+    *  - died BEFORE the manifest rename: the orphan `data/b<id>` dir
+    *    is unreferenced (readers resolve dirs only through manifests);
+    *    the retry deletes and rewrites it, then publishes.
+    *  - died AFTER the rename: the batch is in the latest manifest;
+    *    the retry returns None and writes nothing.
+    *  - a concurrent writer raced the version number: the manifest
+    *    CAS throws, the streaming batch fails and replays, and the
+    *    retry re-reads the latest manifest — commit-or-skip, never
+    *    double-append.
+    */
+  def appendBatchIdempotent(name: String, df: DataFrame,
+      batchId: Long): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    val tag = s"data/b$batchId"
+    val vs = versions(checkName(name))
+    val base = vs.lastOption.map(readManifest(name, _)).getOrElse(Nil)
+    if (base.contains(tag)) None
+    else {
+      val dir = new Path(vtRoot(name), tag)
+      // an orphan from an attempt that died pre-publish: unreferenced
+      // by construction, safe to clear
+      if (fs.exists(dir)) fs.delete(dir, true)
+      df.write.parquet(dir.toString)
+      Some(commitVersion(name, None, base :+ tag,
+        Some(vs.lastOption.getOrElse(0L))))
+    }
+  }
+
   /** Read a versioned table at `version` (default: latest). The
     * manifest pins the exact directory set, so the read is a stable
     * snapshot no concurrent append can change — time travel for

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.Storage
+
+/** Streaming sinks that marry Structured Streaming to the engine's
+  * lakehouse-lite storage verbs ([[graft.sources.Storage]]).
+  *
+  * Structured Streaming's own guarantee is end-to-end exactly-once
+  * ONLY when the sink is idempotent per batch id (replayable source +
+  * checkpointed offsets mean every failure re-delivers the same
+  * `(batchId, rows)`); the stock file sink gets this from its own
+  * commit log. [[sinkVersionedExactlyOnce]] gets it from the versioned
+  * table's atomic manifest commit instead
+  * ([[Storage.appendBatchIdempotent]]) — so the stream lands in a
+  * table with TIME TRAVEL (`readVersioned` at any version), O(batch)
+  * appends, and compare-and-swap against concurrent batch writers:
+  * the production shape for continuously ingesting events or closed
+  * SCD2 intervals into the corpus store.
+  */
+object Sinks {
+
+  /** Start an exactly-once append of a streaming frame into versioned
+    * table `name`. Restart-safe: a batch replayed after ANY crash —
+    * including one that died between the table commit and the
+    * streaming checkpoint update, the classic duplicate window — is
+    * recognized by its batch id in the latest manifest and skipped
+    * (spec-pinned by a kill-after-commit fixture). Readers see each
+    * micro-batch atomically as one new version.
+    */
+  def sinkVersionedExactlyOnce(ds: DataFrame, storage: Storage,
+      name: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ds.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        storage.appendBatchIdempotent(name, batch, id)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+}

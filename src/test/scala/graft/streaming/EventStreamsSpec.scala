@@ -925,4 +925,97 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(("view", t0 / 1000, (t0 + 60 * min) / 1000, 1L)),
       "the restart must not lose the open interval the click closes")
   }
+
+  test("SCD2 buffered OUT-OF-ORDER events survive a restart and fold in event order") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-restart-scd2ooo-")
+    val cp = Files.createTempDirectory("graft-restart-scd2ooo-cp-")
+    val out = Files.createTempDirectory("graft-restart-scd2ooo-out-")
+    val t0 = 1704067200L * 1000000000L
+    val hr = 3600L * 1000000000L
+    def run(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val es = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        .withWatermark("ts", "0 seconds")
+        .as[EventWithTs]
+      val q = scd2Stream(es)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .format("parquet").option("path", out.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    // run 1, ONE batch: the LATER event (id 5, t0+3h) lands before the
+    // EARLIER one (id 2, t0+1h) — both above the watermark, so both
+    // buffer unfolded; only checkpointed state carries the disorder
+    writeTypedBatch(dir, "001.parquet", Seq(
+      (5L, 1L, t0 + 3 * hr, "view"),
+      (2L, 1L, t0 + 1 * hr, "click")))
+    run()
+    // run 2: a sentinel advances the watermark; the restored buffer
+    // must fold by EVENT time — the click opens first despite arriving
+    // second, and the view closes it
+    writeTypedBatch(dir, "002.parquet",
+      Seq((99L, 999L, t0 + 10 * hr, "view")))
+    writeTypedBatch(dir, "003.parquet",
+      Seq((98L, 999L, t0 + 12 * hr, "view")))
+    run()
+    val got = spark.read.parquet(out.toString).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("click", (t0 + 1 * hr) / 1000, (t0 + 3 * hr) / 1000, 1L)),
+      s"restored out-of-order buffer must fold by event time: ${got.toSeq}")
+  }
+
+  test("an arrival exactly AT the watermark is dropped on entry and counted, never folded") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-scd2-atwm-")
+    val cp = Files.createTempDirectory("graft-scd2-atwm-cp-")
+    val out = Files.createTempDirectory("graft-scd2-atwm-out-")
+    val t0 = 1704067200L * 1000000000L
+    val hr = 3600L * 1000000000L
+    val dropped = spark.sparkContext.longAccumulator("scd2-at-wm-drops")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // batch 1 sets the watermark to t0+2h; batch 2 delivers an event
+    // whose time EQUALS that watermark (the ADVICE boundary): strict
+    // admission drops it, the accumulator observes it, and the fold
+    // output is exactly what the surviving events imply
+    writeTypedBatch(dir, "001.parquet", Seq((1L, 1L, t0 + 2 * hr, "view")))
+    writeTypedBatch(dir, "002.parquet", Seq(
+      (2L, 1L, t0 + 2 * hr, "click"), // == watermark: dropped + counted
+      (3L, 1L, t0 + 4 * hr, "view")))
+    writeTypedBatch(dir, "003.parquet",
+      Seq((99L, 999L, t0 + 10 * hr, "view")))
+    writeTypedBatch(dir, "004.parquet",
+      Seq((98L, 999L, t0 + 12 * hr, "view")))
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "0 seconds")
+      .as[EventWithTs]
+    val q = scd2Stream(es, Some(dropped))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .format("parquet").option("path", out.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(dropped.value == 1L,
+      s"the at-watermark arrival must be counted: ${dropped.value}")
+    val got = spark.read.parquet(out.toString).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the dropped click never splits the view run: one view interval
+    // [t0+2h, ...) stays open until the t0+4h view extends it — no
+    // closed interval for user 1 besides none at all... the t0+4h view
+    // MERGES into the same open "view" interval, so nothing closes
+    assert(got.isEmpty,
+      s"a dropped boundary event must not close or split intervals: ${got.toSeq}")
+  }
 }
