@@ -643,7 +643,14 @@ object TextAnalysis {
     * past conflicts (see [[bpeMergesDisjoint]]).
     */
   private def bpeMergesBatched(docs: DataFrame, n: Int, exact: Boolean,
-      maxPerRound: Int): DataFrame = {
+      maxPerRound: Int): DataFrame =
+    bpeMergesInstrumented(docs, n, exact, maxPerRound)._1
+
+  /** [[bpeMergesBatched]] plus the Spark-round count — the spec/ladder
+    * hook (SCALING.md's amortized-cost rows need merges ÷ rounds).
+    */
+  private[graft] def bpeMergesInstrumented(docs: DataFrame, n: Int,
+      exact: Boolean, maxPerRound: Int): (DataFrame, Int) = {
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
@@ -657,7 +664,9 @@ object TextAnalysis {
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
+    var rounds = 0
     while (learned.size < n && !exhausted) {
+      rounds += 1
       val want = math.min(n - learned.size, maxPerRound)
       val fetch = 3 * want + 1
       val top = vocab
@@ -711,8 +720,8 @@ object TextAnalysis {
       }
     }
     import spark.implicits._
-    learned.toSeq.toDF("rank", "left", "right", "merged", "freq")
-      .orderBy(col("rank"))
+    (learned.toSeq.toDF("rank", "left", "right", "merged", "freq")
+      .orderBy(col("rank")), rounds)
   }
 
   /** The shared training CTE chain (`words`, `v0`, and the unrolled

@@ -37,7 +37,17 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        storage.appendBatchIdempotent(name, batch, id)
+        if (storage.appendBatchIdempotent(name, batch, id).isEmpty)
+          // replayed batch: the TABLE write is skipped, but a stateful
+          // query's state stores only commit when every partition of
+          // the batch executes AND its row iterator drains to the end
+          // (commit rides a CompletionIterator) — a skip that never
+          // touches the frame would leave the operator state
+          // un-advanced, and Spark validates exactly this
+          // (STATE_STORE_COMMIT_VALIDATION_FAILED). Drain every
+          // partition's iterator through a no-op full pass instead.
+          batch.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
         ()
       }
       .trigger(trigger)

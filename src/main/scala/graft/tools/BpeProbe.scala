@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Ladder probe for the batched BPE trainers (SCALING.md's
+  * amortized-per-merge rows): trains `n` merges over
+  * `SPARK_GRAFT_SF_DIR`'s documents at each given batch size and
+  * prints merges, Spark rounds, wall seconds, and ms/merge.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.BpeProbe 500 1 64"
+  *
+  * Batch size 1 is exact sequential greedy (the r9 posture: one driver
+  * round per merge); larger batches run [[TextAnalysis.bpeMergesDisjoint]],
+  * the standard skip-conflicts batching. The `exact` pseudo-batch size
+  * runs [[TextAnalysis.bpeMerges]] (prefix-exact batching).
+  */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bpe-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = args.headOption.map(_.toInt).getOrElse(500)
+    val batches = args.drop(1).toSeq match {
+      case Nil => Seq("1", "64")
+      case bs => bs
+    }
+    val docs = Tables.documents(spark, sfDir).localCheckpoint()
+    println(s"corpus $sfDir docs=${docs.count()}")
+    batches.foreach { b =>
+      val t0 = System.nanoTime()
+      val (merges, rounds) =
+        if (b == "exact")
+          TextAnalysis.bpeMergesInstrumented(docs, n, exact = true,
+            TextAnalysis.BpeMaxMergesPerRound)
+        else
+          TextAnalysis.bpeMergesInstrumented(docs, n, exact = false, b.toInt)
+      val got = merges.collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"batch=$b%-6s merges=$got%5d rounds=$rounds%5d " +
+        f"wall=$sec%8.2fs per-merge=${sec * 1000 / got}%8.1fms")
+    }
+    spark.stop()
+  }
+}

@@ -79,6 +79,74 @@ class SinksSpec extends SparkTestBase {
       Seq(1L, 2L, 3L).toDF("x"), 0L).isEmpty)
   }
 
+  test("scd2Stream -> versioned sink: closed intervals land exactly once across a mid-stream kill") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val src = Files.createTempDirectory("graft-scd2sink-src-")
+    val cp = Files.createTempDirectory("graft-scd2sink-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-scd2sink-wh-").toString)
+    val eventSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val t0 = 1704067200L * 1000000000L
+    val hr = 3600L * 1000000000L
+    def writeEvents(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val staging = Files.createTempDirectory("graft-scd2sink-stage-")
+      rows.toDF("event_id", "user_id", "ts_ns", "event_type")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id", "event_type",
+          "1.0 AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def scd2(): org.apache.spark.sql.DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      EventStreams.scd2Stream(
+        spark.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+          .withWatermark("ts", "0 seconds")
+          .as[EventStreams.EventWithTs]).toDF()
+    }
+    writeEvents("001.parquet", Seq((1L, 1L, t0, "view")))
+    writeEvents("002.parquet", Seq((2L, 1L, t0 + 1 * hr, "click")))
+    writeEvents("003.parquet", Seq((3L, 1L, t0 + 2 * hr, "view")))
+    writeEvents("004.parquet", Seq((90L, 999L, t0 + 10 * hr, "view")))
+    writeEvents("005.parquet", Seq((91L, 999L, t0 + 12 * hr, "view")))
+    // run 1: die after batch 1's table commit — the interval emitted in
+    // batch 1 is exactly the row a naive restart would double-write
+    val q1 = scd2().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (storage.appendBatchIdempotent("scd2", b, id).isEmpty)
+          b.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+        if (id == 2) throw new RuntimeException("injected post-commit kill")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // run 2: the packaged sink resumes from the checkpoint
+    Sinks.sinkVersionedExactlyOnce(scd2(), storage, "scd2", cp.toString)
+      .awaitTermination(180000)
+    val got = storage.readVersioned("scd2").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._2)
+    assert(got == Seq(
+      ("view", t0 / 1000, (t0 + 1 * hr) / 1000, 1L),
+      ("click", (t0 + 1 * hr) / 1000, (t0 + 2 * hr) / 1000, 1L)),
+      s"closed intervals must land exactly once: $got")
+  }
+
   test("sinkVersionedExactlyOnce lands each micro-batch as one atomic version and resumes across runs") {
     val src = Files.createTempDirectory("graft-sink2-src-")
     val cp = Files.createTempDirectory("graft-sink2-cp-")
