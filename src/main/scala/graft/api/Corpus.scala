@@ -184,6 +184,20 @@ object Corpus {
     graft.operators.TextAnalysis.bpeMerges(
       df.select(col(text).as("text")), n)
 
+  /** BPE training at PRODUCTION vocabulary sizes: the standard batched
+    * greedy trainer ([[graft.operators.TextAnalysis.bpeMergesDisjoint]]
+    * — up to `maxPerRound` symbol-disjoint merges per Spark round,
+    * skipping conflicts), cutting a 30k-merge train from 30k driver
+    * rounds to ~n/batch. Same-inventory approximation of exact
+    * sequential greedy (degenerates to it at `maxPerRound = 1`);
+    * use [[bpeMerges]] when bit-exact sequential order matters.
+    */
+  def bpeMergesAtScale(df: DataFrame, n: Int,
+      maxPerRound: Int = TextAnalysis.BpeMaxMergesPerRound,
+      text: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.bpeMergesDisjoint(
+      df.select(col(text).as("text")), n, maxPerRound)
+
   /** Curriculum ordering key: global quality decile (0 = lowest; exact
     * interpolated p10..p90 fences over the corpus's quality scores)
     * plus a reproducible salted-md5 shuffle key within the decile —
@@ -572,6 +586,29 @@ object Corpus {
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     graft.operators.Similarity.mmrRerank(
       corpus, queries, k, poolK, lambda, id, vec)
+
+  /** MMR over a SERVED pool (the gated `sim_mmr_served` posture on
+    * YOUR frames): candidates come from a prebuilt [[AnnIndex]]'s
+    * shortlist, and the in-pool vectors come from the index's own
+    * inverted lists — the corpus never enters the rerank, so a
+    * diversified result list over a 100 TB corpus costs one
+    * probe-kernel pass plus pool-sized greedy rounds. Build the handle
+    * once with [[buildAnnIndex]]; rerank any number of query batches.
+    */
+  def mmrTopKServed(queries: DataFrame, index: AnnIndex,
+      k: Int = graft.operators.Similarity.MmrK,
+      poolK: Int = graft.operators.Similarity.MmrPoolK,
+      lambda: Double = graft.operators.Similarity.MmrLambda,
+      numProbes: Int = graft.operators.Similarity.NumProbes,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cv = index.lists.select(col("c_id"), col("cv_c").as("v"),
+      col("cn_c").as("n"))
+    val pool = index.topK(queries, poolK, numProbes, excludeSelf)
+      .join(cv, "c_id")
+      .select(col("q_id"), col("c_id"), col("cosine").as("rel"),
+        col("v"), col("n"))
+    graft.operators.Similarity.mmrRerankFromPool(pool, k, lambda)
+  }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding",

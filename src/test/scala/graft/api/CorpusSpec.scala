@@ -530,4 +530,22 @@ class CorpusSpec extends SparkTestBase {
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
     assert(served.map(key).toSet == inPlan.map(key).toSet && served.nonEmpty)
   }
+
+  test("mmrTopKServed from a prebuilt AnnIndex equals the gated sim_mmr_served, zero retraining") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val idx = Corpus.buildAnnIndex(e)
+    val queries = e.filter(
+      $"vec_id" < graft.operators.Similarity.NumQueryVectors)
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val served = Corpus.mmrTopKServed(queries, idx).collect()
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "handle rerank retrained the IVF index")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(4) * 1e9))
+    val gated = graft.operators.Similarity.simMmrServed(spark, sf0001)
+      .collect().map(key).toSet
+    assert(served.map(key).toSet == gated && served.nonEmpty)
+    idx.close()
+  }
 }
