@@ -815,13 +815,30 @@ object TextAnalysis {
     */
   private[operators] def bpeVocabTok(vocab: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val applied = merges.foldLeft(
-      "concat(' ', rtrim(regexp_replace(w, '(.)', '$1  ')), ' ')") {
-      case (e, (l, r)) => s"replace($e, ' $l  $r ', ' ${l + r} ')"
+    // merges fold into CHUNKS of chained replaces with a checkpoint
+    // between chunks: one nested expression cannot hold a 30k-merge
+    // production table (Janino's method-size limit kills codegen and
+    // a 30k-deep interpreted eval tree thrashes), but ~chunk-sized
+    // nests stay codegen'd and each extra chunk costs one more pass
+    // over the DISTINCT VOCABULARY — the apply stays Heaps'-law-sized
+    // no matter the vocabulary size. The ≤1-chunk case (every gated
+    // query: BpeTrainMerges = 10) folds exactly as before, single
+    // pass, no checkpoint.
+    val chunks = merges.grouped(BpeMaxMergesPerRound).toSeq
+    val first = chunks.headOption.getOrElse(Nil)
+    def chain(seed: String, ms: Seq[(String, String)]): String =
+      ms.foldLeft(seed) {
+        case (e, (l, r)) => s"replace($e, ' $l  $r ', ' ${l + r} ')"
+      }
+    var cur = vocab.select(col("w"),
+      expr(chain("concat(' ', rtrim(regexp_replace(w, '(.)', '$1  ')), ' ')",
+        first)).as("__s"))
+    chunks.drop(1).foreach { ms =>
+      cur = cur.localCheckpoint()
+        .select(col("w"), expr(chain("__s", ms)).as("__s"))
     }
-    vocab.select(col("w"),
-      expr(s"size(split(trim($applied), '  '))")
-        .cast(LongType).as("__n_tok"))
+    cur.select(col("w"),
+      expr("size(split(trim(__s), '  '))").cast(LongType).as("__n_tok"))
   }
 
   def cachedBpeVocab(s: SparkSession, d: String): DataFrame =

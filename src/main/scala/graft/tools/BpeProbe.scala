@@ -46,10 +46,21 @@ object BpeProbe {
             TextAnalysis.BpeMaxMergesPerRound)
         else
           TextAnalysis.bpeMergesInstrumented(docs, n, exact = false, b.toInt)
-      val got = merges.collect().length
+      val table = merges.collect()
+      val got = table.length
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"batch=$b%-6s merges=$got%5d rounds=$rounds%5d " +
         f"wall=$sec%8.2fs per-merge=${sec * 1000 / got}%8.1fms")
+      // SPARK_GRAFT_BPE_APPLY=1 also times tokenizing the corpus under
+      // the learned table (the chunked-vocabulary apply path)
+      if (sys.env.get("SPARK_GRAFT_BPE_APPLY").contains("1")) {
+        val ms = table.map(r => (r.getString(1), r.getString(2))).toSeq
+        val t1 = System.nanoTime()
+        TextAnalysis.bpeAppliedWith(docs, ms)
+          .write.format("noop").mode("overwrite").save()
+        println(f"  apply under $got%5d merges: " +
+          f"${(System.nanoTime() - t1) / 1e9}%8.2fs")
+      }
     }
     spark.stop()
   }

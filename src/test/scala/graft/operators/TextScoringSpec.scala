@@ -183,6 +183,34 @@ class TextScoringSpec extends SparkTestBase {
     assert(fast.head == exact.head)
   }
 
+  test("chunked vocabulary apply is exact past one replace chunk (>64-merge table)") {
+    // a merge table deeper than BpeMaxMergesPerRound forces the
+    // chunked fold (checkpoint between replace chunks); token counts
+    // must equal the single-threaded sequential apply exactly
+    val rnd = new scala.util.Random(7L)
+    val words = (1 to 60).map { _ =>
+      val len = 8 + rnd.nextInt(7)
+      Seq.fill(len)("abc" (rnd.nextInt(3)).toString).mkString ->
+        (1L + rnd.nextInt(3))
+    }.toMap
+    val merges = referenceBpe(words, 200).map(m => (m._2, m._3))
+    assert(merges.length > TextAnalysis.BpeMaxMergesPerRound,
+      s"fixture too small: ${merges.length} merges")
+    val docs = words.toSeq.zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    def bpeLen(w: String): Long =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (l, r)) => applyMerge(syms, l, r)
+      }.length.toLong
+    val got = TextAnalysis.bpeAppliedWith(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    words.toSeq.zipWithIndex.foreach { case ((w, c), i) =>
+      assert(got(i.toLong) == c * bpeLen(w),
+        s"doc $i ('$w' x$c): ${got(i.toLong)} != ${c * bpeLen(w)}")
+    }
+  }
+
   test("ta_bpe_train matches the single-threaded trainer on sf0.001") {
     val wordCounts = graft.sources.Tables.documents(spark, sf0001)
       .select("text").collect().iterator
