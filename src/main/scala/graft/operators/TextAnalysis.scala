@@ -668,7 +668,13 @@ object TextAnalysis {
     while (learned.size < n && !exhausted) {
       rounds += 1
       val want = math.min(n - learned.size, maxPerRound)
-      val fetch = 3 * want + 1
+      // exact mode stops at the first conflict, so a small window
+      // suffices; approx mode SKIPS conflicts and keeps filling — on
+      // natural rankings the top is symbol-dense (a 3x window filled
+      // only ~10 of 64 slots per round on the 100x corpus), so give it
+      // a deep window: candidates are 3-column driver rows, thousands
+      // of them cost nothing next to a saved corpus-sized round.
+      val fetch = if (exact) 3 * want + 1 else 16 * want + 1
       val top = vocab
         .select(col("cnt"), split(trim(col("s")), "  ").as("a"))
         .filter(size(col("a")) >= 2)

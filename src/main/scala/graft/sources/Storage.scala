@@ -506,6 +506,12 @@ final class Storage(spark: SparkSession, warehouse: String) {
     *    CAS throws, the streaming batch fails and replays, and the
     *    retry re-reads the latest manifest — commit-or-skip, never
     *    double-append.
+    *
+    * The manifest grows one line per batch, so commit cost is
+    * O(batches-so-far) manifest bytes (KBs at thousands of batches) —
+    * the standard lakehouse trade; a long-lived stream compacts by
+    * re-snapshotting ([[putVersioned]] with the compacted read), which
+    * resets the manifest to one directory while keeping history.
     */
   def appendBatchIdempotent(name: String, df: DataFrame,
       batchId: Long): Option[Long] = {
