@@ -609,6 +609,13 @@ object TextAnalysis {
     */
   val BpeMaxMergesPerRound = 64
 
+  /** Quality frontier for [[bpeMergesDisjoint]]'s skip-conflicts scan:
+    * a round accepts only candidates with count ≥ this fraction of the
+    * round's top count. See the selection-loop comment for the measured
+    * rationale.
+    */
+  val BpeBatchQualityFrac = 0.5
+
   /** Shared batched trainer. One Spark round = one pair count over the
     * DISTINCT vocabulary + ONE candidate collect (≤ `3·want + 1` tiny
     * rows — a model-sized transfer, never data) + one chained-replace
@@ -693,11 +700,21 @@ object TextAnalysis {
           scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var bound = -1L // best excluded candidate's count (exact mode)
         var stop = false
+        // approx-mode quality frontier: only accept merges whose count
+        // stays within BpeBatchQualityFrac of the round's head count.
+        // Without it, a conflict-dense head makes the scan dig into the
+        // far tail and SPEND MERGE BUDGET on low-value pairs that exact
+        // greedy would never pick at this point (measured: unbounded
+        // digging cost 23.6% compression at the 100× corpus); with it,
+        // a conflict-dense round simply learns fewer merges — quality
+        // degrades toward exact, never toward the tail.
+        val floor = math.ceil(top(0).getLong(2) * BpeBatchQualityFrac).toLong
         val it = top.iterator
         while (it.hasNext && !stop) {
           val row = it.next()
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           if (batch.size >= want) { bound = c; stop = true }
+          else if (!exact && c < floor && batch.nonEmpty) stop = true
           else if (Seq(l, r, l + r).exists(used.contains)) {
             if (exact) { bound = c; stop = true } // prefix rule
             // approx: skip the conflict, keep scanning the window

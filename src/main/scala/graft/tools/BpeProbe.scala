@@ -38,6 +38,9 @@ object BpeProbe {
     }
     val docs = Tables.documents(spark, sfDir).localCheckpoint()
     println(s"corpus $sfDir docs=${docs.count()}")
+    // the first arm's inventory is the drift reference (run batch 1 or
+    // `exact` first to compare the approximation against exact greedy)
+    var ref: Option[Set[String]] = None
     batches.foreach { b =>
       val t0 = System.nanoTime()
       val (merges, rounds) =
@@ -51,15 +54,24 @@ object BpeProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"batch=$b%-6s merges=$got%5d rounds=$rounds%5d " +
         f"wall=$sec%8.2fs per-merge=${sec * 1000 / got}%8.1fms")
+      val inv = table.map(_.getString(3)).toSet
+      ref match {
+        case None => ref = Some(inv)
+        case Some(r) =>
+          println(f"  inventory overlap with first arm: " +
+            f"${inv.intersect(r).size * 100.0 / r.size}%5.1f%%")
+      }
       // SPARK_GRAFT_BPE_APPLY=1 also times tokenizing the corpus under
       // the learned table (the chunked-vocabulary apply path)
       if (sys.env.get("SPARK_GRAFT_BPE_APPLY").contains("1")) {
         val ms = table.map(r => (r.getString(1), r.getString(2))).toSeq
         val t1 = System.nanoTime()
-        TextAnalysis.bpeAppliedWith(docs, ms)
-          .write.format("noop").mode("overwrite").save()
+        val toks = TextAnalysis.bpeAppliedWith(docs, ms)
+          .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+          .collect()(0).getLong(0)
         println(f"  apply under $got%5d merges: " +
-          f"${(System.nanoTime() - t1) / 1e9}%8.2fs")
+          f"${(System.nanoTime() - t1) / 1e9}%8.2fs  " +
+          f"corpus tokens=$toks%d")
       }
     }
     spark.stop()
