@@ -604,8 +604,9 @@ object TextAnalysis {
     bpeMergesBatched(docs, n, exact = false, maxPerRound)
 
   /** Merges learned per Spark round in the batched trainers — bounds
-    * driver memory (the candidate collect is ~3× this, tiny rows) and
-    * the per-round replace-chain depth (codegen handles hundreds).
+    * driver memory (the candidate collect is a small multiple of this,
+    * tiny rows) and the per-round replace-chain depth (codegen handles
+    * hundreds).
     */
   val BpeMaxMergesPerRound = 64
 
@@ -617,10 +618,10 @@ object TextAnalysis {
   val BpeBatchQualityFrac = 0.5
 
   /** Shared batched trainer. One Spark round = one pair count over the
-    * DISTINCT vocabulary + ONE candidate collect (≤ `3·want + 1` tiny
-    * rows — a model-sized transfer, never data) + one chained-replace
-    * vocabulary rewrite + one localCheckpoint, independent of how many
-    * merges the round learns.
+    * DISTINCT vocabulary + ONE candidate collect (a small multiple of
+    * the batch size in tiny rows — a model-sized transfer, never data)
+    * + one chained-replace vocabulary rewrite + one localCheckpoint,
+    * independent of how many merges the round learns.
     *
     * EXACT mode selects the maximal ranked conflict-free PREFIX of the
     * candidate list and then shrinks it so every accepted count
