@@ -600,8 +600,10 @@ object TextAnalysis {
     * sequential (spec-pinned).
     */
   def bpeMergesDisjoint(docs: DataFrame, n: Int,
-      maxPerRound: Int = BpeMaxMergesPerRound): DataFrame =
-    bpeMergesBatched(docs, n, exact = false, maxPerRound)
+      maxPerRound: Int = BpeMaxMergesPerRound,
+      qualityFrac: Double = BpeBatchQualityFrac): DataFrame =
+    bpeMergesInstrumented(docs, n, exact = false, maxPerRound,
+      qualityFrac)._1
 
   /** Merges learned per Spark round in the batched trainers — bounds
     * driver memory (the candidate collect is a small multiple of this,
@@ -658,7 +660,8 @@ object TextAnalysis {
     * hook (SCALING.md's amortized-cost rows need merges ÷ rounds).
     */
   private[graft] def bpeMergesInstrumented(docs: DataFrame, n: Int,
-      exact: Boolean, maxPerRound: Int): (DataFrame, Int) = {
+      exact: Boolean, maxPerRound: Int,
+      qualityFrac: Double = BpeBatchQualityFrac): (DataFrame, Int) = {
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
@@ -709,7 +712,7 @@ object TextAnalysis {
         // digging cost 23.6% compression at the 100× corpus); with it,
         // a conflict-dense round simply learns fewer merges — quality
         // degrades toward exact, never toward the tail.
-        val floor = math.ceil(top(0).getLong(2) * BpeBatchQualityFrac).toLong
+        val floor = math.ceil(top(0).getLong(2) * qualityFrac).toLong
         val it = top.iterator
         while (it.hasNext && !stop) {
           val row = it.next()

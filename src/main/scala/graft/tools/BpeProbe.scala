@@ -43,12 +43,17 @@ object BpeProbe {
     var ref: Option[Set[String]] = None
     batches.foreach { b =>
       val t0 = System.nanoTime()
+      // batch args: "1", "64", "exact", or "64@0.25" (batch@qualityFrac)
       val (merges, rounds) =
         if (b == "exact")
           TextAnalysis.bpeMergesInstrumented(docs, n, exact = true,
             TextAnalysis.BpeMaxMergesPerRound)
-        else
-          TextAnalysis.bpeMergesInstrumented(docs, n, exact = false, b.toInt)
+        else b.split("@") match {
+          case Array(m, f) => TextAnalysis.bpeMergesInstrumented(
+            docs, n, exact = false, m.toInt, f.toDouble)
+          case _ => TextAnalysis.bpeMergesInstrumented(
+            docs, n, exact = false, b.toInt)
+        }
       val table = merges.collect()
       val got = table.length
       val sec = (System.nanoTime() - t0) / 1e9
