@@ -166,6 +166,9 @@ object CorpusOps {
         Window.partitionBy(col("__b")).orderBy(col("__k"), col(id))))
     val offsets = ranked.groupBy(col("__b"))
       .agg(count(lit(1)).as("__n"))
+      // BOUNDED GLOBAL WINDOW: the exclusive running total runs over
+      // the 256-row per-bucket COUNT table (one row per __b prefix),
+      // never the corpus — plan-audited in PlanAuditSpec
       .withColumn("__off",
         coalesce(
           sum(col("__n")).over(Window.orderBy(col("__b"))
@@ -220,6 +223,9 @@ object CorpusOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val offsets = ranked.groupBy(col("__b"))
       .agg(sum(col("n_tokens")).as("__n"))
+      // BOUNDED GLOBAL WINDOW: cumulates the 256-row per-bucket token
+      // totals (one row per __b prefix), never the corpus —
+      // plan-audited in PlanAuditSpec
       .withColumn("__off",
         coalesce(
           sum(col("__n")).over(Window.orderBy(col("__b"))
@@ -730,6 +736,9 @@ object CorpusOps {
     * capacity frame. `budget` defaults to half the total capacity.
     */
   def waterfillAlloc(caps: DataFrame, budget: Option[Long] = None): DataFrame = {
+    // BOUNDED GLOBAL WINDOWS: both specs run over the per-DOMAIN
+    // capacity table (one row per domain after the groupBy upstream),
+    // never the corpus — plan-audited in PlanAuditSpec
     val byCap = Window.orderBy(col("c"), col("domain"))
     val all = Window.partitionBy(lit(1))
     caps

@@ -307,13 +307,17 @@ object Dedup2 {
     // jobs regardless of size — a 920-edge semantic graph measured
     // 11.6 s through the iterative arm (8 capped propagation rounds +
     // star fallback, pure per-round overhead) vs <0.5 s through a
-    // driver union-find. The edge relation is localCheckpoint'ed ONCE
-    // before the cap probe: the edge lineage (typically an expensive
-    // shingle/LSH self-join) executes exactly once regardless of which
-    // arm runs — the probe reads the materialized blocks, the under-cap
-    // union-find frees them the moment its collect lands, and the
-    // over-cap distributed arm rides them instead of recomputing the
-    // join per propagation round's `und` build (the round-9 finding).
+    // driver union-find. The cap probe runs `limit(cap+1)` on the RAW
+    // plan: at or under the cap the collected head IS the entire edge
+    // set — ONE (short-circuiting) scan, no materialization, and the
+    // driver union-find answers from exactly those rows. That keeps
+    // the common driver-arm case (tiny thresholded graph, cheap edge
+    // plan) at its minimal latency. Only an over-cap graph pays a
+    // localCheckpoint — so the distributed arm's propagation rounds
+    // ride materialized blocks instead of re-running the (typically
+    // expensive shingle/LSH self-join) edge lineage per round's `und`
+    // build (the round-9 finding); its total lineage cost is one
+    // limit-bounded probe scan plus exactly one full materialization.
     // At or under the cap the collected array (≤ ~64 MB of long pairs,
     // the broadcast-threshold ballpark) is solved exactly on the
     // driver; both arms label every vertex with its component's min
@@ -323,17 +327,12 @@ object Dedup2 {
     // edge frames; getLong on an IntegerType row would throw)
     val e = edges.select(col("a_id").cast("long").as("a_id"),
       col("b_id").cast("long").as("b_id"))
-      .localCheckpoint()
     val head = e.limit(cap.toInt + 1).collect()
-    if (head.length <= cap) {
-      val out = unionFind(head, e.sparkSession)
-      // union-find built its answer from the driver array; the edge
-      // blocks are dead weight from here
-      RelCache.freeLocalCheckpoint(e)
-      out
-    } else {
-      val out = connectedComponentsInstrumented(e)._1
-      RelCache.freeLocalCheckpoint(e)
+    if (head.length <= cap) unionFind(head, e.sparkSession)
+    else {
+      val ck = e.localCheckpoint()
+      val out = connectedComponentsInstrumented(ck)._1
+      RelCache.freeLocalCheckpoint(ck)
       out
     }
   }

@@ -475,6 +475,9 @@ object EventAnalytics {
   def topPaths(ev: DataFrame, k: Int = PathTopK): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
+    // BOUNDED GLOBAL WINDOW: ranks the per-path COUNTS (cardinality <=
+    // distinct event-type triples, a model-sized relation after the
+    // groupBy), never the event stream itself
     val rw = Window.orderBy(col("n").desc, col("path"))
     ev
       .withColumn("p1", lag(col("event_type"), 1).over(w))

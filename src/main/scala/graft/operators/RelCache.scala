@@ -20,14 +20,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    bounding growth across sessions in a long-lived JVM;
   *  - WITHIN a live session growth is bounded too: the cache holds at
   *    most [[RelCache.MaxEntriesPerSession]] entries per session in
-  *    least-recently-used order, and evicting an entry
-  *    [[RelCache.freeLocalCheckpoint]]s its blocks — a long-lived
-  *    production session cycling through many corpora no longer pins
-  *    every index it ever built (the round-9 GC diagnosis: these
-  *    working sets are real storage, not just map references). The
-  *    default bound is sized for "every index family over a handful
-  *    of concurrently-hot corpora"; a suite touching 2–3 corpus dirs
-  *    never evicts.
+  *    least-recently-used order — a long-lived production session
+  *    cycling through many corpora no longer pins every index it ever
+  *    built (the round-9 GC diagnosis: these working sets are real
+  *    storage, not just map references). Automatic LRU eviction drops
+  *    only the MAP REFERENCE: a frame the cache already handed out may
+  *    still be mid-consumption, and a local checkpoint cannot
+  *    recompute, so the blocks are left to the ContextCleaner (freed
+  *    when the last reference to the checkpointed RDD is GC'd). Only
+  *    the explicit verbs ([[evictWhere]], [[RelCache.evictCorpus]],
+  *    handle `close()`) free blocks eagerly — their caller contract is
+  *    "this corpus is done". The default bound is sized for "every
+  *    index family over a handful of concurrently-hot corpora"; a
+  *    suite touching 2–3 corpus dirs never evicts.
   *
   * Callers that KNOW a corpus is done (the fluent API handles'
   * `close()`, a bench teardown) evict eagerly via [[evictWhere]].
@@ -50,16 +55,23 @@ private[graft] final class RelCache[K](sessionOf: K => SparkSession,
   def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
     purgeStopped()
     val df = entries.get(key) match {
-      case Some(v) => v
+      case Some(v) =>
+        // bump the LRU tick BEFORE returning: were it bumped after,
+        // a concurrent insert's bound check could see this entry as
+        // the per-session minimum and evict the frame just handed out
+        ticks.put(key, clock.incrementAndGet()); v
       case None =>
         // TrieMap.getOrElseUpdate may build two lock Objects under a
         // race but returns the single winner to both threads, so both
         // synchronize on the same monitor and the DataFrame builder
         // (the expensive, checkpointing one) runs exactly once.
         val lock = locks.getOrElseUpdate(key, new Object)
-        lock.synchronized(entries.getOrElseUpdate(key, build))
+        lock.synchronized {
+          val v = entries.getOrElseUpdate(key, build)
+          ticks.put(key, clock.incrementAndGet())
+          v
+        }
     }
-    ticks.put(key, clock.incrementAndGet())
     boundSession(key)
     df
   }
@@ -73,17 +85,17 @@ private[graft] final class RelCache[K](sessionOf: K => SparkSession,
     */
   def evictWhere(pred: K => Boolean): Int = {
     val victims = entries.keysIterator.filter(pred).toSeq
-    victims.foreach(evictOne)
+    victims.foreach(evictOne(_, free = true))
     victims.size
   }
 
   private[graft] def evictCorpus(session: SparkSession, dir: String): Int =
     evictWhere(k => (sessionOf(k) eq session) && dirOf(k) == dir)
 
-  private def evictOne(k: K): Unit =
+  private def evictOne(k: K, free: Boolean): Unit =
     entries.remove(k).foreach { df =>
       locks.remove(k); ticks.remove(k)
-      if (!sessionOf(k).sparkContext.isStopped)
+      if (free && !sessionOf(k).sparkContext.isStopped)
         RelCache.freeLocalCheckpoint(df)
     }
 
@@ -92,7 +104,15 @@ private[graft] final class RelCache[K](sessionOf: K => SparkSession,
     while (entries.keysIterator.count(k => sessionOf(k) eq s) > maxPerSession) {
       val lru = entries.keysIterator.filter(k => sessionOf(k) eq s)
         .minBy(k => ticks.getOrElse(k, 0L))
-      evictOne(lru)
+      // AUTOMATIC eviction only drops the map reference — a caller the
+      // cache handed this frame to may still be consuming it (a local
+      // checkpoint cannot recompute, so eager freeing would fail that
+      // caller with missing blocks). The blocks are reclaimed by the
+      // ContextCleaner once the last reference to the checkpointed RDD
+      // is garbage-collected. Eager freeing is reserved for the
+      // EXPLICIT verbs (evictWhere / evictCorpus / handle close()),
+      // whose caller contract is "the corpus is done".
+      evictOne(lru, free = false)
     }
   }
 

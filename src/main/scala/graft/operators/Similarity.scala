@@ -1359,6 +1359,9 @@ object Similarity {
     // modulo predicate can't push to the parquet footer), turning a
     // constant-size training pass linear in the corpus per round
     val sample = corpus.filter(col("vec_id") % step === 0).localCheckpoint()
+    // BOUNDED GLOBAL WINDOW: ranks only the materialized training
+    // sample (<= KmSamplePerCell*k rows by the step construction),
+    // never the corpus — the single-partition sort is model-sized
     val seedW = Window.orderBy(col("vec_id"))
     val seed = sample
       .withColumn("rn", row_number().over(seedW))

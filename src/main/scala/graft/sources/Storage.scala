@@ -406,11 +406,46 @@ final class Storage(spark: SparkSession, warehouse: String) {
       .collect { case VtManifestName(v) => v.toLong }
       .sorted
 
-  private def readManifest(name: String, v: Long): Seq[String] = {
+  private def manifestLines(name: String, v: Long): Seq[String] = {
     val in = fs.open(vtManifest(name, v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** The data directories of manifest `v` — `#`-prefixed header lines
+    * (manifest metadata, e.g. the high-water batch id) are not dirs.
+    */
+  private def readManifest(name: String, v: Long): Seq[String] =
+    manifestLines(name, v).filterNot(_.startsWith("#"))
+
+  private val HwHeader = "#hw=(-?\\d+)".r
+
+  /** The high-water streaming batch id recorded in manifest `v`: the
+    * largest batch id ever committed to the table as of that version,
+    * carried monotonically by EVERY commit (append, re-snapshot,
+    * rollback, compaction) — so "has batch N committed?" survives any
+    * manifest rewrite that drops the per-batch `data/b<id>` lines.
+    * -1 when no batch has ever committed (or a pre-header manifest);
+    * for legacy manifests the `data/b<id>` lines themselves are a
+    * second witness, folded in by [[highWater]].
+    */
+  private def readHighWater(name: String, v: Long): Long =
+    manifestLines(name, v)
+      .collectFirst { case HwHeader(n) => n.toLong }.getOrElse(-1L)
+
+  private val BatchDirName = "data/b(\\d+)".r
+
+  /** Effective high-water batch id of manifest `v`: the header if
+    * present, else the largest `data/b<id>` line (the legacy witness —
+    * a manifest written before the header existed still names every
+    * batch it carries).
+    */
+  private def highWater(name: String, v: Long): Long = {
+    val lines = manifestLines(name, v)
+    val header = lines.collectFirst { case HwHeader(n) => n.toLong }
+    val fromDirs = lines.collect { case BatchDirName(n) => n.toLong }
+    (header.toSeq ++ fromDirs).foldLeft(-1L)(math.max)
   }
 
   /** The one commit path for every versioned-table verb: optionally
@@ -427,20 +462,44 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * check closes all but a microscopic window).
     */
   private def commitVersion(name: String, df: Option[DataFrame],
-      dirs: Seq[String], expected: Option[Long] = None): Long = {
-    val v = expected.map(_ + 1)
-      .getOrElse(versions(name).lastOption.getOrElse(0L) + 1)
+      dirs: Seq[String], expected: Option[Long] = None,
+      newBatchId: Option[Long] = None): Long = {
+    val latest = versions(name).lastOption
+    val v = expected.map(_ + 1).getOrElse(latest.getOrElse(0L) + 1)
+    // fail the CAS BEFORE paying the table write when the version is
+    // already taken (a stale expectedVersion, a racing writer that
+    // landed first); the rename below still closes the window where a
+    // winner appears mid-write
+    if (fs.exists(vtManifest(name, v)))
+      throw new IllegalStateException(
+        s"concurrent commit: version $v of '$name' already exists")
     val dataDir = s"data/v$v"
+    val dataPath = new Path(vtRoot(name), dataDir)
+    // an orphan data/v<v> can only be a commit that died before its
+    // manifest rename (no manifest v exists, just checked; no earlier
+    // manifest ever references a HIGHER version's directory) — clear
+    // it so the retry's parquet write does not trip over it
+    if (df.isDefined && fs.exists(dataPath)) fs.delete(dataPath, true)
     val allDirs = df match {
       case Some(frame) =>
-        frame.write.parquet(new Path(vtRoot(name), dataDir).toString)
+        frame.write.parquet(dataPath.toString)
         dirs :+ dataDir
       case None => dirs
     }
+    // the high-water batch id is MONOTONE across commits: every commit
+    // (not just batch appends) re-publishes max(latest's high water,
+    // this commit's batch id), so a compaction or re-snapshot that
+    // rewrites the directory list can never erase the table's memory
+    // of which streaming batches it contains — the invariant
+    // [[appendBatchIdempotent]]'s replay check rests on
+    val hw = (latest.map(highWater(name, _)).toSeq ++ newBatchId)
+      .foldLeft(-1L)(math.max)
+    val header = if (hw >= 0) Seq(s"#hw=$hw") else Nil
     fs.mkdirs(vtManifests(name))
     val tmp = new Path(vtManifests(name), s".v$v.tmp")
     val out = fs.create(tmp, true)
-    try out.write((allDirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((header ++ allDirs).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     val target = vtManifest(name, v)
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -509,9 +568,18 @@ final class Storage(spark: SparkSession, warehouse: String) {
     *
     * The manifest grows one line per batch, so commit cost is
     * O(batches-so-far) manifest bytes (KBs at thousands of batches) —
-    * the standard lakehouse trade; a long-lived stream compacts by
-    * re-snapshotting ([[putVersioned]] with the compacted read), which
-    * resets the manifest to one directory while keeping history.
+    * the standard lakehouse trade; a long-lived stream compacts with
+    * [[compactVersions]], which resets the manifest to one directory
+    * while keeping history. Replay detection SURVIVES compaction: the
+    * manifest's high-water header (`#hw=<max batch id>`, carried
+    * monotonically by every commit) recognizes a replayed batch even
+    * after its `data/b<id>` line was compacted away — so the
+    * exactly-once claim holds unconditionally, including the
+    * disaster-recovery case of a checkpoint restored from before a
+    * compaction. (Streaming batch ids are monotone per query, the
+    * Structured Streaming contract; the high-water check assumes one
+    * stream owns the table, which the checkpoint directory already
+    * enforces.)
     */
   def appendBatchIdempotent(name: String, df: DataFrame,
       batchId: Long): Option[Long] = {
@@ -519,16 +587,58 @@ final class Storage(spark: SparkSession, warehouse: String) {
     val tag = s"data/b$batchId"
     val vs = versions(checkName(name))
     val base = vs.lastOption.map(readManifest(name, _)).getOrElse(Nil)
-    if (base.contains(tag)) None
+    val hw = vs.lastOption.map(highWater(name, _)).getOrElse(-1L)
+    if (base.contains(tag) || batchId <= hw) None
     else {
       val dir = new Path(vtRoot(name), tag)
-      // an orphan from an attempt that died pre-publish: unreferenced
-      // by construction, safe to clear
-      if (fs.exists(dir)) fs.delete(dir, true)
+      // an orphan from an attempt that died pre-publish — but never
+      // delete a directory some committed manifest still references
+      // (time travel would break): reaching here with a referenced dir
+      // means a pre-header manifest lineage was rewritten by a tool
+      // that dropped both the b-line and the high water; treat the
+      // batch as committed rather than corrupt history
+      if (fs.exists(dir)) {
+        val referenced = vs.exists(readManifest(name, _).contains(tag))
+        if (referenced) return None
+        fs.delete(dir, true)
+      }
       df.write.parquet(dir.toString)
       Some(commitVersion(name, None, base :+ tag,
-        Some(vs.lastOption.getOrElse(0L))))
+        Some(vs.lastOption.getOrElse(0L)), newBatchId = Some(batchId)))
     }
+  }
+
+  /** Compact a versioned table: materialize the snapshot at `expected`
+    * (default: latest) into ONE fresh data directory and commit it as
+    * the next version — the verb form of the re-snapshot recipe, with
+    * the two guarantees the recipe alone lacked:
+    *
+    *  - CAS: the commit publishes `expected + 1`; if any writer (a
+    *    live stream's batch append, another compactor) got there
+    *    first, the commit fails cleanly (`IllegalStateException`) and
+    *    the orphan data directory is removed — re-read, retry. Safe
+    *    to run WITHOUT quiescing the stream: either the compaction
+    *    loses the race and retries, or the stream's next append CASes
+    *    on the compacted version.
+    *  - the high-water batch id carries into the compacted manifest
+    *    (see [[commitVersion]]), so a streaming batch replayed after
+    *    compaction is still recognized and skipped by
+    *    [[appendBatchIdempotent]] — compaction cannot break the
+    *    exactly-once sink.
+    *
+    * History stays readable: earlier manifests and the directories
+    * they reference are untouched (nothing is ever deleted here; a
+    * separate vacuum policy may drop directories referenced by NO
+    * manifest). Returns the committed version.
+    */
+  def compactVersions(name: String,
+      expectedVersion: Option[Long] = None): Long = {
+    val vs = versions(checkName(name))
+    require(vs.nonEmpty, s"no versioned table '$name' to compact")
+    val cur = expectedVersion.getOrElse(vs.last)
+    require(vs.contains(cur),
+      s"'$name' has no version $cur (has: ${vs.mkString(",")})")
+    commitVersion(name, Some(readVersioned(name, cur)), Nil, Some(cur))
   }
 
   /** Read a versioned table at `version` (default: latest). The

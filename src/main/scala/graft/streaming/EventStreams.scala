@@ -732,18 +732,25 @@ object EventStreams {
     * (spec-pinned, randomized); the batch query's `is_current` row is
     * the end-of-stream view append mode never reaches.
     *
-    * BOUNDARY SEMANTICS: admission is strict (`ts > watermark`) while
-    * the fold finalizes `ts <= watermark`, so an arrival whose event
-    * time lands EXACTLY on the current (ms-granularity) watermark is
-    * dropped on entry — one tick stricter than Spark's own stateful
-    * late filter, which keeps `ts >= watermark` rows. Strictness is
-    * what keeps every emitted row final (admitting an at-watermark
-    * event after the fold already finalized that instant would
-    * un-finalize an emitted interval). The drop is observable, not
-    * silent: pass `droppedAtWatermark` and every entry-dropped event
-    * increments it (the monitoring hook a production job alerts on —
-    * boundary drops should be ~0; a nonzero rate means the upstream
-    * timestamp granularity is coarser than the watermark's).
+    * BOUNDARY SEMANTICS: admission is `ts >= watermark` and the fold
+    * finalizes only `ts < watermark` — Spark's own convention (its
+    * stateful late filter keeps `ts >= watermark` rows), so an arrival
+    * whose event time lands EXACTLY on the current (ms-granularity)
+    * watermark is ADMITTED and buffers until the watermark passes it
+    * (spec-pinned by a boundary fixture). The split keeps every
+    * emitted row final: the finalized set (`< wm`) and the admissible
+    * set (`>= wm`) are disjoint, so no admissible arrival can touch an
+    * instant the fold already emitted. Only genuinely late rows
+    * (`ts < watermark`) drop — and those Spark's own pre-operator
+    * late filter removes first, so the in-function drop branch is
+    * defense-in-depth. The drop is observable, not silent: pass
+    * `droppedAtWatermark` and every entry-dropped event increments it
+    * (the monitoring hook a production job alerts on — drops should
+    * be ~0). NOTE the accumulator counts AT-LEAST-ONCE: it increments
+    * inside a transformation, so a task retry, speculative duplicate,
+    * or failed-micro-batch replay re-counts the same event — alert on
+    * "nonzero", never on the exact magnitude (a committed-batch side
+    * output is the exactly-once alternative when magnitude matters).
     */
   def scd2Stream(events: Dataset[EventWithTs],
       droppedAtWatermark: Option[org.apache.spark.util.LongAccumulator] =
@@ -759,17 +766,19 @@ object EventStreams {
             state: GroupState[Scd2State]) =>
           var st = state.getOption.getOrElse(Scd2State(Nil, None))
           val wmNs = state.getCurrentWatermarkMs() * 1000000L
-          // admit only above-watermark arrivals (the contract: the
-          // watermark promises nothing at-or-below it arrives again —
-          // admitting a straggler would un-finalize an emitted row)
+          // admit at-or-above-watermark arrivals (Spark's convention:
+          // the late filter drops only ts < watermark); the fold below
+          // finalizes strictly-below-watermark instants, so an
+          // admitted boundary event can never un-finalize an emitted
+          // row — it waits until the watermark passes it
           if (!state.hasTimedOut) it.foreach { e =>
-            if (e.ts_ns > wmNs)
+            if (e.ts_ns >= wmNs)
               st = st.copy(buf = Scd2Buf(e.ts_ns, e.event_id, e.event_type)
                 :: st.buf)
             else droppedAtWatermark.foreach(_.add(1L))
           }
-          // fold the events the watermark has passed, in event order
-          val (ready, waiting) = st.buf.partition(_.tsNs <= wmNs)
+          // fold the events the watermark has PASSED, in event order
+          val (ready, waiting) = st.buf.partition(_.tsNs < wmNs)
           val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
           var open = st.open
           ready.sortBy(key).foreach { b =>

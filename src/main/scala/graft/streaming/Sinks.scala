@@ -26,9 +26,13 @@ object Sinks {
     * table `name`. Restart-safe: a batch replayed after ANY crash —
     * including one that died between the table commit and the
     * streaming checkpoint update, the classic duplicate window — is
-    * recognized by its batch id in the latest manifest and skipped
-    * (spec-pinned by a kill-after-commit fixture). Readers see each
-    * micro-batch atomically as one new version.
+    * recognized by its batch id and skipped (spec-pinned by
+    * kill-after-commit fixtures, including the corpus-ingest
+    * composition). The claim is UNCONDITIONAL: replay detection rides
+    * the manifest's monotone high-water batch id, so it survives
+    * [[Storage.compactVersions]] and re-snapshots too — a checkpoint
+    * restored from before a compaction still cannot double-append.
+    * Readers see each micro-batch atomically as one new version.
     */
   def sinkVersionedExactlyOnce(ds: DataFrame, storage: Storage,
       name: String, checkpointDir: String,

@@ -454,6 +454,58 @@ class PlanAuditSpec extends SparkTestBase {
       s"rerank must never rescan the corpus:\n$p")
   }
 
+  test("global-window inventory: every unpartitioned Window in every query runs over a bounded relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    // The full sweep: an unpartitioned Window sorts its ENTIRE input
+    // in one task — fine over a model/presentation-sized relation,
+    // a scale-killer over the corpus. This pin walks the OPTIMIZED
+    // logical plan of every registered query, so a refactor that
+    // regresses any query to a corpus-sized global window (or adds a
+    // new one) fails here, not in a 100 TB run's straggler task.
+    // Warning noise ("No Partition Defined for Window operation") can
+    // then always be matched against this committed inventory.
+    def globalWindows(name: String): Seq[LWindow] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+    // the queries ALLOWED an unpartitioned window, with the bounded
+    // relation each runs over:
+    //   cp_shuffle      — the 256-row per-bucket count table
+    //   cp_token_budget — the 256-row per-bucket token totals
+    //   cp_waterfill    — the per-domain capacity table
+    //   ev_path         — the per-path count table (<= |types|^3)
+    val allowed = Set("cp_shuffle", "cp_token_budget",
+      "cp_waterfill", "ev_path")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val gw = try globalWindows(name) catch { case _: Throwable => Nil }
+      if (gw.nonEmpty && !allowed.contains(name)) Some(name -> gw.size)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the audited inventory: $offenders")
+    // and each allowed site's window input must be an AGGREGATED
+    // relation (bounded by its group-key cardinality: bucket prefixes,
+    // domains, path triples) or a materialized model-sized sample —
+    // never a raw corpus scan
+    def boundedWitness(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate => a
+        case r: LogicalRDD => r
+      }.nonEmpty
+    allowed.toSeq.sorted.foreach { name =>
+      val gw = globalWindows(name)
+      assert(gw.nonEmpty,
+        s"$name: expected its audited global window (update the inventory)")
+      gw.foreach { w =>
+        assert(boundedWitness(w.child),
+          s"$name: a global window no longer sits over an aggregated/" +
+            s"bounded input:\n${w.child.treeString}")
+      }
+    }
+  }
+
   test("curriculum: decile fences broadcast onto the corpus") {
     val p = plan("cp_curriculum")
     // joining on the constant __g folds the key away, so the 1-row

@@ -42,7 +42,7 @@ class RelCacheSpec extends SparkTestBase {
     assert(builds == 2)
   }
 
-  test("the per-session LRU bound evicts the least recently used entry and frees its blocks") {
+  test("the per-session LRU bound evicts the least recently used entry without killing handed-out frames") {
     val cache = new RelCache[(SparkSession, String)](_._1, _._2,
       maxPerSession = 2)
     def build(n: Int): DataFrame =
@@ -56,14 +56,23 @@ class RelCacheSpec extends SparkTestBase {
     cache.getOrBuild((spark, "a")) { rebuiltA = true; build(1) }
     assert(!rebuiltA, "a is cached; the touch must be a hit")
     val c = cache.getOrBuild((spark, "c"))(build(3))
-    assert(bIds.intersect(persistedIds).isEmpty,
-      "inserting c over the bound must evict LRU entry b and free it")
+    // automatic eviction drops only the map reference: the frame `b`
+    // this test still holds (standing in for a caller mid-consumption)
+    // must stay usable — its checkpoint blocks are the ContextCleaner's
+    // to reclaim once the last reference is GC'd, never evictOne's
+    assert(bIds.subsetOf(persistedIds),
+      "auto-LRU eviction must not eagerly free a possibly-in-use checkpoint")
+    assert(b.count() == 2L, "the handed-out frame must survive eviction")
     assert(aIds.subsetOf(persistedIds) && idsOf(c).subsetOf(persistedIds),
       "recently used entries keep their blocks")
-    // b rebuilds on next use
+    // b rebuilds on next use (the reference is gone from the map)
     var rebuiltB = false
     cache.getOrBuild((spark, "b")) { rebuiltB = true; build(2) }
     assert(rebuiltB)
+    // the explicit verb DOES free eagerly — the caller-contract split
+    cache.evictWhere(_._2 == "c")
+    assert(idsOf(c).intersect(persistedIds).isEmpty,
+      "explicit evictWhere must free the evicted entry's blocks")
   }
 
   test("RelCache.evictCorpus retires a corpus dir across every registered cache") {

@@ -284,6 +284,63 @@ class StorageSpec extends SparkTestBase {
     assert(st.readVersioned("race", 1).count() === 1)
   }
 
+  test("compactVersions: one-directory manifest, same rows, history intact, CAS refusal") {
+    val st = freshStorage()
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "payload")
+    st.putVersioned("ct", batch(0, 5))
+    st.appendVersioned("ct", batch(5, 9))
+    st.appendVersioned("ct", batch(9, 12))
+    val before = st.readVersioned("ct").collect().toSet
+    val cv = st.compactVersions("ct")
+    assert(cv === 4L)
+    // same snapshot through one fresh directory
+    assert(st.readVersioned("ct").collect().toSet === before)
+    assert(st.readVersioned("ct", cv).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length === 1,
+      "the compacted version must read from exactly one data directory")
+    // pre-compaction versions stay readable (nothing was deleted)
+    assert(st.readVersioned("ct", 1L).count() === 5)
+    assert(st.readVersioned("ct", 3L).collect().toSet === before)
+    // CAS: compacting against a stale expected version refuses cleanly
+    st.appendVersioned("ct", batch(12, 13))
+    intercept[IllegalStateException] {
+      st.compactVersions("ct", expectedVersion = Some(cv - 1))
+    }
+    assert(st.readVersioned("ct").count() === 13)
+  }
+
+  test("a streaming batch replayed AFTER compaction is still recognized and skipped") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    // a stream lands batches 0..2, then the table is compacted (the
+    // manifest collapses to one directory — every data/b<id> line is
+    // gone, the r10-ADVICE replay hole)
+    assert(st.appendBatchIdempotent("ev", rows(1L, 2L), 0L).nonEmpty)
+    assert(st.appendBatchIdempotent("ev", rows(3L), 1L).nonEmpty)
+    assert(st.appendBatchIdempotent("ev", rows(4L, 5L), 2L).nonEmpty)
+    st.compactVersions("ev")
+    // disaster recovery: the checkpoint is restored from before the
+    // compaction and Spark replays old batch ids — the high-water
+    // header must recognize every one of them
+    assert(st.appendBatchIdempotent("ev", rows(3L), 1L).isEmpty,
+      "batch 1 replayed after compaction must be skipped")
+    assert(st.appendBatchIdempotent("ev", rows(4L, 5L), 2L).isEmpty)
+    assert(st.appendBatchIdempotent("ev", rows(1L, 2L), 0L).isEmpty)
+    assert(st.readVersioned("ev").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L), "no duplicate rows after replays")
+    // the stream then advances: a genuinely NEW batch commits
+    assert(st.appendBatchIdempotent("ev", rows(6L), 3L).nonEmpty)
+    assert(st.readVersioned("ev").count() === 6)
+    // and the high water carries through SUBSEQUENT compactions and
+    // legacy re-snapshots (putVersioned is also a commit) alike
+    st.compactVersions("ev")
+    assert(st.appendBatchIdempotent("ev", rows(6L), 3L).isEmpty)
+    // time travel to a pre-compaction version still reads its batches
+    assert(st.readVersioned("ev", 3L).count() === 5,
+      "compaction must never delete directories older manifests reference")
+  }
+
   test("versioned tables: reads of unknown names/versions refuse; delete removes the tree") {
     val st = freshStorage()
     intercept[IllegalArgumentException] { st.readVersioned("nope") }

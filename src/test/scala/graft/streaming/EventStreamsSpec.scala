@@ -884,6 +884,47 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("SCD2 admits an event landing EXACTLY on the watermark (Spark's >= convention)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-scd2-boundary-")
+    val t0 = 1704067200L * 1000000000L
+    val hr = 3600L * 1000000000L
+    // batch 0: a sentinel at T raises the watermark TO exactly T (0s
+    // delay) before the probe event arrives
+    writeTypedBatch(dir, "001.parquet", Seq((90L, 999L, t0, "view")))
+    // batch 1: user 1's view lands with event time EXACTLY T == the
+    // current watermark — Spark's late filter keeps ts >= wm rows, and
+    // the r10 strict-> admission dropped precisely this row
+    writeTypedBatch(dir, "002.parquet", Seq((1L, 1L, t0, "view")))
+    // the click closes the view's interval; the final sentinel pushes
+    // the watermark far past everything so the close folds and emits
+    writeTypedBatch(dir, "003.parquet", Seq((2L, 1L, t0 + 1 * hr, "click")))
+    writeTypedBatch(dir, "004.parquet", Seq((99L, 999L, t0 + 10 * hr, "view")))
+    val dropped = spark.sparkContext.longAccumulator("scd2-boundary-drops")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val es = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ts", "0 seconds")
+      .as[EventWithTs]
+    val q = scd2Stream(es, droppedAtWatermark = Some(dropped))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_boundary_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("scd2_boundary_out").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the at-watermark view OPENS the closed interval: were it dropped
+    // on entry (the old strict->), no closed interval would exist at all
+    assert(got.toSeq === Seq(("view", t0 / 1000, (t0 + 1 * hr) / 1000, 1L)),
+      s"the at-watermark event must be admitted and open its interval: ${got.toSeq}")
+    assert(dropped.value == 0L,
+      s"no event here is late under >= admission, saw ${dropped.value} drops")
+  }
+
   test("SCD2 state survives a restart: a pre-restart open interval closes after it") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-restart-scd2-")
@@ -972,7 +1013,7 @@ class EventStreamsSpec extends SparkTestBase {
       s"restored out-of-order buffer must fold by event time: ${got.toSeq}")
   }
 
-  test("an arrival exactly AT the watermark is dropped on entry and counted, never folded") {
+  test("an at-watermark arrival is admitted and splits intervals exactly as the batch order does") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-scd2-atwm-")
     val cp = Files.createTempDirectory("graft-scd2-atwm-cp-")
@@ -981,13 +1022,17 @@ class EventStreamsSpec extends SparkTestBase {
     val hr = 3600L * 1000000000L
     val dropped = spark.sparkContext.longAccumulator("scd2-at-wm-drops")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // batch 1 sets the watermark to t0+2h; batch 2 delivers an event
-    // whose time EQUALS that watermark (the ADVICE boundary): strict
-    // admission drops it, the accumulator observes it, and the fold
-    // output is exactly what the surviving events imply
+    // batch 1 sets the watermark to t0+2h; batch 2 delivers a click
+    // whose event time EQUALS that watermark (the ADVICE boundary) at
+    // the same instant as the already-buffered view. Under >=
+    // admission (Spark's own late-filter convention) the click is
+    // KEPT, buffers, and folds in (ts, event_id) order — producing the
+    // same zero-length view interval and click interval the batch
+    // scd2Intervals core derives from these rows. The r10 strict->
+    // admission dropped it (and diverged from the batch twin).
     writeTypedBatch(dir, "001.parquet", Seq((1L, 1L, t0 + 2 * hr, "view")))
     writeTypedBatch(dir, "002.parquet", Seq(
-      (2L, 1L, t0 + 2 * hr, "click"), // == watermark: dropped + counted
+      (2L, 1L, t0 + 2 * hr, "click"), // == watermark: admitted
       (3L, 1L, t0 + 4 * hr, "view")))
     writeTypedBatch(dir, "003.parquet",
       Seq((99L, 999L, t0 + 10 * hr, "view")))
@@ -1006,16 +1051,30 @@ class EventStreamsSpec extends SparkTestBase {
       .format("parquet").option("path", out.toString)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(180000)
-    assert(dropped.value == 1L,
-      s"the at-watermark arrival must be counted: ${dropped.value}")
+    assert(dropped.value == 0L,
+      s"an at-watermark arrival is not late under >= admission: ${dropped.value}")
     val got = spark.read.parquet(out.toString).collect()
       .filter(_.getLong(0) == 1L)
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    // the dropped click never splits the view run: one view interval
-    // [t0+2h, ...) stays open until the t0+4h view extends it — no
-    // closed interval for user 1 besides none at all... the t0+4h view
-    // MERGES into the same open "view" interval, so nothing closes
-    assert(got.isEmpty,
-      s"a dropped boundary event must not close or split intervals: ${got.toSeq}")
+      .sortBy(r => (r._2, r._1))
+    // the admitted click closes the same-instant view (zero-length
+    // interval, the batch core's exact answer for equal timestamps
+    // ordered by event_id) and the t0+4h view closes the click
+    assert(got.toSeq === Seq(
+      ("click", (t0 + 2 * hr) / 1000, (t0 + 4 * hr) / 1000, 1L),
+      ("view", (t0 + 2 * hr) / 1000, (t0 + 2 * hr) / 1000, 1L)),
+      s"boundary fold must match the batch event order: ${got.toSeq}")
+    // cross-check: the batch core on the same rows agrees row-for-row
+    val batch = graft.operators.EventAnalytics.scd2Intervals(
+      Seq((1L, 1L, t0 + 2 * hr, "view"), (2L, 1L, t0 + 2 * hr, "click"),
+        (3L, 1L, t0 + 4 * hr, "view"))
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+        .selectExpr("user_id", "event_type", "event_id",
+          "ts_ns DIV 1000 AS ts_us"))
+      .filter(!col("is_current")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._2, r._1))
+    assert(batch.toSeq === got.toSeq,
+      "streamed closed intervals must equal the batch twin at the boundary")
   }
 }

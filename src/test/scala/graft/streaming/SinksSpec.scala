@@ -147,6 +147,85 @@ class SinksSpec extends SparkTestBase {
       s"closed intervals must land exactly once: $got")
   }
 
+  test("ingestPipeline -> versioned sink: corpus stats land exactly once across a mid-stream kill") {
+    // the production consumer: the streaming corpus-ingest assembly
+    // (PII scrub -> quality filter -> in-horizon dedup -> chunk stats,
+    // a dedup->windowed-agg stateful CHAIN) feeding the exactly-once
+    // sink. The kill lands between table commit and checkpoint update
+    // on the batch that emits the first closed window; the replay must
+    // skip the table write while still draining every partition so
+    // BOTH stateful operators commit their state stores.
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft-ingsink-src-")
+    val cp = Files.createTempDirectory("graft-ingsink-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-ingsink-wh-").toString)
+    val t0 = 1704067200L // window-aligned (t0 % 600 == 0)
+    val good1 = "the quick a fox jumps over"
+    val good2 = "the big a dog runs fast"
+    val sentinel = "the a of to in is and the a of the a"
+    def writeDocs(name: String, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val staging = Files.createTempDirectory("graft-ingsink-stage-")
+      rows.toDF("doc_id", "text", "lang", "sec")
+        .selectExpr("doc_id", "text", "lang", "timestamp_seconds(sec) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    // window t0: two kept docs (en, de) + an exact duplicate to dedup
+    writeDocs("001.parquet", Seq((1L, good1, "en", t0),
+      (3L, good2, "de", t0), (2L, good1, "en", t0 + 60)))
+    // a second window 2h later; its arrival's watermark closes t0's.
+    // The text must be UNIQUE: doc 3's fingerprint is still inside the
+    // 1h dedup horizon at this batch's watermark, so reusing good2
+    // here would silently drop the doc as a near-arrival duplicate
+    writeDocs("002.parquet",
+      Seq((5L, "the small a cat walks slow", "en", t0 + 7200)))
+    // far-future sentinel: closes the second window in the final batch
+    writeDocs("003.parquet", Seq((99L, sentinel, "en", t0 + 18000)))
+    def ingest() = DocStreams.ingestPipeline(
+      spark.readStream.schema(DocStreams.ingestSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
+    // run 1: die after the batch that emits window t0 commits
+    val q1 = ingest().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (storage.appendBatchIdempotent("corpus_stats", b, id).isEmpty)
+          b.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+        if (id == 2) throw new RuntimeException("injected post-commit kill")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    def stats() = storage.readVersioned("corpus_stats").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the killed run committed window t0 (en kept 1 of 2 after dedup)
+    assert(stats() == Map((t0, "en") -> ((1L, 1L, 6L)),
+      (t0, "de") -> ((1L, 1L, 6L))), s"run 1 must land window t0: ${stats()}")
+    // a second sentinel lands before the restart: run 2 then has a
+    // real data batch after the replayed one, whose start watermark
+    // (t0+18000-3600) closes the t0+7200 window — and whose own event
+    // time (t0+21000, watermark t0+17400) leaves both sentinel
+    // windows open, so the expectation is batch-count-deterministic
+    writeDocs("004.parquet", Seq((98L, sentinel, "en", t0 + 21000)))
+    // run 2: the packaged sink replays batch 2 (skipped, drained),
+    // then batch 3 closes and commits the second window
+    Sinks.sinkVersionedExactlyOnce(ingest(), storage, "corpus_stats",
+      cp.toString).awaitTermination(180000)
+    assert(stats() == Map(
+      (t0, "en") -> ((1L, 1L, 6L)),
+      (t0, "de") -> ((1L, 1L, 6L)),
+      (t0 + 7200, "en") -> ((1L, 1L, 6L))),
+      s"window t0 must land exactly once, window t0+2h once: ${stats()}")
+  }
+
   test("sinkVersionedExactlyOnce lands each micro-batch as one atomic version and resumes across runs") {
     val src = Files.createTempDirectory("graft-sink2-src-")
     val cp = Files.createTempDirectory("graft-sink2-cp-")
