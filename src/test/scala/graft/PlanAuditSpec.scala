@@ -476,8 +476,12 @@ class PlanAuditSpec extends SparkTestBase {
     //   cp_token_budget — the 256-row per-bucket token totals
     //   cp_waterfill    — the per-domain capacity table
     //   ev_path         — the per-path count table (<= |types|^3)
+    //   pipe_qa         — tokenBudget's 256-row offsets, by composition
+    //   pipe_mix        — waterfillAlloc over the per-lang caps, by
+    //                     composition (the optimizer splits its spec
+    //                     into several Window nodes, all caps-sized)
     val allowed = Set("cp_shuffle", "cp_token_budget",
-      "cp_waterfill", "ev_path")
+      "cp_waterfill", "ev_path", "pipe_qa", "pipe_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val gw = try globalWindows(name) catch { case _: Throwable => Nil }
       if (gw.nonEmpty && !allowed.contains(name)) Some(name -> gw.size)
