@@ -596,8 +596,14 @@ object TextAnalysis {
     * the 30k–100k driver rounds a real tokenizer train would cost to
     * n/maxPerRound. Amortized per-merge cost ≈ (one vocabulary-sized
     * pair count + one vocabulary rewrite) / batch, laddered in
-    * SCALING.md. `bpeMergesDisjoint(docs, n, 1)` degenerates to exact
-    * sequential (spec-pinned).
+    * SCALING.md — MEASURED to saturation at the 100× corpus (r11):
+    * 3290 merges in 61.8 s / 335 rounds (18.8 ms/merge, FALLING with
+    * depth as the pair inventory shrinks), with a monotone
+    * corpus-token quality curve; the trainer stops itself when no
+    * candidate clears the count floor, so deeper vocabularies are a
+    * corpus-richness question, not a wall-clock one.
+    * `bpeMergesDisjoint(docs, n, 1)` degenerates to exact sequential
+    * (spec-pinned).
     */
   def bpeMergesDisjoint(docs: DataFrame, n: Int,
       maxPerRound: Int = BpeMaxMergesPerRound,
