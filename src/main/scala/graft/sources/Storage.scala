@@ -585,11 +585,23 @@ final class Storage(spark: SparkSession, warehouse: String) {
       batchId: Long): Option[Long] = {
     require(batchId >= 0, s"negative batchId $batchId")
     val tag = s"data/b$batchId"
-    val vs = versions(checkName(name))
-    val base = vs.lastOption.map(readManifest(name, _)).getOrElse(Nil)
-    val hw = vs.lastOption.map(highWater(name, _)).getOrElse(-1L)
-    if (base.contains(tag) || batchId <= hw) None
-    else {
+    var written = false
+    // CAS-retry loop: losing the version race to a CONCURRENT writer
+    // (a compaction, a maintenance commit) is not a failure of THIS
+    // append — the batch is re-checked against the winner's manifest
+    // and re-committed on top of it. The loop is what makes "compact
+    // without quiescing the stream" hold operationally: without it a
+    // lost race would throw out of foreachBatch and kill the whole
+    // streaming query for a condition that resolves by re-reading.
+    // Bounded: livelock would need a writer committing faster than
+    // our one manifest write, N times in a row.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(checkName(name))
+      val base = vs.lastOption.map(readManifest(name, _)).getOrElse(Nil)
+      val hw = vs.lastOption.map(highWater(name, _)).getOrElse(-1L)
+      if (base.contains(tag) || batchId <= hw) return None
       val dir = new Path(vtRoot(name), tag)
       // an orphan from an attempt that died pre-publish — but never
       // delete a directory some committed manifest still references
@@ -597,15 +609,21 @@ final class Storage(spark: SparkSession, warehouse: String) {
       // means a pre-header manifest lineage was rewritten by a tool
       // that dropped both the b-line and the high water; treat the
       // batch as committed rather than corrupt history
-      if (fs.exists(dir)) {
+      if (!written && fs.exists(dir)) {
         val referenced = vs.exists(readManifest(name, _).contains(tag))
         if (referenced) return None
         fs.delete(dir, true)
       }
-      df.write.parquet(dir.toString)
-      Some(commitVersion(name, None, base :+ tag,
+      // the batch-id-named dir is immutable once written: retries of
+      // the commit race reuse it rather than re-running the batch plan
+      if (!written) { df.write.parquet(dir.toString); written = true }
+      try return Some(commitVersion(name, None, base :+ tag,
         Some(vs.lastOption.getOrElse(0L)), newBatchId = Some(batchId)))
+      catch {
+        case e: IllegalStateException if attempt < 16 => // raced: re-read
+      }
     }
+    None // unreachable
   }
 
   /** Compact a versioned table: materialize the snapshot at `expected`
@@ -641,6 +659,62 @@ final class Storage(spark: SparkSession, warehouse: String) {
     commitVersion(name, Some(readVersioned(name, cur)), Nil, Some(cur))
   }
 
+  /** Physically reclaim a versioned table's history: retain the last
+    * `keepLast` versions, delete older manifests, then delete every
+    * data directory no RETAINED manifest references. The storage
+    * complement of [[compactVersions]] — compaction makes the LATEST
+    * snapshot one directory but leaves history readable; vacuum is
+    * the retention policy that actually frees bytes. Returns
+    * (manifests deleted, data directories deleted).
+    *
+    * Safety: deletion is computed against the retained manifests'
+    * union, so nothing a surviving version references is ever
+    * touched, and the high-water batch id rides the retained
+    * manifests (every commit carries it forward), so streaming replay
+    * detection survives vacuuming the batch directories themselves.
+    * Concurrent APPENDS are safe — a new commit's manifest starts
+    * from the latest (always-retained) manifest, so it can only
+    * reference retained directories plus its own new one. Concurrent
+    * READERS of a vacuumed version break (their files disappear
+    * mid-scan) — the standard lakehouse vacuum contract: pick
+    * `keepLast`/a retention window longer than the longest reader.
+    */
+  def vacuumVersions(name: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(checkName(name))
+    require(vs.nonEmpty, s"no versioned table '$name' to vacuum")
+    val retained = vs.takeRight(keepLast)
+    val dropped = vs.dropRight(keepLast)
+    val keepDirs = retained.flatMap(readManifest(name, _)).toSet
+    // delete manifests FIRST: a reader that resolves a version after
+    // this point can only land on retained manifests, whose dirs
+    // survive below; the reverse order would leave a window where a
+    // resolvable manifest references deleted data
+    dropped.foreach(v => fs.delete(vtManifest(name, v), false))
+    val dataRoot = new Path(vtRoot(name), "data")
+    // only directories PROVABLY from the past are candidates: a batch
+    // dir at or under the retained high water, or a version dir at or
+    // under the newest version seen here. A concurrent writer's
+    // in-flight dir (b<id> above the high water, v<N> above vs.last)
+    // is never touched even though no manifest references it yet.
+    val hw = highWater(name, vs.last)
+    val VDir = "v(\\d+)".r
+    val BDir = "b(\\d+)".r
+    def committedPast(dirName: String): Boolean = dirName match {
+      case VDir(n) => n.toLong <= vs.last
+      case BDir(i) => i.toLong <= hw
+      case _ => false
+    }
+    val removed =
+      if (!fs.exists(dataRoot)) 0
+      else fs.listStatus(dataRoot).toIndexedSeq
+        .map(_.getPath)
+        .filter(p => committedPast(p.getName) &&
+          !keepDirs.contains(s"data/${p.getName}"))
+        .count(p => fs.delete(p, true))
+    (dropped.size, removed)
+  }
+
   /** Read a versioned table at `version` (default: latest). The
     * manifest pins the exact directory set, so the read is a stable
     * snapshot no concurrent append can change — time travel for
@@ -665,7 +739,12 @@ final class Storage(spark: SparkSession, warehouse: String) {
   /** Roll a versioned table back to an earlier snapshot by COMMITTING
     * a new version whose manifest equals the old one (roll-forward
     * rollback): history stays intact, nothing is deleted, and a
-    * concurrent reader of the bad version is unaffected.
+    * concurrent reader of the bad version is unaffected. The
+    * high-water batch id rides ANY commit, including this one, so a
+    * streaming batch rolled back OUT of the snapshot is still
+    * recognized as seen on replay — exactly-once beats re-ingest; a
+    * deliberate re-ingest after rollback needs fresh batch ids (a new
+    * checkpoint) or a new table.
     */
   def rollbackVersioned(name: String, to: Long): Long = {
     require(versions(name).contains(to),

@@ -341,6 +341,64 @@ class StorageSpec extends SparkTestBase {
       "compaction must never delete directories older manifests reference")
   }
 
+  test("vacuumVersions frees dropped history but never a retained or in-flight directory") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    // v1..v3: batches 0..2; v4: compaction; v5: batch 3 on top
+    (0 to 2).foreach(i => st.appendBatchIdempotent("vac", rows(i * 10L), i.toLong))
+    st.compactVersions("vac")
+    st.appendBatchIdempotent("vac", rows(30L), 3L)
+    val before = st.readVersioned("vac").collect().toSet
+    val (manifestsGone, dirsGone) = st.vacuumVersions("vac", keepLast = 2)
+    assert(manifestsGone == 3 && dirsGone == 3,
+      s"v1..v3 manifests and b0..b2 dirs must go: ($manifestsGone, $dirsGone)")
+    assert(st.versions("vac") == Seq(4L, 5L))
+    // the retained snapshots read in full
+    assert(st.readVersioned("vac").collect().toSet == before)
+    assert(st.readVersioned("vac", 4L).count() == 3)
+    // vacuumed versions refuse instead of reading deleted files
+    intercept[IllegalArgumentException] { st.readVersioned("vac", 2L) }
+    // the high water survives the vacuumed batch DIRECTORIES: replays
+    // of batches 0..3 are still recognized with their dirs gone
+    (0 to 3).foreach { i =>
+      assert(st.appendBatchIdempotent("vac", rows(99L), i.toLong).isEmpty,
+        s"batch $i replayed after vacuum must be skipped")
+    }
+    // and the stream continues
+    assert(st.appendBatchIdempotent("vac", rows(40L), 4L).nonEmpty)
+    assert(st.readVersioned("vac").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 10L, 20L, 30L, 40L))
+    // keepLast sanity
+    intercept[IllegalArgumentException] { st.vacuumVersions("vac", 0) }
+  }
+
+  test("concurrent batch appends and compactions interleave without loss or duplication") {
+    val st = freshStorage()
+    def rows(x: Long) = Seq(Tuple1(x)).toDF("x")
+    st.putVersioned("conc", rows(-1L))
+    // the appender's CAS-retry loop absorbs every lost race; the
+    // compactor is retry-less BY DESIGN (a lost compaction is moot —
+    // the next one re-derives from the new latest) and just tries again
+    val compactorErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appender = new Thread(() =>
+      (0 until 10).foreach(i => st.appendBatchIdempotent("conc", rows(i.toLong), i.toLong)))
+    val compactor = new Thread(() =>
+      (0 until 12).foreach { _ =>
+        try st.compactVersions("conc")
+        catch { case _: IllegalStateException => compactorErrors.incrementAndGet() }
+        Thread.sleep(30)
+      })
+    appender.start(); compactor.start()
+    appender.join(120000); compactor.join(120000)
+    val got = st.readVersioned("conc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (-1L until 10L).toSeq,
+      s"every batch exactly once across interleaved compactions: $got")
+    // replay after all that churn still dedups
+    (0 until 10).foreach(i =>
+      assert(st.appendBatchIdempotent("conc", rows(77L), i.toLong).isEmpty))
+    assert(st.readVersioned("conc").count() == 11)
+  }
+
   test("versioned tables: reads of unknown names/versions refuse; delete removes the tree") {
     val st = freshStorage()
     intercept[IllegalArgumentException] { st.readVersioned("nope") }
