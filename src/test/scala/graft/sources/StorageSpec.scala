@@ -399,6 +399,46 @@ class StorageSpec extends SparkTestBase {
     assert(st.readVersioned("conc").count() == 11)
   }
 
+  test("readVersionedSince reads exactly the delta; refuses across compactions; merges evolved schemas") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    st.appendBatchIdempotent("cdc", rows(1L, 2L), 0L) // v1
+    st.appendBatchIdempotent("cdc", rows(3L), 1L)     // v2
+    st.appendBatchIdempotent("cdc", rows(4L, 5L), 2L) // v3
+    // the delta after v1 is batches 1 and 2 — no base-data scan
+    assert(st.readVersionedSince("cdc", 1L).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(st.readVersionedSince("cdc", 2L).collect().map(_.getLong(0))
+      .toSeq == Seq(4L, 5L))
+    // nothing since the latest: empty with the table's schema
+    val empty = st.readVersionedSince("cdc", 3L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("x"))
+    // incremental-ETL loop shape: consume, checkpoint version, repeat
+    val seen = st.versions("cdc").last
+    st.appendBatchIdempotent("cdc", rows(6L), 3L)
+    assert(st.readVersionedSince("cdc", seen).collect().map(_.getLong(0))
+      .toSeq == Seq(6L))
+    // a compaction re-packs directories: diffing across it must refuse,
+    // diffing from the compacted version works again
+    val cv = st.compactVersions("cdc")
+    intercept[IllegalArgumentException] { st.readVersionedSince("cdc", 2L) }
+    st.appendBatchIdempotent("cdc", rows(7L), 4L)
+    assert(st.readVersionedSince("cdc", cv).collect().map(_.getLong(0))
+      .toSeq == Seq(7L))
+
+    // schema evolution: a later batch adds a column; the merged read
+    // widens, the default read keeps the latest writer's schema lean
+    st.putVersioned("evo", Seq((1L, "a")).toDF("id", "payload"))
+    st.appendVersioned("evo",
+      Seq((2L, "b", 0.5)).toDF("id", "payload", "score"))
+    val merged = st.readVersioned("evo", mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "payload", "score"))
+    assert(merged.filter(merged("id") === 1L).select(merged("score"))
+      .collect()(0).isNullAt(0), "pre-evolution rows null-fill new columns")
+    assert(st.readVersionedSince("evo", 1L, mergeSchema = true)
+      .columns.contains("score"))
+  }
+
   test("versioned tables: reads of unknown names/versions refuse; delete removes the tree") {
     val st = freshStorage()
     intercept[IllegalArgumentException] { st.readVersioned("nope") }
