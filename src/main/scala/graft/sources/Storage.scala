@@ -289,11 +289,11 @@ final class Storage(spark: SparkSession, warehouse: String) {
     // breaks any remaining ties deterministically)
     val cols = orderCols ++ carried.filterNot(orderCols.contains)
     val merged = graft.streaming.EventStreams.latestByKey(
-      current.unionByName(updates.select(current.columns.map(updates.col): _*)),
+      current.unionByName(updates.select(current.columns.toIndexedSeq.map(updates.col): _*)),
       key, cols)
     val tmp = new Path(warehouse, s".upsert_tmp_$name")
     fs.delete(tmp, true)
-    merged.select(current.columns.map(merged.col): _*)
+    merged.select(current.columns.toIndexedSeq.map(merged.col): _*)
       .write.parquet(tmp.toString)
     swapInto(name, tmp)
   }

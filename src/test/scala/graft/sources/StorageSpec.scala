@@ -177,7 +177,7 @@ class StorageSpec extends SparkTestBase {
     // every part file covers a key range disjoint from the others
     val ranges = st.get("o_clust").inputFiles.toSeq.map { f =>
       val r = spark.read.parquet(f)
-        .agg(min("o_orderkey"), max("o_orderkey")).head
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
       (r.getLong(0), r.getLong(1))
     }.sortBy(_._1)
     assert(ranges.size == 4)
@@ -186,7 +186,7 @@ class StorageSpec extends SparkTestBase {
       case _ => true
     })
     // rows survive and a range predicate still answers exactly
-    val k = df.agg(expr("percentile(o_orderkey, 0.5)")).head.getDouble(0).toLong
+    val k = df.agg(expr("percentile(o_orderkey, 0.5)")).head().getDouble(0).toLong
     assert(st.get("o_clust").filter(col("o_orderkey") <= k).count() ==
       df.filter(col("o_orderkey") <= k).count())
   }
@@ -200,12 +200,12 @@ class StorageSpec extends SparkTestBase {
     assert(st.get("o_z").count() == df.count())
     val g = df.agg(
       min("o_custkey").cast("double"), max("o_custkey").cast("double"),
-      min("o_totalprice"), max("o_totalprice")).head
+      min("o_totalprice"), max("o_totalprice")).head()
     val (w1, w2) = (g.getDouble(1) - g.getDouble(0), g.getDouble(3) - g.getDouble(2))
     val covers = st.get("o_z").inputFiles.toSeq.map { f =>
       val r = spark.read.parquet(f).agg(
         min("o_custkey").cast("double"), max("o_custkey").cast("double"),
-        min("o_totalprice"), max("o_totalprice")).head
+        min("o_totalprice"), max("o_totalprice")).head()
       ((r.getDouble(1) - r.getDouble(0)) / w1,
         (r.getDouble(3) - r.getDouble(2)) / w2)
     }
@@ -220,7 +220,7 @@ class StorageSpec extends SparkTestBase {
     // and a 1-D clustered layout does NOT skip on the second column
     st.putClustered("o_c1", df, Seq("o_custkey"), numFiles = 8)
     val c1Covers2 = st.get("o_c1").inputFiles.toSeq.map { f =>
-      val r = spark.read.parquet(f).agg(min("o_totalprice"), max("o_totalprice")).head
+      val r = spark.read.parquet(f).agg(min("o_totalprice"), max("o_totalprice")).head()
       (r.getDouble(1) - r.getDouble(0)) / w2
     }
     assert(c1Covers2.sum / c1Covers2.size > mean2,
@@ -409,7 +409,7 @@ class StorageSpec extends SparkTestBase {
     assert(st.readVersionedSince("cdc", 1L).collect().map(_.getLong(0))
       .sorted.toSeq == Seq(3L, 4L, 5L))
     assert(st.readVersionedSince("cdc", 2L).collect().map(_.getLong(0))
-      .toSeq == Seq(4L, 5L))
+      .sorted.toSeq == Seq(4L, 5L))
     // nothing since the latest: empty with the table's schema
     val empty = st.readVersionedSince("cdc", 3L)
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("x"))
