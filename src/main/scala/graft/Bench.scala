@@ -111,8 +111,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // "reps" makes the artifact self-describing: a reader can tell a
+    // median-of-N protocol run from a single-rep one without digging
+    // through stderr traces (the r4/r7/r9/r10 artifact-integrity fix)
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout scraping truncated two rounds of captured benches
     // (BENCH_r03/r04 lost their tails) — persist the same line to a
