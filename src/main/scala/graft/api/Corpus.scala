@@ -662,6 +662,56 @@ object Corpus {
       vec: String = "embedding"): AnnIndex =
     Indexes.buildAnn(corpus, id, vec)
 
+  /** Persist a built [[AnnIndex]] into versioned storage so it
+    * OUTLIVES the session — the durability half of build-once/
+    * serve-many: a production pipeline trains the index in one job
+    * and serves it for weeks from other sessions, where the handle's
+    * session-scoped checkpoints die with the JVM. Returns the saved
+    * index version.
+    *
+    * Consistency across the TWO artifact tables (`<name>__centroids`,
+    * `<name>__lists` — the lists are cell-assigned UNDER a specific
+    * centroid table, so mixing versions breaks recall silently): both
+    * are committed first, then a one-row POINTER table (`<name>__ann`)
+    * records their exact versions in a single atomic commit. Readers
+    * resolve the pointer, never "latest of each" — the lakehouse
+    * multi-table-snapshot pattern built from the versioned-commit
+    * primitive. Re-saving appends new versions; old index versions
+    * stay loadable (time travel), and [[graft.sources.Storage
+    * .vacuumVersions]] is the retention policy.
+    */
+  def saveAnnIndex(index: AnnIndex, storage: graft.sources.Storage,
+      name: String): Long = {
+    val vc = storage.putVersioned(s"${name}__centroids", index.centroids)
+    val vl = storage.putVersioned(s"${name}__lists", index.lists)
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__ann",
+      Seq((vc, vl)).toDF("centroids_version", "lists_version"))
+  }
+
+  /** Rehydrate a persisted [[AnnIndex]] (see [[saveAnnIndex]]) at
+    * `version` (default: latest save): resolve the pointer row, read
+    * the two artifact tables at their PINNED versions, and
+    * re-materialize session-local checkpoints so serves never re-read
+    * the store. The handle is independent of the one that was saved —
+    * `close()` it like any built index.
+    */
+  def loadAnnIndex(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): AnnIndex = {
+    val ptr = storage.readVersioned(s"${name}__ann", version).collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__ann' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    val cent = storage
+      .readVersioned(s"${name}__centroids", ptr(0).getLong(0))
+      .localCheckpoint()
+    val lists = storage
+      .readVersioned(s"${name}__lists", ptr(0).getLong(1))
+      .localCheckpoint()
+    AnnIndex(cent, lists)
+  }
+
   /** Cross-modal pair mining over YOUR frames (the gated `mm_pair_mine`
     * pass): top-`k` `texts` neighbors for every `images` vector via a
     * flat-IVF index over the text side, keeping pairs at or above the

@@ -14,8 +14,10 @@ import graft.operators.Similarity
   * [[Corpus.buildAnnIndex]], then answer any number of query batches
   * through [[topK]] without retraining — each serve costs
   * O(|queries|·√n) probe-kernel work plus the candidate cell join,
-  * independent of corpus size. At 100 TB, persist the two frames as
-  * tables and reconstruct the handle from the parquet.
+  * independent of corpus size. To outlive the session, persist with
+  * [[Corpus.saveAnnIndex]] (versioned tables + an atomic pointer
+  * commit pinning a consistent centroids/lists pair) and rehydrate
+  * with [[Corpus.loadAnnIndex]].
   */
 final case class AnnIndex private[api] (
     centroids: DataFrame, lists: DataFrame) {

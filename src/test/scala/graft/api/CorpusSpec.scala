@@ -548,4 +548,40 @@ class CorpusSpec extends SparkTestBase {
     assert(served.map(key).toSet == gated && served.nonEmpty)
     idx.close()
   }
+
+  test("saveAnnIndex/loadAnnIndex: a persisted index serves identically across handles and pins versions") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-annsave-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val built = Corpus.buildAnnIndex(e)
+    val queries = e.filter($"vec_id" < 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))
+    val expect = built.topK(queries, k = 5, excludeSelf = true)
+      .collect().map(key).toSet
+    val v1 = Corpus.saveAnnIndex(built, storage, "embidx")
+    // rehydrated handle: identical serves, ZERO retraining
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val loaded = Corpus.loadAnnIndex(storage, "embidx")
+    val got = loaded.topK(queries, k = 5, excludeSelf = true)
+      .collect().map(key).toSet
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "loading a persisted index must not retrain")
+    assert(got == expect && got.nonEmpty)
+    // a re-save publishes a NEW pointer version; the old one still
+    // loads the original consistent centroids/lists pair (time travel)
+    val built2 = Corpus.buildAnnIndex(e.filter($"vec_id" % 2 === 0))
+    val v2 = Corpus.saveAnnIndex(built2, storage, "embidx")
+    assert(v2 == v1 + 1)
+    val old = Corpus.loadAnnIndex(storage, "embidx", version = v1)
+    assert(old.topK(queries, k = 5, excludeSelf = true)
+      .collect().map(key).toSet == expect,
+      "version-pinned load must serve the ORIGINAL index")
+    val latest = Corpus.loadAnnIndex(storage, "embidx")
+    assert(latest.lists.count() == built2.lists.count(),
+      "default load must resolve the newest pointer")
+    // loaded handles own their blocks: close frees them
+    Seq(built, built2, loaded, old, latest).foreach(_.close())
+  }
 }
