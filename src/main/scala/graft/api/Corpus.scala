@@ -749,6 +749,40 @@ object Corpus {
       graft.streaming.DocStreams.bm25Postings(docs).localCheckpoint(),
       buildAnnIndex(vectors))
 
+  /** Persist a built [[HybridIndex]] (see [[saveAnnIndex]] — the same
+    * atomic-pointer pattern, one level up): the BM25 postings land as
+    * a versioned table, the dense arm saves through [[saveAnnIndex]]
+    * under `<name>__dense`, and the one-row `<name>__hybrid` pointer
+    * pins (postings version, dense pointer version) in a single
+    * commit — so lexical and dense arms can never disagree about
+    * which corpus snapshot they index. Returns the saved version.
+    */
+  def saveHybridIndex(index: HybridIndex, storage: graft.sources.Storage,
+      name: String): Long = {
+    val vp = storage.putVersioned(s"${name}__postings", index.postings)
+    val va = saveAnnIndex(index.ann, storage, s"${name}__dense")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__hybrid",
+      Seq((vp, va)).toDF("postings_version", "dense_version"))
+  }
+
+  /** Rehydrate a persisted [[HybridIndex]] at `version` (default:
+    * latest save), re-materializing session-local checkpoints for
+    * both arms at their pinned versions.
+    */
+  def loadHybridIndex(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): HybridIndex = {
+    val ptr = storage.readVersioned(s"${name}__hybrid", version).collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__hybrid' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    HybridIndex(
+      storage.readVersioned(s"${name}__postings", ptr(0).getLong(0))
+        .localCheckpoint(),
+      loadAnnIndex(storage, s"${name}__dense", ptr(0).getLong(1)))
+  }
+
   /** Build the persisted base of an incremental pair-mining pipeline
     * over a `(doc_id, text)` docs frame and id-linked `(vec_id,
     * embedding)` vectors: QA the corpus (quality floor + prefix-

@@ -496,6 +496,28 @@ class CorpusSpec extends SparkTestBase {
     assert(served.map(key).toSet == inPlan.map(key).toSet && served.nonEmpty)
   }
 
+  test("saveHybridIndex/loadHybridIndex: both arms serve identically at the pinned snapshot") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-hybsave-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val ids = (0L until graft.operators.Similarity.NumQueryVectors)
+    val built = Corpus.buildHybridIndex(docs, e)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val expect = Corpus.hybridTopK(docs, e, ids, index = Some(built))
+      .collect().map(key).toSet
+    Corpus.saveHybridIndex(built, storage, "hyb")
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val loaded = Corpus.loadHybridIndex(storage, "hyb")
+    val got = Corpus.hybridTopK(docs, e, ids, index = Some(loaded))
+      .collect().map(key).toSet
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "loading a persisted hybrid index must not retrain")
+    assert(got == expect && got.nonEmpty)
+    Seq(built, loaded).foreach(_.close())
+  }
+
   test("minePairsIncremental over a prebuilt base equals the gated pipe_pairs_upsert") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
