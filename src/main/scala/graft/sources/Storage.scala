@@ -420,32 +420,49 @@ final class Storage(spark: SparkSession, warehouse: String) {
     manifestLines(name, v).filterNot(_.startsWith("#"))
 
   private val HwHeader = "#hw=(-?\\d+)".r
-
-  /** The high-water streaming batch id recorded in manifest `v`: the
-    * largest batch id ever committed to the table as of that version,
-    * carried monotonically by EVERY commit (append, re-snapshot,
-    * rollback, compaction) — so "has batch N committed?" survives any
-    * manifest rewrite that drops the per-batch `data/b<id>` lines.
-    * -1 when no batch has ever committed (or a pre-header manifest);
-    * for legacy manifests the `data/b<id>` lines themselves are a
-    * second witness, folded in by [[highWater]].
-    */
-  private def readHighWater(name: String, v: Long): Long =
-    manifestLines(name, v)
-      .collectFirst { case HwHeader(n) => n.toLong }.getOrElse(-1L)
-
+  private val EpochHeader = "#epoch=(\\d+)".r
+  private val WriterHeader = "#writer=(.+)".r
   private val BatchDirName = "data/b(\\d+)".r
+  private val EpochBatchDirName = "data/e(\\d+)b(\\d+)".r
 
-  /** Effective high-water batch id of manifest `v`: the header if
-    * present, else the largest `data/b<id>` line (the legacy witness —
-    * a manifest written before the header existed still names every
-    * batch it carries).
+  /** The commit-protocol metadata a manifest carries in its `#`-header
+    * lines, parsed once per manifest read:
+    *
+    *  - `hw` — the high-water streaming batch id: the largest batch id
+    *    ever committed in the CURRENT writer epoch, carried
+    *    monotonically by every commit (append, re-snapshot, rollback,
+    *    compaction), so "has batch N committed?" survives any manifest
+    *    rewrite that drops the per-batch data lines. -1 when no batch
+    *    has committed this epoch. For pre-header manifests the
+    *    `data/b<id>` lines themselves are the witness, folded in here.
+    *  - `epoch` — the writer-epoch counter, bumped only by
+    *    [[takeOverVersioned]]. Epoch `e > 0` names its batch dirs
+    *    `data/e<e>b<id>` so a new writer's batch-id space (fresh
+    *    checkpoints restart at 0) never collides with a previous
+    *    stream's committed directories. 0 = the original epoch.
+    *  - `writer` — the owning stream's identity token (the checkpoint
+    *    location, via [[graft.streaming.Sinks]]). None = unfenced.
     */
-  private def highWater(name: String, v: Long): Long = {
-    val lines = manifestLines(name, v)
-    val header = lines.collectFirst { case HwHeader(n) => n.toLong }
-    val fromDirs = lines.collect { case BatchDirName(n) => n.toLong }
-    (header.toSeq ++ fromDirs).foldLeft(-1L)(math.max)
+  private case class VtHeaders(hw: Long, epoch: Long, writer: Option[String])
+
+  private def headersOf(name: String, v: Long): VtHeaders =
+    headersOf(manifestLines(name, v))
+
+  private def headersOf(lines: Seq[String]): VtHeaders = {
+    val epoch = lines.collectFirst { case EpochHeader(n) => n.toLong }
+      .getOrElse(0L)
+    val writer = lines.collectFirst { case WriterHeader(w) => w }
+    // the legacy fold only counts THIS epoch's batch dirs: after a
+    // takeover, a previous stream's data/b<id> lines stay in the
+    // manifest (their data is still referenced) but must not leak into
+    // the new epoch's replay horizon
+    val fromDirs = lines.collect {
+      case BatchDirName(n) if epoch == 0L => n.toLong
+      case EpochBatchDirName(e, n) if e.toLong == epoch => n.toLong
+    }
+    val hw = (lines.collectFirst { case HwHeader(n) => n.toLong }.toSeq ++
+      fromDirs).foldLeft(-1L)(math.max)
+    VtHeaders(hw, epoch, writer)
   }
 
   /** The one commit path for every versioned-table verb: optionally
@@ -463,7 +480,9 @@ final class Storage(spark: SparkSession, warehouse: String) {
     */
   private def commitVersion(name: String, df: Option[DataFrame],
       dirs: Seq[String], expected: Option[Long] = None,
-      newBatchId: Option[Long] = None): Long = {
+      newBatchId: Option[Long] = None,
+      epochBump: Boolean = false,
+      claimWriter: Option[String] = None): Long = {
     val latest = versions(name).lastOption
     val v = expected.map(_ + 1).getOrElse(latest.getOrElse(0L) + 1)
     // fail the CAS BEFORE paying the table write when the version is
@@ -473,28 +492,38 @@ final class Storage(spark: SparkSession, warehouse: String) {
     if (fs.exists(vtManifest(name, v)))
       throw new IllegalStateException(
         s"concurrent commit: version $v of '$name' already exists")
-    val dataDir = s"data/v$v"
-    val dataPath = new Path(vtRoot(name), dataDir)
-    // an orphan data/v<v> can only be a commit that died before its
-    // manifest rename (no manifest v exists, just checked; no earlier
-    // manifest ever references a HIGHER version's directory) — clear
-    // it so the retry's parquet write does not trip over it
-    if (df.isDefined && fs.exists(dataPath)) fs.delete(dataPath, true)
+    // each ATTEMPT writes to a uniquely-named directory (the manifest
+    // records exact dir names, so the suffix is free): two racing
+    // df-writing commits targeting the same version can never
+    // interleave files in one directory or delete each other's
+    // in-flight output — the loser's data is an orphan it removes
+    // itself below, and anything a crash strands is reclaimed by
+    // [[vacuumVersions]], never by a racing writer
+    val dataDir = df.map(_ =>
+      s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     val allDirs = df match {
       case Some(frame) =>
-        frame.write.parquet(dataPath.toString)
-        dirs :+ dataDir
+        frame.write.parquet(new Path(vtRoot(name), dataDir.get).toString)
+        dirs :+ dataDir.get
       case None => dirs
     }
-    // the high-water batch id is MONOTONE across commits: every commit
+    // commit-protocol headers are MONOTONE across commits: every commit
     // (not just batch appends) re-publishes max(latest's high water,
-    // this commit's batch id), so a compaction or re-snapshot that
-    // rewrites the directory list can never erase the table's memory
-    // of which streaming batches it contains — the invariant
-    // [[appendBatchIdempotent]]'s replay check rests on
-    val hw = (latest.map(highWater(name, _)).toSeq ++ newBatchId)
-      .foldLeft(-1L)(math.max)
-    val header = if (hw >= 0) Seq(s"#hw=$hw") else Nil
+    // this commit's batch id) plus the writer epoch/token, so a
+    // compaction or re-snapshot that rewrites the directory list can
+    // never erase the table's memory of which streaming batches it
+    // contains or which stream owns it — the invariants
+    // [[appendBatchIdempotent]]'s replay check and writer fence rest on
+    val prev = latest.map(headersOf(name, _))
+      .getOrElse(VtHeaders(-1L, 0L, None))
+    val (hw, epoch) =
+      if (epochBump) (-1L, prev.epoch + 1) // takeover: fresh batch-id space
+      else ((prev.hw +: newBatchId.toSeq).max, prev.epoch)
+    val writer = claimWriter.orElse(prev.writer)
+    val header =
+      (if (hw >= 0 || epoch > 0) Seq(s"#hw=$hw") else Nil) ++
+        (if (epoch > 0) Seq(s"#epoch=$epoch") else Nil) ++
+        writer.map(w => s"#writer=$w").toSeq
     fs.mkdirs(vtManifests(name))
     val tmp = new Path(vtManifests(name), s".v$v.tmp")
     val out = fs.create(tmp, true)
@@ -504,7 +533,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
     val target = vtManifest(name, v)
     if (fs.exists(target) || !fs.rename(tmp, target)) {
       fs.delete(tmp, false)
-      if (df.isDefined) fs.delete(new Path(vtRoot(name), dataDir), true)
+      dataDir.foreach(d => fs.delete(new Path(vtRoot(name), d), true))
       throw new IllegalStateException(
         s"concurrent commit: version $v of '$name' already exists")
     }
@@ -534,14 +563,61 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * inserts, the common ingest case).
     */
   def appendVersioned(name: String, df: DataFrame,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      allowSchemaEvolution: Boolean = false): Long = {
     val vs = versions(name)
     val cur = expectedVersion.getOrElse(vs.lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no versioned table '$name'; putVersioned first")))
     require(vs.contains(cur),
       s"'$name' has no version $cur to append on (has: ${vs.mkString(",")})")
+    checkAppendSchema(name, cur, df, allowSchemaEvolution)
     commitVersion(name, Some(df), readManifest(name, cur), Some(cur))
+  }
+
+  /** The write-side schema gate every batch append passes: refuse a
+    * batch whose schema CONFLICTS with the table's current schema
+    * (same-named column, different type — no read mode can reconcile
+    * that), and refuse added/dropped columns unless the caller opted
+    * into evolution. Without this gate a drifted producer commits
+    * silently and the default (non-mergeSchema) multi-directory read
+    * then resolves columns from whichever footer it samples — readers
+    * break LATER, far from the producer bug; the reference's posture
+    * is the same fail-at-the-write (a put that doesn't match what the
+    * controller expects is rejected at the call,
+    * `dfs/controller/controller.go:64-77`, never reconciled).
+    * Widened appends (`allowSchemaEvolution = true`) compose with
+    * `readVersioned(mergeSchema = true)` on the read side.
+    * Cost: one footer read of the current version (schema only), no
+    * data scan. Name resolution is case-insensitive, matching Spark's
+    * default analyzer.
+    */
+  private def checkAppendSchema(name: String, cur: Long, df: DataFrame,
+      allowSchemaEvolution: Boolean): Unit = {
+    val table = readVersioned(name, cur).schema
+    val batch = df.schema
+    def key(f: org.apache.spark.sql.types.StructField) = f.name.toLowerCase
+    val tf = table.fields.map(f => key(f) -> f).toMap
+    val bf = batch.fields.map(f => key(f) -> f).toMap
+    val conflicts = table.fields.toSeq.flatMap { f =>
+      bf.get(key(f)).filter(_.dataType != f.dataType)
+        .map(b => s"${f.name}: table ${f.dataType.simpleString} vs " +
+          s"batch ${b.dataType.simpleString}")
+    }
+    if (conflicts.nonEmpty)
+      throw new IllegalArgumentException(
+        s"schema conflict appending to '$name' (no read mode reconciles " +
+          s"a type change; fix the producer or write a new table): " +
+          conflicts.mkString("; "))
+    val added = batch.fields.map(_.name).filterNot(n => tf.contains(n.toLowerCase))
+    val dropped = table.fields.map(_.name).filterNot(n => bf.contains(n.toLowerCase))
+    if (!allowSchemaEvolution && (added.nonEmpty || dropped.nonEmpty))
+      throw new IllegalArgumentException(
+        s"schema drift appending to '$name'" +
+          (if (added.nonEmpty) s"; batch adds: ${added.mkString(", ")}" else "") +
+          (if (dropped.nonEmpty) s"; batch drops: ${dropped.mkString(", ")}" else "") +
+          "; pass allowSchemaEvolution=true to widen (and read with " +
+          "mergeSchema=true)")
   }
 
   /** IDEMPOTENT streaming append: commit micro-batch `batchId` to the
@@ -577,14 +653,31 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * exactly-once claim holds unconditionally, including the
     * disaster-recovery case of a checkpoint restored from before a
     * compaction. (Streaming batch ids are monotone per query, the
-    * Structured Streaming contract; the high-water check assumes one
-    * stream owns the table, which the checkpoint directory already
-    * enforces.)
+    * Structured Streaming contract.)
+    *
+    * WRITER FENCE: the `batchId <= hw` check is only sound while ONE
+    * stream's batch-id sequence feeds the table — a NEW stream (fresh
+    * checkpoint after checkpoint loss, or a second query pointed at
+    * the same table) restarts batch ids at 0, and without a fence
+    * every one of its batches would be silently discarded as a
+    * "replay": data loss dressed as dedup. So a non-empty `writer`
+    * token (the sink passes its checkpoint location) is recorded in
+    * the manifest (`#writer=`), and an append whose token differs
+    * from the recorded owner REFUSES with an actionable error instead
+    * of silently skipping — the reference's single-owner posture (a
+    * put on a name someone else holds is rejected, never merged,
+    * `dfs/controller/controller.go:64-77,169-205`). A deliberate
+    * handover calls [[takeOverVersioned]], which bumps the writer
+    * EPOCH: the new stream's batches land under `data/e<epoch>b<id>`
+    * with a reset high water, so its restarted batch-id space can
+    * never collide with (or be shadowed by) the previous stream's.
+    * An empty `writer` leaves unfenced tables unfenced (direct API
+    * use), but still refuses to write to a table a stream owns.
     */
   def appendBatchIdempotent(name: String, df: DataFrame,
-      batchId: Long): Option[Long] = {
+      batchId: Long, writer: String = "",
+      allowSchemaEvolution: Boolean = false): Option[Long] = {
     require(batchId >= 0, s"negative batchId $batchId")
-    val tag = s"data/b$batchId"
     var written = false
     // CAS-retry loop: losing the version race to a CONCURRENT writer
     // (a compaction, a maintenance commit) is not a failure of THIS
@@ -599,18 +692,42 @@ final class Storage(spark: SparkSession, warehouse: String) {
     while (true) {
       attempt += 1
       val vs = versions(checkName(name))
-      val base = vs.lastOption.map(readManifest(name, _)).getOrElse(Nil)
-      val hw = vs.lastOption.map(highWater(name, _)).getOrElse(-1L)
-      if (base.contains(tag) || batchId <= hw) return None
+      val latestLines = vs.lastOption.map(manifestLines(name, _))
+      val base = latestLines.map(_.filterNot(_.startsWith("#"))).getOrElse(Nil)
+      val hdr = latestLines.map(headersOf).getOrElse(VtHeaders(-1L, 0L, None))
+      hdr.writer.filter(w => w != writer).foreach { w =>
+        throw new IllegalStateException(
+          s"versioned table '$name' is owned by stream writer '$w'" +
+            (if (writer.isEmpty) " (this append carries no writer token)"
+             else s"; this stream's token is '$writer'") +
+            ". A different stream's batch ids restart at 0 and the replay " +
+            "check would silently discard its batches — refuse instead. " +
+            s"To hand the table over, call takeOverVersioned(\"$name\", " +
+            "<new writer>) once, which starts a fresh batch-id epoch.")
+      }
+      val tag = if (hdr.epoch == 0L) s"data/b$batchId"
+        else s"data/e${hdr.epoch}b$batchId"
+      if (base.contains(tag) || batchId <= hdr.hw) return None
+      if (!written && vs.nonEmpty)
+        checkAppendSchema(name, vs.last, df, allowSchemaEvolution)
       val dir = new Path(vtRoot(name), tag)
       // an orphan from an attempt that died pre-publish — but never
       // delete a directory some committed manifest still references
-      // (time travel would break): reaching here with a referenced dir
-      // means a pre-header manifest lineage was rewritten by a tool
-      // that dropped both the b-line and the high water; treat the
-      // batch as committed rather than corrupt history
+      // (time travel would break). With `#hw=` headers (carried by
+      // every commit since the header and every manifest-rewriting
+      // verb shipped together) a referenced batch implies
+      // batchId <= hw, already returned above — so reaching here
+      // means the dir is a dead orphan, no history scan needed. Only
+      // a PRE-HEADER lineage (latest manifest has no `#hw=` line)
+      // pays the last-resort scan, newest-first with early exit:
+      // there a manifest rewrite could have dropped both the b-line
+      // and the high water, and a referenced dir means the batch is
+      // committed history, not corruption.
       if (!written && fs.exists(dir)) {
-        val referenced = vs.exists(readManifest(name, _).contains(tag))
+        val preHeaderLineage =
+          !latestLines.exists(_.exists(_.startsWith("#hw=")))
+        val referenced = preHeaderLineage &&
+          vs.reverseIterator.exists(readManifest(name, _).contains(tag))
         if (referenced) return None
         fs.delete(dir, true)
       }
@@ -618,12 +735,43 @@ final class Storage(spark: SparkSession, warehouse: String) {
       // the commit race reuse it rather than re-running the batch plan
       if (!written) { df.write.parquet(dir.toString); written = true }
       try return Some(commitVersion(name, None, base :+ tag,
-        Some(vs.lastOption.getOrElse(0L)), newBatchId = Some(batchId)))
+        Some(vs.lastOption.getOrElse(0L)), newBatchId = Some(batchId),
+        claimWriter = Some(writer).filter(_.nonEmpty)))
       catch {
-        case e: IllegalStateException if attempt < 16 => // raced: re-read
+        case e: IllegalStateException
+          if attempt < 16 && e.getMessage.startsWith("concurrent commit") =>
+        // raced: re-read and retry
       }
     }
     None // unreachable
+  }
+
+  /** Transfer ownership of a versioned streaming table to a new writer
+    * — the ONE deliberate way past [[appendBatchIdempotent]]'s fence
+    * (disaster recovery: the original checkpoint is gone and a rebuilt
+    * stream must resume the table). Commits a new version with the
+    * same data, the new `#writer=` token, a bumped `#epoch=`, and a
+    * RESET high water: the new stream's batch ids (restarting at 0)
+    * land under epoch-namespaced directories (`data/e<epoch>b<id>`)
+    * and are judged against the fresh horizon, so nothing it writes is
+    * shadowed by the previous stream's batch numbering — and the
+    * previous stream, should a zombie instance of it still be running,
+    * is fenced out at its next append. History stays intact and
+    * readable. Returns the committed version.
+    *
+    * NOTE the semantics of a takeover: rows the OLD stream committed
+    * remain in the table; if the new stream re-reads the same source
+    * from scratch, its epoch legitimately re-appends them (the fence
+    * makes that an explicit operator decision, not a silent default) —
+    * start the new stream's source offsets where the old data ends, or
+    * put a fresh table, when re-delivery is not wanted.
+    */
+  def takeOverVersioned(name: String, newWriter: String): Long = {
+    require(newWriter.nonEmpty, "newWriter token must be non-empty")
+    val vs = versions(checkName(name))
+    require(vs.nonEmpty, s"no versioned table '$name' to take over")
+    commitVersion(name, None, readManifest(name, vs.last), Some(vs.last),
+      epochBump = true, claimWriter = Some(newWriter))
   }
 
   /** Compact a versioned table: materialize the snapshot at `expected`
@@ -689,20 +837,28 @@ final class Storage(spark: SparkSession, warehouse: String) {
     // delete manifests FIRST: a reader that resolves a version after
     // this point can only land on retained manifests, whose dirs
     // survive below; the reverse order would leave a window where a
-    // resolvable manifest references deleted data
-    dropped.foreach(v => fs.delete(vtManifest(name, v), false))
+    // resolvable manifest references deleted data. Count what the
+    // delete calls actually returned (a concurrent vacuum or a failed
+    // delete must not be reported as reclaimed).
+    val manifestsGone =
+      dropped.count(v => fs.delete(vtManifest(name, v), false))
     val dataRoot = new Path(vtRoot(name), "data")
     // only directories PROVABLY from the past are candidates: a batch
-    // dir at or under the retained high water, or a version dir at or
-    // under the newest version seen here. A concurrent writer's
-    // in-flight dir (b<id> above the high water, v<N> above vs.last)
-    // is never touched even though no manifest references it yet.
-    val hw = highWater(name, vs.last)
-    val VDir = "v(\\d+)".r
+    // dir of a RETIRED epoch (its writer is fenced out and can never
+    // commit) or at/under the current epoch's high water, or a version
+    // dir at or under the newest version seen here. A concurrent
+    // writer's in-flight dir (current-epoch b<id> above the high
+    // water, v<N>-<nonce> above vs.last) is never touched even though
+    // no manifest references it yet.
+    val cur = headersOf(name, vs.last)
+    val VDir = "v(\\d+)(?:-[0-9a-f]+)?".r
     val BDir = "b(\\d+)".r
+    val EBDir = "e(\\d+)b(\\d+)".r
     def committedPast(dirName: String): Boolean = dirName match {
       case VDir(n) => n.toLong <= vs.last
-      case BDir(i) => i.toLong <= hw
+      case BDir(i) => cur.epoch > 0L || i.toLong <= cur.hw
+      case EBDir(e, i) =>
+        e.toLong < cur.epoch || (e.toLong == cur.epoch && i.toLong <= cur.hw)
       case _ => false
     }
     val removed =
@@ -712,7 +868,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
         .filter(p => committedPast(p.getName) &&
           !keepDirs.contains(s"data/${p.getName}"))
         .count(p => fs.delete(p, true))
-    (dropped.size, removed)
+    (manifestsGone, removed)
   }
 
   /** Read a versioned table at `version` (default: latest). The

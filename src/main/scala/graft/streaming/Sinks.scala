@@ -33,15 +33,48 @@ object Sinks {
     * [[Storage.compactVersions]] and re-snapshots too — a checkpoint
     * restored from before a compaction still cannot double-append.
     * Readers see each micro-batch atomically as one new version.
+    *
+    * WRITER IDENTITY: the checkpoint location is passed as the
+    * table's writer token, so the table is FENCED to this stream —
+    * a different stream (a rebuilt checkpoint, a second query
+    * pointed at the same table) fails its first append with an
+    * actionable error instead of having its restarted batch ids
+    * silently swallowed by the replay check; handover is the explicit
+    * [[Storage.takeOverVersioned]]. Schema drift from the producer is
+    * likewise refused at the write ([[Storage.appendBatchIdempotent]]'s
+    * schema gate); pass `allowSchemaEvolution = true` to accept
+    * widened batches (read them with `mergeSchema = true`).
+    *
+    * AUTO-MAINTENANCE: a long-lived stream's manifest grows one line
+    * per batch and its history one version per batch. `compactEvery =
+    * N` re-snapshots the table every N committed batches (manifest
+    * back to one directory; O(table-bytes) rewrite, so pick N large
+    * enough that the rewrite amortizes over the appends — the same
+    * dial as any lakehouse OPTIMIZE cadence); `vacuumKeep = K` then
+    * retains the last K versions and frees unreferenced directories
+    * (O(listing) metadata work). Both run inside foreachBatch AFTER
+    * the batch commit; a maintenance CAS lost to a concurrent writer
+    * is skipped and retried at the next boundary, never failing the
+    * stream, and exactly-once is unaffected either way (the high
+    * water rides every maintenance commit — kill-injection across an
+    * auto-compaction boundary is spec-pinned). Keep `vacuumKeep`
+    * larger than the longest concurrent time-travel reader.
     */
   def sinkVersionedExactlyOnce(ds: DataFrame, storage: Storage,
       name: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0, vacuumKeep: Int = 0,
+      allowSchemaEvolution: Boolean = false): StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    require(vacuumKeep >= 0, s"vacuumKeep must be >= 0, got $vacuumKeep")
     ds.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (storage.appendBatchIdempotent(name, batch, id).isEmpty)
+        val committed = storage.appendBatchIdempotent(name, batch, id,
+          writer = checkpointDir,
+          allowSchemaEvolution = allowSchemaEvolution)
+        if (committed.isEmpty)
           // replayed batch: the TABLE write is skipped, but a stateful
           // query's state stores only commit when every partition of
           // the batch executes AND its row iterator drains to the end
@@ -52,8 +85,22 @@ object Sinks {
           // partition's iterator through a no-op full pass instead.
           batch.foreachPartition(
             (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+        // maintenance AFTER the commit, by BATCH count (deterministic
+        // under replay: a skipped batch runs no maintenance twice)
+        if (committed.nonEmpty && compactEvery > 0 &&
+            (id + 1) % compactEvery == 0) {
+          try {
+            storage.compactVersions(name)
+            if (vacuumKeep > 0) storage.vacuumVersions(name, vacuumKeep)
+          } catch {
+            // lost the CAS to a concurrent commit: maintenance is
+            // best-effort per boundary; the next boundary retries
+            case _: IllegalStateException => ()
+          }
+        }
         ()
       }
       .trigger(trigger)
       .start()
+  }
 }

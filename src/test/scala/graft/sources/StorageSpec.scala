@@ -280,7 +280,11 @@ class StorageSpec extends SparkTestBase {
         expectedVersion = Some(1L))
     }
     // the loser's data directory was cleaned up; the table still reads
-    assert(!new java.io.File(root.getParentFile, "data/v2").exists())
+    // (attempt dirs are nonce-suffixed, so scan by version prefix)
+    val dataRoot = new java.io.File(root.getParentFile, "data")
+    assert(!Option(dataRoot.listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("v2")),
+      "the losing attempt must remove its own data directory")
     assert(st.readVersioned("race", 1).count() === 1)
   }
 
@@ -430,13 +434,115 @@ class StorageSpec extends SparkTestBase {
     // widens, the default read keeps the latest writer's schema lean
     st.putVersioned("evo", Seq((1L, "a")).toDF("id", "payload"))
     st.appendVersioned("evo",
-      Seq((2L, "b", 0.5)).toDF("id", "payload", "score"))
+      Seq((2L, "b", 0.5)).toDF("id", "payload", "score"),
+      allowSchemaEvolution = true)
     val merged = st.readVersioned("evo", mergeSchema = true)
     assert(merged.columns.toSet == Set("id", "payload", "score"))
     assert(merged.filter(merged("id") === 1L).select(merged("score"))
       .collect()(0).isNullAt(0), "pre-evolution rows null-fill new columns")
     assert(st.readVersionedSince("evo", 1L, mergeSchema = true)
       .columns.contains("score"))
+  }
+
+  test("writer fence: a fresh-checkpoint stream refuses; takeover resumes with a fresh batch-id space") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    // stream A (writer token = its checkpoint identity) owns the table
+    assert(st.appendBatchIdempotent("own", rows(1L), 0L, writer = "cpA").nonEmpty)
+    assert(st.appendBatchIdempotent("own", rows(2L), 1L, writer = "cpA").nonEmpty)
+    // same-writer replay still dedups (the fence must not break
+    // exactly-once for the legitimate owner)
+    assert(st.appendBatchIdempotent("own", rows(9L), 0L, writer = "cpA").isEmpty)
+    assert(st.appendBatchIdempotent("own", rows(9L), 1L, writer = "cpA").isEmpty)
+    // a NEW stream (rebuilt checkpoint -> batch ids restart at 0) must
+    // REFUSE with an actionable error — before the fence, batch 0 would
+    // have been silently discarded as a "replay" of the old batch 0
+    val e = intercept[IllegalStateException] {
+      st.appendBatchIdempotent("own", rows(100L), 0L, writer = "cpB")
+    }
+    assert(e.getMessage.contains("cpA") &&
+      e.getMessage.contains("takeOverVersioned"),
+      s"the refusal must name the owner and the handover verb: ${e.getMessage}")
+    // a token-less direct append to an owned table refuses too (the
+    // second-query hazard is the same silent skip)
+    intercept[IllegalStateException] {
+      st.appendBatchIdempotent("own", rows(100L), 5L)
+    }
+    assert(st.readVersioned("own").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L), "nothing from the fenced writer may land")
+    // explicit handover: the new writer's restarted batch ids COMMIT
+    // (fresh epoch + reset high water), and the old data survives
+    st.takeOverVersioned("own", "cpB")
+    assert(st.appendBatchIdempotent("own", rows(100L), 0L, writer = "cpB").nonEmpty,
+      "after takeover the new stream's batch 0 must commit")
+    assert(st.appendBatchIdempotent("own", rows(101L), 1L, writer = "cpB").nonEmpty)
+    // the new epoch's OWN replays dedup
+    assert(st.appendBatchIdempotent("own", rows(9L), 0L, writer = "cpB").isEmpty)
+    // the zombie old writer is fenced out
+    intercept[IllegalStateException] {
+      st.appendBatchIdempotent("own", rows(9L), 2L, writer = "cpA")
+    }
+    assert(st.readVersioned("own").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 100L, 101L))
+    // maintenance carries the fence + epoch horizon: compaction then
+    // replay of BOTH epochs' batch ids still dedups for the owner
+    st.compactVersions("own")
+    assert(st.appendBatchIdempotent("own", rows(9L), 1L, writer = "cpB").isEmpty)
+    assert(st.appendBatchIdempotent("own", rows(102L), 2L, writer = "cpB").nonEmpty)
+    // vacuum reclaims both epochs' batch directories, nothing retained
+    val (mGone, dGone) = st.vacuumVersions("own", keepLast = 2)
+    assert(mGone > 0 && dGone > 0, s"vacuum must reclaim: ($mGone, $dGone)")
+    assert(st.readVersioned("own").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 100L, 101L, 102L))
+    // an unfenced table stays writable by token-less callers
+    assert(st.appendBatchIdempotent("free", rows(1L), 0L).nonEmpty)
+    assert(st.appendBatchIdempotent("free", rows(2L), 1L).nonEmpty)
+  }
+
+  test("schema gate: drifted appends refuse naming the fields; opt-in widening composes with mergeSchema") {
+    val st = freshStorage()
+    st.putVersioned("sg", Seq((1L, "a")).toDF("id", "payload"))
+    // added column refuses by default, and the error names the field
+    val added = intercept[IllegalArgumentException] {
+      st.appendVersioned("sg", Seq((2L, "b", 0.5)).toDF("id", "payload", "score"))
+    }
+    assert(added.getMessage.contains("score") &&
+      added.getMessage.contains("adds"), added.getMessage)
+    // dropped column refuses by default
+    val dropped = intercept[IllegalArgumentException] {
+      st.appendVersioned("sg", Seq(Tuple1(3L)).toDF("id"))
+    }
+    assert(dropped.getMessage.contains("payload") &&
+      dropped.getMessage.contains("drops"), dropped.getMessage)
+    // a TYPE conflict refuses even with evolution on — no read mode
+    // reconciles long-vs-string under one column name
+    val conflict = intercept[IllegalArgumentException] {
+      st.appendVersioned("sg", Seq(("x", "b")).toDF("id", "payload"),
+        allowSchemaEvolution = true)
+    }
+    assert(conflict.getMessage.contains("id") &&
+      conflict.getMessage.contains("conflict"), conflict.getMessage)
+    // nothing committed by any refusal
+    assert(st.versions("sg") == Seq(1L))
+    // opt-in widening commits and composes with the mergeSchema read
+    st.appendVersioned("sg", Seq((2L, "b", 0.5)).toDF("id", "payload", "score"),
+      allowSchemaEvolution = true)
+    val merged = st.readVersioned("sg", mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "payload", "score"))
+    assert(merged.count() == 2)
+    // the streaming append path runs the same gate...
+    val refuse = intercept[IllegalArgumentException] {
+      st.appendBatchIdempotent("sg", Seq(Tuple1(9L)).toDF("id"), 0L)
+    }
+    assert(refuse.getMessage.contains("drops"), refuse.getMessage)
+    // ...and widens on opt-in; batch-dir naming and replay are unchanged
+    assert(st.appendBatchIdempotent("sg",
+      Seq((9L, "c", 0.1, true)).toDF("id", "payload", "score", "kept"), 0L,
+      allowSchemaEvolution = true).nonEmpty)
+    assert(st.appendBatchIdempotent("sg",
+      Seq((9L, "c", 0.1, true)).toDF("id", "payload", "score", "kept"), 0L,
+      allowSchemaEvolution = true).isEmpty, "replay still dedups")
+    assert(st.readVersioned("sg", mergeSchema = true).count() == 3)
   }
 
   test("versioned tables: reads of unknown names/versions refuse; delete removes the tree") {

@@ -226,6 +226,97 @@ class SinksSpec extends SparkTestBase {
       s"window t0 must land exactly once, window t0+2h once: ${stats()}")
   }
 
+  test("sink writer fence: a rebuilt-checkpoint stream fails loudly; explicit takeover resumes") {
+    val src = Files.createTempDirectory("graft-fence-src-")
+    val cpA = Files.createTempDirectory("graft-fence-cpA-")
+    val cpB = Files.createTempDirectory("graft-fence-cpB-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-fence-wh-").toString)
+    writeBatchFile(src, "001.parquet", Seq(1L, 2L))
+    writeBatchFile(src, "002.parquet", Seq(3L))
+    Sinks.sinkVersionedExactlyOnce(stream(src), storage, "ft",
+      cpA.toString).awaitTermination(180000)
+    assert(storage.readVersioned("ft").count() == 3)
+    // disaster scenario: checkpoint cpA is lost, an operator restarts
+    // the stream with a FRESH checkpoint — its batch ids restart at 0
+    // and every batch would be silently discarded by the replay check.
+    // The fence turns that silent loss into a loud failure.
+    val q = Sinks.sinkVersionedExactlyOnce(stream(src), storage, "ft",
+      cpB.toString)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(m => m.contains("owned by stream writer") &&
+        m.contains("takeOverVersioned"))),
+      s"the stream must fail with the fence's actionable error: $e")
+    assert(storage.readVersioned("ft").count() == 3,
+      "nothing from the fenced stream may land (and nothing may be skipped)")
+    // explicit handover: the new stream re-reads the source from
+    // scratch (fresh checkpoint = fresh offsets) and its re-delivered
+    // batches COMMIT under the new epoch — re-delivery after takeover
+    // is the documented, deliberate semantics
+    storage.takeOverVersioned("ft", cpB.toString)
+    Sinks.sinkVersionedExactlyOnce(stream(src), storage, "ft",
+      cpB.toString).awaitTermination(180000)
+    assert(storage.readVersioned("ft").count() == 6)
+    // and the new owner's own replay protection works across restarts
+    Sinks.sinkVersionedExactlyOnce(stream(src), storage, "ft",
+      cpB.toString).awaitTermination(180000)
+    assert(storage.readVersioned("ft").count() == 6)
+  }
+
+  test("auto-maintenance sink: compacts/vacuums on schedule; kill across the boundary stays exactly-once") {
+    val src = Files.createTempDirectory("graft-auto-src-")
+    val cp = Files.createTempDirectory("graft-auto-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-auto-wh-").toString)
+    (0 until 6).foreach(i =>
+      writeBatchFile(src, f"$i%03d.parquet", Seq(i * 10L, i * 10L + 1L)))
+    // run 1: the sink's own policy (compactEvery=2, vacuumKeep=2),
+    // killed right AFTER batch 3's commit + auto-compaction but BEFORE
+    // the checkpoint update — the replay then crosses a compaction
+    // boundary, the exact interleaving the high-water header exists for
+    val q1 = stream(src).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val committed = storage.appendBatchIdempotent("auto", b, id,
+          writer = cp.toString)
+        if (committed.nonEmpty && (id + 1) % 2 == 0) {
+          storage.compactVersions("auto")
+          storage.vacuumVersions("auto", 2)
+        }
+        if (id == 3) throw new RuntimeException("injected post-compaction kill")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // run 2: the packaged sink with the same policy resumes; batch 3
+    // replays (post-compaction!), must be skipped; batches 4..5 land
+    // and trigger one more maintenance round
+    Sinks.sinkVersionedExactlyOnce(stream(src), storage, "auto",
+      cp.toString, compactEvery = 2, vacuumKeep = 2)
+      .awaitTermination(180000)
+    val got = storage.readVersioned("auto").collect().map(_.getLong(0))
+      .sorted.toSeq
+    assert(got == (0 until 6).flatMap(i => Seq(i * 10L, i * 10L + 1L)),
+      s"every batch exactly once across auto-compactions: $got")
+    // the maintenance actually ran: history is bounded by the vacuum
+    // policy instead of growing one version per batch (+ maintenance)
+    assert(storage.versions("auto").size <= 4,
+      s"vacuum must bound history: ${storage.versions("auto")}")
+    // replays of every batch id are still recognized post-vacuum
+    (0 until 6).foreach { i =>
+      assert(storage.appendBatchIdempotent("auto",
+        Seq(Tuple1(999L)).toDF("x"), i.toLong, writer = cp.toString).isEmpty,
+        s"batch $i must replay as a no-op")
+    }
+  }
+
   test("sinkVersionedExactlyOnce lands each micro-batch as one atomic version and resumes across runs") {
     val src = Files.createTempDirectory("graft-sink2-src-")
     val cp = Files.createTempDirectory("graft-sink2-cp-")
