@@ -681,13 +681,83 @@ object Corpus {
     * .vacuumVersions]] is the retention policy.
     */
   def saveAnnIndex(index: AnnIndex, storage: graft.sources.Storage,
-      name: String): Long = {
+      name: String): Long = saveAnnIndex(index, storage, name, -1L)
+
+  /** [[saveAnnIndex]] recording the CORPUS version the index was built
+    * from (a versioned table's committed version): the pointer then
+    * pins `(centroids version, lists version, corpus version)`, which
+    * is what lets [[refreshAnnIndex]] later consume exactly the corpus
+    * delta `> corpusVersion` — the nightly maintenance loop's
+    * checkpoint, stored WITH the artifact versions so index and corpus
+    * can never disagree about where "new data" starts.
+    */
+  def saveAnnIndex(index: AnnIndex, storage: graft.sources.Storage,
+      name: String, corpusVersion: Long): Long = {
     val vc = storage.putVersioned(s"${name}__centroids", index.centroids)
     val vl = storage.putVersioned(s"${name}__lists", index.lists)
     val spark = index.centroids.sparkSession
     import spark.implicits._
     storage.putVersioned(s"${name}__ann",
-      Seq((vc, vl)).toDF("centroids_version", "lists_version"))
+      Seq((vc, vl, corpusVersion))
+        .toDF("centroids_version", "lists_version", "corpus_version"))
+  }
+
+  /** CDC-driven INCREMENTAL maintenance of a persisted ANN index — the
+    * nightly loop a production pipeline runs, composed from the three
+    * primitives built for it: consume the corpus rows appended since
+    * the version the pointer pinned
+    * ([[graft.sources.Storage.readVersionedSince]] — reads ONLY the
+    * delta directories, zero base scans), assign each new vector to
+    * its home cell under the FROZEN centroids (the `sim_ivf_upsert`
+    * kernel — one O(|delta|·√n) pass, no retraining, no touch of the
+    * existing lists), append the delta lists as a new version
+    * (O(delta) write), and publish a new pointer pinning (unchanged
+    * centroids version, new lists version, consumed corpus version) in
+    * one atomic commit. Serve(refreshed) is row-identical to
+    * serve(lists rebuilt from scratch under the same centroids) —
+    * assignment is per-vector (spec-pinned); what drifts under pure
+    * upsert is only training-set coverage, the standing cue for
+    * periodic full retrains. Returns the new pointer version; a no-op
+    * (corpus unchanged) returns the current one.
+    *
+    * The corpus table must expose `(id, vec)` columns; refuses a
+    * pointer that never recorded a corpus version (re-save with
+    * [[saveAnnIndex]]'s corpus-version form first) and inherits
+    * [[graft.sources.Storage.readVersionedSince]]'s refusal across
+    * compactions (an honest full rebuild beats silently double-
+    * indexing re-packed rows).
+    */
+  def refreshAnnIndex(storage: graft.sources.Storage, name: String,
+      corpusTable: String, id: String = "vec_id",
+      vec: String = "embedding"): Long = {
+    val ptr = storage.readVersioned(s"${name}__ann").collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__ann' must hold exactly one row, got ${ptr.length}")
+    require(ptr(0).schema.fieldNames.contains("corpus_version") &&
+      ptr(0).getAs[Long]("corpus_version") >= 0L,
+      s"index '$name' was saved without a corpus version; re-save with " +
+        "saveAnnIndex(index, storage, name, corpusVersion) to enable " +
+        "incremental refresh")
+    val sinceV = ptr(0).getAs[Long]("corpus_version")
+    val vcs = storage.versions(corpusTable)
+    require(vcs.nonEmpty, s"no versioned corpus table '$corpusTable'")
+    val curV = vcs.last
+    if (curV == sinceV) return storage.versions(s"${name}__ann").last
+    val delta = storage.readVersionedSince(corpusTable, sinceV)
+      .select(col(id).as("vec_id"), col(vec).as("embedding"))
+    val centV = ptr(0).getAs[Long]("centroids_version")
+    val cent = storage.readVersioned(s"${name}__centroids", centV)
+      .localCheckpoint()
+    val deltaLists = graft.operators.Similarity.kernelProbeCells(delta,
+      cent, 1, "c_id", "cv_c", "cn_c")
+    val vl = storage.appendVersioned(s"${name}__lists", deltaLists)
+    val spark = cent.sparkSession
+    import spark.implicits._
+    val out = storage.putVersioned(s"${name}__ann",
+      Seq((centV, vl, curV))
+        .toDF("centroids_version", "lists_version", "corpus_version"))
+    graft.operators.RelCache.freeLocalCheckpoint(cent)
+    out
   }
 
   /** Rehydrate a persisted [[AnnIndex]] (see [[saveAnnIndex]]) at
@@ -710,6 +780,61 @@ object Corpus {
       .readVersioned(s"${name}__lists", ptr(0).getLong(1))
       .localCheckpoint()
     AnnIndex(cent, lists)
+  }
+
+  /** Train a [[Tokenizer]] over a `(doc_id, text)` corpus: `n` BPE
+    * merges from the production-scale batched trainer
+    * ([[graft.operators.TextAnalysis.bpeMergesDisjoint]] — measured to
+    * corpus saturation in SCALING.md) plus the distinct-word
+    * vocabulary, both materialized — the build-once half of the
+    * tokenizer's build-once/apply-many lifecycle. Persist with
+    * [[saveTokenizer]].
+    */
+  def buildTokenizer(docs: DataFrame,
+      n: Int = TextAnalysis.BpeTrainMerges,
+      maxPerRound: Int = TextAnalysis.BpeMaxMergesPerRound): Tokenizer =
+    Tokenizer(
+      TextAnalysis.bpeMergesDisjoint(docs, n, maxPerRound).localCheckpoint(),
+      TextAnalysis.bpeVocabOf(docs).localCheckpoint())
+
+  /** Persist a trained [[Tokenizer]] so it outlives the session — the
+    * same versioned-tables + atomic-pointer pattern as
+    * [[saveAnnIndex]]: the merge table and vocabulary land as two
+    * versioned tables, then a one-row `<name>__tok` pointer pins their
+    * exact versions in a single commit (a merge table applied over a
+    * DIFFERENT save's vocabulary would trip the apply plan's coverage
+    * guard at best, mis-chunk silently at worst — the pointer makes
+    * the pairing unmixable). Re-saving appends new versions; old
+    * tokenizers stay loadable (time travel — reproduce last month's
+    * token counts bit-for-bit). Returns the saved version.
+    */
+  def saveTokenizer(tok: Tokenizer, storage: graft.sources.Storage,
+      name: String): Long = {
+    val vm = storage.putVersioned(s"${name}__merges", tok.merges)
+    val vv = storage.putVersioned(s"${name}__vocab", tok.vocab)
+    val spark = tok.merges.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__tok",
+      Seq((vm, vv)).toDF("merges_version", "vocab_version"))
+  }
+
+  /** Rehydrate a persisted [[Tokenizer]] at `version` (default: latest
+    * save) — ZERO training passes (spec-pinned): the merge table and
+    * vocabulary read back at their pinned versions as session-local
+    * checkpoints, and [[Tokenizer.applied]] is byte-identical to the
+    * tokenizer that was saved.
+    */
+  def loadTokenizer(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): Tokenizer = {
+    val ptr = storage.readVersioned(s"${name}__tok", version).collect()
+    require(ptr.length == 1,
+      s"tokenizer pointer '${name}__tok' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    Tokenizer(
+      storage.readVersioned(s"${name}__merges", ptr(0).getLong(0))
+        .localCheckpoint(),
+      storage.readVersioned(s"${name}__vocab", ptr(0).getLong(1))
+        .localCheckpoint())
   }
 
   /** Cross-modal pair mining over YOUR frames (the gated `mm_pair_mine`

@@ -82,6 +82,45 @@ final case class PairMiningBase private[api] (
   }
 }
 
+/** A TRAINED BPE tokenizer: the rank-ordered merge table
+  * (`(rank, l, r, merged, cnt)`, from the production-scale batched
+  * trainer) and the distinct-word vocabulary it was trained over —
+  * the two artifacts a production pipeline persists when the
+  * tokenizer trains, exactly as ANN indexes persist centroids+lists.
+  * Build once with [[Corpus.buildTokenizer]] (or rehydrate with
+  * [[Corpus.loadTokenizer]]); tokenize any number of corpora through
+  * [[applied]] with ZERO further training passes.
+  */
+final case class Tokenizer private[api] (
+    merges: DataFrame, vocab: DataFrame) {
+
+  /** The collected rank-ordered merge rules — model-sized by
+    * construction (the trainer caps the table at the requested merge
+    * count), the same driver-side posture as broadcasting centroids.
+    */
+  lazy val mergePairs: Seq[(String, String)] =
+    merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Tokenize a `(doc_id, text)` corpus under the trained merges:
+    * per-doc `(n_words, n_chars, n_bpe_tokens)`. The persisted
+    * vocabulary serves the chunked merge chain directly — no
+    * corpus-distinct pass — and a corpus the vocabulary does NOT
+    * cover fails loudly (the apply plan's coverage guard), never
+    * undercounts: tokenize a NEW corpus through
+    * [[graft.operators.TextAnalysis.bpeAppliedWith]] with
+    * `vocab = None` (in-plan vocabulary) instead.
+    */
+  def applied(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bpeAppliedWith(docs, mergePairs, Some(vocab))
+
+  /** Release the checkpoint blocks (see [[AnnIndex.close]]). */
+  def close(): Unit = {
+    graft.operators.RelCache.freeLocalCheckpoint(merges)
+    graft.operators.RelCache.freeLocalCheckpoint(vocab)
+  }
+}
+
 private[api] object Indexes {
 
   /** Train + materialize a flat-IVF index over a `(vec_id, embedding)`

@@ -72,11 +72,26 @@ object CcProbe {
         e.count()
         e
       }
+      // the EXACT-FIRST edge build over the same replicated corpus:
+      // byte-identical replicas collapse before the banded join, so the
+      // quadratic machinery sees only distinct texts — timed against
+      // the raw build above, and its components must agree (the star
+      // re-expansion is lossless)
+      val (xfEdges, tXf) = time {
+        val e = Dedup.nearDupEdgesExactFirst(docs, minJaccard = 0.3)
+          .filter(col("est_jaccard") >= Dedup2.ClusterThreshold)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint()
+        e.count()
+        e
+      }
       val nEdges = edges.count()
       val overCap = nEdges > Dedup2.DriverCcMaxEdges
       println(f"k=$k%2d docs=${base.count() * k}%8d edges=$nEdges%9d " +
         f"edge_build=$tEdges%7.1fs over_cap=$overCap " +
         f"(cap=${Dedup2.DriverCcMaxEdges})")
+      println(f"  exact-first: edges=${xfEdges.count()}%9d " +
+        f"edge_build=$tXf%7.1fs (star re-expansion of exact groups)")
 
       val ((prop, pRounds, pFellBack), tProp) =
         time(Dedup2.connectedComponentsInstrumented(edges))
@@ -96,10 +111,20 @@ object CcProbe {
       val dSum = checksum(drv)
       println(f"  driver-uf   : $tDrv%7.1fs " +
         f"(vertices,comps,sum)=$dSum")
-      val agree = pSum == sSum && sSum == dSum
+      // components from the exact-first edges must MATCH the raw arms'
+      // (vertices, comps, min-id label sum) — the losslessness witness
+      // at ladder scale, on top of the dd_cluster_xf oracle row
+      val (xf, tXfCc) = time {
+        val d = Dedup2.connectedComponentsDriver(xfEdges).localCheckpoint()
+        d.count(); d
+      }
+      val xSum = checksum(xf)
+      println(f"  xf-cc       : $tXfCc%7.1fs (vertices,comps,sum)=$xSum")
+      val agree = pSum == sSum && sSum == dSum && dSum == xSum
       println(s"  agree=$agree")
       require(agree, "CC arms disagree!")
-      Seq(edges, prop, star, drv).foreach(RelCache.freeLocalCheckpoint)
+      Seq(edges, xfEdges, prop, star, drv, xf)
+        .foreach(RelCache.freeLocalCheckpoint)
     }
     spark.stop()
   }

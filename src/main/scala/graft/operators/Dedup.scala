@@ -561,6 +561,55 @@ object Dedup {
     cachedCandidates(s, d)
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
 
+  /** EXACT-FIRST near-dup edges: collapse byte-identical documents to
+    * one canonical representative per fingerprint, run the banded-LSH
+    * pipeline on the DISTINCT survivors only, and re-expand each
+    * collapsed group as a STAR (canonical → member, est_jaccard 1.0).
+    * Component-equivalent to [[nearDupCandidates]] over the full corpus
+    * — provably: byte-identical texts have identical signatures, so
+    * (a) every cross-group LSH edge the raw path finds between members
+    * exists between their canonicals with the same estimate, and (b) a
+    * group's within-clique edges (est 1.0 in every band) connect
+    * exactly the docs the star re-expansion connects — same components,
+    * same min-id labels (the `dd_cluster_xf` gate pins this
+    * cross-engine: Spark runs THIS path, the DuckDB oracle the raw
+    * one).
+    *
+    * This ordering is the 100 TB shape for crawl corpora, which are
+    * mostly EXACT mirrors: a group of k identical docs costs the raw
+    * banded join k² bucket-pair rows per band (the CcProbe ladder
+    * measured the k=80 rung's edge build at 262 s — ~95% of
+    * end-to-end), while here it costs one hash-aggregate row plus k-1
+    * star edges, and the quadratic machinery only ever sees distinct
+    * texts. The collapse key is md5 over the RAW text (not the
+    * normalized [[ddExact]] fingerprint): byte-identity is exactly the
+    * condition under which dropping a member loses nothing — a
+    * case-folded "duplicate" can shingle differently, and near-dup
+    * edges are the LSH stage's job.
+    *
+    * Docs too short to shingle (< 3 tokens) are excluded from the
+    * collapse, mirroring the signature pipeline's own eligibility —
+    * collapsing them would invent edges (identical 2-token docs) the
+    * signature path cannot see.
+    */
+  def nearDupEdgesExactFirst(docs: DataFrame,
+      minJaccard: Double = 0.3): DataFrame = {
+    val eligible = docs.filter(size(graft.functions.WordShinglesExpr
+      .wordShinglesNative(col("text"), 3)) > 0)
+    val fp = eligible.select(col("doc_id"), md5(col("text")).as("fp"))
+    // one hash-aggregate absorbs the k² skew map-side; canonical = min id
+    val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id"))
+    val members = fp.join(canon, "fp")
+    val star = members.filter(col("doc_id") =!= col("canon_id"))
+      .select(col("canon_id").as("a_id"), col("doc_id").as("b_id"),
+        lit(1.0).as("est_jaccard"))
+    val survivors = docs.join(
+      members.filter(col("doc_id") === col("canon_id")).select(col("doc_id")),
+      "doc_id")
+      .select(col("doc_id"), col("text"))
+    nearDupCandidates(survivors, minJaccard).unionByName(star)
+  }
+
   /** Shared DuckDB CTE chain for the minhash+LSH pipeline (through the
     * `cand` and `sig` relations): the md5-derived base hash and the
     * affine coefficient family are embedded as literals, so signatures

@@ -591,6 +591,22 @@ object Dedup2 {
       .filter(col("est_jaccard") >= ClusterThreshold)
       .select(col("a_id"), col("b_id")))
 
+  /** Duplicate clusters, EXACT-FIRST form: collapse byte-identical docs
+    * before the banded-LSH candidate join, cluster the survivors, and
+    * re-expand the exact groups as star edges
+    * ([[Dedup.nearDupEdgesExactFirst]]) — the edge-build order a
+    * crawl-mirror corpus needs at 100 TB, where exact-duplicate cliques
+    * otherwise explode ~k² inside the banding (the CcProbe k=80 rung:
+    * 262 s raw vs the distinct-doc cost with the pre-pass; SCALING.md).
+    * Cross-engine losslessness proof: the DuckDB oracle is the RAW
+    * LSH clustering ([[ddClusterLshSql]]) — hash-equality of the two
+    * paths' components IS the claim that the collapse loses nothing.
+    */
+  def ddClusterXf(s: SparkSession, d: String): DataFrame =
+    clusterize(Dedup.nearDupEdgesExactFirst(documents(s, d))
+      .filter(col("est_jaccard") >= ClusterThreshold)
+      .select(col("a_id"), col("b_id")))
+
   /** Components + per-cluster bookkeeping over an `(a_id, b_id)` edge
     * list: one row per clustered doc with its component id, cluster
     * size, and canonical flag (id == component min). Public — this is
@@ -944,6 +960,7 @@ object Dedup2 {
     "dd_canonical"     -> ddCanonical _,
     "dd_canonical_lsh" -> ddCanonicalLsh _,
     "dd_cluster_lsh"   -> ddClusterLsh _,
+    "dd_cluster_xf"    -> ddClusterXf _,
     "dd_semantic"      -> ddSemantic _,
     "dd_semantic_lsh"  -> ddSemanticLsh _,
   )
@@ -955,6 +972,9 @@ object Dedup2 {
     "dd_canonical"     -> ddCanonicalSql,
     "dd_canonical_lsh" -> ddCanonicalLshSql,
     "dd_cluster_lsh"   -> ddClusterLshSql,
+    // deliberately the RAW-path SQL: equality certifies the exact-first
+    // collapse is lossless (see ddClusterXf)
+    "dd_cluster_xf"    -> ddClusterLshSql,
     "dd_semantic"      -> ddSemanticSql,
     "dd_semantic_lsh"  -> ddSemanticLshSql,
   )

@@ -665,9 +665,32 @@ object TextAnalysis {
   /** [[bpeMergesBatched]] plus the Spark-round count — the spec/ladder
     * hook (SCALING.md's amortized-cost rows need merges ÷ rounds).
     */
+  /** Count of BPE training runs on the current thread — the serve-
+    * posture witness [[graft.operators.Similarity.trainingPasses]] is
+    * for IVF training, here for the tokenizer: a loaded
+    * [[graft.api.Tokenizer]]'s apply must leave this unchanged
+    * (training either ran or it didn't; wall-clock comparisons flake).
+    */
+  private[graft] object bpeTrainingPasses extends ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+    def increment(): Unit = set(get() + 1L)
+  }
+
+  /** The corpus's distinct alphanumeric words as a `(w)` frame — the
+    * vocabulary artifact the BPE family trains over and applies to
+    * (frame-parametric form of [[cachedBpeVocab]]; what
+    * [[graft.api.Corpus.saveTokenizer]] persists beside the merges).
+    */
+  def bpeVocabOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+      .select(col("w")).distinct()
+
   private[graft] def bpeMergesInstrumented(docs: DataFrame, n: Int,
       exact: Boolean, maxPerRound: Int,
       qualityFrac: Double = BpeBatchQualityFrac): (DataFrame, Int) = {
+    bpeTrainingPasses.increment()
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
@@ -876,11 +899,7 @@ object TextAnalysis {
 
   def cachedBpeVocab(s: SparkSession, d: String): DataFrame =
     bpeVocabCache.getOrBuild((s, d))(
-      documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[A-Za-z0-9]+$"))
-        .select(col("w")).distinct()
-        .localCheckpoint())
+      bpeVocabOf(documents(s, d)).localCheckpoint())
 
   private val bpeVocabCache =
     new RelCache[(SparkSession, String)](_._1, _._2)

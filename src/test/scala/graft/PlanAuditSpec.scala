@@ -456,7 +456,6 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("global-window inventory: every unpartitioned Window in every query runs over a bounded relation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
-    import org.apache.spark.sql.execution.LogicalRDD
     // The full sweep: an unpartitioned Window sorts its ENTIRE input
     // in one task — fine over a model/presentation-sized relation,
     // a scale-killer over the corpus. This pin walks the OPTIMIZED
@@ -466,12 +465,18 @@ class PlanAuditSpec extends SparkTestBase {
     // Warning noise ("No Partition Defined for Window operation") can
     // then always be matched against this committed inventory.
     def globalWindows(name: String): Seq[LWindow] =
-      SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-    // the queries ALLOWED an unpartitioned window, with the bounded
-    // relation each runs over:
+      // a plan that fails to BUILD fails the audit (it would otherwise
+      // silently shrink the sweep — a planner regression must surface
+      // here, not as a smaller inventory)
+      (try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+       catch { case e: Throwable =>
+         fail(s"$name: plan failed to build, shrinking the audit: $e") })
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    // the queries ALLOWED an unpartitioned window, each with the
+    // AUDITED GROUPING KEYS that bound its window input's cardinality
+    // (bucket prefixes <= 256, domains/langs, path triples) — a
+    // corpus-keyed aggregate (groupBy(doc_id): one row per document)
+    // must NOT satisfy the witness, so the keys are pinned by name:
     //   cp_shuffle      — the 256-row per-bucket count table
     //   cp_token_budget — the 256-row per-bucket token totals
     //   cp_waterfill    — the per-domain capacity table
@@ -480,32 +485,61 @@ class PlanAuditSpec extends SparkTestBase {
     //   pipe_mix        — waterfillAlloc over the per-lang caps, by
     //                     composition (the optimizer splits its spec
     //                     into several Window nodes, all caps-sized)
-    val allowed = Set("cp_shuffle", "cp_token_budget",
-      "cp_waterfill", "ev_path", "pipe_qa", "pipe_mix")
+    val auditedKeys: Map[String, Set[String]] = Map(
+      "cp_shuffle"      -> Set("__b"), // the md5 bucket prefix, <= 256
+      "cp_token_budget" -> Set("__b"),
+      "cp_waterfill"    -> Set("domain", "lang"),
+      "ev_path"         -> Set("path"),
+      "pipe_qa"         -> Set("__b"),
+      "pipe_mix"        -> Set("lang", "domain"))
+    val allowed = auditedKeys.keySet
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val gw = try globalWindows(name) catch { case _: Throwable => Nil }
+      val gw = globalWindows(name)
       if (gw.nonEmpty && !allowed.contains(name)) Some(name -> gw.size)
       else None
     }
     assert(offenders.isEmpty,
       s"unpartitioned windows outside the audited inventory: $offenders")
-    // and each allowed site's window input must be an AGGREGATED
-    // relation (bounded by its group-key cardinality: bucket prefixes,
-    // domains, path triples) or a materialized model-sized sample —
-    // never a raw corpus scan
-    def boundedWitness(p: LogicalPlan): Boolean =
+    // each allowed site's window input must be an aggregate whose
+    // grouping keys are exactly the audited bounded-cardinality keys —
+    // "some Aggregate, somewhere" is not enough (a 500k-row
+    // groupBy(doc_id) is an Aggregate too)
+    def boundedWitness(name: String, p: LogicalPlan): Boolean = {
+      val keys = auditedKeys(name)
       p.collectFirst {
-        case a: Aggregate => a
-        case r: LogicalRDD => r
+        case a: Aggregate if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.references.nonEmpty) &&
+          a.groupingExpressions.flatMap(_.references).forall(r =>
+            keys.exists(k => r.name.toLowerCase.contains(k))) => a
       }.nonEmpty
+    }
     allowed.toSeq.sorted.foreach { name =>
       val gw = globalWindows(name)
       assert(gw.nonEmpty,
         s"$name: expected its audited global window (update the inventory)")
       gw.foreach { w =>
-        assert(boundedWitness(w.child),
-          s"$name: a global window no longer sits over an aggregated/" +
-            s"bounded input:\n${w.child.treeString}")
+        assert(boundedWitness(name, w.child),
+          s"$name: a global window no longer sits over its audited " +
+            s"bounded-key aggregate (${auditedKeys(name)}):\n" +
+            w.child.treeString)
+      }
+    }
+    // the witness itself must REJECT a corpus-keyed aggregate: a
+    // deliberately-injected groupBy(doc_id) global window (one row per
+    // document — 500k+ at scale) under any audited query fails the
+    // sweep instead of slipping through as "some aggregate"
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    val injected = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(injected.nonEmpty, "the injection fixture must plan a global window")
+    allowed.foreach { name =>
+      injected.foreach { w =>
+        assert(!boundedWitness(name, w.child),
+          s"$name: the witness accepted a corpus-keyed (doc_id) aggregate")
       }
     }
   }

@@ -606,4 +606,110 @@ class CorpusSpec extends SparkTestBase {
     // loaded handles own their blocks: close frees them
     Seq(built, built2, loaded, old, latest).foreach(_.close())
   }
+
+  test("refreshAnnIndex: CDC delta upsert equals a lists rebuild under the frozen centroids, zero retraining") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-annrefresh-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    // "yesterday's" corpus version and today's appended delta
+    storage.putVersioned("cvecs", e.filter($"vec_id" < n * 4 / 5))
+    val built = Corpus.buildAnnIndex(storage.readVersioned("cvecs"))
+    val pv1 = Corpus.saveAnnIndex(built, storage, "ridx",
+      corpusVersion = storage.versions("cvecs").last)
+    storage.appendVersioned("cvecs", e.filter($"vec_id" >= n * 4 / 5))
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    val pv2 = Corpus.refreshAnnIndex(storage, "ridx", "cvecs")
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "an incremental refresh must never run a full-corpus training pass")
+    assert(pv2 == pv1 + 1)
+    // the pointer records the consumed corpus version and the SAME
+    // centroids version (frozen — nothing was retrained)
+    val ptr = storage.readVersioned("ridx__ann").collect()(0)
+    assert(ptr.getAs[Long]("corpus_version") ==
+      storage.versions("cvecs").last)
+    assert(ptr.getAs[Long]("centroids_version") ==
+      storage.readVersioned("ridx__ann", pv1).collect()(0)
+        .getAs[Long]("centroids_version"))
+    // serve equality: the refreshed index answers exactly like lists
+    // REBUILT from scratch over the grown corpus under the same frozen
+    // centroids (assignment is per-vector, so upsert == rebuild)
+    val refreshed = Corpus.loadAnnIndex(storage, "ridx")
+    val rebuilt = AnnIndex(refreshed.centroids,
+      graft.operators.Similarity.kernelProbeCells(
+        e.select($"vec_id", $"embedding"), refreshed.centroids, 1,
+        "c_id", "cv_c", "cn_c").localCheckpoint())
+    val queries = e.filter($"vec_id" < 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))
+    val got = refreshed.topK(queries, k = 5, excludeSelf = true)
+      .collect().map(key).toSet
+    assert(got == rebuilt.topK(queries, k = 5, excludeSelf = true)
+      .collect().map(key).toSet && got.nonEmpty)
+    // the delta's vectors are actually served (a query's own delta
+    // vector ranks first without self-exclusion)
+    val deltaQ = e.filter($"vec_id" >= n * 4 / 5).limit(2)
+    val deltaHits = refreshed.topK(deltaQ, k = 3).collect()
+      .filter(r => r.getLong(0) == r.getLong(2))
+    assert(deltaHits.length == 2 &&
+      deltaHits.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9),
+      "each upserted vector must find ITSELF in the refreshed index")
+    // corpus unchanged -> no-op refresh returns the current pointer
+    assert(Corpus.refreshAnnIndex(storage, "ridx", "cvecs") == pv2)
+    // a pointer saved without a corpus version refuses with guidance
+    Corpus.saveAnnIndex(built, storage, "ridx0")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.refreshAnnIndex(storage, "ridx0", "cvecs")
+    }
+    assert(err.getMessage.contains("corpus version"), err.getMessage)
+    Seq(built, refreshed, rebuilt).foreach(_.close())
+  }
+
+  test("saveTokenizer/loadTokenizer: loaded chunked apply is byte-identical with zero training passes") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-toksave-").toString)
+    // a vocabulary-rich fixture (260 distinct 10-char words, each
+    // occurring twice) so the trainer learns PAST the 64-merge chunk
+    // size — the apply path then exercises its chunked replace chain
+    val words = (for (a <- 'a' to 'z'; b <- 'a' to 'j')
+      yield s"$a${b}quantify").toIndexedSeq
+    val fixture = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, s"$w ${words((i + 7) % words.size)} common shared tail")
+    }.toDF("doc_id", "text")
+    val tok = Corpus.buildTokenizer(fixture, n = 80)
+    assert(tok.mergePairs.size > graft.operators.TextAnalysis.BpeMaxMergesPerRound,
+      s"fixture must train past one chunk, got ${tok.mergePairs.size} merges")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val expect = tok.applied(fixture).collect().map(key).toSeq
+    val v1 = Corpus.saveTokenizer(tok, storage, "bpe")
+    // rehydrate: byte-identical apply, ZERO training passes
+    val passesBefore = graft.operators.TextAnalysis.bpeTrainingPasses.get()
+    val loaded = Corpus.loadTokenizer(storage, "bpe")
+    val got = loaded.applied(fixture).collect().map(key).toSeq
+    assert(graft.operators.TextAnalysis.bpeTrainingPasses.get() == passesBefore,
+      "loading a persisted tokenizer must not retrain")
+    assert(got == expect && got.nonEmpty)
+    assert(loaded.mergePairs == tok.mergePairs,
+      "rank order must survive the round trip exactly")
+    // the persisted-vocab serve equals the in-plan-vocab apply
+    val inPlan = graft.operators.TextAnalysis.bpeAppliedWith(
+      fixture, loaded.mergePairs).collect().map(key).toSeq
+    assert(got == inPlan)
+    // time travel: a re-save publishes a new version, the old pointer
+    // still reproduces the ORIGINAL counts bit-for-bit
+    val tok2 = Corpus.buildTokenizer(fixture, n = 10)
+    val v2 = Corpus.saveTokenizer(tok2, storage, "bpe")
+    assert(v2 == v1 + 1)
+    assert(Corpus.loadTokenizer(storage, "bpe", version = v1)
+      .applied(fixture).collect().map(key).toSeq == expect)
+    // a corpus the saved vocabulary does not cover fails LOUDLY (the
+    // coverage guard), never undercounts
+    intercept[Exception] {
+      loaded.applied(Seq((1L, "neverseenword alpha"))
+        .toDF("doc_id", "text")).collect()
+    }
+    Seq(tok, tok2, loaded).foreach(_.close())
+  }
 }

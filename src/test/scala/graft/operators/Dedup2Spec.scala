@@ -224,6 +224,49 @@ class Dedup2Spec extends SparkTestBase {
     }
   }
 
+  test("exact-first edges cluster identically to the raw LSH path on mirrors, near-dups, and chains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a crawl-mirror-shaped fixture: exact-duplicate groups (identical
+    // bytes), a near-dup pair bridging two groups, a chain through a
+    // near-dup, unique docs, and degenerate short docs the signature
+    // pipeline cannot see (identical 2-token texts: NO edge either way)
+    // 30 words with ONLY the last differing: shingle Jaccard 27/29 ≈
+    // 0.93, comfortably above the 0.8 cluster threshold even under the
+    // 64-hash estimator's noise (both paths use the SAME estimate, so
+    // the equality pin holds regardless)
+    val stem = (1 to 29).map(i => s"word$i").mkString(" ")
+    val a = s"$stem alpha"
+    val aNear = s"$stem omega"
+    val b = (1 to 30).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      1L -> a, 2L -> a, 3L -> a,            // exact group A
+      4L -> aNear, 5L -> aNear,             // exact group, near-dup of A
+      6L -> b, 7L -> b,                     // exact group B (separate)
+      8L -> "completely unrelated text about distributed query engines",
+      9L -> "tiny doc", 10L -> "tiny doc"   // shingle-less: invisible
+    ).toDF("doc_id", "text")
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Dedup2.clusterize(
+          edges.filter(col("est_jaccard") >= Dedup2.ClusterThreshold)
+            .select(col("a_id"), col("b_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    val raw = comps(Dedup.nearDupCandidates(docs))
+    val xf = comps(Dedup.nearDupEdgesExactFirst(docs))
+    assert(xf == raw,
+      s"exact-first must be component-identical to the raw path:\n" +
+        s"raw=$raw\nxf=$xf")
+    // and the fixture actually exercised the collapse: group A and its
+    // near-dup group fused across the canonical bridge
+    assert(raw.exists { case (_, comp, size, _) => comp == 1L && size == 5L },
+      s"groups 1-3 and 4-5 must fuse into one 5-doc component: $raw")
+    assert(raw.exists { case (_, comp, size, _) => comp == 6L && size == 2L })
+    // shingle-less docs appear in NEITHER output
+    assert(!raw.exists(t => t._1 >= 9L) && !xf.exists(t => t._1 >= 9L),
+      "short docs are invisible to both paths by construction")
+  }
+
   test("dd_canonical_lsh keeps the argmax-quality member of each LSH component") {
     import org.apache.spark.sql.functions.{lit, size, struct, when}
     // quality as the engine computes it, materialized per doc
