@@ -131,6 +131,19 @@ object Corpus {
     graft.operators.Dedup.nearDupCandidates(
       df.select(col(id).as("doc_id"), col(text).as("text")), minJaccard)
 
+  /** [[nearDupPairs]] with the EXACT-FIRST collapse
+    * ([[graft.operators.Dedup.nearDupEdgesExactFirst]]): byte-identical
+    * docs collapse to one canonical before the banded join and
+    * re-expand as star pairs (est 1.0) after — component-equivalent
+    * output, but the quadratic banding only ever sees distinct texts.
+    * The form to reach for on mirror-heavy corpora: the k=80 replica
+    * rung measured 29 s vs 220 s for the raw banding (SCALING.md).
+    */
+  def nearDupPairsExactFirst(df: DataFrame, id: String = "doc_id",
+      text: String = "text", minJaccard: Double = 0.3): DataFrame =
+    graft.operators.Dedup.nearDupEdgesExactFirst(
+      df.select(col(id).as("doc_id"), col(text).as("text")), minJaccard)
+
   /** Per-doc boilerplate score `(doc_id, source, n_pos, n_boiler,
     * boiler_ratio)`: the fraction of the doc's shingle positions that
     * occur in ≥ `minDocs` distinct documents — C4's repeated-template
@@ -274,6 +287,17 @@ object Corpus {
       threshold: Double = graft.operators.Dedup2.ClusterThreshold): DataFrame =
     graft.operators.Dedup2.clusterize(
       nearDupPairs(df, id, text, threshold)
+        .select(col("a_id"), col("b_id")))
+
+  /** [[dupClusters]] through the exact-first edge builder (the gated
+    * `dd_cluster_xf` over YOUR frame): identical clusters, mirror-proof
+    * edge cost — see [[nearDupPairsExactFirst]].
+    */
+  def dupClustersExactFirst(df: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      threshold: Double = graft.operators.Dedup2.ClusterThreshold): DataFrame =
+    graft.operators.Dedup2.clusterize(
+      nearDupPairsExactFirst(df, id, text, threshold)
         .select(col("a_id"), col("b_id")))
 
   /** Per-doc top-`topK` terms by tf-idf `(doc_id, term, tf, df, tfidf,

@@ -187,6 +187,14 @@ class CorpusSpec extends SparkTestBase {
     assert(api == gated && api.nonEmpty)
   }
 
+  test("dupClustersExactFirst facade equals the gated dd_cluster_xf rows") {
+    val facade = Corpus.dupClustersExactFirst(docs).collect()
+    val gated = graft.operators.Dedup2.ddClusterXf(spark, sf0001).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    assert(facade.map(key).toSet == gated.map(key).toSet && facade.nonEmpty)
+  }
+
   test("dupClusters facade equals clusterize over the gated LSH edges") {
     def key(r: org.apache.spark.sql.Row) =
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))
