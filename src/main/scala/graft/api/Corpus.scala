@@ -907,13 +907,53 @@ object Corpus {
     * which corpus snapshot they index. Returns the saved version.
     */
   def saveHybridIndex(index: HybridIndex, storage: graft.sources.Storage,
-      name: String): Long = {
+      name: String): Long = saveHybridIndex(index, storage, name, -1L)
+
+  /** [[saveHybridIndex]] recording the VECTORS corpus version the
+    * dense arm was built from (see [[saveAnnIndex]]'s corpus-version
+    * form) — what enables [[refreshHybridIndex]] to consume only the
+    * vector delta on the next maintenance pass.
+    */
+  def saveHybridIndex(index: HybridIndex, storage: graft.sources.Storage,
+      name: String, vectorsCorpusVersion: Long): Long = {
     val vp = storage.putVersioned(s"${name}__postings", index.postings)
-    val va = saveAnnIndex(index.ann, storage, s"${name}__dense")
+    val va = saveAnnIndex(index.ann, storage, s"${name}__dense",
+      vectorsCorpusVersion)
     val spark = index.postings.sparkSession
     import spark.implicits._
     storage.putVersioned(s"${name}__hybrid",
       Seq((vp, va)).toDF("postings_version", "dense_version"))
+  }
+
+  /** Maintenance pass over a persisted hybrid index, honest about the
+    * asymmetry between its arms:
+    *
+    *  - the DENSE arm refreshes incrementally via [[refreshAnnIndex]]
+    *    — O(vector delta) assignment under the frozen centroids, zero
+    *    retraining;
+    *  - the LEXICAL arm REBUILDS its postings from the docs table's
+    *    current snapshot: BM25 bakes corpus-GLOBAL statistics
+    *    (document frequencies, average length) into every posting, so
+    *    appending only the new docs' postings would serve old rows
+    *    with stale idf/avgdl — silently skewed scores, the dishonest
+    *    alternative. The rebuild is one scan + aggregate (no training);
+    *    at 100 TB the operational dial is running this verb at a lower
+    *    cadence than the dense refresh, which stays nightly.
+    *
+    * One atomic `<name>__hybrid` pointer commit then re-pins (new
+    * postings version, new dense pointer version) — readers never see
+    * a half-refreshed pair. Returns the new pointer version.
+    */
+  def refreshHybridIndex(storage: graft.sources.Storage, name: String,
+      docsTable: String, vectorsTable: String): Long = {
+    val vd = refreshAnnIndex(storage, s"${name}__dense", vectorsTable)
+    val docs = storage.readVersioned(docsTable)
+    val vp = storage.putVersioned(s"${name}__postings",
+      graft.streaming.DocStreams.bm25Postings(docs))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__hybrid",
+      Seq((vp, vd)).toDF("postings_version", "dense_version"))
   }
 
   /** Rehydrate a persisted [[HybridIndex]] at `version` (default:

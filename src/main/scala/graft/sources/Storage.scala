@@ -525,7 +525,16 @@ final class Storage(spark: SparkSession, warehouse: String) {
         (if (epoch > 0) Seq(s"#epoch=$epoch") else Nil) ++
         writer.map(w => s"#writer=$w").toSeq
     fs.mkdirs(vtManifests(name))
-    val tmp = new Path(vtManifests(name), s".v$v.tmp")
+    // the tmp manifest is per-ATTEMPT unique for the same reason the
+    // data dir is: two racing commits targeting the same version would
+    // otherwise write/delete ONE shared `.v<N>.tmp` — the loser's
+    // cleanup can yank the file from under the winner's create
+    // (observed as a chmod-on-missing-file ExitCodeException in the
+    // appender-vs-compactor interleaving), or publish the other
+    // attempt's bytes. Unique names make every attempt's tmp its own;
+    // a crash strands at most one tiny invisible file.
+    val tmp = new Path(vtManifests(name),
+      s".v$v-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(((header ++ allDirs).mkString("\n") + "\n")
       .getBytes("UTF-8"))

@@ -615,6 +615,52 @@ class CorpusSpec extends SparkTestBase {
     Seq(built, built2, loaded, old, latest).foreach(_.close())
   }
 
+  test("refreshHybridIndex: dense arm upserts O(delta), lexical arm rebuilds, zero training passes") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-hybrefresh-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    storage.putVersioned("hdocs", docs.filter($"doc_id" < cut))
+    storage.putVersioned("hvecs", e.filter($"vec_id" < cut))
+    val built = Corpus.buildHybridIndex(
+      storage.readVersioned("hdocs"), storage.readVersioned("hvecs"))
+    Corpus.saveHybridIndex(built, storage, "hyb2",
+      vectorsCorpusVersion = storage.versions("hvecs").last)
+    storage.appendVersioned("hdocs", docs.filter($"doc_id" >= cut))
+    storage.appendVersioned("hvecs", e.filter($"vec_id" >= cut))
+    val passesBefore = graft.operators.Similarity.trainingPasses.get()
+    Corpus.refreshHybridIndex(storage, "hyb2", "hdocs", "hvecs")
+    assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
+      "a hybrid refresh must never run a training pass (the postings " +
+        "rebuild is a scan, the dense arm assigns under frozen centroids)")
+    val loaded = Corpus.loadHybridIndex(storage, "hyb2")
+    // the refreshed serve equals a hand-built twin: postings rebuilt
+    // over the GROWN docs, dense lists rebuilt from scratch under the
+    // SAME frozen centroids (assignment is per-vector)
+    val twin = HybridIndex(
+      graft.streaming.DocStreams.bm25Postings(docs).localCheckpoint(),
+      AnnIndex(loaded.ann.centroids,
+        graft.operators.Similarity.kernelProbeCells(
+          e.select($"vec_id", $"embedding"), loaded.ann.centroids, 1,
+          "c_id", "cv_c", "cn_c").localCheckpoint()))
+    val ids = (0L until 4L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(5) * 1e9))
+    val got = Corpus.hybridTopK(docs, e, ids, index = Some(loaded))
+      .collect().map(key).toSet
+    assert(got == Corpus.hybridTopK(docs, e, ids, index = Some(twin))
+      .collect().map(key).toSet && got.nonEmpty)
+    // the lexical arm really rebuilt: a post-refresh doc's terms are
+    // served (its postings exist), which stale-postings serving misses
+    val newDocTerm = loaded.postings
+      .join(docs.filter($"doc_id" >= cut).select($"doc_id"), "doc_id")
+    assert(newDocTerm.count() > 0,
+      "rebuilt postings must cover the appended docs")
+    Seq(built, loaded, twin).foreach(_.close())
+  }
+
   test("refreshAnnIndex: CDC delta upsert equals a lists rebuild under the frozen centroids, zero retraining") {
     val storage = new graft.sources.Storage(spark,
       java.nio.file.Files.createTempDirectory("graft-annrefresh-").toString)
