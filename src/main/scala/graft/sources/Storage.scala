@@ -540,7 +540,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
       .getBytes("UTF-8"))
     finally out.close()
     val target = vtManifest(name, v)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    if (!publishNoReplace(tmp, target)) {
       fs.delete(tmp, false)
       dataDir.foreach(d => fs.delete(new Path(vtRoot(name), d), true))
       throw new IllegalStateException(
@@ -548,6 +548,37 @@ final class Storage(spark: SparkSession, warehouse: String) {
     }
     v
   }
+
+  /** Publish `tmp` as `target` iff `target` does not exist — the
+    * atomic no-replace primitive the manifest CAS rests on. On HDFS
+    * and object stores, `rename` already refuses an existing target,
+    * so exists-check + rename is sound. POSIX `rename(2)` instead
+    * silently REPLACES the target, leaving a window where two
+    * attempts that both passed the exists check clobber a PUBLISHED
+    * manifest (the loser's bytes win, the winner's data is silently
+    * dropped) — so on the local scheme the publish is a HARD LINK:
+    * `link(2)` fails atomically with EEXIST when the target exists,
+    * closing the window the old scaladoc called microscopic. (The
+    * link carries the raw file; no checksum sidecar is created for
+    * the target name, which ChecksumFileSystem treats as
+    * verification-exempt — same as any externally-written file.)
+    */
+  private def publishNoReplace(tmp: Path, target: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // our tmp vanished: a concurrent vacuum judged this attempt
+        // dead (it targets a version at or under the published
+        // latest), so the CAS was lost anyway — fail it cleanly
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else !fs.exists(target) && fs.rename(tmp, target)
 
   /** Create (or re-snapshot) a versioned table: the new version's
     * manifest references ONLY the freshly-written data. Returns the
@@ -851,6 +882,18 @@ final class Storage(spark: SparkSession, warehouse: String) {
     // delete must not be reported as reclaimed).
     val manifestsGone =
       dropped.count(v => fs.delete(vtManifest(name, v), false))
+    // tmp manifests stranded by crashed commit attempts: any tmp
+    // targeting a version at or under vs.last is dead — its version
+    // either published (another attempt won) or never will from that
+    // file (a still-live stale attempt's no-replace publish fails
+    // anyway). In-flight attempts target vs.last+1 and are never
+    // touched.
+    val TmpName = "\\.v(\\d+)-[0-9a-f]+\\.tmp".r
+    fs.listStatus(vtManifests(name)).toIndexedSeq.map(_.getPath)
+      .foreach(p => p.getName match {
+        case TmpName(tv) if tv.toLong <= vs.last => fs.delete(p, false)
+        case _ => ()
+      })
     val dataRoot = new Path(vtRoot(name), "data")
     // only directories PROVABLY from the past are candidates: a batch
     // dir of a RETIRED epoch (its writer is fenced out and can never
