@@ -774,7 +774,15 @@ object Corpus {
       .localCheckpoint()
     val deltaLists = graft.operators.Similarity.kernelProbeCells(delta,
       cent, 1, "c_id", "cv_c", "cn_c")
-    val vl = storage.appendVersioned(s"${name}__lists", deltaLists)
+    // append ONTO the pointer's pinned lists version, never "latest":
+    // a crashed earlier refresh (died between its lists append and its
+    // pointer commit) leaves an orphan lists version, and stacking this
+    // delta on top of it would serve every orphaned row TWICE. The
+    // base-pinned commit rebuilds from the last version actually served,
+    // so re-runs and double-fired refreshes are idempotent by
+    // construction (each produces a version with the delta exactly once)
+    val vl = storage.appendVersionedOnto(s"${name}__lists", deltaLists,
+      ptr(0).getAs[Long]("lists_version"))
     val spark = cent.sparkSession
     import spark.implicits._
     val out = storage.putVersioned(s"${name}__ann",
@@ -783,6 +791,81 @@ object Corpus {
     graft.operators.RelCache.freeLocalCheckpoint(cent)
     out
   }
+
+  /** Retention policy for a persisted ANN index family — the verb that
+    * makes save/refresh sustainable: every [[saveAnnIndex]] /
+    * [[refreshAnnIndex]] appends versions to the three tables forever,
+    * and raw [[graft.sources.Storage.vacuumVersions]] on the artifact
+    * tables would be UNSAFE (keep-last-K can drop a version an old
+    * retained pointer still pins — the index then fails to load, or
+    * worse loses list files mid-serve). This verb derives the keep set
+    * from the pointers themselves: retain the last `keepLastPointers`
+    * pointer versions, then vacuum the centroids/lists tables keeping
+    * EXACTLY the versions those retained pointers pin (plus each
+    * table's latest) — a pinned artifact version can never be
+    * reclaimed while a loadable pointer references it. Time travel to
+    * vacuumed pointer versions refuses (their manifests are gone);
+    * everything retained loads and serves unchanged. Returns total
+    * (manifests deleted, data directories deleted) across the family.
+    */
+  def vacuumAnnIndex(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = {
+    val ptrGone = storage.vacuumVersions(s"${name}__ann", keepLastPointers)
+    val rows = storage.versions(s"${name}__ann")
+      .map(v => storage.readVersioned(s"${name}__ann", v).collect()(0))
+    val centGone = storage.vacuumVersionsKeeping(s"${name}__centroids",
+      rows.map(_.getAs[Long]("centroids_version")).toSet)
+    val listsGone = storage.vacuumVersionsKeeping(s"${name}__lists",
+      rows.map(_.getAs[Long]("lists_version")).toSet)
+    sumCounts(Seq(ptrGone, centGone, listsGone))
+  }
+
+  /** [[vacuumAnnIndex]] for a persisted tokenizer family (see
+    * [[saveTokenizer]]): retain the last `keepLastPointers` tokenizer
+    * pointers, vacuum merges/vocab keeping the pinned versions.
+    */
+  def vacuumTokenizer(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = {
+    val ptrGone = storage.vacuumVersions(s"${name}__tok", keepLastPointers)
+    val rows = storage.versions(s"${name}__tok")
+      .map(v => storage.readVersioned(s"${name}__tok", v).collect()(0))
+    val mergesGone = storage.vacuumVersionsKeeping(s"${name}__merges",
+      rows.map(_.getAs[Long]("merges_version")).toSet)
+    val vocabGone = storage.vacuumVersionsKeeping(s"${name}__vocab",
+      rows.map(_.getAs[Long]("vocab_version")).toSet)
+    sumCounts(Seq(ptrGone, mergesGone, vocabGone))
+  }
+
+  /** [[vacuumAnnIndex]] for a persisted hybrid family (see
+    * [[saveHybridIndex]]) — one level deeper: retained hybrid pointers
+    * pin postings versions AND dense-arm POINTER versions, so the
+    * postings table vacuums against the former and the nested
+    * `<name>__dense` ann family vacuums keeping exactly the latter
+    * (then its own centroids/lists against what THOSE retained dense
+    * pointers pin).
+    */
+  def vacuumHybridIndex(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = {
+    val ptrGone = storage.vacuumVersions(s"${name}__hybrid", keepLastPointers)
+    val rows = storage.versions(s"${name}__hybrid")
+      .map(v => storage.readVersioned(s"${name}__hybrid", v).collect()(0))
+    val postGone = storage.vacuumVersionsKeeping(s"${name}__postings",
+      rows.map(_.getAs[Long]("postings_version")).toSet)
+    val densePtrKeep = rows.map(_.getAs[Long]("dense_version")).toSet
+    val densePtrGone = storage.vacuumVersionsKeeping(
+      s"${name}__dense__ann", densePtrKeep)
+    val denseRows = storage.versions(s"${name}__dense__ann")
+      .map(v => storage.readVersioned(s"${name}__dense__ann", v).collect()(0))
+    val centGone = storage.vacuumVersionsKeeping(
+      s"${name}__dense__centroids",
+      denseRows.map(_.getAs[Long]("centroids_version")).toSet)
+    val listsGone = storage.vacuumVersionsKeeping(s"${name}__dense__lists",
+      denseRows.map(_.getAs[Long]("lists_version")).toSet)
+    sumCounts(Seq(ptrGone, postGone, densePtrGone, centGone, listsGone))
+  }
+
+  private def sumCounts(cs: Seq[(Int, Int)]): (Int, Int) =
+    (cs.map(_._1).sum, cs.map(_._2).sum)
 
   /** Rehydrate a persisted [[AnnIndex]] (see [[saveAnnIndex]]) at
     * `version` (default: latest save): resolve the pointer row, read
@@ -1002,6 +1085,152 @@ object Corpus {
       k: Int = graft.operators.Pipeline.PairsK): DataFrame =
     graft.operators.Pipeline.minedPairsUpsert(batchDocs, batchVectors,
       base.index.centroids, base.index.lists, base.fingerprints, k)
+
+  /** Persist a built [[PairMiningBase]] — the last session-scoped
+    * artifact family to get the versioned-tables + atomic-pointer
+    * treatment: the IVF index saves through [[saveAnnIndex]] under
+    * `<name>__index` (its corpus is the DERIVED kept-vectors relation,
+    * so its own pointer records no corpus version — refresh goes
+    * through [[refreshPairMiningBase]], which knows the derivation, and
+    * a direct [[refreshAnnIndex]] on it refuses rather than indexing
+    * unfiltered rows), the survivor fingerprints land as
+    * `<name>__fps`, and the one-row `<name>__pmb` pointer pins
+    * (fps version, index pointer version, docs corpus version, vectors
+    * corpus version) in one atomic commit. Pass the corpus versions of
+    * the versioned `docs`/`vectors` tables the base was built from to
+    * enable incremental refresh; -1 disables it. Returns the saved
+    * pointer version.
+    */
+  def savePairMiningBase(base: PairMiningBase,
+      storage: graft.sources.Storage, name: String,
+      docsVersion: Long = -1L, vectorsVersion: Long = -1L): Long = {
+    val vi = saveAnnIndex(base.index, storage, s"${name}__index")
+    val vf = storage.putVersioned(s"${name}__fps", base.fingerprints)
+    val spark = base.fingerprints.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__pmb",
+      Seq((vf, vi, docsVersion, vectorsVersion))
+        .toDF("fps_version", "index_version",
+          "docs_version", "vectors_version"))
+  }
+
+  /** Rehydrate a persisted [[PairMiningBase]] at `version` (default:
+    * latest save): the nightly [[minePairsIncremental]] run then needs
+    * zero rebuilding — the cross-session completion of the
+    * `pipe_pairs_upsert` posture.
+    */
+  def loadPairMiningBase(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): PairMiningBase = {
+    val ptr = storage.readVersioned(s"${name}__pmb", version).collect()
+    require(ptr.length == 1,
+      s"pointer '${name}__pmb' must hold exactly one row, got ${ptr.length}")
+    PairMiningBase(
+      loadAnnIndex(storage, s"${name}__index",
+        ptr(0).getAs[Long]("index_version")),
+      storage.readVersioned(s"${name}__fps",
+        ptr(0).getAs[Long]("fps_version")).localCheckpoint())
+  }
+
+  /** CDC-driven incremental maintenance of a persisted
+    * [[PairMiningBase]] — [[refreshAnnIndex]]'s sibling for the
+    * pair-mining family, turning "mine today's batch" and "fold
+    * today's batch into the base" into one nightly verb. Consumes the
+    * docs and vectors appended since the versions the pointer pinned
+    * (delta directories only, zero base scans), applies the SAME QA
+    * the base build applies (quality floor + fingerprint dedup,
+    * batch-local min then FIRST-ARRIVAL anti-join against the pinned
+    * base fingerprints — a later duplicate never displaces the base's
+    * survivor, the `dd_incremental` contract), appends the new
+    * survivors' fingerprints and their vectors' frozen-centroid list
+    * assignments base-pinned (see
+    * [[graft.sources.Storage.appendVersionedOnto]] — crashed or
+    * double-fired refreshes can never double-index), and re-pins
+    * everything in one atomic pointer commit. Zero training passes
+    * (spec-pinned). Returns the new pointer version; a no-op (neither
+    * table advanced) returns the current one.
+    *
+    * Contract: a new doc's vector arrives in the vectors table's SAME
+    * refresh window (the aligned-append ingest shape — both tables fed
+    * by the same pipeline); a kept doc whose vector is missing from
+    * the delta is simply not indexed this pass and a later refresh
+    * that delivers the vector will not re-add the doc's fingerprint
+    * (it was consumed), so keep the two appends paired.
+    */
+  def refreshPairMiningBase(storage: graft.sources.Storage, name: String,
+      docsTable: String, vectorsTable: String): Long = {
+    val ptr = storage.readVersioned(s"${name}__pmb").collect()
+    require(ptr.length == 1,
+      s"pointer '${name}__pmb' must hold exactly one row, got ${ptr.length}")
+    val dv = ptr(0).getAs[Long]("docs_version")
+    val vv = ptr(0).getAs[Long]("vectors_version")
+    require(dv >= 0L && vv >= 0L,
+      s"base '$name' was saved without corpus versions; re-save with " +
+        "savePairMiningBase(base, storage, name, docsVersion, " +
+        "vectorsVersion) to enable incremental refresh")
+    val dCur = storage.versions(docsTable).last
+    val vCur = storage.versions(vectorsTable).last
+    if (dCur == dv && vCur == vv)
+      return storage.versions(s"${name}__pmb").last
+    val vf = ptr(0).getAs[Long]("fps_version")
+    val vi = ptr(0).getAs[Long]("index_version")
+    val baseFps = storage.readVersioned(s"${name}__fps", vf)
+    val deltaKept = graft.operators.Pipeline
+      .qualityFp(storage.readVersionedSince(docsTable, dv))
+      .groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("vec_id"))
+      .join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
+      .localCheckpoint()
+    val vfNew = storage.appendVersionedOnto(s"${name}__fps", deltaKept, vf)
+    // the index arm: the ann pointer pinned by the pmb pointer names
+    // the centroids/lists pair the delta assigns under
+    val annPtr = storage.readVersioned(s"${name}__index__ann", vi)
+      .collect()(0)
+    val cent = storage.readVersioned(s"${name}__index__centroids",
+      annPtr.getLong(0)).localCheckpoint()
+    val newVecs = storage.readVersionedSince(vectorsTable, vv)
+      .select(col("vec_id"), col("embedding"))
+      .join(deltaKept.select(col("vec_id")), "vec_id")
+    val vlNew = storage.appendVersionedOnto(s"${name}__index__lists",
+      graft.operators.Similarity.kernelProbeCells(newVecs, cent, 1,
+        "c_id", "cv_c", "cn_c"),
+      annPtr.getLong(1))
+    val spark = cent.sparkSession
+    import spark.implicits._
+    val viNew = storage.putVersioned(s"${name}__index__ann",
+      Seq((annPtr.getLong(0), vlNew, -1L))
+        .toDF("centroids_version", "lists_version", "corpus_version"))
+    val out = storage.putVersioned(s"${name}__pmb",
+      Seq((vfNew, viNew, dCur, vCur))
+        .toDF("fps_version", "index_version",
+          "docs_version", "vectors_version"))
+    graft.operators.RelCache.freeLocalCheckpoint(cent)
+    graft.operators.RelCache.freeLocalCheckpoint(deltaKept)
+    out
+  }
+
+  /** [[vacuumAnnIndex]] for a persisted pair-mining family (see
+    * [[savePairMiningBase]]): retain the last `keepLastPointers` pmb
+    * pointers, vacuum the fingerprints table and the nested
+    * `<name>__index` ann family keeping exactly the pinned versions.
+    */
+  def vacuumPairMiningBase(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = {
+    val ptrGone = storage.vacuumVersions(s"${name}__pmb", keepLastPointers)
+    val rows = storage.versions(s"${name}__pmb")
+      .map(v => storage.readVersioned(s"${name}__pmb", v).collect()(0))
+    val fpsGone = storage.vacuumVersionsKeeping(s"${name}__fps",
+      rows.map(_.getAs[Long]("fps_version")).toSet)
+    val idxPtrGone = storage.vacuumVersionsKeeping(s"${name}__index__ann",
+      rows.map(_.getAs[Long]("index_version")).toSet)
+    val idxRows = storage.versions(s"${name}__index__ann")
+      .map(v => storage.readVersioned(s"${name}__index__ann", v)
+        .collect()(0))
+    val centGone = storage.vacuumVersionsKeeping(
+      s"${name}__index__centroids", idxRows.map(_.getLong(0)).toSet)
+    val listsGone = storage.vacuumVersionsKeeping(
+      s"${name}__index__lists", idxRows.map(_.getLong(1)).toSet)
+    sumCounts(Seq(ptrGone, fpsGone, idxPtrGone, centGone, listsGone))
+  }
 
   /** Retire a corpus directory's session-cached index artifacts: every
     * operator family's internal build-once relation (shingles,

@@ -615,6 +615,50 @@ final class Storage(spark: SparkSession, warehouse: String) {
     commitVersion(name, Some(df), readManifest(name, cur), Some(cur))
   }
 
+  /** Append ONTO a PINNED base snapshot: commit a new version whose
+    * content is exactly `snapshot(baseVersion) + df`, regardless of
+    * what is latest — the idempotent-composition form of
+    * [[appendVersioned]]. Where the plain append attaches the delta to
+    * whatever is latest (so a RE-RUN after a crash that landed the
+    * append but not its consumer's checkpoint stacks the delta twice),
+    * this verb's re-run rebuilds from the same pinned base and the
+    * duplicate is structurally impossible: every attempt produces a
+    * version containing the delta exactly ONCE, crashed attempts leave
+    * only dead orphan versions (reclaimable by [[vacuumVersions]]), and
+    * two concurrent attempts produce two individually-correct versions
+    * of which the caller's pointer commit picks one. This is what the
+    * index-maintenance loop ([[graft.api.Corpus.refreshAnnIndex]])
+    * appends through — its base is the version its pointer pinned, not
+    * "latest". Loses the LOST-UPDATE protection of the CAS form by
+    * design: an append committed between base and this commit is NOT in
+    * the new version (the caller's pointer semantics make that the
+    * correct behavior — anything unpinned was never served).
+    *
+    * Retries a lost manifest race (another writer took the version
+    * number) a bounded number of times; each attempt re-writes the
+    * delta to its own directory and the loser's orphan is removed.
+    */
+  def appendVersionedOnto(name: String, df: DataFrame, baseVersion: Long,
+      allowSchemaEvolution: Boolean = false): Long = {
+    val vs = versions(name)
+    require(vs.contains(baseVersion),
+      s"'$name' has no version $baseVersion to append onto " +
+        s"(has: ${vs.mkString(",")})")
+    checkAppendSchema(name, baseVersion, df, allowSchemaEvolution)
+    val base = readManifest(name, baseVersion)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commitVersion(name, Some(df), base)
+      catch {
+        case e: IllegalStateException
+          if attempt < 8 && e.getMessage.startsWith("concurrent commit") =>
+        // raced for the version number: retry on the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
   /** The write-side schema gate every batch append passes: refuse a
     * batch whose schema CONFLICTS with the table's current schema
     * (same-named column, different type — no read mode can reconcile
@@ -871,8 +915,29 @@ final class Storage(spark: SparkSession, warehouse: String) {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val vs = versions(checkName(name))
     require(vs.nonEmpty, s"no versioned table '$name' to vacuum")
-    val retained = vs.takeRight(keepLast)
-    val dropped = vs.dropRight(keepLast)
+    vacuumRetaining(name, vs, vs.takeRight(keepLast).toSet)
+  }
+
+  /** [[vacuumVersions]] with an EXPLICIT keep set instead of a
+    * count-from-the-tail policy — the retention form a POINTER table
+    * needs: an index family's artifact versions worth keeping are
+    * exactly the ones some retained pointer row pins (plus the latest),
+    * not "the last K" (a pointer saved long ago may pin an old artifact
+    * version that must outlive K newer orphaned attempts). The latest
+    * version is always retained regardless of `keep` — new commits
+    * build on it. Versions in `keep` absent from the table are ignored.
+    * Same safety contract as [[vacuumVersions]].
+    */
+  def vacuumVersionsKeeping(name: String, keep: Set[Long]): (Int, Int) = {
+    val vs = versions(checkName(name))
+    require(vs.nonEmpty, s"no versioned table '$name' to vacuum")
+    vacuumRetaining(name, vs, keep + vs.last)
+  }
+
+  private def vacuumRetaining(name: String, vs: Seq[Long],
+      keepVersions: Set[Long]): (Int, Int) = {
+    val retained = vs.filter(keepVersions)
+    val dropped = vs.filterNot(keepVersions)
     val keepDirs = retained.flatMap(readManifest(name, _)).toSet
     // delete manifests FIRST: a reader that resolves a version after
     // this point can only land on retained manifests, whose dirs

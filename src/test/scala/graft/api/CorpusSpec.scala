@@ -720,6 +720,193 @@ class CorpusSpec extends SparkTestBase {
     Seq(built, refreshed, rebuilt).foreach(_.close())
   }
 
+  test("refreshAnnIndex re-run after a crash between the lists append and the pointer commit never double-indexes") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-anncrash-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    storage.putVersioned("xvecs", e.filter($"vec_id" < n * 4 / 5))
+    val built = Corpus.buildAnnIndex(storage.readVersioned("xvecs"))
+    Corpus.saveAnnIndex(built, storage, "cidx",
+      corpusVersion = storage.versions("xvecs").last)
+    storage.appendVersioned("xvecs", e.filter($"vec_id" >= n * 4 / 5))
+    // simulate the CRASHED refresh's first half: the delta lists land
+    // (base-pinned, as the verb writes them) but the pointer commit
+    // never happens — the orphan lists version the old latest-attached
+    // append would have stacked today's delta on top of
+    val ptr = storage.readVersioned("cidx__ann").collect()(0)
+    val cent = storage.readVersioned("cidx__centroids",
+      ptr.getAs[Long]("centroids_version"))
+    val delta = storage.readVersionedSince("xvecs",
+      ptr.getAs[Long]("corpus_version"))
+      .select($"vec_id", $"embedding")
+    storage.appendVersionedOnto("cidx__lists",
+      graft.operators.Similarity.kernelProbeCells(delta, cent, 1,
+        "c_id", "cv_c", "cn_c"),
+      ptr.getAs[Long]("lists_version"))
+    // the re-run (the operator's retry after the crash)
+    Corpus.refreshAnnIndex(storage, "cidx", "xvecs")
+    val refreshed = Corpus.loadAnnIndex(storage, "cidx")
+    // every corpus vector is indexed EXACTLY once — the delta did not
+    // stack onto the orphan
+    assert(refreshed.lists.count() == n,
+      s"lists must hold one row per corpus vector, got " +
+        s"${refreshed.lists.count()} for $n vectors")
+    assert(refreshed.lists.select($"c_id").distinct().count() == n)
+    Seq(built, refreshed).foreach(_.close())
+  }
+
+  test("savePairMiningBase/loadPairMiningBase/refreshPairMiningBase: nightly fold, first-arrival fps, zero retraining") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-pmbsave-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    storage.putVersioned("pdocs", docs.filter($"doc_id" < cut))
+    storage.putVersioned("pvecs", e.filter($"vec_id" < cut))
+    val base = Corpus.buildPairMiningBase(
+      storage.readVersioned("pdocs"), storage.readVersioned("pvecs"))
+    val pv1 = Corpus.savePairMiningBase(base, storage, "pmb",
+      docsVersion = storage.versions("pdocs").last,
+      vectorsVersion = storage.versions("pvecs").last)
+    // a LOADED base mines identically to the in-session one, with
+    // zero rebuild/training work
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    val loaded = Corpus.loadPairMiningBase(storage, "pmb")
+    val batchDocs = docs.filter($"doc_id" >= cut)
+    val batchVecs = e.filter($"vec_id" >= cut)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))
+    val mined = Corpus.minePairsIncremental(batchDocs, batchVecs, loaded)
+      .collect().map(key).toSet
+    assert(mined == Corpus.minePairsIncremental(batchDocs, batchVecs, base)
+      .collect().map(key).toSet && mined.nonEmpty)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "loading and mining against a persisted base must not retrain")
+    // fold the batch into the base: append to the tables, refresh
+    storage.appendVersioned("pdocs", batchDocs)
+    storage.appendVersioned("pvecs", batchVecs)
+    val pv2 = Corpus.refreshPairMiningBase(storage, "pmb", "pdocs", "pvecs")
+    assert(pv2 == pv1 + 1)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "an incremental base refresh must never retrain")
+    val refreshed = Corpus.loadPairMiningBase(storage, "pmb")
+    // FIRST-ARRIVAL fingerprints: base survivors stay canonical, the
+    // delta contributes only fingerprints the base never saw
+    def fpsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"fp", $"vec_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val deltaKeptTwin = graft.operators.Pipeline.qualityFp(batchDocs)
+      .groupBy($"fp")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("vec_id"))
+      .join(base.fingerprints.select($"fp"), Seq("fp"), "left_anti")
+    assert(fpsOf(refreshed.fingerprints) ==
+      fpsOf(base.fingerprints) ++ fpsOf(deltaKeptTwin))
+    // every kept doc's vector indexed exactly once, under the SAME
+    // frozen centroids
+    assert(refreshed.index.lists.count() == refreshed.fingerprints.count())
+    assert(fpsOf(refreshed.fingerprints).size >
+      fpsOf(base.fingerprints).size,
+      "the delta must contribute new survivors for this fixture")
+    // neither table advanced -> no-op returns the current pointer
+    assert(Corpus.refreshPairMiningBase(storage, "pmb", "pdocs", "pvecs")
+      == pv2)
+    // a base saved without corpus versions refuses refresh with guidance
+    Corpus.savePairMiningBase(base, storage, "pmb0")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.refreshPairMiningBase(storage, "pmb0", "pdocs", "pvecs")
+    }
+    assert(err.getMessage.contains("corpus versions"), err.getMessage)
+    // retention: keep the newest pointer generation only
+    val (vm, vd) = Corpus.vacuumPairMiningBase(storage, "pmb",
+      keepLastPointers = 1)
+    assert(vm > 0 && vd >= 0)
+    assert(storage.versions("pmb__pmb") == Seq(pv2))
+    val afterVac = Corpus.loadPairMiningBase(storage, "pmb")
+    assert(afterVac.fingerprints.count() == refreshed.fingerprints.count())
+    intercept[IllegalArgumentException] {
+      Corpus.loadPairMiningBase(storage, "pmb", version = pv1)
+    }
+    Seq(base, loaded, refreshed, afterVac).foreach(_.close())
+  }
+
+  test("vacuumAnnIndex: pointer-pinned artifact versions survive, unpinned history frees, retained pointers serve") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-annvac-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    storage.putVersioned("vvecs", e.filter($"vec_id" < n * 4 / 5))
+    val builtA = Corpus.buildAnnIndex(storage.readVersioned("vvecs"))
+    val pv1 = Corpus.saveAnnIndex(builtA, storage, "vidx",
+      corpusVersion = storage.versions("vvecs").last)
+    storage.appendVersioned("vvecs", e.filter($"vec_id" >= n * 4 / 5))
+    val pv2 = Corpus.refreshAnnIndex(storage, "vidx", "vvecs")
+    val builtB = Corpus.buildAnnIndex(storage.readVersioned("vvecs"))
+    val pv3 = Corpus.saveAnnIndex(builtB, storage, "vidx",
+      corpusVersion = storage.versions("vvecs").last)
+    val (m, d) = Corpus.vacuumAnnIndex(storage, "vidx", keepLastPointers = 1)
+    assert(m > 0 && d > 0,
+      s"two pointer generations plus their unpinned artifacts should free " +
+        s"bytes, got ($m manifests, $d dirs)")
+    assert(storage.versions("vidx__ann") == Seq(pv3))
+    // the artifact tables hold ONLY what the retained pointer pins
+    // (plus latest, which coincides): save A's centroids and the
+    // refresh lineage's lists are gone
+    assert(storage.versions("vidx__centroids") == Seq(2L))
+    assert(storage.versions("vidx__lists") == Seq(3L))
+    // the survivor loads and serves; vacuumed pointers refuse
+    val loaded = Corpus.loadAnnIndex(storage, "vidx")
+    assert(loaded.topK(e.filter($"vec_id" < 4), k = 3).count() > 0)
+    intercept[IllegalArgumentException] {
+      Corpus.loadAnnIndex(storage, "vidx", version = pv2)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.loadAnnIndex(storage, "vidx", version = pv1)
+    }
+    Seq(builtA, builtB, loaded).foreach(_.close())
+  }
+
+  test("vacuumTokenizer and vacuumHybridIndex: nested pins respected, survivors load") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-famvac-").toString)
+    // tokenizer family: two saves, keep the newest
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(200)
+      .select($"doc_id", $"text").localCheckpoint()
+    val tokA = Corpus.buildTokenizer(docs, n = 4)
+    Corpus.saveTokenizer(tokA, storage, "tk")
+    val tokB = Corpus.buildTokenizer(docs, n = 6)
+    val tv2 = Corpus.saveTokenizer(tokB, storage, "tk")
+    val (tm, _) = Corpus.vacuumTokenizer(storage, "tk", keepLastPointers = 1)
+    assert(tm > 0)
+    assert(storage.versions("tk__tok") == Seq(tv2))
+    val tok = Corpus.loadTokenizer(storage, "tk")
+    assert(tok.applied(docs).count() == docs.count())
+    intercept[IllegalArgumentException] {
+      Corpus.loadTokenizer(storage, "tk", version = tv2 - 1)
+    }
+    // hybrid family: the nested dense pointers vacuum too
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val hA = Corpus.buildHybridIndex(docs, e)
+    Corpus.saveHybridIndex(hA, storage, "hx")
+    val hB = Corpus.buildHybridIndex(docs, e)
+    val hv2 = Corpus.saveHybridIndex(hB, storage, "hx")
+    val (hm, hd) = Corpus.vacuumHybridIndex(storage, "hx",
+      keepLastPointers = 1)
+    assert(hm > 0 && hd > 0)
+    assert(storage.versions("hx__hybrid") == Seq(hv2))
+    assert(storage.versions("hx__dense__ann").length == 1,
+      "the unpinned dense POINTER generation must vacuum with its family")
+    val hLoaded = Corpus.loadHybridIndex(storage, "hx")
+    assert(Corpus.hybridTopK(docs, e, Seq(0L, 1L),
+      index = Some(hLoaded)).count() > 0)
+    intercept[IllegalArgumentException] {
+      Corpus.loadHybridIndex(storage, "hx", version = hv2 - 1)
+    }
+    Seq(tokA, tokB).foreach(_.close())
+    Seq(hA, hB, hLoaded).foreach(_.close())
+  }
+
   test("saveTokenizer/loadTokenizer: loaded chunked apply is byte-identical with zero training passes") {
     val storage = new graft.sources.Storage(spark,
       java.nio.file.Files.createTempDirectory("graft-toksave-").toString)

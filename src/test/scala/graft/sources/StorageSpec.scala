@@ -444,6 +444,57 @@ class StorageSpec extends SparkTestBase {
       .columns.contains("score"))
   }
 
+  test("vacuumVersionsKeeping retains an explicit keep set plus latest; dropped versions refuse") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    st.putVersioned("ks", rows(1L))     // v1
+    st.appendVersioned("ks", rows(2L))  // v2 (the pinned one)
+    st.appendVersioned("ks", rows(3L))  // v3
+    st.appendVersioned("ks", rows(4L))  // v4 (latest, always kept)
+    val (m, d) = st.vacuumVersionsKeeping("ks", Set(2L))
+    assert(m == 2, s"v1 and v3 manifests should drop, counted $m")
+    assert(st.versions("ks") == Seq(2L, 4L))
+    // the kept snapshot reads intact; dropped versions refuse
+    assert(st.readVersioned("ks", 2L).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+    assert(st.readVersioned("ks", 4L).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] { st.readVersioned("ks", 3L) }
+    // append-only lineage: every dir is shared with the latest
+    // manifest, so nothing physical frees here — d counts honestly
+    assert(d == 0, s"all dirs are referenced by v4, counted $d deleted")
+  }
+
+  test("appendVersionedOnto commits base + delta from the PINNED base; re-runs never stack the delta") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    st.putVersioned("onto", rows(1L, 2L))        // v1
+    st.appendVersioned("onto", rows(3L))         // v2 (latest moves on)
+    // base-pinned append: content is snapshot(v1) + delta, NOT latest +
+    // delta — the unpinned v2 row is absent by design
+    val v3 = st.appendVersionedOnto("onto", rows(4L), 1L)
+    assert(st.readVersioned("onto", v3).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 4L))
+    // the crash-rerun shape: the SAME base-pinned append again (a
+    // consumer that died before checkpointing its pointer re-runs) —
+    // the delta appears exactly once in the new version, never stacked
+    // on the orphaned v3
+    val v4 = st.appendVersionedOnto("onto", rows(4L), 1L)
+    assert(v4 == v3 + 1)
+    assert(st.readVersioned("onto", v4).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 4L))
+    // history intact; latest is simply the newest commit
+    assert(st.readVersioned("onto", 2L).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+    // refusals: unknown base; schema gate is judged against the BASE
+    intercept[IllegalArgumentException] {
+      st.appendVersionedOnto("onto", rows(9L), 99L)
+    }
+    intercept[IllegalArgumentException] {
+      st.appendVersionedOnto("onto", Seq(("s", 1L)).toDF("x", "y"), 1L)
+    }
+  }
+
   test("writer fence: a fresh-checkpoint stream refuses; takeover resumes with a fresh batch-id space") {
     val st = freshStorage()
     def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
