@@ -317,6 +317,78 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("stream -> versioned corpus -> incremental index refresh: the full ingest-to-serving loop, kill included") {
+    // the production composition the storage verbs exist for: vectors
+    // stream into a versioned table through the exactly-once sink (a
+    // mid-run kill replays a batch), the nightly refreshAnnIndex then
+    // consumes EXACTLY the streamed delta via the pointer's corpus
+    // version, and the refreshed index serves every vector exactly once
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-loop-src-")
+    val cp = Files.createTempDirectory("graft-loop-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-loop-wh-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut = n * 3 / 5
+    val cut2 = n * 4 / 5
+    def writeVecs(name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createTempDirectory("graft-loop-stage-")
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def vecStream() = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // day 0: the base corpus streams in, the index trains and persists
+    writeVecs("001.parquet", 0L, cut)
+    Sinks.sinkVersionedExactlyOnce(vecStream(), storage, "svecs",
+      cp.toString).awaitTermination(180000)
+    val built = graft.api.Corpus.buildAnnIndex(storage.readVersioned("svecs"))
+    graft.api.Corpus.saveAnnIndex(built, storage, "sidx",
+      corpusVersion = storage.versions("svecs").last)
+    // day 1: two more batches stream in; the query dies AFTER the first
+    // one's table commit but before its checkpoint update
+    writeVecs("002.parquet", cut, cut2)
+    writeVecs("003.parquet", cut2, n)
+    val q1 = vecStream().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (storage.appendBatchIdempotent("svecs", b, id,
+            writer = cp.toString).isEmpty)
+          b.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+        if (id == 1) throw new RuntimeException("injected post-commit kill")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    Sinks.sinkVersionedExactlyOnce(vecStream(), storage, "svecs",
+      cp.toString).awaitTermination(180000)
+    assert(storage.readVersioned("svecs").count() == n,
+      "the kill-replayed ingest must land every vector exactly once")
+    // the nightly refresh consumes the streamed delta — zero retraining
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    graft.api.Corpus.refreshAnnIndex(storage, "sidx", "svecs")
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0)
+    val idx = graft.api.Corpus.loadAnnIndex(storage, "sidx")
+    assert(idx.lists.count() == n,
+      "the refreshed index must hold one list row per streamed vector")
+    assert(idx.lists.select(col("c_id")).distinct().count() == n)
+    // streamed delta vectors are genuinely served
+    val deltaQ = e.filter(col("vec_id") >= cut2).limit(2)
+    val self = idx.topK(deltaQ, k = 1).collect()
+    assert(self.length == 2 && self.forall(r => r.getLong(0) == r.getLong(2)),
+      "each streamed vector must find itself in the refreshed index")
+    Seq(built, idx).foreach(_.close())
+  }
+
   test("sinkVersionedExactlyOnce lands each micro-batch as one atomic version and resumes across runs") {
     val src = Files.createTempDirectory("graft-sink2-src-")
     val cp = Files.createTempDirectory("graft-sink2-cp-")
