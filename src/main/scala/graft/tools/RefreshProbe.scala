@@ -52,8 +52,10 @@ object RefreshProbe {
     val n = e.count()
     val fracs = (if (args.nonEmpty) args.toSeq else Seq("0.05", "0.20"))
       .map(_.toDouble)
-    val baseFrac = 1.0 - fracs.sum
-    require(baseFrac > 0, s"delta fractions must sum below 1: $fracs")
+    // 5% of the id space is reserved past the nights for the
+    // crashed-night rung below
+    val baseFrac = 1.0 - fracs.sum - 0.05
+    require(baseFrac > 0, s"delta fractions must sum below 0.95: $fracs")
 
     // day 0: train + persist on the base slice. Ids in the replicated
     // 100x corpus are SPARSE (replica offsets), so slices cut on
@@ -103,6 +105,40 @@ object RefreshProbe {
       lo = hi
     }
 
+    // a CRASHED night at scale: the refresh's lists append lands
+    // (base-pinned, exactly as the verb writes it) but the pointer
+    // commit never happens; the operator's re-run must not
+    // double-index the delta — the hazard the base-pinned
+    // appendVersionedOnto exists to kill
+    if (lo < 100) {
+      val hi = math.min(100L, lo + 5)
+      storage.appendVersioned("vecs", e.filter(pct >= lo && pct < hi))
+      val ptr = storage.readVersioned("idx__ann").collect()(0)
+      val cent = storage.readVersioned("idx__centroids",
+        ptr.getAs[Long]("centroids_version")).localCheckpoint()
+      val (_, tHalf) = time {
+        storage.appendVersionedOnto("idx__lists",
+          graft.operators.Similarity.kernelProbeCells(
+            storage.readVersionedSince("vecs",
+                ptr.getAs[Long]("corpus_version"))
+              .select(col("vec_id"), col("embedding")),
+            cent, 1, "c_id", "cv_c", "cn_c"),
+          ptr.getAs[Long]("lists_version"))
+      }
+      val (_, tRerun) = time { Corpus.refreshAnnIndex(storage, "idx", "vecs") }
+      val loaded = Corpus.loadAnnIndex(storage, "idx")
+      val total = storage.readVersioned("vecs").count()
+      val listed = loaded.lists.count()
+      require(listed == total,
+        s"crashed-night rerun double-indexed: $listed lists rows for " +
+          s"$total corpus vectors")
+      println(f"crashed-night orphan=$tHalf%5.1fs rerun=$tRerun%5.1fs " +
+        f"lists=$listed%d == corpus=$total%d (no double-index)")
+      graft.operators.RelCache.freeLocalCheckpoint(cent)
+      loaded.close()
+      lo = hi
+    }
+
     // the alternative an operator weighs refresh against: full retrain
     // + re-save on the grown corpus
     val (_, tRetrain) = time {
@@ -112,6 +148,27 @@ object RefreshProbe {
       idx.close()
     }
     println(f"full retrain+save on grown corpus: $tRetrain%7.1fs")
+
+    // retention at scale: the nights above left one pointer generation
+    // per refresh, each pinning its own lists version whose manifests
+    // share directories — vacuumAnnIndex keeps only what the retained
+    // pointer pins and reports what it actually freed
+    def duBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+    val before = duBytes(wh)
+    val ((m, d), tVac) = time { Corpus.vacuumAnnIndex(storage, "idx", 1) }
+    val after = duBytes(wh)
+    val survivor = Corpus.loadAnnIndex(storage, "idx")
+    require(survivor.lists.count() == storage.readVersioned("vecs").count(),
+      "the retained pointer must still serve the full corpus after vacuum")
+    println(f"vacuumAnnIndex(keep=1): $m manifests, $d dirs freed, " +
+      f"${before / 1e6}%.1f -> ${after / 1e6}%.1f MB in $tVac%5.1fs; " +
+      "survivor serves")
+    survivor.close()
     built.close()
     spark.stop()
   }
