@@ -792,6 +792,90 @@ object Corpus {
     out
   }
 
+  /** Compact a persisted ANN index family: every nightly
+    * [[refreshAnnIndex]] appends ONE small delta directory to the
+    * lists table, so a long-lived index accretes the classic
+    * small-files problem (per-file open/footer cost comes to dominate
+    * the serve scan) AND pins every historical delta directory into
+    * each new manifest — [[vacuumAnnIndex]] alone can never reclaim
+    * them because the retained pointer's manifest still references
+    * them all. This verb re-snapshots the POINTER'S pinned lists
+    * version into one fresh directory and commits a new pointer
+    * pinning (unchanged centroids, compacted lists, unchanged corpus
+    * version) — serve-identical by construction (same rows), one
+    * atomic pointer swap, and the next refresh appends onto the
+    * compacted version. Run it at a lower cadence than the refresh
+    * (the rewrite is O(index), the refresh O(delta) — the same dial
+    * as any lakehouse OPTIMIZE), then [[vacuumAnnIndex]] actually
+    * frees the superseded delta directories. Returns the new pointer
+    * version.
+    */
+  def compactAnnIndex(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): Long = {
+    // `version` (default: latest) exists for composed families whose
+    // OWN pointer pins an ann-pointer version: after a crashed parent
+    // refresh the ann family's latest pointer can be an orphan the
+    // parent never served — compact what the parent pins, not latest
+    val ptr = storage.readVersioned(s"${name}__ann", version).collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__ann' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    val snap = storage.readVersioned(s"${name}__lists",
+      ptr(0).getAs[Long]("lists_version"))
+    val vl = storage.putVersioned(s"${name}__lists", snap)
+    val spark = snap.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__ann",
+      Seq((ptr(0).getAs[Long]("centroids_version"), vl,
+        ptr(0).getAs[Long]("corpus_version")))
+        .toDF("centroids_version", "lists_version", "corpus_version"))
+  }
+
+  /** [[compactAnnIndex]] for a persisted hybrid family: the dense
+    * arm's lists compact (postings are already one snapshot per
+    * [[refreshHybridIndex]] rebuild), and the hybrid pointer re-pins
+    * (unchanged postings version, new dense pointer version).
+    */
+  def compactHybridIndex(storage: graft.sources.Storage,
+      name: String): Long = {
+    val ptr = storage.readVersioned(s"${name}__hybrid").collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__hybrid' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    val vd = compactAnnIndex(storage, s"${name}__dense",
+      ptr(0).getAs[Long]("dense_version"))
+    val spark = storage.readVersioned(s"${name}__hybrid").sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__hybrid",
+      Seq((ptr(0).getAs[Long]("postings_version"), vd))
+        .toDF("postings_version", "dense_version"))
+  }
+
+  /** [[compactAnnIndex]] for a persisted pair-mining family: the
+    * fingerprints table and the nested index's lists both accrete one
+    * delta directory per [[refreshPairMiningBase]] — re-snapshot both
+    * at their pinned versions and re-pin the pmb pointer (corpus
+    * versions unchanged).
+    */
+  def compactPairMiningBase(storage: graft.sources.Storage,
+      name: String): Long = {
+    val ptr = storage.readVersioned(s"${name}__pmb").collect()
+    require(ptr.length == 1,
+      s"pointer '${name}__pmb' must hold exactly one row, got ${ptr.length}")
+    val vf = storage.putVersioned(s"${name}__fps",
+      storage.readVersioned(s"${name}__fps",
+        ptr(0).getAs[Long]("fps_version")))
+    val vi = compactAnnIndex(storage, s"${name}__index",
+      ptr(0).getAs[Long]("index_version"))
+    val spark = storage.readVersioned(s"${name}__pmb").sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__pmb",
+      Seq((vf, vi, ptr(0).getAs[Long]("docs_version"),
+        ptr(0).getAs[Long]("vectors_version")))
+        .toDF("fps_version", "index_version",
+          "docs_version", "vectors_version"))
+  }
+
   /** Retention policy for a persisted ANN index family — the verb that
     * makes save/refresh sustainable: every [[saveAnnIndex]] /
     * [[refreshAnnIndex]] appends versions to the three tables forever,

@@ -1014,6 +1014,25 @@ final class Storage(spark: SparkSession, warehouse: String) {
     spark.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
   }
 
+  /** Number of immutable data directories composing `version` (default:
+    * latest) of a versioned table — the observable an operator sizes a
+    * compaction cadence with: each streaming batch or incremental
+    * refresh adds one directory, and when the count (≈ file-open cost
+    * per scan) crosses the budget it's time for [[compactVersions]] /
+    * the index-family compaction verbs.
+    */
+  def versionDirCount(name: String, version: Long = -1L): Int = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"no versioned table '$name'")
+    val v = if (version < 0) vs.last
+      else {
+        require(vs.contains(version),
+          s"'$name' has no version $version (has: ${vs.mkString(",")})")
+        version
+      }
+    readManifest(name, v).size
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED to a versioned table
     * after `afterVersion`, computed as the manifest DIRECTORY diff —
     * data directories are immutable and append commits only add

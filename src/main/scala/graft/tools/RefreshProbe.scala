@@ -159,13 +159,18 @@ object RefreshProbe {
         .mapToLong(java.nio.file.Files.size(_)).sum
       finally s.close()
     }
+    val dirsBefore = storage.versionDirCount("idx__lists")
+    val (_, tCompact) = time { Corpus.compactAnnIndex(storage, "idx") }
     val before = duBytes(wh)
     val ((m, d), tVac) = time { Corpus.vacuumAnnIndex(storage, "idx", 1) }
     val after = duBytes(wh)
     val survivor = Corpus.loadAnnIndex(storage, "idx")
     require(survivor.lists.count() == storage.readVersioned("vecs").count(),
-      "the retained pointer must still serve the full corpus after vacuum")
-    println(f"vacuumAnnIndex(keep=1): $m manifests, $d dirs freed, " +
+      "the retained pointer must still serve the full corpus after " +
+        "compact + vacuum")
+    println(f"compactAnnIndex: $dirsBefore dirs -> " +
+      f"${storage.versionDirCount("idx__lists")} in $tCompact%5.1fs; " +
+      f"vacuumAnnIndex(keep=1): $m manifests, $d dirs freed, " +
       f"${before / 1e6}%.1f -> ${after / 1e6}%.1f MB in $tVac%5.1fs; " +
       "survivor serves")
     survivor.close()

@@ -867,6 +867,103 @@ class CorpusSpec extends SparkTestBase {
     Seq(builtA, builtB, loaded).foreach(_.close())
   }
 
+  test("compactAnnIndex: serve-identical one-directory re-snapshot; vacuum then reclaims the night deltas; refresh continues") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-anncomp-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    // base 2/5, two nightly deltas of 1/5, one post-compaction delta
+    storage.putVersioned("ovecs", e.filter($"vec_id" < n * 2 / 5))
+    val built = Corpus.buildAnnIndex(storage.readVersioned("ovecs"))
+    Corpus.saveAnnIndex(built, storage, "oidx",
+      corpusVersion = storage.versions("ovecs").last)
+    storage.appendVersioned("ovecs",
+      e.filter($"vec_id" >= n * 2 / 5 && $"vec_id" < n * 3 / 5))
+    Corpus.refreshAnnIndex(storage, "oidx", "ovecs")
+    storage.appendVersioned("ovecs",
+      e.filter($"vec_id" >= n * 3 / 5 && $"vec_id" < n * 4 / 5))
+    Corpus.refreshAnnIndex(storage, "oidx", "ovecs")
+    val queries = e.filter($"vec_id" < 6)
+    def serve(idx: AnnIndex) = idx.topK(queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val before = Corpus.loadAnnIndex(storage, "oidx")
+    val expect = serve(before)
+    // compact: same rows, one fresh directory, new pointer
+    assert(storage.versionDirCount("oidx__lists") == 3,
+      "two refreshes must have accreted two delta directories")
+    Corpus.compactAnnIndex(storage, "oidx")
+    val compacted = Corpus.loadAnnIndex(storage, "oidx")
+    assert(serve(compacted) == expect, "compaction must be serve-identical")
+    assert(storage.versionDirCount("oidx__lists") == 1,
+      "the compacted lists snapshot must be one directory")
+    // NOW retention actually reclaims the night deltas: the retained
+    // pointer's manifest references only the compacted directory
+    val (m, d) = Corpus.vacuumAnnIndex(storage, "oidx",
+      keepLastPointers = 1)
+    assert(m > 0 && d >= 3,
+      s"the base + two delta directories must free after compaction, " +
+        s"got ($m, $d)")
+    val after = Corpus.loadAnnIndex(storage, "oidx")
+    assert(serve(after) == expect, "vacuum must not touch the pinned serve")
+    // the nightly loop continues on the compacted lineage
+    storage.appendVersioned("ovecs", e.filter($"vec_id" >= n * 4 / 5))
+    Corpus.refreshAnnIndex(storage, "oidx", "ovecs")
+    val grown = Corpus.loadAnnIndex(storage, "oidx")
+    assert(grown.lists.count() == n)
+    Seq(built, before, compacted, after, grown).foreach(_.close())
+  }
+
+  test("compactHybridIndex/compactPairMiningBase: nested snapshots compact at their PINNED versions, serves unchanged") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-famcomp-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    storage.putVersioned("cdocs", docs.filter($"doc_id" < cut))
+    storage.putVersioned("cvex", e.filter($"vec_id" < cut))
+    // hybrid: save + refresh + compact, serve equality across
+    val hb = Corpus.buildHybridIndex(
+      storage.readVersioned("cdocs"), storage.readVersioned("cvex"))
+    Corpus.saveHybridIndex(hb, storage, "chyb",
+      vectorsCorpusVersion = storage.versions("cvex").last)
+    storage.appendVersioned("cdocs", docs.filter($"doc_id" >= cut))
+    storage.appendVersioned("cvex", e.filter($"vec_id" >= cut))
+    Corpus.refreshHybridIndex(storage, "chyb", "cdocs", "cvex")
+    def hserve(idx: HybridIndex) =
+      Corpus.hybridTopK(docs, e, Seq(0L, 1L, 2L), index = Some(idx))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val hBefore = Corpus.loadHybridIndex(storage, "chyb")
+    val hExpect = hserve(hBefore)
+    Corpus.compactHybridIndex(storage, "chyb")
+    val hAfter = Corpus.loadHybridIndex(storage, "chyb")
+    assert(hserve(hAfter) == hExpect && hExpect.nonEmpty)
+    assert(storage.versionDirCount("chyb__dense__lists") == 1,
+      "the dense lists must compact to one directory")
+    // pair-mining base: save + refresh + compact, mining unchanged
+    val base = Corpus.buildPairMiningBase(
+      storage.readVersioned("cdocs", 1L), storage.readVersioned("cvex", 1L))
+    Corpus.savePairMiningBase(base, storage, "cpmb",
+      docsVersion = 1L, vectorsVersion = 1L)
+    Corpus.refreshPairMiningBase(storage, "cpmb", "cdocs", "cvex")
+    val pBefore = Corpus.loadPairMiningBase(storage, "cpmb")
+    val batch = docs.filter($"doc_id" >= cut)
+    val batchV = e.filter($"vec_id" >= cut)
+    def mine(b: PairMiningBase) =
+      Corpus.minePairsIncremental(batch, batchV, b).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+    val pExpect = mine(pBefore)
+    Corpus.compactPairMiningBase(storage, "cpmb")
+    val pAfter = Corpus.loadPairMiningBase(storage, "cpmb")
+    assert(mine(pAfter) == pExpect)
+    assert(pAfter.fingerprints.count() == pBefore.fingerprints.count())
+    assert(pAfter.index.lists.count() == pBefore.index.lists.count())
+    hb.close(); hBefore.close(); hAfter.close()
+    base.close(); pBefore.close(); pAfter.close()
+  }
+
   test("vacuumTokenizer and vacuumHybridIndex: nested pins respected, survivors load") {
     val storage = new graft.sources.Storage(spark,
       java.nio.file.Files.createTempDirectory("graft-famvac-").toString)
