@@ -746,10 +746,13 @@ object Corpus {
     *
     * The corpus table must expose `(id, vec)` columns; refuses a
     * pointer that never recorded a corpus version (re-save with
-    * [[saveAnnIndex]]'s corpus-version form first) and inherits
-    * [[graft.sources.Storage.readVersionedSince]]'s refusal across
-    * compactions (an honest full rebuild beats silently double-
-    * indexing re-packed rows).
+    * [[saveAnnIndex]]'s corpus-version form first). The delta read
+    * survives corpus-table compactions (the `#base=` content-equal
+    * chain in [[graft.sources.Storage.readVersionedSince]]), so the
+    * refresh composes with the auto-compacting streaming sink; only a
+    * rollback to before the consumed version or a vacuumed diff window
+    * still refuses — there an honest full rebuild beats silently
+    * double-indexing re-packed rows.
     */
   def refreshAnnIndex(storage: graft.sources.Storage, name: String,
       corpusTable: String, id: String = "vec_id",

@@ -422,6 +422,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
   private val HwHeader = "#hw=(-?\\d+)".r
   private val EpochHeader = "#epoch=(\\d+)".r
   private val WriterHeader = "#writer=(.+)".r
+  private val BaseHeader = "#base=(\\d+)".r
   private val BatchDirName = "data/b(\\d+)".r
   private val EpochBatchDirName = "data/e(\\d+)b(\\d+)".r
 
@@ -442,8 +443,14 @@ final class Storage(spark: SparkSession, warehouse: String) {
     *    stream's committed directories. 0 = the original epoch.
     *  - `writer` — the owning stream's identity token (the checkpoint
     *    location, via [[graft.streaming.Sinks]]). None = unfenced.
+    *  - `base` — for CONTENT-EQUAL commits (compaction, rollback): the
+    *    committed version this snapshot's ROWS equal, even though its
+    *    directory list was re-packed. What lets [[readVersionedSince]]
+    *    compute an exact delta ACROSS a compaction instead of refusing:
+    *    delta(after → this) = delta(after → base).
     */
-  private case class VtHeaders(hw: Long, epoch: Long, writer: Option[String])
+  private case class VtHeaders(hw: Long, epoch: Long, writer: Option[String],
+      base: Option[Long] = None)
 
   private def headersOf(name: String, v: Long): VtHeaders =
     headersOf(manifestLines(name, v))
@@ -462,7 +469,8 @@ final class Storage(spark: SparkSession, warehouse: String) {
     }
     val hw = (lines.collectFirst { case HwHeader(n) => n.toLong }.toSeq ++
       fromDirs).foldLeft(-1L)(math.max)
-    VtHeaders(hw, epoch, writer)
+    VtHeaders(hw, epoch, writer,
+      lines.collectFirst { case BaseHeader(n) => n.toLong })
   }
 
   /** The one commit path for every versioned-table verb: optionally
@@ -482,7 +490,8 @@ final class Storage(spark: SparkSession, warehouse: String) {
       dirs: Seq[String], expected: Option[Long] = None,
       newBatchId: Option[Long] = None,
       epochBump: Boolean = false,
-      claimWriter: Option[String] = None): Long = {
+      claimWriter: Option[String] = None,
+      contentBase: Option[Long] = None): Long = {
     val latest = versions(name).lastOption
     val v = expected.map(_ + 1).getOrElse(latest.getOrElse(0L) + 1)
     // fail the CAS BEFORE paying the table write when the version is
@@ -523,7 +532,8 @@ final class Storage(spark: SparkSession, warehouse: String) {
     val header =
       (if (hw >= 0 || epoch > 0) Seq(s"#hw=$hw") else Nil) ++
         (if (epoch > 0) Seq(s"#epoch=$epoch") else Nil) ++
-        writer.map(w => s"#writer=$w").toSeq
+        writer.map(w => s"#writer=$w").toSeq ++
+        contentBase.map(b => s"#base=$b").toSeq
     fs.mkdirs(vtManifests(name))
     // the tmp manifest is per-ATTEMPT unique for the same reason the
     // data dir is: two racing commits targeting the same version would
@@ -888,7 +898,10 @@ final class Storage(spark: SparkSession, warehouse: String) {
     val cur = expectedVersion.getOrElse(vs.last)
     require(vs.contains(cur),
       s"'$name' has no version $cur (has: ${vs.mkString(",")})")
-    commitVersion(name, Some(readVersioned(name, cur)), Nil, Some(cur))
+    // the commit is CONTENT-EQUAL to `cur` — recorded as `#base=` so
+    // incremental readers can diff straight through the re-pack
+    commitVersion(name, Some(readVersioned(name, cur)), Nil, Some(cur),
+      contentBase = Some(cur))
   }
 
   /** Physically reclaim a versioned table's history: retain the last
@@ -1042,12 +1055,18 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * over a 100 TB ingest table needs: each run processes only new
     * batches, checkpointing the version it last saw.
     *
-    * Refuses (rather than silently duplicating) when the range crosses
-    * a [[compactVersions]]/re-snapshot or a [[rollbackVersioned]] —
-    * there the latest directory set is NOT a superset of the old one,
-    * the diff would include re-packed directories carrying old rows,
-    * and the honest answers are "re-read the full snapshot" or "diff
-    * from a post-compaction version".
+    * The diff SURVIVES compaction and rollback: both commit snapshots
+    * CONTENT-EQUAL to an earlier version and record it as a `#base=`
+    * manifest header, so the delta recurses straight through the
+    * re-pack — `delta(after → compacted) = delta(after → base)`, plus
+    * whatever directories were appended on top of the compaction. This
+    * is what lets the incremental index-refresh loop compose with the
+    * auto-compacting streaming sink: a compaction landing BETWEEN two
+    * refreshes no longer strands the consumer. A rollback to BEFORE
+    * `afterVersion` still refuses (the consumer has seen rows that no
+    * longer exist — no append-only delta can express that), as does a
+    * pre-header re-snapshot lineage and a window whose intermediate
+    * manifests were vacuumed (diff from a retained version instead).
     */
   def readVersionedSince(name: String, afterVersion: Long,
       mergeSchema: Boolean = false): DataFrame = {
@@ -1055,16 +1074,45 @@ final class Storage(spark: SparkSession, warehouse: String) {
     require(vs.contains(afterVersion),
       s"'$name' has no version $afterVersion (has: ${vs.mkString(",")})")
     val to = vs.last
-    val fromDirs = readManifest(name, afterVersion).toSet
-    val toDirs = readManifest(name, to)
-    require(fromDirs.subsetOf(toDirs.toSet),
-      s"'$name' versions $afterVersion..$to cross a compaction/rollback " +
-        "(the old snapshot's directories were re-packed); read the full " +
-        "snapshot or diff from a later version instead")
-    val delta = toDirs.filterNot(fromDirs)
+    val delta = deltaDirsSince(name, vs, afterVersion, to).distinct
     if (delta.isEmpty) readVersioned(name, to, mergeSchema).limit(0)
     else spark.read.option("mergeSchema", mergeSchema)
       .parquet(delta.map(d => new Path(vtRoot(name), d).toString): _*)
+  }
+
+  /** The directories holding rows added between committed versions
+    * `after` and `to`. Fast path: append-only windows diff the two
+    * manifests directly. A window crossing a re-snapshot walks the
+    * `#base=` content-equivalence chain: find the newest content-equal
+    * commit `c` at or under `to` that `to` is additive over; the delta
+    * is (to's dirs − c's dirs) plus, recursively, the delta from
+    * `after` to c's recorded base. Every boundary must carry a
+    * readable `#base=` chain back past `after`, else refuse.
+    */
+  private def deltaDirsSince(name: String, vs: Seq[Long],
+      after: Long, to: Long): Seq[String] = {
+    if (to == after) return Nil
+    val fromSet = readManifest(name, after).toSet
+    val toDirs = readManifest(name, to)
+    if (fromSet.subsetOf(toDirs.toSet)) return toDirs.filterNot(fromSet)
+    def refuse(why: String) = throw new IllegalArgumentException(
+      s"'$name' versions $after..$to cross a re-snapshot that cannot be " +
+        s"diffed ($why); read the full snapshot or diff from a later " +
+        "version instead")
+    val c = vs.filter(v => v > after && v <= to).reverse
+      .find { v =>
+        headersOf(name, v).base.isDefined &&
+          (v == to || readManifest(name, v).toSet.subsetOf(toDirs.toSet))
+      }
+      .getOrElse(refuse("no content-equal #base commit records the " +
+        "re-pack — a pre-header compaction"))
+    val b = headersOf(name, c).base.get
+    if (b < after)
+      refuse(s"version $c rolled back to $b, before the consumed version")
+    if (!vs.contains(b))
+      refuse(s"version $c's base $b was vacuumed")
+    val cDirs = readManifest(name, c).toSet
+    toDirs.filterNot(cDirs) ++ deltaDirsSince(name, vs, after, b)
   }
 
   /** Roll a versioned table back to an earlier snapshot by COMMITTING
@@ -1080,7 +1128,8 @@ final class Storage(spark: SparkSession, warehouse: String) {
   def rollbackVersioned(name: String, to: Long): Long = {
     require(versions(name).contains(to),
       s"'$name' has no version $to to roll back to")
-    commitVersion(name, None, readManifest(name, to))
+    commitVersion(name, None, readManifest(name, to),
+      contentBase = Some(to))
   }
 
   def delete(name: String): Boolean = {

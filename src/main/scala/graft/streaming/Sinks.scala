@@ -58,7 +58,12 @@ object Sinks {
     * stream, and exactly-once is unaffected either way (the high
     * water rides every maintenance commit — kill-injection across an
     * auto-compaction boundary is spec-pinned). Keep `vacuumKeep`
-    * larger than the longest concurrent time-travel reader.
+    * larger than the longest concurrent time-travel reader AND than
+    * any incremental consumer's lag: a CDC reader or index refresh
+    * diffs from the version it last consumed, which must still be
+    * retained (compaction alone is harmless to them — the `#base=`
+    * content-equal chain lets [[Storage.readVersionedSince]] diff
+    * straight through a re-snapshot).
     */
   def sinkVersionedExactlyOnce(ds: DataFrame, storage: Storage,
       name: String, checkpointDir: String,

@@ -403,7 +403,7 @@ class StorageSpec extends SparkTestBase {
     assert(st.readVersioned("conc").count() == 11)
   }
 
-  test("readVersionedSince reads exactly the delta; refuses across compactions; merges evolved schemas") {
+  test("readVersionedSince reads exactly the delta, surviving compactions via #base; merges evolved schemas") {
     val st = freshStorage()
     def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
     st.appendBatchIdempotent("cdc", rows(1L, 2L), 0L) // v1
@@ -422,13 +422,41 @@ class StorageSpec extends SparkTestBase {
     st.appendBatchIdempotent("cdc", rows(6L), 3L)
     assert(st.readVersionedSince("cdc", seen).collect().map(_.getLong(0))
       .toSeq == Seq(6L))
-    // a compaction re-packs directories: diffing across it must refuse,
-    // diffing from the compacted version works again
+    // a compaction re-packs directories, but records itself as
+    // CONTENT-EQUAL (#base=) — the delta diffs straight through it:
+    // rows since v2 are batches 2..4 even though v2's directories were
+    // re-packed away
     val cv = st.compactVersions("cdc")
-    intercept[IllegalArgumentException] { st.readVersionedSince("cdc", 2L) }
     st.appendBatchIdempotent("cdc", rows(7L), 4L)
+    assert(st.readVersionedSince("cdc", 2L).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(4L, 5L, 6L, 7L),
+      "the delta must survive an intervening compaction")
     assert(st.readVersionedSince("cdc", cv).collect().map(_.getLong(0))
       .toSeq == Seq(7L))
+    // CHAINED re-snapshots recurse: another compaction + another batch,
+    // still one exact delta from the pre-compaction version
+    st.compactVersions("cdc")
+    st.appendBatchIdempotent("cdc", rows(8L), 5L)
+    assert(st.readVersionedSince("cdc", 2L).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(4L, 5L, 6L, 7L, 8L),
+      "the delta must survive chained compactions")
+    // a rollback to BEFORE the consumed version refuses: the consumer
+    // has seen rows no append-only delta can retract
+    st.putVersioned("rb", rows(1L))
+    st.appendVersioned("rb", rows(2L))
+    st.appendVersioned("rb", rows(3L))
+    st.rollbackVersioned("rb", 1L)
+    val rbErr = intercept[IllegalArgumentException] {
+      st.readVersionedSince("rb", 2L)
+    }
+    assert(rbErr.getMessage.contains("rolled back"), rbErr.getMessage)
+    // ...but diffing from a version AT or BEFORE the rollback target
+    // works: content-equality makes the delta exact
+    assert(st.readVersionedSince("rb", 1L).count() == 0,
+      "after rolling back to v1, nothing is new since v1")
+    st.appendVersioned("rb", rows(9L))
+    assert(st.readVersionedSince("rb", 1L).collect().map(_.getLong(0))
+      .toSeq == Seq(9L))
 
     // schema evolution: a later batch adds a column; the merged read
     // widens, the default read keeps the latest writer's schema lean

@@ -331,8 +331,9 @@ class SinksSpec extends SparkTestBase {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))
     val n = e.count()
-    val cut = n * 3 / 5
-    val cut2 = n * 4 / 5
+    val cut = n * 2 / 5
+    val cut2 = n * 3 / 5
+    val cut3 = n * 4 / 5
     def writeVecs(name: String, lo: Long, hi: Long): Unit = {
       val staging = Files.createTempDirectory("graft-loop-stage-")
       e.filter(col("vec_id") >= lo && col("vec_id") < hi)
@@ -351,10 +352,11 @@ class SinksSpec extends SparkTestBase {
     val built = graft.api.Corpus.buildAnnIndex(storage.readVersioned("svecs"))
     graft.api.Corpus.saveAnnIndex(built, storage, "sidx",
       corpusVersion = storage.versions("svecs").last)
-    // day 1: two more batches stream in; the query dies AFTER the first
-    // one's table commit but before its checkpoint update
+    // day 1: three more batches stream in; the query dies AFTER the
+    // first one's table commit but before its checkpoint update
     writeVecs("002.parquet", cut, cut2)
-    writeVecs("003.parquet", cut2, n)
+    writeVecs("003.parquet", cut2, cut3)
+    writeVecs("004.parquet", cut3, n)
     val q1 = vecStream().writeStream
       .outputMode("append")
       .option("checkpointLocation", cp.toString)
@@ -369,10 +371,18 @@ class SinksSpec extends SparkTestBase {
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.awaitTermination()
     }
+    // the resumed sink AUTO-COMPACTS (compactEvery=2 → a re-snapshot
+    // lands between the index save and the refresh below — the exact
+    // interplay the #base content-equal chain exists for; vacuumKeep
+    // stays ABOVE the refresh interval, the documented retention
+    // contract, so the pointer's consumed version remains diffable)
     Sinks.sinkVersionedExactlyOnce(vecStream(), storage, "svecs",
-      cp.toString).awaitTermination(180000)
+      cp.toString, compactEvery = 2, vacuumKeep = 8)
+      .awaitTermination(180000)
     assert(storage.readVersioned("svecs").count() == n,
       "the kill-replayed ingest must land every vector exactly once")
+    assert(storage.versionDirCount("svecs") <= 2,
+      "the auto-compaction must have re-packed the corpus table")
     // the nightly refresh consumes the streamed delta — zero retraining
     val passes0 = graft.operators.Similarity.trainingPasses.get()
     graft.api.Corpus.refreshAnnIndex(storage, "sidx", "svecs")
@@ -382,7 +392,7 @@ class SinksSpec extends SparkTestBase {
       "the refreshed index must hold one list row per streamed vector")
     assert(idx.lists.select(col("c_id")).distinct().count() == n)
     // streamed delta vectors are genuinely served
-    val deltaQ = e.filter(col("vec_id") >= cut2).limit(2)
+    val deltaQ = e.filter(col("vec_id") >= cut3).limit(2)
     val self = idx.topK(deltaQ, k = 1).collect()
     assert(self.length == 2 && self.forall(r => r.getLong(0) == r.getLong(2)),
       "each streamed vector must find itself in the refreshed index")
