@@ -757,7 +757,9 @@ object Corpus {
   def refreshAnnIndex(storage: graft.sources.Storage, name: String,
       corpusTable: String, id: String = "vec_id",
       vec: String = "embedding"): Long = {
-    val ptr = storage.readVersioned(s"${name}__ann").collect()
+    val ptrDf = storage.readVersioned(s"${name}__ann")
+    val spark0 = ptrDf.sparkSession
+    val ptr = ptrDf.collect()
     require(ptr.length == 1,
       s"index pointer '${name}__ann' must hold exactly one row, got ${ptr.length}")
     require(ptr(0).schema.fieldNames.contains("corpus_version") &&
@@ -770,9 +772,24 @@ object Corpus {
     require(vcs.nonEmpty, s"no versioned corpus table '$corpusTable'")
     val curV = vcs.last
     if (curV == sinceV) return storage.versions(s"${name}__ann").last
-    val delta = storage.readVersionedSince(corpusTable, sinceV)
-      .select(col(id).as("vec_id"), col(vec).as("embedding"))
     val centV = ptr(0).getAs[Long]("centroids_version")
+    import spark0.implicits._
+    // the delta read is PINNED to curV — the version the pointer will
+    // record as consumed. Resolving "latest" here and again inside the
+    // read races a concurrent ingest append: its rows would land in
+    // tonight's lists but not in the checkpoint, and tomorrow's refresh
+    // would re-consume them — permanent double-indexing
+    val delta = storage.readVersionedSince(corpusTable, sinceV,
+        toVersion = curV)
+      .select(col(id).as("vec_id"), col(vec).as("embedding"))
+    if (delta.isEmpty)
+      // the corpus advanced by maintenance only (compaction, rollback
+      // forward, empty batches): nothing to index — re-pin the consumed
+      // version so future refreshes diff from here instead of re-walking
+      // the content-equal chain, and never commit a junk empty data dir
+      return storage.putVersioned(s"${name}__ann",
+        Seq((centV, ptr(0).getAs[Long]("lists_version"), curV))
+          .toDF("centroids_version", "lists_version", "corpus_version"))
     val cent = storage.readVersioned(s"${name}__centroids", centV)
       .localCheckpoint()
     val deltaLists = graft.operators.Similarity.kernelProbeCells(delta,
@@ -786,8 +803,6 @@ object Corpus {
     // construction (each produces a version with the delta exactly once)
     val vl = storage.appendVersionedOnto(s"${name}__lists", deltaLists,
       ptr(0).getAs[Long]("lists_version"))
-    val spark = cent.sparkSession
-    import spark.implicits._
     val out = storage.putVersioned(s"${name}__ann",
       Seq((centV, vl, curV))
         .toDF("centroids_version", "lists_version", "corpus_version"))
@@ -823,9 +838,12 @@ object Corpus {
     require(ptr.length == 1,
       s"index pointer '${name}__ann' must hold exactly one row, " +
         s"got ${ptr.length}")
-    val snap = storage.readVersioned(s"${name}__lists",
-      ptr(0).getAs[Long]("lists_version"))
-    val vl = storage.putVersioned(s"${name}__lists", snap)
+    val pinnedLists = ptr(0).getAs[Long]("lists_version")
+    val snap = storage.readVersioned(s"${name}__lists", pinnedLists)
+    // content-equal to the pinned version — recorded so CDC readers of
+    // the artifact table keep their diffability across the re-pack
+    val vl = storage.putVersioned(s"${name}__lists", snap,
+      contentEqualTo = Some(pinnedLists))
     val spark = snap.sparkSession
     import spark.implicits._
     storage.putVersioned(s"${name}__ann",
@@ -841,13 +859,14 @@ object Corpus {
     */
   def compactHybridIndex(storage: graft.sources.Storage,
       name: String): Long = {
-    val ptr = storage.readVersioned(s"${name}__hybrid").collect()
+    val ptrDf = storage.readVersioned(s"${name}__hybrid")
+    val spark = ptrDf.sparkSession
+    val ptr = ptrDf.collect()
     require(ptr.length == 1,
       s"index pointer '${name}__hybrid' must hold exactly one row, " +
         s"got ${ptr.length}")
     val vd = compactAnnIndex(storage, s"${name}__dense",
       ptr(0).getAs[Long]("dense_version"))
-    val spark = storage.readVersioned(s"${name}__hybrid").sparkSession
     import spark.implicits._
     storage.putVersioned(s"${name}__hybrid",
       Seq((ptr(0).getAs[Long]("postings_version"), vd))
@@ -862,15 +881,17 @@ object Corpus {
     */
   def compactPairMiningBase(storage: graft.sources.Storage,
       name: String): Long = {
-    val ptr = storage.readVersioned(s"${name}__pmb").collect()
+    val ptrDf = storage.readVersioned(s"${name}__pmb")
+    val spark = ptrDf.sparkSession
+    val ptr = ptrDf.collect()
     require(ptr.length == 1,
       s"pointer '${name}__pmb' must hold exactly one row, got ${ptr.length}")
+    val pinnedFps = ptr(0).getAs[Long]("fps_version")
     val vf = storage.putVersioned(s"${name}__fps",
-      storage.readVersioned(s"${name}__fps",
-        ptr(0).getAs[Long]("fps_version")))
+      storage.readVersioned(s"${name}__fps", pinnedFps),
+      contentEqualTo = Some(pinnedFps))
     val vi = compactAnnIndex(storage, s"${name}__index",
       ptr(0).getAs[Long]("index_version"))
-    val spark = storage.readVersioned(s"${name}__pmb").sparkSession
     import spark.implicits._
     storage.putVersioned(s"${name}__pmb",
       Seq((vf, vi, ptr(0).getAs[Long]("docs_version"),
@@ -896,32 +917,22 @@ object Corpus {
     * (manifests deleted, data directories deleted) across the family.
     */
   def vacuumAnnIndex(storage: graft.sources.Storage, name: String,
-      keepLastPointers: Int): (Int, Int) = {
-    val ptrGone = storage.vacuumVersions(s"${name}__ann", keepLastPointers)
-    val rows = storage.versions(s"${name}__ann")
-      .map(v => storage.readVersioned(s"${name}__ann", v).collect()(0))
-    val centGone = storage.vacuumVersionsKeeping(s"${name}__centroids",
-      rows.map(_.getAs[Long]("centroids_version")).toSet)
-    val listsGone = storage.vacuumVersionsKeeping(s"${name}__lists",
-      rows.map(_.getAs[Long]("lists_version")).toSet)
-    sumCounts(Seq(ptrGone, centGone, listsGone))
-  }
+      keepLastPointers: Int): (Int, Int) = sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__ann", keepLastPointers),
+    vacuumPinnedArms(storage, s"${name}__ann",
+      Seq(s"${name}__centroids" -> "centroids_version",
+        s"${name}__lists" -> "lists_version"))))
 
   /** [[vacuumAnnIndex]] for a persisted tokenizer family (see
     * [[saveTokenizer]]): retain the last `keepLastPointers` tokenizer
     * pointers, vacuum merges/vocab keeping the pinned versions.
     */
   def vacuumTokenizer(storage: graft.sources.Storage, name: String,
-      keepLastPointers: Int): (Int, Int) = {
-    val ptrGone = storage.vacuumVersions(s"${name}__tok", keepLastPointers)
-    val rows = storage.versions(s"${name}__tok")
-      .map(v => storage.readVersioned(s"${name}__tok", v).collect()(0))
-    val mergesGone = storage.vacuumVersionsKeeping(s"${name}__merges",
-      rows.map(_.getAs[Long]("merges_version")).toSet)
-    val vocabGone = storage.vacuumVersionsKeeping(s"${name}__vocab",
-      rows.map(_.getAs[Long]("vocab_version")).toSet)
-    sumCounts(Seq(ptrGone, mergesGone, vocabGone))
-  }
+      keepLastPointers: Int): (Int, Int) = sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__tok", keepLastPointers),
+    vacuumPinnedArms(storage, s"${name}__tok",
+      Seq(s"${name}__merges" -> "merges_version",
+        s"${name}__vocab" -> "vocab_version"))))
 
   /** [[vacuumAnnIndex]] for a persisted hybrid family (see
     * [[saveHybridIndex]]) — one level deeper: retained hybrid pointers
@@ -932,23 +943,32 @@ object Corpus {
     * pointers pin).
     */
   def vacuumHybridIndex(storage: graft.sources.Storage, name: String,
-      keepLastPointers: Int): (Int, Int) = {
-    val ptrGone = storage.vacuumVersions(s"${name}__hybrid", keepLastPointers)
-    val rows = storage.versions(s"${name}__hybrid")
-      .map(v => storage.readVersioned(s"${name}__hybrid", v).collect()(0))
-    val postGone = storage.vacuumVersionsKeeping(s"${name}__postings",
-      rows.map(_.getAs[Long]("postings_version")).toSet)
-    val densePtrKeep = rows.map(_.getAs[Long]("dense_version")).toSet
-    val densePtrGone = storage.vacuumVersionsKeeping(
-      s"${name}__dense__ann", densePtrKeep)
-    val denseRows = storage.versions(s"${name}__dense__ann")
-      .map(v => storage.readVersioned(s"${name}__dense__ann", v).collect()(0))
-    val centGone = storage.vacuumVersionsKeeping(
-      s"${name}__dense__centroids",
-      denseRows.map(_.getAs[Long]("centroids_version")).toSet)
-    val listsGone = storage.vacuumVersionsKeeping(s"${name}__dense__lists",
-      denseRows.map(_.getAs[Long]("lists_version")).toSet)
-    sumCounts(Seq(ptrGone, postGone, densePtrGone, centGone, listsGone))
+      keepLastPointers: Int): (Int, Int) = sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__hybrid", keepLastPointers),
+    vacuumPinnedArms(storage, s"${name}__hybrid",
+      Seq(s"${name}__postings" -> "postings_version",
+        s"${name}__dense__ann" -> "dense_version")),
+    vacuumPinnedArms(storage, s"${name}__dense__ann",
+      Seq(s"${name}__dense__centroids" -> "centroids_version",
+        s"${name}__dense__lists" -> "lists_version"))))
+
+  /** The ONE retention rule every persisted family shares: read each
+    * RETAINED version of `pointerTable` (the caller has already
+    * vacuumed it by its own policy — keep-last-K at the top, or
+    * keep-what-the-parent-pins for a nested pointer), collect the
+    * versions those pointers pin per arm, and vacuum each arm keeping
+    * exactly that set. Centralized so the rule cannot drift between
+    * families (columns are matched BY NAME — a schema reorder cannot
+    * silently re-target an arm).
+    */
+  private def vacuumPinnedArms(storage: graft.sources.Storage,
+      pointerTable: String, arms: Seq[(String, String)]): (Int, Int) = {
+    val rows = storage.versions(pointerTable)
+      .map(v => storage.readVersioned(pointerTable, v).collect()(0))
+    sumCounts(arms.map { case (table, column) =>
+      storage.vacuumVersionsKeeping(table,
+        rows.map(_.getAs[Long](column)).toSet)
+    })
   }
 
   private def sumCounts(cs: Seq[(Int, Int)]): (Int, Int) =
@@ -968,10 +988,12 @@ object Corpus {
       s"index pointer '${name}__ann' must hold exactly one row, " +
         s"got ${ptr.length}")
     val cent = storage
-      .readVersioned(s"${name}__centroids", ptr(0).getLong(0))
+      .readVersioned(s"${name}__centroids",
+        ptr(0).getAs[Long]("centroids_version"))
       .localCheckpoint()
     val lists = storage
-      .readVersioned(s"${name}__lists", ptr(0).getLong(1))
+      .readVersioned(s"${name}__lists",
+        ptr(0).getAs[Long]("lists_version"))
       .localCheckpoint()
     AnnIndex(cent, lists)
   }
@@ -1025,9 +1047,11 @@ object Corpus {
       s"tokenizer pointer '${name}__tok' must hold exactly one row, " +
         s"got ${ptr.length}")
     Tokenizer(
-      storage.readVersioned(s"${name}__merges", ptr(0).getLong(0))
+      storage.readVersioned(s"${name}__merges",
+          ptr(0).getAs[Long]("merges_version"))
         .localCheckpoint(),
-      storage.readVersioned(s"${name}__vocab", ptr(0).getLong(1))
+      storage.readVersioned(s"${name}__vocab",
+          ptr(0).getAs[Long]("vocab_version"))
         .localCheckpoint())
   }
 
@@ -1137,9 +1161,11 @@ object Corpus {
       s"index pointer '${name}__hybrid' must hold exactly one row, " +
         s"got ${ptr.length}")
     HybridIndex(
-      storage.readVersioned(s"${name}__postings", ptr(0).getLong(0))
+      storage.readVersioned(s"${name}__postings",
+          ptr(0).getAs[Long]("postings_version"))
         .localCheckpoint(),
-      loadAnnIndex(storage, s"${name}__dense", ptr(0).getLong(1)))
+      loadAnnIndex(storage, s"${name}__dense",
+        ptr(0).getAs[Long]("dense_version")))
   }
 
   /** Build the persisted base of an incremental pair-mining pipeline
@@ -1245,7 +1271,10 @@ object Corpus {
     */
   def refreshPairMiningBase(storage: graft.sources.Storage, name: String,
       docsTable: String, vectorsTable: String): Long = {
-    val ptr = storage.readVersioned(s"${name}__pmb").collect()
+    val ptrDf = storage.readVersioned(s"${name}__pmb")
+    val spark = ptrDf.sparkSession
+    import spark.implicits._
+    val ptr = ptrDf.collect()
     require(ptr.length == 1,
       s"pointer '${name}__pmb' must hold exactly one row, got ${ptr.length}")
     val dv = ptr(0).getAs[Long]("docs_version")
@@ -1254,6 +1283,10 @@ object Corpus {
       s"base '$name' was saved without corpus versions; re-save with " +
         "savePairMiningBase(base, storage, name, docsVersion, " +
         "vectorsVersion) to enable incremental refresh")
+    // both windows PINNED to the versions the pointer will record as
+    // consumed (see refreshAnnIndex — a concurrent ingest landing
+    // between "resolve latest" and "read delta" would otherwise be
+    // consumed tonight and re-consumed forever)
     val dCur = storage.versions(docsTable).last
     val vCur = storage.versions(vectorsTable).last
     if (dCur == dv && vCur == vv)
@@ -1262,29 +1295,39 @@ object Corpus {
     val vi = ptr(0).getAs[Long]("index_version")
     val baseFps = storage.readVersioned(s"${name}__fps", vf)
     val deltaKept = graft.operators.Pipeline
-      .qualityFp(storage.readVersionedSince(docsTable, dv))
+      .qualityFp(storage.readVersionedSince(docsTable, dv,
+        toVersion = dCur))
       .groupBy(col("fp"))
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("vec_id"))
       .join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
       .localCheckpoint()
+    if (deltaKept.isEmpty) {
+      // maintenance-only advance or a delta with no new QA survivors:
+      // nothing to fold — re-pin the consumed versions only, committing
+      // no junk empty directories into either artifact lineage
+      graft.operators.RelCache.freeLocalCheckpoint(deltaKept)
+      return storage.putVersioned(s"${name}__pmb",
+        Seq((vf, vi, dCur, vCur))
+          .toDF("fps_version", "index_version",
+            "docs_version", "vectors_version"))
+    }
     val vfNew = storage.appendVersionedOnto(s"${name}__fps", deltaKept, vf)
     // the index arm: the ann pointer pinned by the pmb pointer names
     // the centroids/lists pair the delta assigns under
     val annPtr = storage.readVersioned(s"${name}__index__ann", vi)
       .collect()(0)
     val cent = storage.readVersioned(s"${name}__index__centroids",
-      annPtr.getLong(0)).localCheckpoint()
-    val newVecs = storage.readVersionedSince(vectorsTable, vv)
+      annPtr.getAs[Long]("centroids_version")).localCheckpoint()
+    val newVecs = storage.readVersionedSince(vectorsTable, vv,
+        toVersion = vCur)
       .select(col("vec_id"), col("embedding"))
       .join(deltaKept.select(col("vec_id")), "vec_id")
     val vlNew = storage.appendVersionedOnto(s"${name}__index__lists",
       graft.operators.Similarity.kernelProbeCells(newVecs, cent, 1,
         "c_id", "cv_c", "cn_c"),
-      annPtr.getLong(1))
-    val spark = cent.sparkSession
-    import spark.implicits._
+      annPtr.getAs[Long]("lists_version"))
     val viNew = storage.putVersioned(s"${name}__index__ann",
-      Seq((annPtr.getLong(0), vlNew, -1L))
+      Seq((annPtr.getAs[Long]("centroids_version"), vlNew, -1L))
         .toDF("centroids_version", "lists_version", "corpus_version"))
     val out = storage.putVersioned(s"${name}__pmb",
       Seq((vfNew, viNew, dCur, vCur))
@@ -1301,23 +1344,14 @@ object Corpus {
     * `<name>__index` ann family keeping exactly the pinned versions.
     */
   def vacuumPairMiningBase(storage: graft.sources.Storage, name: String,
-      keepLastPointers: Int): (Int, Int) = {
-    val ptrGone = storage.vacuumVersions(s"${name}__pmb", keepLastPointers)
-    val rows = storage.versions(s"${name}__pmb")
-      .map(v => storage.readVersioned(s"${name}__pmb", v).collect()(0))
-    val fpsGone = storage.vacuumVersionsKeeping(s"${name}__fps",
-      rows.map(_.getAs[Long]("fps_version")).toSet)
-    val idxPtrGone = storage.vacuumVersionsKeeping(s"${name}__index__ann",
-      rows.map(_.getAs[Long]("index_version")).toSet)
-    val idxRows = storage.versions(s"${name}__index__ann")
-      .map(v => storage.readVersioned(s"${name}__index__ann", v)
-        .collect()(0))
-    val centGone = storage.vacuumVersionsKeeping(
-      s"${name}__index__centroids", idxRows.map(_.getLong(0)).toSet)
-    val listsGone = storage.vacuumVersionsKeeping(
-      s"${name}__index__lists", idxRows.map(_.getLong(1)).toSet)
-    sumCounts(Seq(ptrGone, fpsGone, idxPtrGone, centGone, listsGone))
-  }
+      keepLastPointers: Int): (Int, Int) = sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__pmb", keepLastPointers),
+    vacuumPinnedArms(storage, s"${name}__pmb",
+      Seq(s"${name}__fps" -> "fps_version",
+        s"${name}__index__ann" -> "index_version")),
+    vacuumPinnedArms(storage, s"${name}__index__ann",
+      Seq(s"${name}__index__centroids" -> "centroids_version",
+        s"${name}__index__lists" -> "lists_version"))))
 
   /** Retire a corpus directory's session-cached index artifacts: every
     * operator family's internal build-once relation (shingles,

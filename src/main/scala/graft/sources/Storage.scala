@@ -15,6 +15,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
   * here as one directory per stored name (mirroring the controller's
   * `fileToChunkToNodesIndex`, `dfs/controller/controller.go:677-700`).
   */
+/** Thrown when a versioned-table commit loses the manifest CAS to a
+  * concurrent writer — the retryable condition (re-read, re-derive,
+  * re-commit), as distinct from every other `IllegalStateException`
+  * a commit can raise. Retry loops match on THIS type, never on
+  * message text.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
 final class Storage(spark: SparkSession, warehouse: String) {
 
   private def fs: FileSystem =
@@ -499,7 +508,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
     // landed first); the rename below still closes the window where a
     // winner appears mid-write
     if (fs.exists(vtManifest(name, v)))
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit: version $v of '$name' already exists")
     // each ATTEMPT writes to a uniquely-named directory (the manifest
     // records exact dir names, so the suffix is free): two racing
@@ -553,7 +562,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
     if (!publishNoReplace(tmp, target)) {
       fs.delete(tmp, false)
       dataDir.foreach(d => fs.delete(new Path(vtRoot(name), d), true))
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit: version $v of '$name' already exists")
     }
     v
@@ -594,9 +603,22 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * manifest references ONLY the freshly-written data. Returns the
     * committed version number. History is preserved — earlier versions
     * stay readable via [[readVersioned]].
+    *
+    * When the frame being written is row-identical to an already
+    * COMMITTED version (an index-family compaction re-snapshotting a
+    * pinned artifact version), pass it as `contentEqualTo` so the
+    * manifest records the `#base=` header — the same diffability
+    * guarantee [[compactVersions]] gives, letting
+    * [[readVersionedSince]] consumers cross this re-pack instead of
+    * refusing. Claiming equality for a frame that is NOT row-identical
+    * silently corrupts downstream deltas — leave it unset when unsure.
     */
-  def putVersioned(name: String, df: DataFrame): Long =
-    commitVersion(name, Some(df), Nil)
+  def putVersioned(name: String, df: DataFrame,
+      contentEqualTo: Option[Long] = None): Long = {
+    contentEqualTo.foreach(b => require(versions(name).contains(b),
+      s"'$name' has no committed version $b to claim content-equality to"))
+    commitVersion(name, Some(df), Nil, contentBase = contentEqualTo)
+  }
 
   /** Append a batch to a versioned table as a new version: writes ONLY
     * the delta (one immutable directory) and publishes a manifest that
@@ -661,9 +683,9 @@ final class Storage(spark: SparkSession, warehouse: String) {
       attempt += 1
       try return commitVersion(name, Some(df), base)
       catch {
-        case e: IllegalStateException
-          if attempt < 8 && e.getMessage.startsWith("concurrent commit") =>
-        // raced for the version number: retry on the new latest
+        case _: ConcurrentCommitException if attempt < 8 =>
+        // lost the version-number race: re-commit the SAME pinned
+        // base + delta under the new latest version number
       }
     }
     -1L // unreachable
@@ -832,8 +854,7 @@ final class Storage(spark: SparkSession, warehouse: String) {
         Some(vs.lastOption.getOrElse(0L)), newBatchId = Some(batchId),
         claimWriter = Some(writer).filter(_.nonEmpty)))
       catch {
-        case e: IllegalStateException
-          if attempt < 16 && e.getMessage.startsWith("concurrent commit") =>
+        case _: ConcurrentCommitException if attempt < 16 =>
         // raced: re-read and retry
       }
     }
@@ -1069,11 +1090,22 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * manifests were vacuumed (diff from a retained version instead).
     */
   def readVersionedSince(name: String, afterVersion: Long,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false, toVersion: Long = -1L): DataFrame = {
     val vs = versions(name)
     require(vs.contains(afterVersion),
       s"'$name' has no version $afterVersion (has: ${vs.mkString(",")})")
-    val to = vs.last
+    // `toVersion` pins the window's upper end so a consumer can record
+    // EXACTLY what it consumed: resolving "latest" here and again in
+    // the caller races a concurrent append (rows land in the delta but
+    // not in the caller's checkpoint → re-consumed forever)
+    val to = if (toVersion < 0) vs.last
+      else {
+        require(vs.contains(toVersion),
+          s"'$name' has no version $toVersion (has: ${vs.mkString(",")})")
+        require(toVersion >= afterVersion,
+          s"toVersion $toVersion precedes afterVersion $afterVersion")
+        toVersion
+      }
     val delta = deltaDirsSince(name, vs, afterVersion, to).distinct
     if (delta.isEmpty) readVersioned(name, to, mergeSchema).limit(0)
     else spark.read.option("mergeSchema", mergeSchema)
@@ -1099,19 +1131,28 @@ final class Storage(spark: SparkSession, warehouse: String) {
       s"'$name' versions $after..$to cross a re-snapshot that cannot be " +
         s"diffed ($why); read the full snapshot or diff from a later " +
         "version instead")
-    val c = vs.filter(v => v > after && v <= to).reverse
-      .find { v =>
-        headersOf(name, v).base.isDefined &&
-          (v == to || readManifest(name, v).toSet.subsetOf(toDirs.toSet))
+    // one manifest read per candidate: headers and dir set both derive
+    // from the same lines (each open is a round trip on object stores)
+    val (b, cDirs) = vs.filter(v => v > after && v <= to).reverseIterator
+      .map { v => (v, manifestLines(name, v)) }
+      .collectFirst { case (v, lines)
+        if headersOf(lines).base.isDefined &&
+          (v == to ||
+            lines.filterNot(_.startsWith("#")).toSet.subsetOf(toDirs.toSet)) =>
+        (v, headersOf(lines).base.get,
+          lines.filterNot(_.startsWith("#")).toSet)
+      } match {
+        case Some((c, base, dirs)) =>
+          if (base < after)
+            refuse(s"version $c rolled back to $base, before the " +
+              "consumed version")
+          if (!vs.contains(base))
+            refuse(s"version $c's base $base was vacuumed")
+          (base, dirs)
+        case None =>
+          refuse("no content-equal #base commit records the re-pack — " +
+            "a pre-header compaction")
       }
-      .getOrElse(refuse("no content-equal #base commit records the " +
-        "re-pack — a pre-header compaction"))
-    val b = headersOf(name, c).base.get
-    if (b < after)
-      refuse(s"version $c rolled back to $b, before the consumed version")
-    if (!vs.contains(b))
-      refuse(s"version $c's base $b was vacuumed")
-    val cDirs = readManifest(name, c).toSet
     toDirs.filterNot(cDirs) ++ deltaDirsSince(name, vs, after, b)
   }
 

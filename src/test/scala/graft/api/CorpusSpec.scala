@@ -711,6 +711,19 @@ class CorpusSpec extends SparkTestBase {
       "each upserted vector must find ITSELF in the refreshed index")
     // corpus unchanged -> no-op refresh returns the current pointer
     assert(Corpus.refreshAnnIndex(storage, "ridx", "cvecs") == pv2)
+    // corpus advanced by MAINTENANCE only (a compaction): nothing to
+    // index — the refresh re-pins the consumed version without
+    // committing a junk empty lists version
+    val listsVersions = storage.versions("ridx__lists")
+    val compactedCorpus = storage.compactVersions("cvecs")
+    val pv3 = Corpus.refreshAnnIndex(storage, "ridx", "cvecs")
+    assert(pv3 == pv2 + 1)
+    assert(storage.versions("ridx__lists") == listsVersions,
+      "a maintenance-only corpus advance must not grow the lists lineage")
+    assert(storage.readVersioned("ridx__ann").collect()(0)
+      .getAs[Long]("corpus_version") == compactedCorpus)
+    assert(Corpus.refreshAnnIndex(storage, "ridx", "cvecs") == pv3,
+      "after the re-pin the refresh is a no-op again")
     // a pointer saved without a corpus version refuses with guidance
     Corpus.saveAnnIndex(built, storage, "ridx0")
     val err = intercept[IllegalArgumentException] {

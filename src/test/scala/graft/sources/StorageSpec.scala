@@ -433,6 +433,14 @@ class StorageSpec extends SparkTestBase {
       "the delta must survive an intervening compaction")
     assert(st.readVersionedSince("cdc", cv).collect().map(_.getLong(0))
       .toSeq == Seq(7L))
+    // a consumer pins its window's upper end so what it reads and what
+    // it checkpoints can never disagree under concurrent appends
+    assert(st.readVersionedSince("cdc", 2L, toVersion = 3L).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L),
+      "toVersion must bound the delta window")
+    intercept[IllegalArgumentException] {
+      st.readVersionedSince("cdc", 3L, toVersion = 2L)
+    }
     // CHAINED re-snapshots recurse: another compaction + another batch,
     // still one exact delta from the pre-compaction version
     st.compactVersions("cdc")
