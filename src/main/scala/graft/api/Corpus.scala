@@ -1168,6 +1168,175 @@ object Corpus {
         ptr(0).getAs[Long]("dense_version")))
   }
 
+  /** Build an [[IvfPqIndex]] over a `(id, vec)` frame — the handle
+    * form of the gated `sim_ivfpq` composition (coarse probe bounds
+    * the candidates, ADC scans only their 4-byte codes, exact refine
+    * on the shortlist): two training passes at build, zero per serve.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): IvfPqIndex =
+    Indexes.buildIvfPq(corpus, id, vec)
+
+  /** Persist a built [[IvfPqIndex]] (see [[saveAnnIndex]] — the same
+    * versioned-tables + atomic-pointer pattern): the coarse arm saves
+    * as a nested ann family under `<name>__coarse` (its own pointer
+    * deliberately records NO corpus version, so a direct
+    * [[refreshAnnIndex]] on it refuses — refreshing the coarse lists
+    * without re-encoding codes would silently drop the new vectors
+    * from every ADC scan), codebooks and codes land as versioned
+    * tables, and the one-row `<name>__ivfpq` pointer pins all three
+    * plus the corpus version in one atomic commit.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, storage: graft.sources.Storage,
+      name: String): Long = saveIvfPqIndex(index, storage, name, -1L)
+
+  /** [[saveIvfPqIndex]] recording the corpus version the index was
+    * built from — what [[refreshIvfPqIndex]] diffs against.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, storage: graft.sources.Storage,
+      name: String, corpusVersion: Long): Long = {
+    val vc = saveAnnIndex(index.ann, storage, s"${name}__coarse")
+    val vb = storage.putVersioned(s"${name}__codebooks", index.codebooks)
+    val vk = storage.putVersioned(s"${name}__codes", index.codes)
+    val spark = index.codebooks.sparkSession
+    import spark.implicits._
+    storage.putVersioned(s"${name}__ivfpq",
+      Seq((vc, vb, vk, corpusVersion))
+        .toDF("coarse_version", "codebooks_version", "codes_version",
+          "corpus_version"))
+  }
+
+  /** Rehydrate a persisted [[IvfPqIndex]] at `version` (default:
+    * latest save) — zero training passes, every artifact at its
+    * pinned version.
+    */
+  def loadIvfPqIndex(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): IvfPqIndex = {
+    val ptr = storage.readVersioned(s"${name}__ivfpq", version).collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__ivfpq' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    IvfPqIndex(
+      loadAnnIndex(storage, s"${name}__coarse",
+        ptr(0).getAs[Long]("coarse_version")),
+      storage.readVersioned(s"${name}__codebooks",
+        ptr(0).getAs[Long]("codebooks_version")).localCheckpoint(),
+      storage.readVersioned(s"${name}__codes",
+        ptr(0).getAs[Long]("codes_version")).localCheckpoint())
+  }
+
+  /** CDC-driven incremental maintenance of a persisted [[IvfPqIndex]]
+    * — [[refreshAnnIndex]] with BOTH arms frozen: the corpus delta
+    * (pinned window, see [[refreshAnnIndex]]) is assigned under the
+    * frozen coarse centroids AND kernel-encoded under the frozen PQ
+    * codebooks — two scan-bound O(delta) passes, zero training — then
+    * both appends land base-pinned (crash/double-fire safe) and one
+    * atomic pointer commit re-pins everything. What drifts under pure
+    * upsert is training-set coverage of BOTH quantizers — the standing
+    * cue for periodic full retrains. Returns the new pointer version;
+    * maintenance-only corpus advances re-pin without committing junk.
+    */
+  def refreshIvfPqIndex(storage: graft.sources.Storage, name: String,
+      corpusTable: String, id: String = "vec_id",
+      vec: String = "embedding"): Long = {
+    val ptrDf = storage.readVersioned(s"${name}__ivfpq")
+    val spark = ptrDf.sparkSession
+    import spark.implicits._
+    val ptr = ptrDf.collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__ivfpq' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    val sinceV = ptr(0).getAs[Long]("corpus_version")
+    require(sinceV >= 0L,
+      s"index '$name' was saved without a corpus version; re-save with " +
+        "saveIvfPqIndex(index, storage, name, corpusVersion) to enable " +
+        "incremental refresh")
+    val vcs = storage.versions(corpusTable)
+    require(vcs.nonEmpty, s"no versioned corpus table '$corpusTable'")
+    val curV = vcs.last
+    if (curV == sinceV) return storage.versions(s"${name}__ivfpq").last
+    val vCoarse = ptr(0).getAs[Long]("coarse_version")
+    val vb = ptr(0).getAs[Long]("codebooks_version")
+    val vk = ptr(0).getAs[Long]("codes_version")
+    val delta = storage.readVersionedSince(corpusTable, sinceV,
+        toVersion = curV)
+      .select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .localCheckpoint()
+    if (delta.isEmpty) {
+      graft.operators.RelCache.freeLocalCheckpoint(delta)
+      return storage.putVersioned(s"${name}__ivfpq",
+        Seq((vCoarse, vb, vk, curV))
+          .toDF("coarse_version", "codebooks_version", "codes_version",
+            "corpus_version"))
+    }
+    // coarse arm: frozen-centroid assignment onto the pinned lists
+    val coarsePtr = storage
+      .readVersioned(s"${name}__coarse__ann", vCoarse).collect()(0)
+    val cent = storage.readVersioned(s"${name}__coarse__centroids",
+      coarsePtr.getAs[Long]("centroids_version")).localCheckpoint()
+    val vl = storage.appendVersionedOnto(s"${name}__coarse__lists",
+      graft.operators.Similarity.kernelProbeCells(delta, cent, 1,
+        "c_id", "cv_c", "cn_c"),
+      coarsePtr.getAs[Long]("lists_version"))
+    val vCoarseNew = storage.putVersioned(s"${name}__coarse__ann",
+      Seq((coarsePtr.getAs[Long]("centroids_version"), vl, -1L))
+        .toDF("centroids_version", "lists_version", "corpus_version"))
+    // pq arm: frozen-codebook kernel encode onto the pinned codes
+    val cb = storage.readVersioned(s"${name}__codebooks", vb)
+    val vkNew = storage.appendVersionedOnto(s"${name}__codes",
+      graft.operators.Similarity.kernelEncodePq(delta, cb), vk)
+    val out = storage.putVersioned(s"${name}__ivfpq",
+      Seq((vCoarseNew, vb, vkNew, curV))
+        .toDF("coarse_version", "codebooks_version", "codes_version",
+          "corpus_version"))
+    graft.operators.RelCache.freeLocalCheckpoint(cent)
+    graft.operators.RelCache.freeLocalCheckpoint(delta)
+    out
+  }
+
+  /** [[compactAnnIndex]] for a persisted IVF×PQ family: the coarse
+    * lists and the codes table both accrete one delta directory per
+    * refresh — re-snapshot both at their pinned versions (content-
+    * equal, `#base=` recorded) and re-pin.
+    */
+  def compactIvfPqIndex(storage: graft.sources.Storage,
+      name: String): Long = {
+    val ptrDf = storage.readVersioned(s"${name}__ivfpq")
+    val spark = ptrDf.sparkSession
+    import spark.implicits._
+    val ptr = ptrDf.collect()
+    require(ptr.length == 1,
+      s"index pointer '${name}__ivfpq' must hold exactly one row, " +
+        s"got ${ptr.length}")
+    val vCoarseNew = compactAnnIndex(storage, s"${name}__coarse",
+      ptr(0).getAs[Long]("coarse_version"))
+    val pinnedCodes = ptr(0).getAs[Long]("codes_version")
+    val vkNew = storage.putVersioned(s"${name}__codes",
+      storage.readVersioned(s"${name}__codes", pinnedCodes),
+      contentEqualTo = Some(pinnedCodes))
+    storage.putVersioned(s"${name}__ivfpq",
+      Seq((vCoarseNew, ptr(0).getAs[Long]("codebooks_version"), vkNew,
+        ptr(0).getAs[Long]("corpus_version")))
+        .toDF("coarse_version", "codebooks_version", "codes_version",
+          "corpus_version"))
+  }
+
+  /** [[vacuumAnnIndex]] for a persisted IVF×PQ family: retained ivfpq
+    * pointers pin the codebooks/codes versions and the nested coarse
+    * family's POINTER versions; each arm vacuums keeping exactly its
+    * pinned set.
+    */
+  def vacuumIvfPqIndex(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__ivfpq", keepLastPointers),
+    vacuumPinnedArms(storage, s"${name}__ivfpq",
+      Seq(s"${name}__codebooks" -> "codebooks_version",
+        s"${name}__codes" -> "codes_version",
+        s"${name}__coarse__ann" -> "coarse_version")),
+    vacuumPinnedArms(storage, s"${name}__coarse__ann",
+      Seq(s"${name}__coarse__centroids" -> "centroids_version",
+        s"${name}__coarse__lists" -> "lists_version"))))
+
   /** Build the persisted base of an incremental pair-mining pipeline
     * over a `(doc_id, text)` docs frame and id-linked `(vec_id,
     * embedding)` vectors: QA the corpus (quality floor + prefix-

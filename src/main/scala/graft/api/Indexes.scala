@@ -48,6 +48,48 @@ final case class AnnIndex private[api] (
   }
 }
 
+/** A built IVF×PQ index — the composition that serves a 100 TB corpus
+  * from RAM (FAISS's `IVFx,PQy`): the coarse quantizer + inverted
+  * lists of a flat [[AnnIndex]] (the lists' raw vectors double as the
+  * exact-refine relation), the trained PQ codebooks, and the encoded
+  * codes (~n·M narrow rows — the 1/64-of-corpus representation the PQ
+  * design exists to produce). Build once with
+  * [[Corpus.buildIvfPqIndex]]; every [[topK]] serve probes the coarse
+  * cells, ADC-scans only the candidates' codes, and exact-refines the
+  * shortlist — sublinear in corpus size, zero training. Persist with
+  * [[Corpus.saveIvfPqIndex]]; maintain with
+  * [[Corpus.refreshIvfPqIndex]] (frozen centroids AND frozen
+  * codebooks — both arms O(delta)).
+  */
+final case class IvfPqIndex private[api] (ann: AnnIndex,
+    codebooks: DataFrame, codes: DataFrame) {
+
+  /** Top-`k` with EXACT refined cosines over the ADC shortlist —
+    * `(q_id, rank, c_id, cosine)`, approximate candidate recall by
+    * construction (gated with a floor as `sim_ivfpq`).
+    */
+  def topK(queries: DataFrame, k: Int,
+      numProbes: Int = Similarity.IvfPqProbes,
+      excludeSelf: Boolean = false): DataFrame =
+    Similarity.ivfPqTopK(
+      ann.lists.select(col("c_id").as("vec_id"),
+        col("cv_c").as("embedding")),
+      queries, ann.centroids, codebooks, k,
+      excludeSelfIds = excludeSelf, numProbes = numProbes,
+      encoded = Some(codes),
+      assignedCells = Some(
+        ann.lists.select(col("c_id"), col("cell").as("icell"))))
+
+  /** Release every artifact's checkpoint blocks (see
+    * [[AnnIndex.close]]).
+    */
+  def close(): Unit = {
+    ann.close()
+    graft.operators.RelCache.freeLocalCheckpoint(codebooks)
+    graft.operators.RelCache.freeLocalCheckpoint(codes)
+  }
+}
+
 /** A built hybrid-retrieval index: the BM25 postings relation (per
   * (term, doc) scores with corpus stats baked in — the artifact
   * `st_bm25` and the gated `sim_hybrid` serve from) plus the dense
@@ -136,5 +178,17 @@ private[api] object Indexes {
     val lists = Similarity.kernelProbeCells(c, cent, 1,
       "c_id", "cv_c", "cn_c").localCheckpoint()
     AnnIndex(cent, lists)
+  }
+
+  /** Train + materialize an IVF×PQ index: the flat coarse index (one
+    * training pass) plus PQ codebooks (a second, subspace-keyed Lloyd
+    * run) and the kernel-encoded codes (scan-bound, zero training).
+    */
+  def buildIvfPq(corpus: DataFrame, id: String, vec: String): IvfPqIndex = {
+    val ann = buildAnn(corpus, id, vec)
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("embedding"))
+    val cb = Similarity.pqIndex(c, c.count()).localCheckpoint()
+    val codes = Similarity.kernelEncodePq(c, cb).localCheckpoint()
+    IvfPqIndex(ann, cb, codes)
   }
 }

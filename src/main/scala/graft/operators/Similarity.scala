@@ -611,6 +611,21 @@ object Similarity {
           arrays.offsets, arrays.cellIds, arrays.codebook, arrays.halfCn2,
           PqSubDim)).as(Seq("sub", "cell")))
 
+  /** Encode a `(id, vec)` corpus under TRAINED codebooks via the
+    * one-pass kernel — the frame-parametric form of [[cachedPqCodes]]'s
+    * build, bit-identical to the declarative `pqAssignAll(pqSubAll(…))`
+    * encode (SimilaritySpec pins the kernel/declarative agreement).
+    * Zero training: this is the pass a persisted PQ index's build AND
+    * its incremental refresh run — scan-bound, the codebooks frozen.
+    * Output `(c_id, sub, cell)`.
+    */
+  private[graft] def kernelEncodePq(corpus: DataFrame, cent: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    pqKernelCodes(
+      corpus.select(col(id).as("vec_id"), col(vec).as("embedding")),
+      collectPqArrays(cent))
+      .select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+
   private[operators] def cachedPqCodes(s: SparkSession, d: String): DataFrame =
     indexCache.getOrBuild((s, d, "pqcodes")) {
       // Collect the trained codebook (M×K tiny rows) and inline it into
@@ -1722,6 +1737,7 @@ object Similarity {
     */
   def pqIndex(corpus: DataFrame, n: Long, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
+    trainingPasses.increment() // a Lloyd run, same as trainedCentroids
     val step = math.max(1L, n / (KmSamplePerCell.toLong * PqK))
     // materialize the bounded sample once: every Lloyd round otherwise
     // re-scans the FULL corpus to re-derive it (the modulo predicate

@@ -769,6 +769,88 @@ class CorpusSpec extends SparkTestBase {
     Seq(built, refreshed).foreach(_.close())
   }
 
+  test("IvfPqIndex lifecycle: save/load/refresh/compact/vacuum — both quantizers frozen, serves exact across every verb") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    storage.putVersioned("qvecs", e.filter($"vec_id" < n * 3 / 5))
+    val built = Corpus.buildIvfPqIndex(storage.readVersioned("qvecs"))
+    val pv1 = Corpus.saveIvfPqIndex(built, storage, "qidx",
+      corpusVersion = storage.versions("qvecs").last)
+    val queries = e.filter($"vec_id" < 6)
+    def serve(idx: IvfPqIndex) = idx.topK(queries, k = 5,
+        excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    // load serves identically to the built handle, zero training
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    val loaded = Corpus.loadIvfPqIndex(storage, "qidx")
+    val expect1 = serve(built)
+    assert(serve(loaded) == expect1 && expect1.nonEmpty)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "loading and serving a persisted IVF-PQ index must not retrain")
+    // two nightly deltas fold in under FROZEN centroids and codebooks
+    storage.appendVersioned("qvecs",
+      e.filter($"vec_id" >= n * 3 / 5 && $"vec_id" < n * 4 / 5))
+    Corpus.refreshIvfPqIndex(storage, "qidx", "qvecs")
+    storage.appendVersioned("qvecs", e.filter($"vec_id" >= n * 4 / 5))
+    Corpus.refreshIvfPqIndex(storage, "qidx", "qvecs")
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "an incremental IVF-PQ refresh must never retrain either quantizer")
+    val refreshed = Corpus.loadIvfPqIndex(storage, "qidx")
+    // refresh ≡ rebuild-under-frozen-everything: re-assign and
+    // re-encode the WHOLE grown corpus under the same artifacts
+    val full = e.select($"vec_id", $"embedding")
+    val twin = IvfPqIndex(
+      AnnIndex(refreshed.ann.centroids,
+        graft.operators.Similarity.kernelProbeCells(full,
+          refreshed.ann.centroids, 1, "c_id", "cv_c", "cn_c")
+          .localCheckpoint()),
+      refreshed.codebooks,
+      graft.operators.Similarity.kernelEncodePq(full,
+        refreshed.codebooks).localCheckpoint())
+    val expect2 = serve(twin)
+    assert(serve(refreshed) == expect2 && expect2.nonEmpty)
+    // every corpus vector is present EXACTLY once in both artifacts
+    assert(refreshed.ann.lists.count() == n)
+    assert(refreshed.codes.count() ==
+      n * graft.operators.Similarity.PqM)
+    // an upserted vector is genuinely served (self-hit at cosine 1)
+    val deltaQ = e.filter($"vec_id" >= n * 4 / 5).limit(2)
+    val hits = refreshed.topK(deltaQ, k = 1).collect()
+    assert(hits.length == 2 && hits.forall(r =>
+      r.getLong(0) == r.getLong(2) &&
+        math.abs(r.getDouble(3) - 1.0) < 1e-9))
+    // compaction: serve-identical, one directory per artifact
+    Corpus.compactIvfPqIndex(storage, "qidx")
+    val compacted = Corpus.loadIvfPqIndex(storage, "qidx")
+    assert(serve(compacted) == expect2)
+    assert(storage.versionDirCount("qidx__codes") == 1 &&
+      storage.versionDirCount("qidx__coarse__lists") == 1)
+    // retention: unpinned generations free, the survivor serves
+    val (vm, vd) = Corpus.vacuumIvfPqIndex(storage, "qidx",
+      keepLastPointers = 1)
+    assert(vm > 0 && vd > 0)
+    val survivor = Corpus.loadIvfPqIndex(storage, "qidx")
+    assert(serve(survivor) == expect2)
+    intercept[IllegalArgumentException] {
+      Corpus.loadIvfPqIndex(storage, "qidx", version = pv1)
+    }
+    // fences: direct coarse-arm refresh refuses (codes would go stale);
+    // a versionless save refuses refresh with guidance
+    val coarseErr = intercept[IllegalArgumentException] {
+      Corpus.refreshAnnIndex(storage, "qidx__coarse", "qvecs")
+    }
+    assert(coarseErr.getMessage.contains("corpus version"))
+    Corpus.saveIvfPqIndex(built, storage, "qidx0")
+    intercept[IllegalArgumentException] {
+      Corpus.refreshIvfPqIndex(storage, "qidx0", "qvecs")
+    }
+    Seq(built, loaded, refreshed, twin, compacted, survivor)
+      .foreach(_.close())
+  }
+
   test("savePairMiningBase/loadPairMiningBase/refreshPairMiningBase: nightly fold, first-arrival fps, zero retraining") {
     val storage = new graft.sources.Storage(spark,
       java.nio.file.Files.createTempDirectory("graft-pmbsave-").toString)
