@@ -175,6 +175,33 @@ object RefreshProbe {
       "survivor serves")
     survivor.close()
     built.close()
+
+    // IVF×PQ: the 100 TB serve composition's refresh — BOTH quantizers
+    // frozen (coarse assignment + kernel encode, two scan-bound O(delta)
+    // passes) vs the full rebuild (two Lloyd runs + full encode)
+    storage.putVersioned("pqvecs", e.filter(pct < 90))
+    val (pqBuilt, tPqBuild) = time {
+      val i = Corpus.buildIvfPqIndex(storage.readVersioned("pqvecs"))
+      i.codes.count(); i
+    }
+    Corpus.saveIvfPqIndex(pqBuilt, storage, "pqidx",
+      corpusVersion = storage.versions("pqvecs").last)
+    storage.appendVersioned("pqvecs", e.filter(pct >= 90))
+    val (_, tPqRefresh) = time {
+      Corpus.refreshIvfPqIndex(storage, "pqidx", "pqvecs")
+    }
+    val pqLoaded = Corpus.loadIvfPqIndex(storage, "pqidx")
+    val pqTotal = storage.readVersioned("pqvecs").count()
+    require(pqLoaded.ann.lists.count() == pqTotal &&
+      pqLoaded.codes.count() == pqTotal * graft.operators.Similarity.PqM,
+      "refreshed IVF-PQ index must carry every vector exactly once")
+    val (_, tPqRebuild) = time {
+      val i = Corpus.buildIvfPqIndex(storage.readVersioned("pqvecs"))
+      i.codes.count(); i.close()
+    }
+    println(f"ivfpq: build(180k)=$tPqBuild%6.1fs refresh(10%% delta)=" +
+      f"$tPqRefresh%5.1fs full rebuild(200k)=$tPqRebuild%6.1fs")
+    pqLoaded.close(); pqBuilt.close()
     spark.stop()
   }
 }
