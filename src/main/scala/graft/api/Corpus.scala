@@ -1168,6 +1168,46 @@ object Corpus {
         ptr(0).getAs[Long]("dense_version")))
   }
 
+  /** CONTINUOUS ingestion with CONTINUOUS index maintenance — the
+    * whole production loop as one verb: the vector stream lands in
+    * versioned table `corpusTable` through the exactly-once sink
+    * (writer-fenced, schema-gated, optionally auto-compacting), and
+    * every `refreshEvery` committed batches the persisted ANN index
+    * `indexName` consumes the accumulated delta via
+    * [[refreshAnnIndex]] — frozen centroids, O(delta), crash-safe.
+    *
+    * Bootstrap once before the first start: land an initial snapshot,
+    * build the index over it, and [[saveAnnIndex]] it with that
+    * corpus version — the refresh needs a pointer to advance. The
+    * hook is exactly-once per batch id (replays skip it) and
+    * SELF-HEALING across failures: a refresh boundary missed because
+    * the stream died re-covers automatically at the next boundary,
+    * since every refresh consumes everything after the pointer's own
+    * checkpoint, not "this batch". A refresh failure fails the stream
+    * loudly rather than silently serving a stale index forever; the
+    * committed data is untouched and a restart resumes both loops.
+    * Keep `vacuumKeep` (if set) above `refreshEvery` — the refresh
+    * diffs from the corpus version it last consumed, which must still
+    * be retained (see [[graft.streaming.Sinks.sinkVersionedExactlyOnce]]).
+    */
+  def sinkWithAnnRefresh(ds: DataFrame, storage: graft.sources.Storage,
+      corpusTable: String, checkpointDir: String, indexName: String,
+      refreshEvery: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery: Int = 0, vacuumKeep: Int = 0,
+      id: String = "vec_id", vec: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refreshEvery > 0, s"refreshEvery must be > 0, got $refreshEvery")
+    graft.streaming.Sinks.sinkVersionedExactlyOnce(ds, storage,
+      corpusTable, checkpointDir, trigger, compactEvery, vacuumKeep,
+      onBatchCommitted = batchId =>
+        if ((batchId + 1) % refreshEvery == 0) {
+          refreshAnnIndex(storage, indexName, corpusTable, id, vec)
+          ()
+        })
+  }
+
   /** Build an [[IvfPqIndex]] over a `(id, vec)` frame — the handle
     * form of the gated `sim_ivfpq` composition (coarse probe bounds
     * the candidates, ADC scans only their 4-byte codes, exact refine

@@ -65,11 +65,23 @@ object Sinks {
     * content-equal chain lets [[Storage.readVersionedSince]] diff
     * straight through a re-snapshot).
     */
+  /** `onBatchCommitted` runs AFTER a batch's table commit (and after
+    * any auto-maintenance), with the committed batch id — the hook a
+    * downstream consumer chains continuous work onto (e.g. a periodic
+    * index refresh, [[graft.api.Corpus.sinkWithAnnRefresh]]). It does
+    * NOT run for replayed (skipped) batches, so hook work is
+    * exactly-once per batch id; an exception from it fails the stream
+    * LOUDLY (the batch itself stays committed — on restart the batch
+    * replays as a skip and the hook runs again at the next boundary,
+    * which is self-healing for consumers like the index refresh that
+    * always consume everything since their own checkpoint).
+    */
   def sinkVersionedExactlyOnce(ds: DataFrame, storage: Storage,
       name: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 0, vacuumKeep: Int = 0,
-      allowSchemaEvolution: Boolean = false): StreamingQuery = {
+      allowSchemaEvolution: Boolean = false,
+      onBatchCommitted: Long => Unit = _ => ()): StreamingQuery = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     require(vacuumKeep >= 0, s"vacuumKeep must be >= 0, got $vacuumKeep")
     ds.writeStream
@@ -103,6 +115,7 @@ object Sinks {
             case _: IllegalStateException => ()
           }
         }
+        if (committed.nonEmpty) onBatchCommitted(id)
         ()
       }
       .trigger(trigger)

@@ -399,6 +399,57 @@ class SinksSpec extends SparkTestBase {
     Seq(built, idx).foreach(_.close())
   }
 
+  test("sinkWithAnnRefresh: one verb runs ingestion AND periodic index refresh, no manual maintenance") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-cont-src-")
+    val cp = Files.createTempDirectory("graft-cont-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-cont-wh-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    def writeVecs(name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createTempDirectory("graft-cont-stage-")
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def vecStream() = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // bootstrap: initial snapshot streams in, the index trains + saves
+    writeVecs("001.parquet", 0L, n * 2 / 5)
+    Sinks.sinkVersionedExactlyOnce(vecStream(), storage, "cvs",
+      cp.toString).awaitTermination(180000)
+    val built = graft.api.Corpus.buildAnnIndex(storage.readVersioned("cvs"))
+    val pv1 = graft.api.Corpus.saveAnnIndex(built, storage, "cidx2",
+      corpusVersion = storage.versions("cvs").last)
+    // steady state: three more batches; the ONE verb ingests and
+    // refreshes every 2 batches (at ids 1 and 3) — no manual calls
+    writeVecs("002.parquet", n * 2 / 5, n * 3 / 5)
+    writeVecs("003.parquet", n * 3 / 5, n * 4 / 5)
+    writeVecs("004.parquet", n * 4 / 5, n)
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    graft.api.Corpus.sinkWithAnnRefresh(vecStream(), storage, "cvs",
+      cp.toString, "cidx2", refreshEvery = 2).awaitTermination(180000)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "the continuous loop must never retrain")
+    // two refresh boundaries fired: two new pointer generations, the
+    // last one having consumed EVERYTHING (batch 2's rows ride the
+    // id=3 boundary — each refresh consumes since the pointer, not
+    // 'this batch')
+    assert(storage.versions("cidx2__ann") == Seq(pv1, pv1 + 1, pv1 + 2))
+    val idx = graft.api.Corpus.loadAnnIndex(storage, "cidx2")
+    assert(idx.lists.count() == n,
+      "every streamed vector must be indexed with zero manual refreshes")
+    val ptr = storage.readVersioned("cidx2__ann").collect()(0)
+    assert(ptr.getAs[Long]("corpus_version") ==
+      storage.versions("cvs").last)
+    Seq(built, idx).foreach(_.close())
+  }
+
   test("sinkVersionedExactlyOnce lands each micro-batch as one atomic version and resumes across runs") {
     val src = Files.createTempDirectory("graft-sink2-src-")
     val cp = Files.createTempDirectory("graft-sink2-cp-")
