@@ -1048,6 +1048,50 @@ final class Storage(spark: SparkSession, warehouse: String) {
     spark.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
   }
 
+  /** The versioned-table names present in this warehouse — the catalog
+    * face of the `.vt_` trees, the versioned complement of [[ls]].
+    */
+  def lsVersioned(): Seq[String] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(".vt_") => n.stripPrefix(".vt_") }
+      .sorted
+  }
+
+  /** DESCRIBE HISTORY for a versioned table: one row per RETAINED
+    * version, newest first — `(version, data_dirs, bytes, high_water,
+    * epoch, writer, content_base)` — the metadata an operator reads
+    * before choosing a rollback target, sizing a compaction cadence
+    * (`data_dirs` growth is the small-files observable), or auditing
+    * which stream owns the table and how far its batch ids reached.
+    * Metadata-only: manifests and file-status listings, zero data
+    * scans. `content_base` marks compaction/rollback commits with the
+    * version their rows equal (the `#base=` header CDC reads recurse
+    * through); null elsewhere. `bytes` sums the manifest's directories
+    * (shared directories count toward every version referencing them —
+    * the logical snapshot size, not incremental storage).
+    */
+  def describeVersioned(name: String): DataFrame = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"no versioned table '$name'")
+    val rows = vs.reverse.map { v =>
+      val lines = manifestLines(name, v)
+      val hdr = headersOf(lines)
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val bytes = dirs.map { d =>
+        val p = new Path(vtRoot(name), d)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.sum
+      (v, dirs.size, bytes, hdr.hw, hdr.epoch, hdr.writer.orNull,
+        hdr.base.map(java.lang.Long.valueOf).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("version", "data_dirs", "bytes", "high_water", "epoch",
+      "writer", "content_base")
+  }
+
   /** Number of immutable data directories composing `version` (default:
     * latest) of a versioned table — the observable an operator sizes a
     * compaction cadence with: each streaming batch or incremental

@@ -480,6 +480,31 @@ class StorageSpec extends SparkTestBase {
       .columns.contains("score"))
   }
 
+  test("lsVersioned and describeVersioned expose the catalog and commit-protocol history, metadata-only") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    st.putVersioned("h1", rows(1L))
+    st.appendBatchIdempotent("h1", rows(2L), 0L, writer = "cpX")
+    st.compactVersions("h1")
+    st.putVersioned("h2", rows(9L))
+    assert(st.lsVersioned() == Seq("h1", "h2"))
+    val h = st.describeVersioned("h1").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L), "newest first")
+    // the compacted head: one directory, batch high water and writer
+    // token carried, content_base marking what its rows equal
+    assert(h(0).getInt(1) == 1 && h(0).getLong(3) == 0L &&
+      h(0).getString(5) == "cpX" && h(0).getLong(6) == 2L)
+    // the append: two directories, the same ownership metadata, no base
+    assert(h(1).getInt(1) == 2 && h(1).getLong(3) == 0L &&
+      h(1).getString(5) == "cpX" && h(1).isNullAt(6))
+    // the original put: unfenced, pre-batch
+    assert(h(2).getInt(1) == 1 && h(2).getLong(3) == -1L &&
+      h(2).isNullAt(5) && h(2).isNullAt(6))
+    assert(h.forall(_.getLong(2) > 0L),
+      "bytes must sum the manifest's directories")
+    intercept[IllegalArgumentException] { st.describeVersioned("nope") }
+  }
+
   test("vacuumVersionsKeeping retains an explicit keep set plus latest; dropped versions refuse") {
     val st = freshStorage()
     def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
