@@ -1180,15 +1180,27 @@ object Corpus {
     * build the index over it, and [[saveAnnIndex]] it with that
     * corpus version — the refresh needs a pointer to advance. The
     * hook is exactly-once per batch id (replays skip it) and
-    * SELF-HEALING across failures: a refresh boundary missed because
-    * the stream died re-covers automatically at the next boundary,
-    * since every refresh consumes everything after the pointer's own
-    * checkpoint, not "this batch". A refresh failure fails the stream
+    * SELF-HEALING: a CATCH-UP refresh runs synchronously before the
+    * stream starts, so a boundary lost to a crash (the boundary batch
+    * replays as a skip and its hook never re-fires) and the tail of a
+    * `Trigger.AvailableNow` run (batches after the last multiple of
+    * `refreshEvery` end the run un-indexed) are both re-covered at
+    * the NEXT start — every refresh consumes everything after the
+    * pointer's own checkpoint, not "this batch". For a fully fresh
+    * index at the END of an AvailableNow run, call
+    * [[refreshAnnIndex]] once after `awaitTermination` — the same
+    * one-liner the catch-up runs. A refresh failure fails the stream
     * loudly rather than silently serving a stale index forever; the
     * committed data is untouched and a restart resumes both loops.
-    * Keep `vacuumKeep` (if set) above `refreshEvery` — the refresh
-    * diffs from the corpus version it last consumed, which must still
-    * be retained (see [[graft.streaming.Sinks.sinkVersionedExactlyOnce]]).
+    *
+    * RETENTION is refresh-aware, not keep-last-K: with auto-compaction
+    * on, versions accumulate faster than batches (append + re-snapshot
+    * per boundary) and a fixed tail can vacuum the very version the
+    * pointer consumed — wedging every later refresh. So `vacuumKeep`
+    * here vacuums IN THE HOOK, after the refresh, keeping the last K
+    * versions PLUS everything at or after the pointer's consumed
+    * version; the consumed version is structurally un-vacuumable no
+    * matter how the cadences interleave.
     */
   def sinkWithAnnRefresh(ds: DataFrame, storage: graft.sources.Storage,
       corpusTable: String, checkpointDir: String, indexName: String,
@@ -1199,13 +1211,25 @@ object Corpus {
       id: String = "vec_id", vec: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(refreshEvery > 0, s"refreshEvery must be > 0, got $refreshEvery")
+    def refreshAndVacuum(): Unit = {
+      refreshAnnIndex(storage, indexName, corpusTable, id, vec)
+      if (vacuumKeep > 0) {
+        val consumed = storage.readVersioned(s"${indexName}__ann")
+          .collect()(0).getAs[Long]("corpus_version")
+        val vs = storage.versions(corpusTable)
+        storage.vacuumVersionsKeeping(corpusTable,
+          vs.takeRight(vacuumKeep).toSet ++ vs.filter(_ >= consumed))
+        ()
+      }
+    }
+    // catch-up BEFORE starting: re-covers a crash-lost boundary and
+    // the previous AvailableNow run's tail, with zero training
+    refreshAndVacuum()
     graft.streaming.Sinks.sinkVersionedExactlyOnce(ds, storage,
-      corpusTable, checkpointDir, trigger, compactEvery, vacuumKeep,
+      corpusTable, checkpointDir, trigger, compactEvery,
+      vacuumKeep = 0, // vacuum runs refresh-aware in the hook instead
       onBatchCommitted = batchId =>
-        if ((batchId + 1) % refreshEvery == 0) {
-          refreshAnnIndex(storage, indexName, corpusTable, id, vec)
-          ()
-        })
+        if ((batchId + 1) % refreshEvery == 0) refreshAndVacuum())
   }
 
   /** Build an [[IvfPqIndex]] over a `(id, vec)` frame — the handle
@@ -1310,8 +1334,12 @@ object Corpus {
             "corpus_version"))
     }
     // coarse arm: frozen-centroid assignment onto the pinned lists
-    val coarsePtr = storage
-      .readVersioned(s"${name}__coarse__ann", vCoarse).collect()(0)
+    val coarsePtrRows = storage
+      .readVersioned(s"${name}__coarse__ann", vCoarse).collect()
+    require(coarsePtrRows.length == 1,
+      s"index pointer '${name}__coarse__ann' must hold exactly one row " +
+        s"at version $vCoarse, got ${coarsePtrRows.length}")
+    val coarsePtr = coarsePtrRows(0)
     val cent = storage.readVersioned(s"${name}__coarse__centroids",
       coarsePtr.getAs[Long]("centroids_version")).localCheckpoint()
     val vl = storage.appendVersionedOnto(s"${name}__coarse__lists",

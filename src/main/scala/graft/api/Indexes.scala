@@ -172,7 +172,10 @@ private[api] object Indexes {
     */
   def buildAnn(corpus: DataFrame, id: String, vec: String): AnnIndex = {
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("embedding"))
-    val n = c.count()
+    buildAnnCounted(c, c.count())
+  }
+
+  private def buildAnnCounted(c: DataFrame, n: Long): AnnIndex = {
     val cent = Similarity.trainedCentroids(c, Similarity.numCellsFor(n), n)
       .localCheckpoint()
     val lists = Similarity.kernelProbeCells(c, cent, 1,
@@ -183,11 +186,13 @@ private[api] object Indexes {
   /** Train + materialize an IVF×PQ index: the flat coarse index (one
     * training pass) plus PQ codebooks (a second, subspace-keyed Lloyd
     * run) and the kernel-encoded codes (scan-bound, zero training).
+    * ONE corpus count shared by both trainers' sampling steps.
     */
   def buildIvfPq(corpus: DataFrame, id: String, vec: String): IvfPqIndex = {
-    val ann = buildAnn(corpus, id, vec)
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("embedding"))
-    val cb = Similarity.pqIndex(c, c.count()).localCheckpoint()
+    val n = c.count()
+    val ann = buildAnnCounted(c, n)
+    val cb = Similarity.pqIndex(c, n).localCheckpoint()
     val codes = Similarity.kernelEncodePq(c, cb).localCheckpoint()
     IvfPqIndex(ann, cb, codes)
   }

@@ -1076,16 +1076,20 @@ final class Storage(spark: SparkSession, warehouse: String) {
   def describeVersioned(name: String): DataFrame = {
     val vs = versions(name)
     require(vs.nonEmpty, s"no versioned table '$name'")
+    // data directories are immutable and shared across versions —
+    // summarize each DISTINCT one once, not once per referencing
+    // version (on an object store each summary is a recursive listing)
+    val dirBytes = scala.collection.mutable.Map.empty[String, Long]
+    def bytesOf(d: String): Long = dirBytes.getOrElseUpdate(d, {
+      val p = new Path(vtRoot(name), d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    })
     val rows = vs.reverse.map { v =>
       val lines = manifestLines(name, v)
       val hdr = headersOf(lines)
       val dirs = lines.filterNot(_.startsWith("#"))
-      val bytes = dirs.map { d =>
-        val p = new Path(vtRoot(name), d)
-        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-      }.sum
-      (v, dirs.size, bytes, hdr.hw, hdr.epoch, hdr.writer.orNull,
-        hdr.base.map(java.lang.Long.valueOf).orNull)
+      (v, dirs.size, dirs.map(bytesOf).sum, hdr.hw, hdr.epoch,
+        hdr.writer.orNull, hdr.base.map(java.lang.Long.valueOf).orNull)
     }
     import spark.implicits._
     rows.toDF("version", "data_dirs", "bytes", "high_water", "epoch",

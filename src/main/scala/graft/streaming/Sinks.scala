@@ -64,12 +64,12 @@ object Sinks {
     * retained (compaction alone is harmless to them — the `#base=`
     * content-equal chain lets [[Storage.readVersionedSince]] diff
     * straight through a re-snapshot).
-    */
-  /** `onBatchCommitted` runs AFTER a batch's table commit (and after
-    * any auto-maintenance), with the committed batch id — the hook a
-    * downstream consumer chains continuous work onto (e.g. a periodic
-    * index refresh, [[graft.api.Corpus.sinkWithAnnRefresh]]). It does
-    * NOT run for replayed (skipped) batches, so hook work is
+    *
+    * HOOK: `onBatchCommitted` runs AFTER a batch's table commit (and
+    * after any auto-maintenance), with the committed batch id — the
+    * hook a downstream consumer chains continuous work onto (e.g. a
+    * periodic index refresh, [[graft.api.Corpus.sinkWithAnnRefresh]]).
+    * It does NOT run for replayed (skipped) batches, so hook work is
     * exactly-once per batch id; an exception from it fails the stream
     * LOUDLY (the batch itself stays committed — on restart the batch
     * replays as a skip and the hook runs again at the next boundary,

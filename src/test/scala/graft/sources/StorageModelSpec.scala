@@ -88,24 +88,30 @@ class StorageModelSpec extends SparkTestBase {
       // ---- invariants after every op ----
       assert(st.versions(name) == model.map(_._1),
         s"seed=$seed op=$op: retained versions diverged")
-      def read(v: Long): Set[Long] =
-        st.readVersioned(name, v).collect().map(_.getLong(0)).toSet
-      assert(read(model.last._1) == model.last._2,
+      // compare as sorted SEQUENCES, not sets: row values are unique
+      // by construction, so a duplicate — the double-indexing failure
+      // class the idempotent machinery exists to prevent — shows up
+      // as a longer sequence instead of vanishing into a set
+      def read(v: Long): Seq[Long] =
+        st.readVersioned(name, v).collect().map(_.getLong(0))
+          .sorted.toSeq
+      assert(read(model.last._1) == model.last._2.toSeq.sorted,
         s"seed=$seed op=$op: latest content diverged")
       // time travel to a random retained version
       val (rv, rc) = model(rnd.nextInt(model.size))
-      assert(read(rv) == rc, s"seed=$seed op=$op: time travel to $rv")
+      assert(read(rv) == rc.toSeq.sorted,
+        s"seed=$seed op=$op: time travel to $rv")
       // CDC diff from a random retained version: success must be
       // exact; refusal must be the documented exception; success is
       // only legal when nothing consumed was rolled away
       val (av, ac) = model(rnd.nextInt(model.size))
       try {
         val got = st.readVersionedSince(name, av).collect()
-          .map(_.getLong(0)).toSet
+          .map(_.getLong(0)).sorted.toSeq
         assert(ac.subsetOf(model.last._2),
           s"seed=$seed op=$op: since($av) succeeded after rows consumed " +
             "at that version were rolled away — it must refuse")
-        assert(got == model.last._2 -- ac,
+        assert(got == (model.last._2 -- ac).toSeq.sorted,
           s"seed=$seed op=$op: since($av) returned a wrong delta")
       } catch {
         case _: IllegalArgumentException => () // honest refusal
