@@ -1209,13 +1209,62 @@ object Corpus {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       compactEvery: Int = 0, vacuumKeep: Int = 0,
       id: String = "vec_id", vec: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkRefreshLoop(ds, storage, corpusTable, checkpointDir,
+      refreshEvery, trigger, compactEvery, vacuumKeep,
+      refresh = () => { refreshAnnIndex(storage, indexName, corpusTable,
+        id, vec); () },
+      consumedVersion = () => pinnedCorpusVersion(storage,
+        s"${indexName}__ann"))
+
+  /** [[sinkWithAnnRefresh]] for a persisted [[IvfPqIndex]] — the
+    * flagship 100 TB index's continuous loop as one verb: same
+    * exactly-once ingestion, same catch-up-at-start and refresh-aware
+    * retention, with [[refreshIvfPqIndex]] folding each boundary's
+    * delta under BOTH frozen quantizers.
+    */
+  def sinkWithIvfPqRefresh(ds: DataFrame, storage: graft.sources.Storage,
+      corpusTable: String, checkpointDir: String, indexName: String,
+      refreshEvery: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery: Int = 0, vacuumKeep: Int = 0,
+      id: String = "vec_id", vec: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkRefreshLoop(ds, storage, corpusTable, checkpointDir,
+      refreshEvery, trigger, compactEvery, vacuumKeep,
+      refresh = () => { refreshIvfPqIndex(storage, indexName,
+        corpusTable, id, vec); () },
+      consumedVersion = () => pinnedCorpusVersion(storage,
+        s"${indexName}__ivfpq"))
+
+  private def pinnedCorpusVersion(storage: graft.sources.Storage,
+      pointerTable: String): Long =
+    storage.readVersioned(pointerTable).collect()(0)
+      .getAs[Long]("corpus_version")
+
+  /** The ONE continuous-loop shape both index families share: a
+    * synchronous catch-up refresh before the stream starts, the
+    * exactly-once sink with the refresh chained on every
+    * `refreshEvery`-th committed batch, and refresh-AWARE vacuum (the
+    * last `vacuumKeep` versions PLUS everything at or after the
+    * pointer's consumed corpus version — the consumed version is
+    * structurally un-vacuumable no matter how the cadences
+    * interleave; see [[sinkWithAnnRefresh]]'s scaladoc for the full
+    * contract).
+    */
+  private def sinkRefreshLoop(ds: DataFrame,
+      storage: graft.sources.Storage, corpusTable: String,
+      checkpointDir: String, refreshEvery: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      compactEvery: Int, vacuumKeep: Int,
+      refresh: () => Unit, consumedVersion: () => Long)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(refreshEvery > 0, s"refreshEvery must be > 0, got $refreshEvery")
     def refreshAndVacuum(): Unit = {
-      refreshAnnIndex(storage, indexName, corpusTable, id, vec)
+      refresh()
       if (vacuumKeep > 0) {
-        val consumed = storage.readVersioned(s"${indexName}__ann")
-          .collect()(0).getAs[Long]("corpus_version")
+        val consumed = consumedVersion()
         val vs = storage.versions(corpusTable)
         storage.vacuumVersionsKeeping(corpusTable,
           vs.takeRight(vacuumKeep).toSet ++ vs.filter(_ >= consumed))

@@ -450,6 +450,58 @@ class SinksSpec extends SparkTestBase {
     Seq(built, idx).foreach(_.close())
   }
 
+  test("sinkWithIvfPqRefresh: the flagship index's continuous loop — both quantizers frozen, refresh-aware vacuum") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-pqc-src-")
+    val cp = Files.createTempDirectory("graft-pqc-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-pqc-wh-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    def writeVecs(name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createTempDirectory("graft-pqc-stage-")
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def vecStream() = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    writeVecs("001.parquet", 0L, n * 2 / 5)
+    Sinks.sinkVersionedExactlyOnce(vecStream(), storage, "pqc",
+      cp.toString).awaitTermination(180000)
+    val built = graft.api.Corpus.buildIvfPqIndex(
+      storage.readVersioned("pqc"))
+    graft.api.Corpus.saveIvfPqIndex(built, storage, "pqcidx",
+      corpusVersion = storage.versions("pqc").last)
+    writeVecs("002.parquet", n * 2 / 5, n * 3 / 5)
+    writeVecs("003.parquet", n * 3 / 5, n * 4 / 5)
+    writeVecs("004.parquet", n * 4 / 5, n)
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    // refresh-aware vacuum ON (the trap the shared loop exists to
+    // avoid: keep-last-K alone could reclaim the consumed version)
+    graft.api.Corpus.sinkWithIvfPqRefresh(vecStream(), storage, "pqc",
+      cp.toString, "pqcidx", refreshEvery = 2, vacuumKeep = 2)
+      .awaitTermination(180000)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "the continuous IVF-PQ loop must never retrain either quantizer")
+    val idx = graft.api.Corpus.loadIvfPqIndex(storage, "pqcidx")
+    assert(idx.ann.lists.count() == n)
+    assert(idx.codes.count() == n * graft.operators.Similarity.PqM,
+      "every streamed vector must be encoded with zero manual refreshes")
+    // the refresh-aware vacuum freed old history but never the
+    // consumed version: the table still reads, and the pointer's
+    // consumed version is retained
+    val ptr = storage.readVersioned("pqcidx__ivfpq").collect()(0)
+    assert(storage.versions("pqc")
+      .contains(ptr.getAs[Long]("corpus_version")))
+    assert(storage.readVersioned("pqc").count() == n)
+    Seq(built, idx).foreach(_.close())
+  }
+
   test("sinkVersionedExactlyOnce lands each micro-batch as one atomic version and resumes across runs") {
     val src = Files.createTempDirectory("graft-sink2-src-")
     val cp = Files.createTempDirectory("graft-sink2-cp-")
