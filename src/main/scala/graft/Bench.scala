@@ -11,6 +11,44 @@ import org.apache.spark.sql.SparkSession
   * forces full evaluation of the real output while writing nothing.
   */
 object Bench {
+
+  /** Ambient-machine calibration: a FIXED pure-CPU kernel (400M
+    * xorshift64 steps, single-threaded, zero allocation) timed on this
+    * box right now. The workload never changes, so the reading is a
+    * pure function of how much CPU the machine is actually giving one
+    * thread — on a quiet box it lands in a narrow band (documented in
+    * SCALING.md); a noisy-neighbor session shows up as a
+    * proportionally inflated reading. Emitted before AND after the
+    * measured run so a bench artifact carries its own environmental
+    * context: a driver run whose query times are uniformly ~1.4x the
+    * committed readings AND whose calib values are ~1.4x the quiet-box
+    * band is self-evidently box load, not a plan regression (the
+    * r12-verdict adjudication, made reproducible from the artifact
+    * alone).
+    */
+  private def calibrate(): Double = {
+    System.gc() // our own GC tail must not land on the probe
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 400000000) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h += i; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // consume h so the loop cannot be dead-code-eliminated
+    if (h == 42L) System.err.println("[bench] calib sentinel")
+    dt
+  }
+
+  /** 1-minute load average from /proc/loadavg (-1.0 where unreadable) —
+    * the second half of the ambient-context pair: calib measures what
+    * THIS thread got, loadavg what the whole box was running.
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +76,11 @@ object Bench {
     // the warmup built session-cached index artifacts under the warmup
     // corpus — retire them so they don't sit in the measured heap
     graft.api.Corpus.evictCaches(spark, "/root/testdata/sf0.001")
+
+    // ambient context, first reading: after warmup (JIT settled), before
+    // the first measurement
+    val loadBefore = loadAvg()
+    val calibBefore = calibrate()
 
     // optional args: query names to bench (repeats allowed), e.g.
     //   runMain graft.Bench dd_apply dd_apply dd_simhash
@@ -104,6 +147,11 @@ object Bench {
       val good = times.filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else median(good))
     }
+    // ambient context, second reading: the run may have taken many
+    // minutes — a neighbor that arrived mid-run shows as before/after
+    // divergence
+    val calibAfter = calibrate()
+    val loadAfter = loadAvg()
     // Double.toString is locale-independent; the f-interpolator is NOT
     // (comma decimals under e.g. a German default locale would corrupt
     // the JSON line)
@@ -113,9 +161,15 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // "reps" makes the artifact self-describing: a reader can tell a
     // median-of-N protocol run from a single-rep one without digging
-    // through stderr traces (the r4/r7/r9/r10 artifact-integrity fix)
+    // through stderr traces (the r4/r7/r9/r10 artifact-integrity fix);
+    // "calib_s"/"loadavg" carry the machine factor (see calibrate()'s
+    // scaladoc and SCALING.md's quiet-box band) so an inflated run is
+    // self-evident from the artifact alone
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
+        s""""calib_s":{"before":${num(calibBefore)},"after":${num(calibAfter)}},""" +
+        s""""loadavg":{"before":${num(loadBefore)},"after":${num(loadAfter)}},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout scraping truncated two rounds of captured benches
     // (BENCH_r03/r04 lost their tails) — persist the same line to a

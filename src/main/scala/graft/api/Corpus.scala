@@ -779,17 +779,23 @@ object Corpus {
     // read races a concurrent ingest append: its rows would land in
     // tonight's lists but not in the checkpoint, and tomorrow's refresh
     // would re-consume them — permanent double-indexing
+    // localCheckpoint ONCE: the isEmpty probe and the assignment kernel
+    // below otherwise each re-read the same parquet delta window — a
+    // double O(delta) scan per nightly refresh (mirrors refreshIvfPqIndex)
     val delta = storage.readVersionedSince(corpusTable, sinceV,
         toVersion = curV)
       .select(col(id).as("vec_id"), col(vec).as("embedding"))
-    if (delta.isEmpty)
+      .localCheckpoint()
+    if (delta.isEmpty) {
       // the corpus advanced by maintenance only (compaction, rollback
       // forward, empty batches): nothing to index — re-pin the consumed
       // version so future refreshes diff from here instead of re-walking
       // the content-equal chain, and never commit a junk empty data dir
+      graft.operators.RelCache.freeLocalCheckpoint(delta)
       return storage.putVersioned(s"${name}__ann",
         Seq((centV, ptr(0).getAs[Long]("lists_version"), curV))
           .toDF("centroids_version", "lists_version", "corpus_version"))
+    }
     val cent = storage.readVersioned(s"${name}__centroids", centV)
       .localCheckpoint()
     val deltaLists = graft.operators.Similarity.kernelProbeCells(delta,
@@ -807,6 +813,7 @@ object Corpus {
       Seq((centV, vl, curV))
         .toDF("centroids_version", "lists_version", "corpus_version"))
     graft.operators.RelCache.freeLocalCheckpoint(cent)
+    graft.operators.RelCache.freeLocalCheckpoint(delta)
     out
   }
 
@@ -963,8 +970,17 @@ object Corpus {
     */
   private def vacuumPinnedArms(storage: graft.sources.Storage,
       pointerTable: String, arms: Seq[(String, String)]): (Int, Int) = {
-    val rows = storage.versions(pointerTable)
-      .map(v => storage.readVersioned(pointerTable, v).collect()(0))
+    val rows = storage.versions(pointerTable).map { v =>
+      // vacuum is DESTRUCTIVE: the same one-row guard every load/refresh
+      // path applies, or a malformed multi-row pointer version would
+      // silently derive the keep set from an arbitrary row
+      val rs = storage.readVersioned(pointerTable, v).collect()
+      require(rs.length == 1,
+        s"pointer '$pointerTable' must hold exactly one row at version " +
+          s"$v, got ${rs.length} — refusing to derive a vacuum keep set " +
+          "from a malformed pointer")
+      rs(0)
+    }
     sumCounts(arms.map { case (table, column) =>
       storage.vacuumVersionsKeeping(table,
         rows.map(_.getAs[Long](column)).toSet)
@@ -1238,10 +1254,71 @@ object Corpus {
       consumedVersion = () => pinnedCorpusVersion(storage,
         s"${indexName}__ivfpq"))
 
+  /** [[sinkWithAnnRefresh]] for a persisted [[HybridIndex]] — the
+    * retrieval shape a production RAG corpus serves, as one continuous
+    * verb: the VECTOR stream lands in `vectorsTable` through the
+    * exactly-once sink, and every `refreshEvery` committed batches
+    * [[refreshHybridIndex]] runs — the dense arm consumes the vector
+    * delta under frozen centroids (O(delta)), the lexical arm rebuilds
+    * its BM25 postings from `docsTable`'s CURRENT snapshot (corpus-
+    * global idf/avgdl cannot be appended honestly — see
+    * [[refreshHybridIndex]]), and one atomic hybrid-pointer commit
+    * re-pins both so lexical and dense arms always serve the same
+    * generation. `docsTable` is read-only here: feed it with its own
+    * exactly-once sink (or batch puts) at whatever cadence the docs
+    * arrive; each refresh folds in whatever that table holds.
+    *
+    * Bootstrap once before the first start: [[buildHybridIndex]] over
+    * the initial snapshots and [[saveHybridIndex]] with the vectors
+    * corpus version. Catch-up-at-start and refresh-aware retention are
+    * the shared loop's (see [[sinkWithAnnRefresh]]): `vacuumKeep`
+    * vacuums `vectorsTable` keeping the last K versions plus
+    * everything at or after the DENSE arm's consumed corpus version —
+    * the version the next refresh diffs from is structurally
+    * un-vacuumable.
+    */
+  def sinkWithHybridRefresh(ds: DataFrame, storage: graft.sources.Storage,
+      vectorsTable: String, checkpointDir: String, indexName: String,
+      refreshEvery: Int, docsTable: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery: Int = 0, vacuumKeep: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkRefreshLoop(ds, storage, vectorsTable, checkpointDir,
+      refreshEvery, trigger, compactEvery, vacuumKeep,
+      refresh = () => { refreshHybridIndex(storage, indexName,
+        docsTable, vectorsTable); () },
+      consumedVersion = () => hybridConsumedVersion(storage, indexName))
+
+  /** The vectors-corpus version a persisted hybrid family has consumed:
+    * the hybrid pointer pins a dense-arm POINTER version, and THAT
+    * pointer (at its pinned version, never "latest" — a crashed refresh
+    * can strand a newer orphan) records the consumed corpus version.
+    */
+  private def hybridConsumedVersion(storage: graft.sources.Storage,
+      name: String): Long = {
+    val rows = storage.readVersioned(s"${name}__hybrid").collect()
+    require(rows.length == 1,
+      s"index pointer '${name}__hybrid' must hold exactly one row, " +
+        s"got ${rows.length}")
+    val dv = rows(0).getAs[Long]("dense_version")
+    val dense = storage.readVersioned(s"${name}__dense__ann", dv).collect()
+    require(dense.length == 1,
+      s"index pointer '${name}__dense__ann' must hold exactly one row " +
+        s"at version $dv, got ${dense.length}")
+    dense(0).getAs[Long]("corpus_version")
+  }
+
   private def pinnedCorpusVersion(storage: graft.sources.Storage,
-      pointerTable: String): Long =
-    storage.readVersioned(pointerTable).collect()(0)
-      .getAs[Long]("corpus_version")
+      pointerTable: String): Long = {
+    val rows = storage.readVersioned(pointerTable).collect()
+    // this version feeds the refresh-aware VACUUM's keep set — same
+    // one-row guard as every load/refresh path before acting on it
+    require(rows.length == 1,
+      s"pointer '$pointerTable' must hold exactly one row, " +
+        s"got ${rows.length}")
+    rows(0).getAs[Long]("corpus_version")
+  }
 
   /** The ONE continuous-loop shape both index families share: a
     * synchronous catch-up refresh before the stream starts, the
@@ -1267,7 +1344,8 @@ object Corpus {
         val consumed = consumedVersion()
         val vs = storage.versions(corpusTable)
         storage.vacuumVersionsKeeping(corpusTable,
-          vs.takeRight(vacuumKeep).toSet ++ vs.filter(_ >= consumed))
+          vs.takeRight(vacuumKeep).toSet ++ vs.filter(_ >= consumed),
+          writer = checkpointDir) // the loop owns the table it vacuums
         ()
       }
     }
@@ -1638,6 +1716,237 @@ object Corpus {
     vacuumPinnedArms(storage, s"${name}__index__ann",
       Seq(s"${name}__index__centroids" -> "centroids_version",
         s"${name}__index__lists" -> "lists_version"))))
+
+  /** [[sinkWithAnnRefresh]] for a persisted [[PairMiningBase]] — the
+    * contrastive-pair pipeline's continuous loop as one verb, with the
+    * ALIGNED-APPEND ingest shape [[refreshPairMiningBase]]'s contract
+    * demands built in: the stream carries `(doc_id, text, …, embedding)`
+    * rows and each micro-batch lands in BOTH versioned tables —
+    * `docsTable` gets every column but the embedding, `vectorsTable`
+    * gets `(vec_id = doc_id, embedding)` — under the SAME batch id, so
+    * a kept doc's vector is always in the same refresh window.
+    *
+    * Exactly-once is PER TABLE: each append is idempotent against its
+    * own table's high-water batch id, so a crash between the two
+    * appends (docs committed, vectors not) replays into skip-then-
+    * commit — never a duplicate, never a lost vector. Both tables are
+    * writer-fenced to this stream's checkpoint, and the refresh runs
+    * ONLY when the two tables' batch horizons agree
+    * ([[graft.sources.Storage.batchHorizon]]) — a half-committed batch
+    * is re-paired by the replay before anything consumes it, so the
+    * missing-vector caveat in [[refreshPairMiningBase]]'s contract can
+    * never fire through this verb. Every `refreshEvery`
+    * committed batches [[refreshPairMiningBase]] folds the accumulated
+    * doc/vector deltas into the base (same QA as the build,
+    * first-arrival dedup, frozen centroids, zero training), with the
+    * shared loop's catch-up-at-start and refresh-aware retention:
+    * `vacuumKeep` vacuums each table keeping the last K versions plus
+    * everything at or after ITS consumed version from the pmb pointer.
+    *
+    * Bootstrap once before the first start: land initial snapshots,
+    * [[buildPairMiningBase]], and [[savePairMiningBase]] with both
+    * corpus versions.
+    */
+  def sinkWithPairMiningRefresh(ds: DataFrame,
+      storage: graft.sources.Storage, docsTable: String,
+      vectorsTable: String, checkpointDir: String, baseName: String,
+      refreshEvery: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      vacuumKeep: Int = 0, id: String = "doc_id",
+      vec: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refreshEvery > 0, s"refreshEvery must be > 0, got $refreshEvery")
+    def refreshAndVacuum(): Unit = {
+      // refresh ONLY on an ALIGNED snapshot: this verb lands each batch
+      // id in both tables, so unequal horizons mean a crash fell
+      // between the paired appends — refreshing now would consume the
+      // unpaired doc delta and (per refreshPairMiningBase's contract)
+      // those docs' late vectors would never be indexed. Skipping is
+      // lossless: the replay re-pairs the tables at the next start, and
+      // every refresh consumes since the pointer, so the next aligned
+      // boundary covers this one's delta too.
+      if (storage.batchHorizon(docsTable) !=
+          storage.batchHorizon(vectorsTable)) return
+      refreshPairMiningBase(storage, baseName, docsTable, vectorsTable)
+      if (vacuumKeep > 0) {
+        val rows = storage.readVersioned(s"${baseName}__pmb").collect()
+        require(rows.length == 1,
+          s"pointer '${baseName}__pmb' must hold exactly one row, " +
+            s"got ${rows.length}")
+        def vac(table: String, consumed: Long): Unit = {
+          val vs = storage.versions(table)
+          storage.vacuumVersionsKeeping(table,
+            vs.takeRight(vacuumKeep).toSet ++ vs.filter(_ >= consumed),
+            writer = checkpointDir)
+          ()
+        }
+        vac(docsTable, rows(0).getAs[Long]("docs_version"))
+        vac(vectorsTable, rows(0).getAs[Long]("vectors_version"))
+      }
+    }
+    // catch-up BEFORE starting: re-covers a crash-lost boundary and the
+    // previous AvailableNow run's tail (see sinkWithAnnRefresh)
+    refreshAndVacuum()
+    ds.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persist: up to two appends and the drain below re-read this
+        // frame; without the cache each action re-executes the batch plan
+        batch.persist()
+        try {
+          val cd = storage.appendBatchIdempotent(docsTable,
+            batch.drop(vec), batchId, writer = checkpointDir)
+          val cv = storage.appendBatchIdempotent(vectorsTable,
+            batch.select(col(id).as("vec_id"), col(vec).as("embedding")),
+            batchId, writer = checkpointDir)
+          if (cd.isEmpty && cv.isEmpty)
+            // full replay: nothing executed the frame — drain every
+            // partition so stateful operators upstream still commit
+            // their state stores (see Sinks.sinkVersionedExactlyOnce)
+            batch.foreachPartition(
+              (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+          if ((cd.nonEmpty || cv.nonEmpty) &&
+              (batchId + 1) % refreshEvery == 0)
+            refreshAndVacuum()
+        } finally batch.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The operator-facing staleness observable over EVERY persisted
+    * index family in a warehouse — the one frame that answers "is my
+    * nightly loop keeping up, and when do I compact?". Scans
+    * [[graft.sources.Storage.lsVersioned]] for the five pointer
+    * suffixes (`__ann`, `__hybrid`, `__ivfpq`, `__pmb`, `__tok` —
+    * nested arms like `<x>__dense__ann` report under their parent, not
+    * as their own family) and emits one row per (family, component):
+    *
+    *  - ARM rows (`role` = centroids/lists/postings/codes/…): the arm
+    *    table, the version the LATEST pointer pins, the arm table's
+    *    head version, `lag` = versions past the pinned one (>0 means
+    *    stranded orphans from crashed refreshes — vacuum fodder), and
+    *    `dir_count` = directories composing the pinned version (the
+    *    compaction-cadence observable: each refresh adds one).
+    *  - CORPUS rows (`role` = corpus/docs/vectors): the consumed
+    *    corpus version the pointer checkpointed, and — when
+    *    `corpusTables` names the corpus table (key = index name; a pmb
+    *    family uses `<name>/docs` and `<name>/vectors`) — the corpus
+    *    head, `lag` = versions committed past the consumed one (0 =
+    *    the loop is caught up; grows with un-refreshed appends), and
+    *    the corpus's own dir count at head.
+    *
+    * Metadata-only (pointer reads + manifest listings, zero data
+    * scans) — safe to poll from a dashboard at any cadence.
+    */
+  def describeIndexes(storage: graft.sources.Storage,
+      corpusTables: Map[String, String] = Map.empty): DataFrame = {
+    val names = storage.lsVersioned().toSet
+    def ptrRow(table: String, v: Long = -1L): org.apache.spark.sql.Row = {
+      val rs = storage.readVersioned(table, v).collect()
+      require(rs.length == 1,
+        s"pointer '$table' must hold exactly one row" +
+          (if (v >= 0) s" at version $v" else "") + s", got ${rs.length}")
+      rs(0)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String,
+      Long, String, Option[String], Option[Long], Option[Long],
+      Option[Long], Option[Long])]
+    def arm(idx: String, fam: String, pv: Long, role: String,
+        table: String, pinned: Long): Unit = {
+      val vs = storage.versions(table)
+      rows += ((idx, fam, pv, role, Some(table), Some(pinned),
+        vs.lastOption, Some(vs.count(_ > pinned).toLong),
+        Some(storage.versionDirCount(table, pinned).toLong)))
+    }
+    def corpus(idx: String, fam: String, pv: Long, role: String,
+        consumed: Long, key: String): Unit = {
+      val tbl = corpusTables.get(key)
+      val vs = tbl.map(storage.versions(_)).getOrElse(Seq.empty)
+      val c = Some(consumed).filter(_ >= 0L)
+      rows += ((idx, fam, pv, role, tbl, c, vs.lastOption,
+        c.filter(_ => vs.nonEmpty).map(cv => vs.count(_ > cv).toLong),
+        tbl.map(t => storage.versionDirCount(t).toLong)))
+    }
+    def annArms(idx: String, fam: String, pv: Long, prefix: String,
+        annBase: String, annPtrV: Long): org.apache.spark.sql.Row = {
+      val r = ptrRow(s"${annBase}__ann", annPtrV)
+      arm(idx, fam, pv, s"${prefix}centroids", s"${annBase}__centroids",
+        r.getAs[Long]("centroids_version"))
+      arm(idx, fam, pv, s"${prefix}lists", s"${annBase}__lists",
+        r.getAs[Long]("lists_version"))
+      r
+    }
+    def nestedUnder(base: String, suffix: String, parent: String): Boolean =
+      base.endsWith(suffix) &&
+        names.contains(base.stripSuffix(suffix) + parent)
+    for (p <- names.toSeq.sorted) {
+      if (p.endsWith("__ann")) {
+        val base = p.stripSuffix("__ann")
+        val nested = nestedUnder(base, "__dense", "__hybrid") ||
+          nestedUnder(base, "__coarse", "__ivfpq") ||
+          nestedUnder(base, "__index", "__pmb")
+        if (!nested) {
+          val pv = storage.versions(p).last
+          val r = annArms(base, "ann", pv, "", base, pv)
+          corpus(base, "ann", pv, "corpus",
+            r.getAs[Long]("corpus_version"), base)
+        }
+      } else if (p.endsWith("__hybrid")) {
+        val base = p.stripSuffix("__hybrid")
+        val pv = storage.versions(p).last
+        val r = ptrRow(p)
+        arm(base, "hybrid", pv, "postings", s"${base}__postings",
+          r.getAs[Long]("postings_version"))
+        val dv = r.getAs[Long]("dense_version")
+        arm(base, "hybrid", pv, "dense", s"${base}__dense__ann", dv)
+        val d = annArms(base, "hybrid", pv, "dense.", s"${base}__dense", dv)
+        corpus(base, "hybrid", pv, "corpus",
+          d.getAs[Long]("corpus_version"), base)
+      } else if (p.endsWith("__ivfpq")) {
+        val base = p.stripSuffix("__ivfpq")
+        val pv = storage.versions(p).last
+        val r = ptrRow(p)
+        arm(base, "ivfpq", pv, "codebooks", s"${base}__codebooks",
+          r.getAs[Long]("codebooks_version"))
+        arm(base, "ivfpq", pv, "codes", s"${base}__codes",
+          r.getAs[Long]("codes_version"))
+        val cv = r.getAs[Long]("coarse_version")
+        arm(base, "ivfpq", pv, "coarse", s"${base}__coarse__ann", cv)
+        annArms(base, "ivfpq", pv, "coarse.", s"${base}__coarse", cv)
+        corpus(base, "ivfpq", pv, "corpus",
+          r.getAs[Long]("corpus_version"), base)
+      } else if (p.endsWith("__pmb")) {
+        val base = p.stripSuffix("__pmb")
+        val pv = storage.versions(p).last
+        val r = ptrRow(p)
+        arm(base, "pmb", pv, "fps", s"${base}__fps",
+          r.getAs[Long]("fps_version"))
+        val iv = r.getAs[Long]("index_version")
+        arm(base, "pmb", pv, "index", s"${base}__index__ann", iv)
+        annArms(base, "pmb", pv, "index.", s"${base}__index", iv)
+        corpus(base, "pmb", pv, "docs",
+          r.getAs[Long]("docs_version"), s"$base/docs")
+        corpus(base, "pmb", pv, "vectors",
+          r.getAs[Long]("vectors_version"), s"$base/vectors")
+      } else if (p.endsWith("__tok")) {
+        val base = p.stripSuffix("__tok")
+        val pv = storage.versions(p).last
+        val r = ptrRow(p)
+        arm(base, "tok", pv, "merges", s"${base}__merges",
+          r.getAs[Long]("merges_version"))
+        arm(base, "tok", pv, "vocab", s"${base}__vocab",
+          r.getAs[Long]("vocab_version"))
+      }
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    rows.toSeq.toDF("index_name", "family", "pointer_version", "role",
+      "ref_table", "pinned_version", "head_version", "lag", "dir_count")
+  }
 
   /** Retire a corpus directory's session-cached index artifacts: every
     * operator family's internal build-once relation (shingles,

@@ -24,7 +24,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 final class ConcurrentCommitException(msg: String)
   extends IllegalStateException(msg)
 
-final class Storage(spark: SparkSession, warehouse: String) {
+/** Not `final`: specs subclass it to inject faults into composed
+  * operations (e.g. a maintenance verb that throws mid-stream) — the
+  * only sanctioned reason to override anything here.
+  */
+class Storage(spark: SparkSession, warehouse: String) {
 
   private def fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -889,6 +893,34 @@ final class Storage(spark: SparkSession, warehouse: String) {
       epochBump = true, claimWriter = Some(newWriter))
   }
 
+  /** The maintenance-verb side of the writer fence (the append side is
+    * [[appendBatchIdempotent]]): compaction, vacuum, and rollback
+    * rewrite or reclaim history, so on a FENCED table they demand the
+    * owner's token — without this, any process could roll a
+    * stream-owned table back to before an index consumer's consumed
+    * version or vacuum the stream's diff window, breaking the CDC
+    * consumer honestly but avoidably. An unfenced table stays open to
+    * everyone (direct API use). `force = true` is the explicit
+    * override for deliberate cross-owner surgery (an operator
+    * reclaiming a dead stream's table without wanting a takeover
+    * commit), mirroring the append fence's [[takeOverVersioned]]
+    * escape hatch.
+    */
+  private def checkMaintenanceFence(name: String, writer: String,
+      force: Boolean, verb: String): Unit =
+    if (!force) {
+      versions(name).lastOption.map(headersOf(name, _)).flatMap(_.writer)
+        .filter(_ != writer).foreach { w =>
+          throw new IllegalStateException(
+            s"versioned table '$name' is owned by stream writer '$w'" +
+              (if (writer.isEmpty) s" (this $verb carries no writer token)"
+               else s"; this $verb's token is '$writer'") +
+              s". Maintenance on a stream-owned table must come from its" +
+              " owner (pass the owning checkpoint location as writer=)" +
+              " or be an explicit decision (force=true).")
+        }
+    }
+
   /** Compact a versioned table: materialize the snapshot at `expected`
     * (default: latest) into ONE fresh data directory and commit it as
     * the next version — the verb form of the re-snapshot recipe, with
@@ -913,9 +945,11 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * manifest). Returns the committed version.
     */
   def compactVersions(name: String,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      writer: String = "", force: Boolean = false): Long = {
     val vs = versions(checkName(name))
     require(vs.nonEmpty, s"no versioned table '$name' to compact")
+    checkMaintenanceFence(name, writer, force, "compaction")
     val cur = expectedVersion.getOrElse(vs.last)
     require(vs.contains(cur),
       s"'$name' has no version $cur (has: ${vs.mkString(",")})")
@@ -945,10 +979,12 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * mid-scan) — the standard lakehouse vacuum contract: pick
     * `keepLast`/a retention window longer than the longest reader.
     */
-  def vacuumVersions(name: String, keepLast: Int): (Int, Int) = {
+  def vacuumVersions(name: String, keepLast: Int,
+      writer: String = "", force: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val vs = versions(checkName(name))
     require(vs.nonEmpty, s"no versioned table '$name' to vacuum")
+    checkMaintenanceFence(name, writer, force, "vacuum")
     vacuumRetaining(name, vs, vs.takeRight(keepLast).toSet)
   }
 
@@ -962,9 +998,11 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * build on it. Versions in `keep` absent from the table are ignored.
     * Same safety contract as [[vacuumVersions]].
     */
-  def vacuumVersionsKeeping(name: String, keep: Set[Long]): (Int, Int) = {
+  def vacuumVersionsKeeping(name: String, keep: Set[Long],
+      writer: String = "", force: Boolean = false): (Int, Int) = {
     val vs = versions(checkName(name))
     require(vs.nonEmpty, s"no versioned table '$name' to vacuum")
+    checkMaintenanceFence(name, writer, force, "vacuum")
     vacuumRetaining(name, vs, keep + vs.last)
   }
 
@@ -1096,6 +1134,22 @@ final class Storage(spark: SparkSession, warehouse: String) {
       "writer", "content_base")
   }
 
+  /** The current writer epoch and high-water batch id of a versioned
+    * table — the replay-horizon observable: `(epoch, hw)` where `hw`
+    * is the largest batch id committed in the current epoch (-1 when
+    * none). What an aligned multi-table ingest (one batch id landing
+    * in several tables, [[graft.api.Corpus.sinkWithPairMiningRefresh]])
+    * compares to detect a crash that fell BETWEEN the paired appends:
+    * equal horizons = an aligned snapshot. Metadata-only — one
+    * manifest read.
+    */
+  def batchHorizon(name: String): (Long, Long) = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"no versioned table '$name'")
+    val h = headersOf(name, vs.last)
+    (h.epoch, h.hw)
+  }
+
   /** Number of immutable data directories composing `version` (default:
     * latest) of a versioned table — the observable an operator sizes a
     * compaction cadence with: each streaming batch or incremental
@@ -1214,9 +1268,11 @@ final class Storage(spark: SparkSession, warehouse: String) {
     * deliberate re-ingest after rollback needs fresh batch ids (a new
     * checkpoint) or a new table.
     */
-  def rollbackVersioned(name: String, to: Long): Long = {
+  def rollbackVersioned(name: String, to: Long,
+      writer: String = "", force: Boolean = false): Long = {
     require(versions(name).contains(to),
       s"'$name' has no version $to to roll back to")
+    checkMaintenanceFence(name, writer, force, "rollback")
     commitVersion(name, None, readManifest(name, to),
       contentBase = Some(to))
   }

@@ -54,8 +54,10 @@ object Sinks {
     * retains the last K versions and frees unreferenced directories
     * (O(listing) metadata work). Both run inside foreachBatch AFTER
     * the batch commit; a maintenance CAS lost to a concurrent writer
-    * is skipped and retried at the next boundary, never failing the
-    * stream, and exactly-once is unaffected either way (the high
+    * ([[graft.sources.ConcurrentCommitException]], the one retryable
+    * condition) is skipped and retried at the next boundary, never
+    * failing the stream — any OTHER maintenance failure fails the
+    * stream loudly — and exactly-once is unaffected either way (the high
     * water rides every maintenance commit — kill-injection across an
     * auto-compaction boundary is spec-pinned). Keep `vacuumKeep`
     * larger than the longest concurrent time-travel reader AND than
@@ -107,12 +109,18 @@ object Sinks {
         if (committed.nonEmpty && compactEvery > 0 &&
             (id + 1) % compactEvery == 0) {
           try {
-            storage.compactVersions(name)
-            if (vacuumKeep > 0) storage.vacuumVersions(name, vacuumKeep)
+            storage.compactVersions(name, writer = checkpointDir)
+            if (vacuumKeep > 0)
+              storage.vacuumVersions(name, vacuumKeep,
+                writer = checkpointDir)
           } catch {
-            // lost the CAS to a concurrent commit: maintenance is
-            // best-effort per boundary; the next boundary retries
-            case _: IllegalStateException => ()
+            // ONLY a lost CAS to a concurrent commit is best-effort
+            // (the next boundary retries on the winner's manifest).
+            // Any other failure — an invariant violation inside
+            // compact/vacuum, a fence refusal after a hostile
+            // takeover — fails the stream loudly; swallowing it would
+            // hide a real defect at every boundary forever.
+            case _: graft.sources.ConcurrentCommitException => ()
           }
         }
         if (committed.nonEmpty) onBatchCommitted(id)

@@ -1145,4 +1145,83 @@ class CorpusSpec extends SparkTestBase {
     }
     Seq(tok, tok2, loaded).foreach(_.close())
   }
+
+  test("describeIndexes: one frame over all five families — lag 0 -> n -> 0 across append/refresh, dir counts telegraph compaction") {
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-descr-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    storage.putVersioned("ddocs", docs.filter($"doc_id" < cut))
+    storage.putVersioned("dvecs", e.filter($"vec_id" < cut))
+    def dv = storage.versions("dvecs").last
+    // one saved instance of every persisted family
+    val ann = Corpus.buildAnnIndex(storage.readVersioned("dvecs"))
+    Corpus.saveAnnIndex(ann, storage, "dann", corpusVersion = dv)
+    val hyb = Corpus.buildHybridIndex(
+      storage.readVersioned("ddocs"), storage.readVersioned("dvecs"))
+    Corpus.saveHybridIndex(hyb, storage, "dhyb", vectorsCorpusVersion = dv)
+    val pq = Corpus.buildIvfPqIndex(storage.readVersioned("dvecs"))
+    Corpus.saveIvfPqIndex(pq, storage, "dpq", corpusVersion = dv)
+    val pmb = Corpus.buildPairMiningBase(
+      storage.readVersioned("ddocs"), storage.readVersioned("dvecs"))
+    Corpus.savePairMiningBase(pmb, storage, "dpmb",
+      docsVersion = storage.versions("ddocs").last, vectorsVersion = dv)
+    val tok = Corpus.buildTokenizer(storage.readVersioned("ddocs"), n = 10)
+    Corpus.saveTokenizer(tok, storage, "dtok")
+    val corpusMap = Map("dann" -> "dvecs", "dhyb" -> "dvecs",
+      "dpq" -> "dvecs", "dpmb/docs" -> "ddocs", "dpmb/vectors" -> "dvecs")
+    def describe() = Corpus.describeIndexes(storage, corpusMap).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)) ->
+        ((Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.get(8)).map(_.asInstanceOf[Long]))))
+      .toMap // (index, family, role) -> (lag, dir_count)
+    val d0 = describe()
+    // every saved family reports, nested arms under their parent only
+    assert(d0.keys.map(_._2).toSet ==
+      Set("ann", "hybrid", "ivfpq", "pmb", "tok"))
+    assert(d0.keys.map(_._1).toSet ==
+      Set("dann", "dhyb", "dpq", "dpmb", "dtok"),
+      "nested pointer tables must not surface as standalone families")
+    // freshly saved: every corpus row is caught up, every arm pinned
+    // at its head, every artifact one directory
+    assert(d0.forall { case (_, (lag, _)) => lag.contains(0L) },
+      s"fresh save must show zero lag everywhere: $d0")
+    assert(d0((("dann", "ann", "lists"))) == ((Some(0L), Some(1L))))
+    assert(d0.contains(("dpq", "ivfpq", "codes")) &&
+      d0.contains(("dpq", "ivfpq", "coarse.lists")) &&
+      d0.contains(("dhyb", "hybrid", "postings")) &&
+      d0.contains(("dhyb", "hybrid", "dense.lists")) &&
+      d0.contains(("dpmb", "pmb", "fps")) &&
+      d0.contains(("dtok", "tok", "merges")))
+    // the corpora advance: every family's corpus row shows the lag
+    storage.appendVersioned("ddocs", docs.filter($"doc_id" >= cut))
+    storage.appendVersioned("dvecs", e.filter($"vec_id" >= cut))
+    val d1 = describe()
+    Seq(("dann", "ann", "corpus"), ("dhyb", "hybrid", "corpus"),
+      ("dpq", "ivfpq", "corpus"), ("dpmb", "pmb", "docs"),
+      ("dpmb", "pmb", "vectors")).foreach { k =>
+      assert(d1(k)._1.contains(1L),
+        s"$k must show one unconsumed corpus version: ${d1(k)}")
+    }
+    // arm rows are unaffected by corpus appends
+    assert(d1((("dann", "ann", "lists")))._1.contains(0L))
+    // the nightly refreshes catch up: lag back to 0, and the refreshed
+    // lists/codes arms now carry the delta directory (dir_count 2 —
+    // the compaction-cadence observable)
+    Corpus.refreshAnnIndex(storage, "dann", "dvecs")
+    Corpus.refreshHybridIndex(storage, "dhyb", "ddocs", "dvecs")
+    Corpus.refreshIvfPqIndex(storage, "dpq", "dvecs")
+    Corpus.refreshPairMiningBase(storage, "dpmb", "ddocs", "dvecs")
+    val d2 = describe()
+    assert(d2.forall { case (_, (lag, _)) => lag.contains(0L) },
+      s"after the refreshes every lag must be back to zero: $d2")
+    assert(d2((("dann", "ann", "lists"))) == ((Some(0L), Some(2L))))
+    assert(d2((("dpq", "ivfpq", "codes")))._2.contains(2L))
+    // compaction re-packs the pinned artifact: dir_count back to 1
+    Corpus.compactAnnIndex(storage, "dann")
+    val d3 = describe()
+    assert(d3((("dann", "ann", "lists"))) == ((Some(0L), Some(1L))))
+    ann.close(); hyb.close(); pq.close(); pmb.close(); tok.close()
+  }
 }

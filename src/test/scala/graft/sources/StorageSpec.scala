@@ -485,7 +485,7 @@ class StorageSpec extends SparkTestBase {
     def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
     st.putVersioned("h1", rows(1L))
     st.appendBatchIdempotent("h1", rows(2L), 0L, writer = "cpX")
-    st.compactVersions("h1")
+    st.compactVersions("h1", writer = "cpX")
     st.putVersioned("h2", rows(9L))
     assert(st.lsVersioned() == Seq("h1", "h2"))
     val h = st.describeVersioned("h1").collect()
@@ -596,19 +596,58 @@ class StorageSpec extends SparkTestBase {
     }
     assert(st.readVersioned("own").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 100L, 101L))
-    // maintenance carries the fence + epoch horizon: compaction then
-    // replay of BOTH epochs' batch ids still dedups for the owner
-    st.compactVersions("own")
+    // maintenance carries the fence + epoch horizon: the OWNER's
+    // compaction, then replay of BOTH epochs' batch ids still dedups
+    st.compactVersions("own", writer = "cpB")
     assert(st.appendBatchIdempotent("own", rows(9L), 1L, writer = "cpB").isEmpty)
     assert(st.appendBatchIdempotent("own", rows(102L), 2L, writer = "cpB").nonEmpty)
     // vacuum reclaims both epochs' batch directories, nothing retained
-    val (mGone, dGone) = st.vacuumVersions("own", keepLast = 2)
+    val (mGone, dGone) = st.vacuumVersions("own", keepLast = 2, writer = "cpB")
     assert(mGone > 0 && dGone > 0, s"vacuum must reclaim: ($mGone, $dGone)")
     assert(st.readVersioned("own").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 100L, 101L, 102L))
     // an unfenced table stays writable by token-less callers
     assert(st.appendBatchIdempotent("free", rows(1L), 0L).nonEmpty)
     assert(st.appendBatchIdempotent("free", rows(2L), 1L).nonEmpty)
+  }
+
+  test("maintenance fence: non-owner compaction/vacuum/rollback refuse on a stream-owned table; owner and force pass") {
+    val st = freshStorage()
+    def rows(xs: Long*) = xs.map(x => Tuple1(x)).toDF("x")
+    assert(st.appendBatchIdempotent("mf", rows(1L), 0L, writer = "cpX").nonEmpty)
+    assert(st.appendBatchIdempotent("mf", rows(2L), 1L, writer = "cpX").nonEmpty)
+    val v1 = st.versions("mf").head
+    // a token-less operator cron (and a WRONG-token one) refuses every
+    // maintenance verb — before this fence, any process could roll a
+    // stream-owned table back past a CDC consumer's consumed version
+    def refusal(f: => Any): String = intercept[IllegalStateException](f).getMessage
+    Seq(
+      refusal(st.rollbackVersioned("mf", v1)),
+      refusal(st.rollbackVersioned("mf", v1, writer = "cpOther")),
+      refusal(st.compactVersions("mf")),
+      refusal(st.vacuumVersions("mf", 1)),
+      refusal(st.vacuumVersionsKeeping("mf", Set(v1)))
+    ).foreach(m => assert(m.contains("cpX") && m.contains("force"),
+      s"the refusal must name the owner and the override: $m"))
+    // nothing committed or reclaimed by any refusal
+    assert(st.versions("mf").size == 2)
+    assert(st.readVersioned("mf").count() == 2)
+    // the owner's token passes every verb (the sink's auto-maintenance)
+    st.compactVersions("mf", writer = "cpX")
+    st.vacuumVersions("mf", 2, writer = "cpX")
+    st.rollbackVersioned("mf", st.versions("mf").last, writer = "cpX")
+    // force is the explicit cross-owner override (deliberate surgery on
+    // a dead stream's table without a takeover commit)
+    st.compactVersions("mf", force = true)
+    assert(st.readVersioned("mf").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // an unfenced table needs no token for maintenance
+    st.putVersioned("mfree", rows(1L))
+    st.appendVersioned("mfree", rows(2L))
+    st.compactVersions("mfree")
+    st.rollbackVersioned("mfree", st.versions("mfree").last)
+    st.vacuumVersions("mfree", 1)
+    assert(st.readVersioned("mfree").count() == 2)
   }
 
   test("schema gate: drifted appends refuse naming the fields; opt-in widening composes with mergeSchema") {

@@ -286,8 +286,10 @@ class SinksSpec extends SparkTestBase {
         val committed = storage.appendBatchIdempotent("auto", b, id,
           writer = cp.toString)
         if (committed.nonEmpty && (id + 1) % 2 == 0) {
-          storage.compactVersions("auto")
-          storage.vacuumVersions("auto", 2)
+          // the table is fenced to this stream: maintenance passes the
+          // owner's token, exactly as the packaged sink does
+          storage.compactVersions("auto", writer = cp.toString)
+          storage.vacuumVersions("auto", 2, writer = cp.toString)
         }
         if (id == 3) throw new RuntimeException("injected post-compaction kill")
       }
@@ -315,6 +317,253 @@ class SinksSpec extends SparkTestBase {
         Seq(Tuple1(999L)).toDF("x"), i.toLong, writer = cp.toString).isEmpty,
         s"batch $i must replay as a no-op")
     }
+  }
+
+  test("auto-maintenance catch: a lost CAS is skipped and retried; a genuine invariant failure fails the stream loudly") {
+    // the failure-hiding regression this pins: the sink's maintenance
+    // catch must swallow ONLY the retryable lost-CAS race
+    // (ConcurrentCommitException), never a real defect inside
+    // compact/vacuum — that would be silently discarded at every
+    // boundary forever
+    val srcA = Files.createTempDirectory("graft-casloss-src-")
+    val cpA = Files.createTempDirectory("graft-casloss-cp-")
+    val whA = Files.createTempDirectory("graft-casloss-wh-").toString
+    var casLosses = 0
+    val losing = new Storage(spark, whA) {
+      override def compactVersions(name: String,
+          expectedVersion: Option[Long], writer: String,
+          force: Boolean): Long = {
+        casLosses += 1
+        throw new graft.sources.ConcurrentCommitException(
+          "injected lost CAS")
+      }
+    }
+    writeBatchFile(srcA, "001.parquet", Seq(1L, 2L))
+    writeBatchFile(srcA, "002.parquet", Seq(3L))
+    Sinks.sinkVersionedExactlyOnce(stream(srcA), losing, "cl",
+      cpA.toString, compactEvery = 1).awaitTermination(180000)
+    assert(casLosses == 2, "every boundary must have attempted maintenance")
+    assert(losing.readVersioned("cl").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L),
+      "a lost maintenance CAS must never fail the stream or lose data")
+
+    val srcB = Files.createTempDirectory("graft-invfail-src-")
+    val cpB = Files.createTempDirectory("graft-invfail-cp-")
+    val whB = Files.createTempDirectory("graft-invfail-wh-").toString
+    val broken = new Storage(spark, whB) {
+      override def compactVersions(name: String,
+          expectedVersion: Option[Long], writer: String,
+          force: Boolean): Long =
+        throw new IllegalStateException("injected invariant violation")
+    }
+    writeBatchFile(srcB, "001.parquet", Seq(7L))
+    val q = Sinks.sinkVersionedExactlyOnce(stream(srcB), broken, "iv",
+      cpB.toString, compactEvery = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("injected invariant violation"))),
+      s"a non-CAS maintenance failure must surface, not be swallowed: $e")
+    // the batch itself committed before the maintenance blew up
+    assert(broken.readVersioned("iv").collect().map(_.getLong(0))
+      .toSeq == Seq(7L))
+  }
+
+  test("sinkWithHybridRefresh: the RAG corpus's continuous loop — lexical and dense arms pinned to one snapshot, kill included") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-hybloop-src-")
+    val cp = Files.createTempDirectory("graft-hybloop-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-hybloop-wh-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    def writeVecs(name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createTempDirectory("graft-hybloop-stage-")
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def vecStream() = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // bootstrap: docs land whole (their own cadence), the initial
+    // vector snapshot streams in, the hybrid index builds + saves
+    storage.putVersioned("hldocs", docs.filter(col("doc_id") < n * 2 / 5))
+    writeVecs("001.parquet", 0L, n * 2 / 5)
+    Sinks.sinkVersionedExactlyOnce(vecStream(), storage, "hlvecs",
+      cp.toString).awaitTermination(180000)
+    val built = graft.api.Corpus.buildHybridIndex(
+      storage.readVersioned("hldocs"), storage.readVersioned("hlvecs"))
+    val pv1 = graft.api.Corpus.saveHybridIndex(built, storage, "hlidx",
+      vectorsCorpusVersion = storage.versions("hlvecs").last)
+    // day 1: the docs table grows, three vector batches arrive, and a
+    // mid-run kill lands AFTER batch 1's table commit (the classic
+    // duplicate window) — the loop must resume exactly-once
+    storage.appendVersioned("hldocs", docs.filter(col("doc_id") >= n * 2 / 5))
+    writeVecs("002.parquet", n * 2 / 5, n * 3 / 5)
+    writeVecs("003.parquet", n * 3 / 5, n * 4 / 5)
+    writeVecs("004.parquet", n * 4 / 5, n)
+    val q1 = vecStream().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (storage.appendBatchIdempotent("hlvecs", b, id,
+            writer = cp.toString).isEmpty)
+          b.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+        if (id == 1) throw new RuntimeException("injected post-commit kill")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    // the ONE verb resumes: batch 1 replays as a skip, batches 2..3
+    // land, refresh fires at the id=1 (skipped — hook doesn't run) and
+    // id=3 boundaries plus the catch-up at start; refresh-aware vacuum on
+    graft.api.Corpus.sinkWithHybridRefresh(vecStream(), storage, "hlvecs",
+      cp.toString, "hlidx", refreshEvery = 2, docsTable = "hldocs",
+      vacuumKeep = 2).awaitTermination(180000)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "the continuous hybrid loop must never retrain the dense arm")
+    assert(storage.readVersioned("hlvecs").count() == n,
+      "the kill-replayed ingest must land every vector exactly once")
+    val idx = graft.api.Corpus.loadHybridIndex(storage, "hlidx")
+    // BOTH arms serve the full corpus: every vector indexed, and the
+    // postings cover docs appended after the bootstrap build
+    assert(idx.ann.lists.count() == n,
+      "every streamed vector must be indexed with zero manual refreshes")
+    assert(idx.postings
+      .join(docs.filter(col("doc_id") >= n * 2 / 5).select(col("doc_id")),
+        "doc_id").count() > 0,
+      "the lexical arm must have rebuilt over the grown docs table")
+    // the arms are pinned to ONE generation: the hybrid pointer's dense
+    // arm consumed exactly the vectors version the stream left behind
+    assert(storage.versions("hlidx__hybrid").last > pv1)
+    val hyb = storage.readVersioned("hlidx__hybrid").collect()(0)
+    val densePtr = storage.readVersioned("hlidx__dense__ann",
+      hyb.getAs[Long]("dense_version")).collect()(0)
+    assert(densePtr.getAs[Long]("corpus_version") ==
+      storage.versions("hlvecs").last,
+      "dense arm must be caught up to the corpus head")
+    // refresh-aware vacuum bounded history but never the consumed
+    // version: the table still reads in full
+    assert(storage.readVersioned("hlvecs").count() == n)
+    Seq(built, idx).foreach(_.close())
+  }
+
+  test("sinkWithPairMiningRefresh: aligned two-table ingest + base fold as one verb, kill between the paired appends included") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-pmloop-src-")
+    val cp = Files.createTempDirectory("graft-pmloop-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-pmloop-wh-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // the aligned stream shape: one row = one doc WITH its embedding
+    val joint = docs.join(e, docs("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val n = joint.count()
+    def writeJoint(name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createTempDirectory("graft-pmloop-stage-")
+      joint.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def jointStream() = spark.readStream.schema(joint.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // bootstrap: the initial batch lands in BOTH tables through the
+    // loop itself (no pointer yet -> build and save by hand after)
+    writeJoint("001.parquet", 0L, n * 3 / 5)
+    val qb = jointStream().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        storage.appendBatchIdempotent("pldocs", b.drop("embedding"), id,
+          writer = cp.toString)
+        storage.appendBatchIdempotent("plvecs",
+          b.select(col("doc_id").as("vec_id"), col("embedding")), id,
+          writer = cp.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    qb.awaitTermination(180000)
+    val base = graft.api.Corpus.buildPairMiningBase(
+      storage.readVersioned("pldocs"), storage.readVersioned("plvecs"))
+    graft.api.Corpus.savePairMiningBase(base, storage, "plbase",
+      docsVersion = storage.versions("pldocs").last,
+      vectorsVersion = storage.versions("plvecs").last)
+    // steady state: three more aligned batches; the kill lands BETWEEN
+    // the docs append and the vectors append of batch 1 — the window
+    // unique to the two-table shape. The replay must skip docs and
+    // commit vectors: per-table exactly-once. (The catch-up refresh at
+    // the next start sees MISALIGNED horizons and must skip — folding
+    // the unpaired doc delta would orphan those docs' vectors forever.)
+    writeJoint("002.parquet", n * 3 / 5, n * 7 / 10)
+    writeJoint("003.parquet", n * 7 / 10, n * 4 / 5)
+    writeJoint("004.parquet", n * 4 / 5, n)
+    val q1 = jointStream().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        storage.appendBatchIdempotent("pldocs", b.drop("embedding"), id,
+          writer = cp.toString)
+        if (id == 1) throw new RuntimeException(
+          "injected kill between the paired appends")
+        storage.appendBatchIdempotent("plvecs",
+          b.select(col("doc_id").as("vec_id"), col("embedding")), id,
+          writer = cp.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(storage.readVersioned("pldocs").count() >
+      storage.readVersioned("plvecs").count(),
+      "the kill must land between the paired appends for this fixture")
+    val passes0 = graft.operators.Similarity.trainingPasses.get()
+    graft.api.Corpus.sinkWithPairMiningRefresh(jointStream(), storage,
+      "pldocs", "plvecs", cp.toString, "plbase", refreshEvery = 2,
+      vacuumKeep = 4).awaitTermination(180000)
+    assert(graft.operators.Similarity.trainingPasses.get() == passes0,
+      "the continuous pair-mining loop must never retrain")
+    // per-table exactly-once across the half-committed batch
+    assert(storage.readVersioned("pldocs").count() == n,
+      "every doc exactly once despite the half-committed batch replay")
+    assert(storage.readVersioned("plvecs").count() == n,
+      "every vector exactly once despite the half-committed batch replay")
+    // the base folded everything: its fingerprints equal a from-scratch
+    // QA pass over the full corpus, and every survivor's vector is
+    // indexed under the frozen centroids
+    val refreshed = graft.api.Corpus.loadPairMiningBase(storage, "plbase")
+    val expectFps = graft.operators.Pipeline
+      .qualityFp(storage.readVersioned("pldocs"))
+      .select(col("fp")).distinct().count()
+    assert(refreshed.fingerprints.count() == expectFps,
+      "the folded base must hold one fingerprint per QA survivor")
+    assert(refreshed.index.lists.count() == refreshed.fingerprints.count())
+    // the pointer checkpointed both heads; mining a fresh batch against
+    // the loaded base needs zero rebuilding (the loop's serving face)
+    val ptr = storage.readVersioned("plbase__pmb").collect()(0)
+    assert(ptr.getAs[Long]("docs_version") ==
+      storage.versions("pldocs").last)
+    assert(ptr.getAs[Long]("vectors_version") ==
+      storage.versions("plvecs").last)
+    Seq(base, refreshed).foreach(_.close())
   }
 
   test("stream -> versioned corpus -> incremental index refresh: the full ingest-to-serving loop, kill included") {
