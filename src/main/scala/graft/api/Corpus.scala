@@ -786,35 +786,38 @@ object Corpus {
         toVersion = curV)
       .select(col(id).as("vec_id"), col(vec).as("embedding"))
       .localCheckpoint()
-    if (delta.isEmpty) {
-      // the corpus advanced by maintenance only (compaction, rollback
-      // forward, empty batches): nothing to index — re-pin the consumed
-      // version so future refreshes diff from here instead of re-walking
-      // the content-equal chain, and never commit a junk empty data dir
-      graft.operators.RelCache.freeLocalCheckpoint(delta)
-      return storage.putVersioned(s"${name}__ann",
-        Seq((centV, ptr(0).getAs[Long]("lists_version"), curV))
-          .toDF("centroids_version", "lists_version", "corpus_version"))
-    }
-    val cent = storage.readVersioned(s"${name}__centroids", centV)
-      .localCheckpoint()
-    val deltaLists = graft.operators.Similarity.kernelProbeCells(delta,
-      cent, 1, "c_id", "cv_c", "cn_c")
-    // append ONTO the pointer's pinned lists version, never "latest":
-    // a crashed earlier refresh (died between its lists append and its
-    // pointer commit) leaves an orphan lists version, and stacking this
-    // delta on top of it would serve every orphaned row TWICE. The
-    // base-pinned commit rebuilds from the last version actually served,
-    // so re-runs and double-fired refreshes are idempotent by
-    // construction (each produces a version with the delta exactly once)
-    val vl = storage.appendVersionedOnto(s"${name}__lists", deltaLists,
-      ptr(0).getAs[Long]("lists_version"))
-    val out = storage.putVersioned(s"${name}__ann",
-      Seq((centV, vl, curV))
-        .toDF("centroids_version", "lists_version", "corpus_version"))
-    graft.operators.RelCache.freeLocalCheckpoint(cent)
-    graft.operators.RelCache.freeLocalCheckpoint(delta)
-    out
+    // free the eager checkpoints on EVERY exit, thrown ones included —
+    // a refresh that loses its pointer CAS to a racing twin would
+    // otherwise pin the O(delta) blocks for the session lifetime, once
+    // per failed boundary in the continuous loop
+    try {
+      if (delta.isEmpty)
+        // the corpus advanced by maintenance only (compaction, rollback
+        // forward, empty batches): nothing to index — re-pin the consumed
+        // version so future refreshes diff from here instead of re-walking
+        // the content-equal chain, and never commit a junk empty data dir
+        return storage.putVersioned(s"${name}__ann",
+          Seq((centV, ptr(0).getAs[Long]("lists_version"), curV))
+            .toDF("centroids_version", "lists_version", "corpus_version"))
+      val cent = storage.readVersioned(s"${name}__centroids", centV)
+        .localCheckpoint()
+      try {
+        val deltaLists = graft.operators.Similarity.kernelProbeCells(delta,
+          cent, 1, "c_id", "cv_c", "cn_c")
+        // append ONTO the pointer's pinned lists version, never "latest":
+        // a crashed earlier refresh (died between its lists append and its
+        // pointer commit) leaves an orphan lists version, and stacking this
+        // delta on top of it would serve every orphaned row TWICE. The
+        // base-pinned commit rebuilds from the last version actually served,
+        // so re-runs and double-fired refreshes are idempotent by
+        // construction (each produces a version with the delta exactly once)
+        val vl = storage.appendVersionedOnto(s"${name}__lists", deltaLists,
+          ptr(0).getAs[Long]("lists_version"))
+        storage.putVersioned(s"${name}__ann",
+          Seq((centV, vl, curV))
+            .toDF("centroids_version", "lists_version", "corpus_version"))
+      } finally graft.operators.RelCache.freeLocalCheckpoint(cent)
+    } finally graft.operators.RelCache.freeLocalCheckpoint(delta)
   }
 
   /** Compact a persisted ANN index family: every nightly
@@ -970,17 +973,10 @@ object Corpus {
     */
   private def vacuumPinnedArms(storage: graft.sources.Storage,
       pointerTable: String, arms: Seq[(String, String)]): (Int, Int) = {
-    val rows = storage.versions(pointerTable).map { v =>
-      // vacuum is DESTRUCTIVE: the same one-row guard every load/refresh
-      // path applies, or a malformed multi-row pointer version would
-      // silently derive the keep set from an arbitrary row
-      val rs = storage.readVersioned(pointerTable, v).collect()
-      require(rs.length == 1,
-        s"pointer '$pointerTable' must hold exactly one row at version " +
-          s"$v, got ${rs.length} — refusing to derive a vacuum keep set " +
-          "from a malformed pointer")
-      rs(0)
-    }
+    // vacuum is DESTRUCTIVE: pointerRow's one-row guard refuses to
+    // derive a keep set from a malformed (multi-row) pointer version
+    val rows = storage.versions(pointerTable)
+      .map(v => pointerRow(storage, pointerTable, v))
     sumCounts(arms.map { case (table, column) =>
       storage.vacuumVersionsKeeping(table,
         rows.map(_.getAs[Long](column)).toSet)
@@ -989,6 +985,22 @@ object Corpus {
 
   private def sumCounts(cs: Seq[(Int, Int)]): (Int, Int) =
     (cs.map(_._1).sum, cs.map(_._2).sum)
+
+  /** The one-row pointer read every load/refresh/vacuum/describe path
+    * shares: resolve `table` at `version` (default: latest) and refuse
+    * a malformed pointer — zero or many rows — BEFORE anyone acts on
+    * it (for the destructive paths, acting on an arbitrary row of a
+    * torn pointer is the silent failure this guard exists to prevent).
+    */
+  private def pointerRow(storage: graft.sources.Storage, table: String,
+      version: Long = -1L): org.apache.spark.sql.Row = {
+    val rs = storage.readVersioned(table, version).collect()
+    require(rs.length == 1,
+      s"pointer '$table' must hold exactly one row" +
+        (if (version >= 0) s" at version $version" else "") +
+        s", got ${rs.length}")
+    rs(0)
+  }
 
   /** Rehydrate a persisted [[AnnIndex]] (see [[saveAnnIndex]]) at
     * `version` (default: latest save): resolve the pointer row, read
@@ -1296,29 +1308,16 @@ object Corpus {
     * can strand a newer orphan) records the consumed corpus version.
     */
   private def hybridConsumedVersion(storage: graft.sources.Storage,
-      name: String): Long = {
-    val rows = storage.readVersioned(s"${name}__hybrid").collect()
-    require(rows.length == 1,
-      s"index pointer '${name}__hybrid' must hold exactly one row, " +
-        s"got ${rows.length}")
-    val dv = rows(0).getAs[Long]("dense_version")
-    val dense = storage.readVersioned(s"${name}__dense__ann", dv).collect()
-    require(dense.length == 1,
-      s"index pointer '${name}__dense__ann' must hold exactly one row " +
-        s"at version $dv, got ${dense.length}")
-    dense(0).getAs[Long]("corpus_version")
-  }
+      name: String): Long =
+    pointerRow(storage, s"${name}__dense__ann",
+      pointerRow(storage, s"${name}__hybrid").getAs[Long]("dense_version"))
+      .getAs[Long]("corpus_version")
 
   private def pinnedCorpusVersion(storage: graft.sources.Storage,
-      pointerTable: String): Long = {
-    val rows = storage.readVersioned(pointerTable).collect()
-    // this version feeds the refresh-aware VACUUM's keep set — same
-    // one-row guard as every load/refresh path before acting on it
-    require(rows.length == 1,
-      s"pointer '$pointerTable' must hold exactly one row, " +
-        s"got ${rows.length}")
-    rows(0).getAs[Long]("corpus_version")
-  }
+      pointerTable: String): Long =
+    // this version feeds the refresh-aware VACUUM's keep set —
+    // pointerRow's one-row guard runs before anything acts on it
+    pointerRow(storage, pointerTable).getAs[Long]("corpus_version")
 
   /** The ONE continuous-loop shape both index families share: a
     * synchronous catch-up refresh before the stream starts, the
@@ -1453,40 +1452,36 @@ object Corpus {
         toVersion = curV)
       .select(col(id).as("vec_id"), col(vec).as("embedding"))
       .localCheckpoint()
-    if (delta.isEmpty) {
-      graft.operators.RelCache.freeLocalCheckpoint(delta)
-      return storage.putVersioned(s"${name}__ivfpq",
-        Seq((vCoarse, vb, vk, curV))
-          .toDF("coarse_version", "codebooks_version", "codes_version",
-            "corpus_version"))
-    }
-    // coarse arm: frozen-centroid assignment onto the pinned lists
-    val coarsePtrRows = storage
-      .readVersioned(s"${name}__coarse__ann", vCoarse).collect()
-    require(coarsePtrRows.length == 1,
-      s"index pointer '${name}__coarse__ann' must hold exactly one row " +
-        s"at version $vCoarse, got ${coarsePtrRows.length}")
-    val coarsePtr = coarsePtrRows(0)
-    val cent = storage.readVersioned(s"${name}__coarse__centroids",
-      coarsePtr.getAs[Long]("centroids_version")).localCheckpoint()
-    val vl = storage.appendVersionedOnto(s"${name}__coarse__lists",
-      graft.operators.Similarity.kernelProbeCells(delta, cent, 1,
-        "c_id", "cv_c", "cn_c"),
-      coarsePtr.getAs[Long]("lists_version"))
-    val vCoarseNew = storage.putVersioned(s"${name}__coarse__ann",
-      Seq((coarsePtr.getAs[Long]("centroids_version"), vl, -1L))
-        .toDF("centroids_version", "lists_version", "corpus_version"))
-    // pq arm: frozen-codebook kernel encode onto the pinned codes
-    val cb = storage.readVersioned(s"${name}__codebooks", vb)
-    val vkNew = storage.appendVersionedOnto(s"${name}__codes",
-      graft.operators.Similarity.kernelEncodePq(delta, cb), vk)
-    val out = storage.putVersioned(s"${name}__ivfpq",
-      Seq((vCoarseNew, vb, vkNew, curV))
-        .toDF("coarse_version", "codebooks_version", "codes_version",
-          "corpus_version"))
-    graft.operators.RelCache.freeLocalCheckpoint(cent)
-    graft.operators.RelCache.freeLocalCheckpoint(delta)
-    out
+    // free the eager checkpoints on EVERY exit, thrown ones included
+    // (see refreshAnnIndex)
+    try {
+      if (delta.isEmpty)
+        return storage.putVersioned(s"${name}__ivfpq",
+          Seq((vCoarse, vb, vk, curV))
+            .toDF("coarse_version", "codebooks_version", "codes_version",
+              "corpus_version"))
+      // coarse arm: frozen-centroid assignment onto the pinned lists
+      val coarsePtr = pointerRow(storage, s"${name}__coarse__ann", vCoarse)
+      val cent = storage.readVersioned(s"${name}__coarse__centroids",
+        coarsePtr.getAs[Long]("centroids_version")).localCheckpoint()
+      try {
+        val vl = storage.appendVersionedOnto(s"${name}__coarse__lists",
+          graft.operators.Similarity.kernelProbeCells(delta, cent, 1,
+            "c_id", "cv_c", "cn_c"),
+          coarsePtr.getAs[Long]("lists_version"))
+        val vCoarseNew = storage.putVersioned(s"${name}__coarse__ann",
+          Seq((coarsePtr.getAs[Long]("centroids_version"), vl, -1L))
+            .toDF("centroids_version", "lists_version", "corpus_version"))
+        // pq arm: frozen-codebook kernel encode onto the pinned codes
+        val cb = storage.readVersioned(s"${name}__codebooks", vb)
+        val vkNew = storage.appendVersionedOnto(s"${name}__codes",
+          graft.operators.Similarity.kernelEncodePq(delta, cb), vk)
+        storage.putVersioned(s"${name}__ivfpq",
+          Seq((vCoarseNew, vb, vkNew, curV))
+            .toDF("coarse_version", "codebooks_version", "codes_version",
+              "corpus_version"))
+      } finally graft.operators.RelCache.freeLocalCheckpoint(cent)
+    } finally graft.operators.RelCache.freeLocalCheckpoint(delta)
   }
 
   /** [[compactAnnIndex]] for a persisted IVF×PQ family: the coarse
@@ -1635,14 +1630,11 @@ object Corpus {
     */
   def refreshPairMiningBase(storage: graft.sources.Storage, name: String,
       docsTable: String, vectorsTable: String): Long = {
-    val ptrDf = storage.readVersioned(s"${name}__pmb")
-    val spark = ptrDf.sparkSession
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val ptr = ptrDf.collect()
-    require(ptr.length == 1,
-      s"pointer '${name}__pmb' must hold exactly one row, got ${ptr.length}")
-    val dv = ptr(0).getAs[Long]("docs_version")
-    val vv = ptr(0).getAs[Long]("vectors_version")
+    val ptr0 = pointerRow(storage, s"${name}__pmb")
+    val dv = ptr0.getAs[Long]("docs_version")
+    val vv = ptr0.getAs[Long]("vectors_version")
     require(dv >= 0L && vv >= 0L,
       s"base '$name' was saved without corpus versions; re-save with " +
         "savePairMiningBase(base, storage, name, docsVersion, " +
@@ -1655,8 +1647,8 @@ object Corpus {
     val vCur = storage.versions(vectorsTable).last
     if (dCur == dv && vCur == vv)
       return storage.versions(s"${name}__pmb").last
-    val vf = ptr(0).getAs[Long]("fps_version")
-    val vi = ptr(0).getAs[Long]("index_version")
+    val vf = ptr0.getAs[Long]("fps_version")
+    val vi = ptr0.getAs[Long]("index_version")
     val baseFps = storage.readVersioned(s"${name}__fps", vf)
     val deltaKept = graft.operators.Pipeline
       .qualityFp(storage.readVersionedSince(docsTable, dv,
@@ -1665,41 +1657,41 @@ object Corpus {
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("vec_id"))
       .join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
       .localCheckpoint()
-    if (deltaKept.isEmpty) {
-      // maintenance-only advance or a delta with no new QA survivors:
-      // nothing to fold — re-pin the consumed versions only, committing
-      // no junk empty directories into either artifact lineage
-      graft.operators.RelCache.freeLocalCheckpoint(deltaKept)
-      return storage.putVersioned(s"${name}__pmb",
-        Seq((vf, vi, dCur, vCur))
-          .toDF("fps_version", "index_version",
-            "docs_version", "vectors_version"))
-    }
-    val vfNew = storage.appendVersionedOnto(s"${name}__fps", deltaKept, vf)
-    // the index arm: the ann pointer pinned by the pmb pointer names
-    // the centroids/lists pair the delta assigns under
-    val annPtr = storage.readVersioned(s"${name}__index__ann", vi)
-      .collect()(0)
-    val cent = storage.readVersioned(s"${name}__index__centroids",
-      annPtr.getAs[Long]("centroids_version")).localCheckpoint()
-    val newVecs = storage.readVersionedSince(vectorsTable, vv,
-        toVersion = vCur)
-      .select(col("vec_id"), col("embedding"))
-      .join(deltaKept.select(col("vec_id")), "vec_id")
-    val vlNew = storage.appendVersionedOnto(s"${name}__index__lists",
-      graft.operators.Similarity.kernelProbeCells(newVecs, cent, 1,
-        "c_id", "cv_c", "cn_c"),
-      annPtr.getAs[Long]("lists_version"))
-    val viNew = storage.putVersioned(s"${name}__index__ann",
-      Seq((annPtr.getAs[Long]("centroids_version"), vlNew, -1L))
-        .toDF("centroids_version", "lists_version", "corpus_version"))
-    val out = storage.putVersioned(s"${name}__pmb",
-      Seq((vfNew, viNew, dCur, vCur))
-        .toDF("fps_version", "index_version",
-          "docs_version", "vectors_version"))
-    graft.operators.RelCache.freeLocalCheckpoint(cent)
-    graft.operators.RelCache.freeLocalCheckpoint(deltaKept)
-    out
+    // free the eager checkpoints on EVERY exit, thrown ones included
+    // (see refreshAnnIndex)
+    try {
+      if (deltaKept.isEmpty)
+        // maintenance-only advance or a delta with no new QA survivors:
+        // nothing to fold — re-pin the consumed versions only, committing
+        // no junk empty directories into either artifact lineage
+        return storage.putVersioned(s"${name}__pmb",
+          Seq((vf, vi, dCur, vCur))
+            .toDF("fps_version", "index_version",
+              "docs_version", "vectors_version"))
+      val vfNew = storage.appendVersionedOnto(s"${name}__fps", deltaKept, vf)
+      // the index arm: the ann pointer pinned by the pmb pointer names
+      // the centroids/lists pair the delta assigns under
+      val annPtr = pointerRow(storage, s"${name}__index__ann", vi)
+      val cent = storage.readVersioned(s"${name}__index__centroids",
+        annPtr.getAs[Long]("centroids_version")).localCheckpoint()
+      try {
+        val newVecs = storage.readVersionedSince(vectorsTable, vv,
+            toVersion = vCur)
+          .select(col("vec_id"), col("embedding"))
+          .join(deltaKept.select(col("vec_id")), "vec_id")
+        val vlNew = storage.appendVersionedOnto(s"${name}__index__lists",
+          graft.operators.Similarity.kernelProbeCells(newVecs, cent, 1,
+            "c_id", "cv_c", "cn_c"),
+          annPtr.getAs[Long]("lists_version"))
+        val viNew = storage.putVersioned(s"${name}__index__ann",
+          Seq((annPtr.getAs[Long]("centroids_version"), vlNew, -1L))
+            .toDF("centroids_version", "lists_version", "corpus_version"))
+        storage.putVersioned(s"${name}__pmb",
+          Seq((vfNew, viNew, dCur, vCur))
+            .toDF("fps_version", "index_version",
+              "docs_version", "vectors_version"))
+      } finally graft.operators.RelCache.freeLocalCheckpoint(cent)
+    } finally graft.operators.RelCache.freeLocalCheckpoint(deltaKept)
   }
 
   /** [[vacuumAnnIndex]] for a persisted pair-mining family (see
@@ -1770,10 +1762,7 @@ object Corpus {
           storage.batchHorizon(vectorsTable)) return
       refreshPairMiningBase(storage, baseName, docsTable, vectorsTable)
       if (vacuumKeep > 0) {
-        val rows = storage.readVersioned(s"${baseName}__pmb").collect()
-        require(rows.length == 1,
-          s"pointer '${baseName}__pmb' must hold exactly one row, " +
-            s"got ${rows.length}")
+        val ptr = pointerRow(storage, s"${baseName}__pmb")
         def vac(table: String, consumed: Long): Unit = {
           val vs = storage.versions(table)
           storage.vacuumVersionsKeeping(table,
@@ -1781,8 +1770,8 @@ object Corpus {
             writer = checkpointDir)
           ()
         }
-        vac(docsTable, rows(0).getAs[Long]("docs_version"))
-        vac(vectorsTable, rows(0).getAs[Long]("vectors_version"))
+        vac(docsTable, ptr.getAs[Long]("docs_version"))
+        vac(vectorsTable, ptr.getAs[Long]("vectors_version"))
       }
     }
     // catch-up BEFORE starting: re-covers a crash-lost boundary and the
@@ -1796,8 +1785,13 @@ object Corpus {
         // frame; without the cache each action re-executes the batch plan
         batch.persist()
         try {
+          // BOTH tables land under the canonical column names the
+          // refresh consumes (doc_id/vec_id) — a custom `id` must not
+          // leak into the docs table, where refreshPairMiningBase's QA
+          // pass would fail to resolve it at every boundary forever
           val cd = storage.appendBatchIdempotent(docsTable,
-            batch.drop(vec), batchId, writer = checkpointDir)
+            batch.drop(vec).withColumnRenamed(id, "doc_id"), batchId,
+            writer = checkpointDir)
           val cv = storage.appendBatchIdempotent(vectorsTable,
             batch.select(col(id).as("vec_id"), col(vec).as("embedding")),
             batchId, writer = checkpointDir)
@@ -1845,13 +1839,6 @@ object Corpus {
   def describeIndexes(storage: graft.sources.Storage,
       corpusTables: Map[String, String] = Map.empty): DataFrame = {
     val names = storage.lsVersioned().toSet
-    def ptrRow(table: String, v: Long = -1L): org.apache.spark.sql.Row = {
-      val rs = storage.readVersioned(table, v).collect()
-      require(rs.length == 1,
-        s"pointer '$table' must hold exactly one row" +
-          (if (v >= 0) s" at version $v" else "") + s", got ${rs.length}")
-      rs(0)
-    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String,
       Long, String, Option[String], Option[Long], Option[Long],
       Option[Long], Option[Long])]
@@ -1867,13 +1854,17 @@ object Corpus {
       val tbl = corpusTables.get(key)
       val vs = tbl.map(storage.versions(_)).getOrElse(Seq.empty)
       val c = Some(consumed).filter(_ >= 0L)
+      // a mapped corpus table that does not (yet/anymore) exist
+      // degrades to nulls — the dashboard poll must never crash on a
+      // typo or a pending bootstrap
       rows += ((idx, fam, pv, role, tbl, c, vs.lastOption,
         c.filter(_ => vs.nonEmpty).map(cv => vs.count(_ > cv).toLong),
-        tbl.map(t => storage.versionDirCount(t).toLong)))
+        tbl.filter(_ => vs.nonEmpty)
+          .map(t => storage.versionDirCount(t).toLong)))
     }
     def annArms(idx: String, fam: String, pv: Long, prefix: String,
         annBase: String, annPtrV: Long): org.apache.spark.sql.Row = {
-      val r = ptrRow(s"${annBase}__ann", annPtrV)
+      val r = pointerRow(storage, s"${annBase}__ann", annPtrV)
       arm(idx, fam, pv, s"${prefix}centroids", s"${annBase}__centroids",
         r.getAs[Long]("centroids_version"))
       arm(idx, fam, pv, s"${prefix}lists", s"${annBase}__lists",
@@ -1898,7 +1889,7 @@ object Corpus {
       } else if (p.endsWith("__hybrid")) {
         val base = p.stripSuffix("__hybrid")
         val pv = storage.versions(p).last
-        val r = ptrRow(p)
+        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
         arm(base, "hybrid", pv, "postings", s"${base}__postings",
           r.getAs[Long]("postings_version"))
         val dv = r.getAs[Long]("dense_version")
@@ -1909,7 +1900,7 @@ object Corpus {
       } else if (p.endsWith("__ivfpq")) {
         val base = p.stripSuffix("__ivfpq")
         val pv = storage.versions(p).last
-        val r = ptrRow(p)
+        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
         arm(base, "ivfpq", pv, "codebooks", s"${base}__codebooks",
           r.getAs[Long]("codebooks_version"))
         arm(base, "ivfpq", pv, "codes", s"${base}__codes",
@@ -1922,7 +1913,7 @@ object Corpus {
       } else if (p.endsWith("__pmb")) {
         val base = p.stripSuffix("__pmb")
         val pv = storage.versions(p).last
-        val r = ptrRow(p)
+        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
         arm(base, "pmb", pv, "fps", s"${base}__fps",
           r.getAs[Long]("fps_version"))
         val iv = r.getAs[Long]("index_version")
@@ -1935,7 +1926,7 @@ object Corpus {
       } else if (p.endsWith("__tok")) {
         val base = p.stripSuffix("__tok")
         val pv = storage.versions(p).last
-        val r = ptrRow(p)
+        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
         arm(base, "tok", pv, "merges", s"${base}__merges",
           r.getAs[Long]("merges_version"))
         arm(base, "tok", pv, "vocab", s"${base}__vocab",

@@ -1157,17 +1157,20 @@ class Storage(spark: SparkSession, warehouse: String) {
     * per scan) crosses the budget it's time for [[compactVersions]] /
     * the index-family compaction verbs.
     */
-  def versionDirCount(name: String, version: Long = -1L): Int = {
-    val vs = versions(name)
-    require(vs.nonEmpty, s"no versioned table '$name'")
-    val v = if (version < 0) vs.last
-      else {
-        require(vs.contains(version),
-          s"'$name' has no version $version (has: ${vs.mkString(",")})")
-        version
-      }
-    readManifest(name, v).size
-  }
+  def versionDirCount(name: String, version: Long = -1L): Int =
+    if (version >= 0) {
+      // an explicit version resolves by ONE existence probe of its
+      // manifest, not a directory listing — observability callers
+      // (graft.api.Corpus.describeIndexes) poll this per arm and have
+      // usually just listed the versions themselves
+      require(fs.exists(vtManifest(checkName(name), version)),
+        s"'$name' has no version $version")
+      readManifest(name, version).size
+    } else {
+      val vs = versions(name)
+      require(vs.nonEmpty, s"no versioned table '$name'")
+      readManifest(name, vs.last).size
+    }
 
   /** Incremental (CDC-style) read: the rows ADDED to a versioned table
     * after `afterVersion`, computed as the manifest DIRECTORY diff —

@@ -1222,6 +1222,14 @@ class CorpusSpec extends SparkTestBase {
     Corpus.compactAnnIndex(storage, "dann")
     val d3 = describe()
     assert(d3((("dann", "ann", "lists"))) == ((Some(0L), Some(1L))))
+    // a mapped corpus table that does not exist (typo, pending
+    // bootstrap) degrades to nulls — a dashboard poll must never crash
+    val missing = Corpus.describeIndexes(storage,
+        Map("dann" -> "no_such_table")).collect()
+      .filter(r => r.getString(0) == "dann" && r.getString(3) == "corpus")
+    assert(missing.length == 1 && missing(0).isNullAt(6) &&
+      missing(0).isNullAt(7) && missing(0).isNullAt(8),
+      s"missing corpus table must yield null head/lag/dir_count: ${missing.toSeq}")
     ann.close(); hyb.close(); pq.close(); pmb.close(); tok.close()
   }
 }

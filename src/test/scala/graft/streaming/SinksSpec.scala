@@ -470,13 +470,16 @@ class SinksSpec extends SparkTestBase {
       .select(col("doc_id"), col("text"))
     val e = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))
-    // the aligned stream shape: one row = one doc WITH its embedding
+    // the aligned stream shape: one row = one doc WITH its embedding.
+    // The id column is deliberately NON-canonical ("passage_id"): the
+    // verb must normalize it into doc_id/vec_id on BOTH appends, or
+    // the refresh's QA pass wedges at every boundary forever
     val joint = docs.join(e, docs("doc_id") === e("vec_id"))
-      .select(col("doc_id"), col("text"), col("embedding"))
+      .select(col("doc_id").as("passage_id"), col("text"), col("embedding"))
     val n = joint.count()
     def writeJoint(name: String, lo: Long, hi: Long): Unit = {
       val staging = Files.createTempDirectory("graft-pmloop-stage-")
-      joint.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      joint.filter(col("passage_id") >= lo && col("passage_id") < hi)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
         .find(_.toString.endsWith(".parquet")).get
@@ -492,10 +495,11 @@ class SinksSpec extends SparkTestBase {
       .outputMode("append")
       .option("checkpointLocation", cp.toString)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        storage.appendBatchIdempotent("pldocs", b.drop("embedding"), id,
-          writer = cp.toString)
+        storage.appendBatchIdempotent("pldocs",
+          b.drop("embedding").withColumnRenamed("passage_id", "doc_id"),
+          id, writer = cp.toString)
         storage.appendBatchIdempotent("plvecs",
-          b.select(col("doc_id").as("vec_id"), col("embedding")), id,
+          b.select(col("passage_id").as("vec_id"), col("embedding")), id,
           writer = cp.toString)
         ()
       }
@@ -519,12 +523,13 @@ class SinksSpec extends SparkTestBase {
       .outputMode("append")
       .option("checkpointLocation", cp.toString)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        storage.appendBatchIdempotent("pldocs", b.drop("embedding"), id,
-          writer = cp.toString)
+        storage.appendBatchIdempotent("pldocs",
+          b.drop("embedding").withColumnRenamed("passage_id", "doc_id"),
+          id, writer = cp.toString)
         if (id == 1) throw new RuntimeException(
           "injected kill between the paired appends")
         storage.appendBatchIdempotent("plvecs",
-          b.select(col("doc_id").as("vec_id"), col("embedding")), id,
+          b.select(col("passage_id").as("vec_id"), col("embedding")), id,
           writer = cp.toString)
         ()
       }
@@ -538,7 +543,7 @@ class SinksSpec extends SparkTestBase {
     val passes0 = graft.operators.Similarity.trainingPasses.get()
     graft.api.Corpus.sinkWithPairMiningRefresh(jointStream(), storage,
       "pldocs", "plvecs", cp.toString, "plbase", refreshEvery = 2,
-      vacuumKeep = 4).awaitTermination(180000)
+      vacuumKeep = 4, id = "passage_id").awaitTermination(180000)
     assert(graft.operators.Similarity.trainingPasses.get() == passes0,
       "the continuous pair-mining loop must never retrain")
     // per-table exactly-once across the half-committed batch
