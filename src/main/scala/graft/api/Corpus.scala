@@ -1714,9 +1714,11 @@ object Corpus {
     * ALIGNED-APPEND ingest shape [[refreshPairMiningBase]]'s contract
     * demands built in: the stream carries `(doc_id, text, …, embedding)`
     * rows and each micro-batch lands in BOTH versioned tables —
-    * `docsTable` gets every column but the embedding, `vectorsTable`
-    * gets `(vec_id = doc_id, embedding)` — under the SAME batch id, so
-    * a kept doc's vector is always in the same refresh window.
+    * `docsTable` gets every column but the embedding (with `id`
+    * normalized to the canonical `doc_id` the refresh consumes),
+    * `vectorsTable` gets `(vec_id = id, embedding)` — under the SAME
+    * batch id, so a kept doc's vector is always in the same refresh
+    * window.
     *
     * Exactly-once is PER TABLE: each append is idempotent against its
     * own table's high-water batch id, so a crash between the two

@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.api.Corpus
+import graft.sources.{Storage, Tables}
+
+/** Measures the two continuous loops round 13 closed — hybrid and
+  * pair-mining — at the 100× corpus, plus the cost of the
+  * staleness observable itself:
+  *
+  *  - HYBRID: the refresh is asymmetric by design (the dense arm
+  *    consumes the vector delta under frozen centroids, O(delta);
+  *    the lexical arm rebuilds its BM25 postings from the docs
+  *    snapshot, O(corpus scan) — corpus-global idf/avgdl cannot be
+  *    appended honestly). The probe times the dense arm alone and
+  *    the full hybrid refresh, so the split — the number behind
+  *    "run the lexical arm at a lower cadence" — is measured, not
+  *    asserted. Sanity: a post-refresh delta doc is served by BOTH
+  *    arms (its postings exist; its vector unit-hits itself).
+  *  - PAIR-MINING: nightly fold (QA + first-arrival fps + frozen-
+  *    centroid assignment, all O(delta)) vs the full base rebuild.
+  *    Sanity: folded fps count equals a from-scratch QA pass over
+  *    the grown corpus.
+  *  - describeIndexes over the populated warehouse: the scaladoc
+  *    claims metadata-only / dashboard-pollable — the probe prints
+  *    what one poll actually costs with every family present.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft100x \
+  *     sbt "runMain graft.tools.LoopProbe"
+  */
+object LoopProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft100x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-loop-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-loop-wh-")
+    val storage = new Storage(spark, wh.toString)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val nd = docs.count()
+    val nv = e.count()
+    // ids in the replicated corpus are SPARSE (replica offsets):
+    // slice on id % 100, like RefreshProbe
+    val dPct = col("doc_id") % 100
+    val vPct = col("vec_id") % 100
+
+    // ---- hybrid loop ----
+    storage.putVersioned("hdocs", docs.filter(dPct < 80))
+    storage.putVersioned("hvecs", e.filter(vPct < 80))
+    val (built, tBuild) = time {
+      val idx = Corpus.buildHybridIndex(
+        storage.readVersioned("hdocs"), storage.readVersioned("hvecs"))
+      idx.postings.count(); idx.ann.lists.count(); idx
+    }
+    Corpus.saveHybridIndex(built, storage, "hyb",
+      vectorsCorpusVersion = storage.versions("hvecs").last)
+    println(f"corpus $sfDir docs=$nd vecs=$nv hybrid build+save=$tBuild%6.1fs")
+    // one night: 20% more docs and vectors arrive
+    storage.appendVersioned("hdocs", docs.filter(dPct >= 80))
+    storage.appendVersioned("hvecs", e.filter(vPct >= 80))
+    // the dense arm alone (the call the hybrid refresh makes first):
+    // O(delta) frozen-centroid assignment
+    val (_, tDense) = time {
+      Corpus.refreshAnnIndex(storage, "hyb__dense", "hvecs")
+    }
+    // the full hybrid refresh: the dense arm is now a no-op re-pin, so
+    // this duration is the LEXICAL rebuild (postings scan over the
+    // grown docs) + two pointer commits — the cadence-dial split
+    val (_, tHybrid) = time {
+      Corpus.refreshHybridIndex(storage, "hyb", "hdocs", "hvecs")
+    }
+    val loaded = Corpus.loadHybridIndex(storage, "hyb")
+    // a delta doc that HAS an embedding (the corpus may carry more
+    // docs than vectors), so both arms can be probed on it
+    val deltaDoc = docs.filter(dPct >= 80)
+      .join(e, docs("doc_id") === e("vec_id"))
+      .orderBy(col("doc_id")).limit(1)
+      .collect()(0).getLong(0)
+    require(loaded.postings.filter(col("doc_id") === deltaDoc).count() > 0,
+      "rebuilt postings must cover the delta doc")
+    val unit = loaded.ann.topK(
+        e.filter(col("vec_id") === deltaDoc), k = 1).collect()
+    require(unit.length == 1 && math.abs(unit(0).getDouble(3) - 1.0) < 1e-9,
+      "the dense arm must unit-hit the delta vector")
+    require(loaded.ann.lists.count() == nv,
+      "every vector must be indexed after the refresh")
+    println(f"hybrid night (20%% delta): dense arm=$tDense%6.1fs " +
+      f"lexical rebuild+pins=$tHybrid%6.1fs — run the lexical arm at " +
+      "a lower cadence; both arms serve the delta doc")
+
+    // ---- pair-mining loop ----
+    storage.putVersioned("pdocs", docs.filter(dPct < 80))
+    storage.putVersioned("pvecs", e.filter(vPct < 80))
+    val (base, tBase) = time {
+      val b = Corpus.buildPairMiningBase(
+        storage.readVersioned("pdocs"), storage.readVersioned("pvecs"))
+      b.fingerprints.count(); b.index.lists.count(); b
+    }
+    Corpus.savePairMiningBase(base, storage, "pmb",
+      docsVersion = storage.versions("pdocs").last,
+      vectorsVersion = storage.versions("pvecs").last)
+    storage.appendVersioned("pdocs", docs.filter(dPct >= 80))
+    storage.appendVersioned("pvecs", e.filter(vPct >= 80))
+    val (_, tFold) = time {
+      Corpus.refreshPairMiningBase(storage, "pmb", "pdocs", "pvecs")
+    }
+    val folded = Corpus.loadPairMiningBase(storage, "pmb")
+    val expectFps = graft.operators.Pipeline
+      .qualityFp(storage.readVersioned("pdocs"))
+      .select(col("fp")).distinct().count()
+    require(folded.fingerprints.count() == expectFps,
+      s"folded base must hold one fp per QA survivor " +
+        s"(${folded.fingerprints.count()} vs $expectFps)")
+    val (_, tRebuild) = time {
+      val b = Corpus.buildPairMiningBase(
+        storage.readVersioned("pdocs"), storage.readVersioned("pvecs"))
+      b.fingerprints.count(); b.index.lists.count(); b.close()
+    }
+    println(f"pair-mining base build=$tBase%6.1fs; nightly fold " +
+      f"(20%% delta)=$tFold%6.1fs vs full rebuild=$tRebuild%6.1fs; " +
+      s"fps=$expectFps")
+
+    // ---- the observable's own cost, warehouse fully populated ----
+    val corpusMap = Map("hyb" -> "hvecs",
+      "pmb/docs" -> "pdocs", "pmb/vectors" -> "pvecs")
+    val (rows, tDescribe) = time {
+      Corpus.describeIndexes(storage, corpusMap).collect()
+    }
+    require(rows.nonEmpty && rows.forall(r =>
+      r.isNullAt(7) || r.getLong(7) == 0L),
+      "every family must report caught-up after its refresh")
+    println(f"describeIndexes over ${rows.length} rows " +
+      f"(2 families + arms): $tDescribe%5.2fs — metadata-only")
+
+    built.close(); loaded.close(); base.close(); folded.close()
+    spark.stop()
+  }
+}
