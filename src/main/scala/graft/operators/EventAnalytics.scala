@@ -598,6 +598,205 @@ object EventAnalytics {
       |WINDOW wr AS (PARTITION BY user_id ORDER BY run)
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_lifecycle — daily growth accounting (new/retained/resurrected/churned).
+  // ---------------------------------------------------------------------
+
+  /** Daily growth accounting: every active (user, day) is classified as
+    * `new` (first day ever), `retained` (also active yesterday) or
+    * `resurrected` (active before, but not yesterday), and every user
+    * active on d−1 but not on d counts as `churned` on d. The standard
+    * growth ledger — `active(d) = active(d−1) + new(d) + resurrected(d)
+    * − churned(d)` holds row-for-row, and the spec pins that identity.
+    *
+    * Shape: the raw event stream collapses to one row per (user, active
+    * day) via a partial-aggregated groupBy — the ONLY corpus-sized
+    * shuffle, and the map side absorbs the per-day event volume. The
+    * `lag`/`lead` windows then run per `user_id` over the deduped
+    * relation (a second, far smaller exchange), and ONE wordcount-
+    * shaped rollup onto one row per day closes the ledger. Nothing
+    * cross-user forms; state per user is its count of DISTINCT active
+    * days.
+    *
+    * Churn attribution is purely local: a row whose `lead(day)` is null
+    * or > day+1 emits one churn at day+1 — so the ledger's last row is
+    * the day after the corpus ends, carrying only the final churn-out
+    * (kept deliberately: dropping it would break the identity above).
+    */
+  def evLifecycle(s: SparkSession, d: String): DataFrame =
+    growthAccounting(
+      events(s, d).select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV $UsPerDay").as("day")))
+      .orderBy(col("day"))
+
+  /** Frame-parametric core of [[evLifecycle]] over ANY
+    * `(user_id, day)` activity frame (duplicates welcome — the first
+    * stage dedups).
+    *
+    * Every classified row EXPLODES into at most two (day, kind) ledger
+    * entries — its own status at `day`, plus a churn marker at `day+1`
+    * when the next active day isn't adjacent — so one wordcount-shaped
+    * rollup produces the whole ledger. The naive form (a statuses
+    * branch FULL OUTER JOINed with a churn branch) runs the corpus
+    * subtree twice in the static plan and joins at the end; the explode
+    * costs at most 2× of the already-deduped relation, map-side.
+    */
+  def growthAccounting(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val act = ev.groupBy(col("user_id"), col("day")).agg(count(lit(1))
+      .as("n_raw")).drop("n_raw")
+      .withColumn("prev_day", lag(col("day"), 1).over(byUser))
+      .withColumn("next_day", lead(col("day"), 1).over(byUser))
+    val status = when(col("prev_day").isNull, "new")
+      .when(col("prev_day") === col("day") - 1, "retained")
+      .otherwise("resurrected")
+    val churnKind = when(
+      col("next_day").isNull || col("next_day") > col("day") + 1,
+      "churned")
+    act
+      .select(explode(array(
+        struct(col("day"), status.as("kind")),
+        struct((col("day") + 1).as("day"), churnKind.as("kind"))))
+        .as("e"))
+      .filter(col("e.kind").isNotNull)
+      .groupBy(col("e.day").as("day"))
+      .agg(
+        sum(when(col("e.kind") =!= "churned", 1L).otherwise(0L))
+          .as("n_active"),
+        sum(when(col("e.kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("e.kind") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("e.kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("e.kind") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+  }
+
+  /** DuckDB mirror: identical dedup → lag/lead classification → the
+    * same two-entry ledger explosion (as a UNION ALL) → one rollup;
+    * every column is an exact integer.
+    */
+  val evLifecycleSql: String =
+    s"""WITH act AS (
+       |  SELECT user_id, epoch_us(ts) // $UsPerDay AS day
+       |  FROM events GROUP BY 1, 2),
+       |seq AS (
+       |  SELECT user_id, day,
+       |    lag(day) OVER w AS prev_day,
+       |    lead(day) OVER w AS next_day
+       |  FROM act
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |kinds AS (
+       |  SELECT day,
+       |    CASE WHEN prev_day IS NULL THEN 'new'
+       |         WHEN prev_day = day - 1 THEN 'retained'
+       |         ELSE 'resurrected' END AS kind
+       |  FROM seq
+       |  UNION ALL
+       |  SELECT day + 1 AS day, 'churned' AS kind
+       |  FROM seq
+       |  WHERE next_day IS NULL OR next_day > day + 1)
+       |SELECT day,
+       |  CAST(SUM(CASE WHEN kind <> 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_active,
+       |  CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new,
+       |  CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_retained,
+       |  CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_resurrected,
+       |  CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_churned
+       |FROM kinds
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev_stickiness — sliding 7-day distinct actives (DAU / WAU).
+  // ---------------------------------------------------------------------
+
+  /** Trailing window width for the rolling-distinct count, in days. */
+  val StickinessWindowDays = 7
+
+  /** Per-day DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio —
+    * the one event-warehouse staple a plain SQL window CANNOT express
+    * (COUNT(DISTINCT) over a moving frame isn't a window function in
+    * Spark or DuckDB).
+    *
+    * The rewrite that makes it distributable: each deduped (user, day)
+    * row CONTRIBUTES to the windows ending on days d..d+6, so exploding
+    * the deduped relation by a constant [[StickinessWindowDays]]-element
+    * `sequence` and counting distinct users per target day IS the
+    * sliding distinct — a bounded map-side expansion of the (user, day)
+    * relation (already orders of magnitude smaller than raw events),
+    * never a per-day self-join of the corpus and never a global window.
+    * Days beyond the corpus that only the explosion reaches are dropped
+    * by an inner join back onto the DAU relation (per-day rollups, tiny
+    * at any scale).
+    *
+    * The countDistinct plans as Spark's two-phase partial aggregate:
+    * dedup on (day, user) map-side, then a count per day — the same
+    * posture DuckDB's COUNT(DISTINCT) lowers to, so the engines agree
+    * exactly. Stickiness is ONE division of two exact counts.
+    */
+  def evStickiness(s: SparkSession, d: String): DataFrame =
+    slidingActives(
+      events(s, d).select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV $UsPerDay").as("day")))
+      .orderBy(col("day"))
+
+  /** Frame-parametric core of [[evStickiness]] over ANY
+    * `(user_id, day)` activity frame (duplicates welcome).
+    *
+    * DAU rides the same expansion: the exploded row whose target day
+    * equals its source day IS the user's DAU contribution, so one
+    * rollup yields both counts — no second corpus branch, no dau⋈wau
+    * join. Expansion-only days past each user's last activity (dau 0)
+    * are dropped at the end; they are window artifacts, not days.
+    */
+  def slidingActives(ev: DataFrame,
+      windowDays: Int = StickinessWindowDays): DataFrame = {
+    require(windowDays >= 1, "window must span at least one day")
+    ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_raw")).drop("n_raw")
+      .select(col("user_id"), col("day").as("src_day"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(
+        count(when(col("day") === col("src_day"), lit(1))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .filter(col("dau") > 0)
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast(org.apache.spark.sql.types.DoubleType) /
+          col("wau").cast(org.apache.spark.sql.types.DoubleType))
+          .as("stickiness"))
+  }
+
+  /** DuckDB mirror: the same explode-by-window rewrite via
+    * `unnest(generate_series(...))`, DAU riding the expansion; counts
+    * are exact integers, stickiness is one correctly-rounded double
+    * division.
+    */
+  val evStickinessSql: String =
+    s"""WITH act AS (
+       |  SELECT user_id, epoch_us(ts) // $UsPerDay AS day
+       |  FROM events GROUP BY 1, 2),
+       |expanded AS (
+       |  SELECT user_id, day AS src_day,
+       |    unnest(generate_series(day, day + ${StickinessWindowDays - 1})) AS day
+       |  FROM act),
+       |agg AS (
+       |  SELECT day,
+       |    CAST(COUNT(CASE WHEN day = src_day THEN 1 END) AS BIGINT) AS dau,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM expanded GROUP BY day)
+       |SELECT day, dau, wau,
+       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+       |FROM agg
+       |WHERE dau > 0
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_path"        -> evPath _,
     "ev_funnel"      -> evFunnel _,
@@ -606,6 +805,8 @@ object EventAnalytics {
     "ev_attribution" -> evAttribution _,
     "ev_markov"      -> evMarkov _,
     "ev_scd2"        -> evScd2 _,
+    "ev_lifecycle"   -> evLifecycle _,
+    "ev_stickiness"  -> evStickiness _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -616,5 +817,7 @@ object EventAnalytics {
     "ev_markov"      -> evMarkovSql,
     "ev_path"        -> evPathSql,
     "ev_scd2"        -> evScd2Sql,
+    "ev_lifecycle"   -> evLifecycleSql,
+    "ev_stickiness"  -> evStickinessSql,
   )
 }

@@ -445,8 +445,10 @@ object TextAnalysis {
   private val taRelCache =
     new RelCache[(SparkSession, String, String)](_._1, _._2)
 
-  /** The exploded `(doc_id, w1, w2)` adjacent-pair relation. */
-  private def bigramPairRel(docs: DataFrame): DataFrame = docs
+  /** The exploded `(doc_id, w1, w2)` adjacent-pair relation (shared
+    * with [[GraphRank]]'s co-occurrence graph).
+    */
+  private[operators] def bigramPairRel(docs: DataFrame): DataFrame = docs
     .withColumn("__t", toks)
     .withColumn("__p", expr(
       """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),

@@ -383,6 +383,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no self-join of the changelog:\n$p")
   }
 
+  test("growth ledger: single-pass explode, one rollup, never a branch join") {
+    val p = plan("ev_lifecycle")
+    // the two-entry ledger explosion replaces the naive statuses ⋈
+    // churn full-outer shape — the corpus subtree must appear ONCE
+    assert(!p.contains("Join"), s"no statuses/churn branch join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the ledger entries must come from the explode:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2,
+      s"only the (user,day) dedup + the user window may hash on user_id:\n$p")
+    // the dedup count is optimized away to a pure distinct aggregate
+    // (functions=[]) with a map-side partial; the rollup partial-sums
+    assert("HashAggregate\\(keys=\\[user_id#\\d+L?, day#\\d+L?\\], functions=\\[\\]\\)"
+      .r.findAllIn(p).size == 2,
+      s"the (user, day) dedup must partial+final as a pure distinct:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the day rollup must map-side partial:\n$p")
+  }
+
+  test("stickiness: DAU rides the window expansion — one rollup, no dau⋈wau join") {
+    val p = plan("ev_stickiness")
+    assert(!p.contains("Join"), s"no dau/wau branch join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the sliding windows must come from the sequence explode:\n$p")
+    assert(!p.contains("Window"),
+      s"sliding distinct is NOT expressible as a window — the explode" +
+        s" rewrite must not regress into one:\n$p")
+    assert(p.contains("partial_count"),
+      s"the (user, day) dedup must map-side partial:\n$p")
+  }
+
   test("data card: broadcast-only joins over partial-aggregated summaries") {
     val p = plan("cp_datacard")
     // every sub-aggregate unifies on a ≤|sources| relation: the joins

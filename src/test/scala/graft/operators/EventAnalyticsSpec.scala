@@ -181,6 +181,81 @@ class EventAnalyticsSpec extends SparkTestBase {
       (2L, "error", 50L, -1L, 1L, true)))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned on a hand ledger") {
+    // user 1: days 10, 11, 13   (new@10, retained@11, churn@12, resurrected@13, churn@14)
+    // user 2: day 11 only       (new@11, churn@12)
+    // duplicate activity rows must not double-count
+    val out = EventAnalytics.growthAccounting(Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L))
+      .toDF("user_id", "day"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      //  day active new retained resurrected churned
+      (10L, 1L, 1L, 0L, 0L, 0L),
+      (11L, 2L, 1L, 1L, 0L, 0L),
+      (12L, 0L, 0L, 0L, 0L, 2L),
+      (13L, 1L, 0L, 0L, 1L, 0L),
+      (14L, 0L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("growth ledger on the corpus: the accounting identity holds every day") {
+    val rows = EventAnalytics.evLifecycle(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, (active, nu, ret, res, chu)) =>
+      val prevActive = rows.get(d - 1).map(_._1).getOrElse(0L)
+      assert(active === prevActive + nu + res - chu,
+        s"day $d: $active != $prevActive + $nu + $res - $chu")
+      assert(active === nu + ret + res, s"day $d: statuses must tile actives")
+    }
+    // every user is new exactly once, so new sums to the user count
+    val nUsers = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.values.map(_._2).sum === nUsers)
+  }
+
+  test("slidingActives: trailing-window distinct matches brute force") {
+    // user 1 active days 10,11; user 2 day 12; user 3 day 20 (isolated)
+    val act = Seq((1L, 10L), (1L, 11L), (1L, 11L), (2L, 12L), (3L, 20L))
+    val out = EventAnalytics.slidingActives(
+      act.toDF("user_id", "day"), windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force: wau(d) = distinct users with an active day in [d-2, d]
+    val dedup = act.distinct
+    def brute(d: Long) =
+      dedup.filter { case (_, ad) => ad >= d - 2 && ad <= d }.map(_._1)
+        .distinct.size.toLong
+    val expected = dedup.map(_._2).distinct.sorted.map { d =>
+      val dau = dedup.count(_._2 == d).toLong
+      (d, dau, brute(d), dau.toDouble / brute(d))
+    }
+    assert(out.toSeq === expected,
+      "only days with actual activity appear; wau is the 3-day trailing distinct")
+    assert(out.map(_._1).toSeq === Seq(10L, 11L, 12L, 20L))
+    assert(out.find(_._1 == 12L).get._3 === 2L,
+      "day 12's trailing window sees users 1 and 2 — user 1 counted once")
+  }
+
+  test("stickiness on the corpus: dau <= wau, ratio in (0,1], window exact") {
+    val rows = EventAnalytics.evStickiness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val act = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "(ts_ns DIV 1000) DIV 86400000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (d, dau, wau, st) =>
+      assert(dau >= 1L && dau <= wau, s"day $d: dau $dau > wau $wau")
+      assert(st > 0.0 && st <= 1.0)
+      val bruteWau =
+        act.filter(a => a._2 >= d - 6 && a._2 <= d).map(_._1).distinct.length
+      assert(wau === bruteWau.toLong, s"day $d: wau $wau != brute $bruteWau")
+    }
+  }
+
   test("scd2 on the corpus: intervals tile each user's history exactly") {
     val rows = EventAnalytics.evScd2(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2),
