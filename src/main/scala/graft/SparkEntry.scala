@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, EventAnalytics, HeavyHitters, MapReduceQueries, Multimodal, Pii, Pipeline, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusOps, Dedup, Dedup2, EventAnalytics, GraphRank, HeavyHitters, MapReduceQueries, Multimodal, Pii, Pipeline, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis}
 import graft.streaming.{DocStreams, EventStreams, VecStreams}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,7 +29,8 @@ object SparkEntry {
       Dedup.queries ++ Dedup2.queries ++ Similarity.queries ++ EventStreams.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Pipeline.queries ++
       CorpusOps.queries ++ Pii.queries ++ HeavyHitters.queries ++
-      EventAnalytics.queries ++ VecStreams.queries ++ DocStreams.queries
+      EventAnalytics.queries ++ GraphRank.queries ++
+      VecStreams.queries ++ DocStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       Dedup.oracles ++ Dedup2.oracles ++ Similarity.oracles ++ EventStreams.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ Pipeline.oracles ++
       CorpusOps.oracles ++ Pii.oracles ++ HeavyHitters.oracles ++
-      EventAnalytics.oracles ++ VecStreams.oracles ++ DocStreams.oracles
+      EventAnalytics.oracles ++ GraphRank.oracles ++
+      VecStreams.oracles ++ DocStreams.oracles
 }

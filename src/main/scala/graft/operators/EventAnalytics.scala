@@ -797,6 +797,83 @@ object EventAnalytics {
        |WHERE dau > 0
        |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_stickiness_hll — the sketch-merging WAU scale path.
+  // ---------------------------------------------------------------------
+
+  /** Relative error budget the HLL estimate must land within (the
+    * lgConfigK=12 default's rsd is ~1.6%; 5% is the certification
+    * bound, with an absolute slack of 1 for tiny windows).
+    */
+  val StickinessHllRelErrPct = 5L
+
+  /** [[evStickiness]]'s sketch arm: trailing-7-day actives from per-day
+    * HLL sketches (`hll_sketch_agg`) UNIONED across the window instead
+    * of re-deduplicating user ids — at 100 TB this is the shape that
+    * wins, because the window expansion then shuffles seven fixed-size
+    * (~KB) sketches per day instead of seven copies of every (user,
+    * day) row, and a day's sketch is built once however many windows it
+    * feeds. Certified the `q27_approx` way: sketch REGISTERS are
+    * engine-specific, so the output carries the exact DAU/WAU (same
+    * arithmetic as `ev_stickiness`) plus an `est_ok` boolean asserting
+    * the estimate landed within [[StickinessHllRelErrPct]] — the oracle
+    * pins the exact columns and requires the boolean TRUE, keeping the
+    * raw estimate out of the cross-engine compare.
+    */
+  def evStickinessHll(s: SparkSession, d: String): DataFrame =
+    slidingActivesHll(
+      events(s, d).select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV $UsPerDay").as("day")))
+      .orderBy(col("day"))
+
+  /** Frame-parametric core of [[evStickinessHll]]: the exact
+    * [[slidingActives]] ledger joined with the sketch-path estimate
+    * (per-day sketches, window-merged), emitting the tolerance verdict
+    * per day.
+    */
+  def slidingActivesHll(ev: DataFrame,
+      windowDays: Int = StickinessWindowDays): DataFrame = {
+    val act = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_raw")).drop("n_raw")
+    val est = act
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("sk"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+    slidingActives(ev, windowDays)
+      .join(est, Seq("day"), "inner")
+      .select(col("day"), col("dau"), col("wau"), col("stickiness"),
+        (abs(col("wau_est") - col("wau")) * 100 <=
+          lit(StickinessHllRelErrPct) * col("wau") + 100).as("est_ok"))
+  }
+
+  /** DuckDB mirror: the exact ledger with the verdict pinned TRUE —
+    * a sketch drifting past its bound flips the boolean in the Spark
+    * output and fails the hash gate.
+    */
+  val evStickinessHllSql: String =
+    s"""WITH act AS (
+       |  SELECT user_id, epoch_us(ts) // $UsPerDay AS day
+       |  FROM events GROUP BY 1, 2),
+       |expanded AS (
+       |  SELECT user_id, day AS src_day,
+       |    unnest(generate_series(day, day + ${StickinessWindowDays - 1})) AS day
+       |  FROM act),
+       |agg AS (
+       |  SELECT day,
+       |    CAST(COUNT(CASE WHEN day = src_day THEN 1 END) AS BIGINT) AS dau,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM expanded GROUP BY day)
+       |SELECT day, dau, wau,
+       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness,
+       |  TRUE AS est_ok
+       |FROM agg
+       |WHERE dau > 0
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_path"        -> evPath _,
     "ev_funnel"      -> evFunnel _,
@@ -807,6 +884,7 @@ object EventAnalytics {
     "ev_scd2"        -> evScd2 _,
     "ev_lifecycle"   -> evLifecycle _,
     "ev_stickiness"  -> evStickiness _,
+    "ev_stickiness_hll" -> evStickinessHll _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -819,5 +897,6 @@ object EventAnalytics {
     "ev_scd2"        -> evScd2Sql,
     "ev_lifecycle"   -> evLifecycleSql,
     "ev_stickiness"  -> evStickinessSql,
+    "ev_stickiness_hll" -> evStickinessHllSql,
   )
 }

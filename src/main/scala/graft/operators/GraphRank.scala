@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.documents
+
+/** Graph-centrality ranking over corpus-derived graphs — the PageRank
+  * family, which the reference (a two-verb map/reduce DFS) has no
+  * analogue of but every large-corpus pipeline runs: link-graph
+  * centrality as a quality prior, and TextRank (Mihalcea & Tarau 2004)
+  * over the token co-occurrence graph for corpus-level keyword
+  * extraction.
+  *
+  * Cross-engine determinism is the design driver, exactly as in
+  * [[EventAnalytics.zColumns]]: iterated float PageRank can never
+  * hash-match another engine (every per-vertex sum depends on
+  * partition accumulation order, and the error compounds per
+  * iteration), so the WHOLE computation runs in fixed-point integer
+  * arithmetic — ranks as [[RScale]]-scaled longs, edge transition
+  * probabilities as [[PScale]]-scaled longs, every division an integer
+  * `DIV`. Both engines floor the same non-negative integers, so ten
+  * iterations later the ranks are still bit-identical. Overflow is
+  * excluded BY CONSTRUCTION at any corpus size: a rank is bounded by
+  * the total mass `RScale` (1e12) and a transition by `PScale` (1e6),
+  * so the per-edge product never exceeds 1e18 < 2^63.
+  *
+  * Scale shape: ONE corpus scan builds the co-occurrence edge list
+  * (map-side pair explode → wordcount-shaped partial aggregation onto
+  * a vocabulary-bounded relation); the ten rank iterations then touch
+  * only that edge relation — each is one hash equi-join (ranks ⋈ edges
+  * on `src`) plus one partial-aggregated rollup on `dst`, with
+  * `localCheckpoint` truncating the lineage so the plan stays
+  * iteration-sized instead of growing 10 joins deep. Nothing in the
+  * loop ever re-reads the corpus.
+  */
+object GraphRank {
+
+  /** Fixed-point scale of a rank: total rank mass = 1e12 units. */
+  val RScale = 1000000000000L
+
+  /** Fixed-point scale of an edge transition probability. */
+  val PScale = 1000000L
+
+  /** Damping numerator (denominator 100): the classic 0.85. */
+  val DampingNum = 85L
+
+  /** Fixed iteration count — the contract is "ranks after exactly N
+    * rounds", not convergence, so both engines stop at the same state.
+    */
+  val Iterations = 10
+
+  /** Keywords reported by the gated query. */
+  val TopK = 50
+
+  /** TextRank keyword extraction over the corpus: PageRank on the
+    * undirected token co-occurrence graph (adjacent non-stopword token
+    * pairs), top-[[TopK]] tokens. The graph-centrality upgrade of
+    * `ta_heavy_hitters` — frequency finds common tokens, TextRank finds
+    * tokens that co-occur with many OTHER well-connected tokens.
+    */
+  def taTextrank(s: SparkSession, d: String): DataFrame =
+    cachedRanks(s, d)
+      .orderBy(col("rank_fp").desc, col("tok"))
+      .limit(TopK)
+
+  /** The session-cached full rank table `(tok, w_total, rank_fp,
+    * rank)` — built once per (session, dir), served by both gated
+    * queries.
+    */
+  private def cachedRanks(s: SparkSession, d: String): DataFrame = {
+    val (edges, verts) = cooccurrenceGraph(s, d)
+    grCache.getOrBuild((s, d, "ranks"))(
+      pageRank(edges, verts).localCheckpoint())
+  }
+
+  /** The undirected weighted co-occurrence graph, session-cached:
+    * `edges(src, dst, w, tw, p)` — w = co-occurrence count, tw = the
+    * source vertex's total edge weight, p = (w·PScale) DIV tw — and
+    * `verts(tok)`. Self-pairs and the suite's stopwords are excluded
+    * (TextRank's content-word window, reference taxonomy
+    * [[TextAnalysis.stopwordList]]).
+    */
+  private[operators] def cooccurrenceGraph(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val edges = grCache.getOrBuild((s, d, "edges")) {
+      val stop = TextAnalysis.stopwordList
+      val pr = TextAnalysis.bigramPairRel(documents(s, d))
+        .filter(col("w1") =!= col("w2") &&
+          !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
+      val und = pr.select(col("w1").as("src"), col("w2").as("dst"))
+        .unionAll(pr.select(col("w2").as("src"), col("w1").as("dst")))
+      // tw via a window OVER THE EDGE COUNTS (vocabulary-bounded), the
+      // same posture as ev_markov's n_from — never a counts self-join
+      val bySrc = Window.partitionBy(col("src"))
+      und.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .withColumn("tw", sum(col("w")).over(bySrc))
+        .withColumn("p", expr(s"(w * $PScale) DIV tw"))
+        .localCheckpoint()
+    }
+    val verts = grCache.getOrBuild((s, d, "verts"))(
+      edges.select(col("src").as("tok")).distinct().localCheckpoint())
+    (edges, verts)
+  }
+
+  private val grCache =
+    new RelCache[(SparkSession, String, String)](_._1, _._2)
+
+  /** Fixed-point PageRank over ANY prepared graph: `edges(src, dst,
+    * tw, p)` with p the PScale-scaled transition probability, `verts
+    * (tok)` the vertex set. The graph is undirected by construction
+    * (every vertex has in-edges), so no dangling-mass term is needed.
+    * Returns one row per vertex: `(tok, w_total, rank_fp, rank)`.
+    *
+    * Per iteration: r'(v) = base + (85 · Σ_{u~v} (r(u)·p(u→v)) DIV
+    * PScale) DIV 100, with base = (15 · (RScale DIV N)) DIV 100 — all
+    * longs, all floor divisions of non-negative values.
+    */
+  def pageRank(edges: DataFrame, verts: DataFrame): DataFrame = {
+    val n = verts.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val r0 = RScale / n
+    val base = ((100 - DampingNum) * r0) / 100
+    var ranks = verts.select(col("tok"), lit(r0).as("r"))
+    for (_ <- 1 to Iterations) {
+      ranks = ranks
+        .join(edges, ranks("tok") === edges("src"))
+        .select(col("dst").as("tok"), expr(s"(r * p) DIV $PScale").as("c"))
+        .groupBy(col("tok"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("tok"),
+          (lit(base) + expr(s"($DampingNum * sc) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+      .join(edges.select(col("src").as("tok"), col("tw")).distinct(), "tok")
+      .select(col("tok"), col("tw").as("w_total"), col("r").as("rank_fp"),
+        // rank_fp <= RScale = 1e12 < 2^53: the int->double is exact and
+        // the one division by an exactly-representable power of ten is
+        // IEEE-identical in both engines
+        (col("r").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(RScale.toDouble)).as("rank"))
+  }
+
+  /** The shared DuckDB CTE chain through `it{Iterations}(tok, r)` —
+    * the graph CTEs, then the ten iterations UNROLLED as chained CTEs
+    * (SQL has no driver loop); every step the same non-negative
+    * integer floor divisions, so the ranks match bit-for-bit. N and r0
+    * derive from the data via scalar subqueries, keeping the SQL
+    * scale-agnostic like the Spark side's `verts.count()`.
+    */
+  private val rankCtesSql: String = {
+    val stopList =
+      TextAnalysis.stopwordList.map(w => s"'$w'").mkString("(", ",", ")")
+    val baseSub =
+      s"(SELECT ((100 - $DampingNum) * ($RScale // n)) // 100 FROM nn)"
+    val iters = (1 to Iterations).map { i =>
+      s"""it$i AS (
+         |  SELECT ep.dst AS tok,
+         |    $baseSub
+         |      + ($DampingNum * CAST(SUM((it${i - 1}.r * ep.p) // $PScale) AS BIGINT)) // 100 AS r
+         |  FROM it${i - 1} JOIN ep ON ep.src = it${i - 1}.tok
+         |  GROUP BY ep.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |pr AS (
+       |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)),
+       |            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+       |        FROM toks WHERE len(t) >= 2) raw),
+       |fpr AS (
+       |  SELECT w1, w2 FROM pr
+       |  WHERE w1 <> w2 AND w1 NOT IN $stopList AND w2 NOT IN $stopList),
+       |und AS (
+       |  SELECT w1 AS src, w2 AS dst FROM fpr
+       |  UNION ALL
+       |  SELECT w2 AS src, w1 AS dst FROM fpr),
+       |e AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM und GROUP BY 1, 2),
+       |ep AS (
+       |  SELECT src, dst, w,
+       |    CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS tw,
+       |    (w * $PScale) // CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS p
+       |  FROM e),
+       |verts AS (SELECT DISTINCT src AS tok FROM ep),
+       |nn AS (SELECT COUNT(*) AS n FROM verts),
+       |it0 AS (
+       |  SELECT tok, (SELECT $RScale // n FROM nn) AS r FROM verts),
+       |$iters""".stripMargin
+  }
+
+  val taTextrankSql: String =
+    s"""WITH $rankCtesSql
+       |SELECT it$Iterations.tok AS tok, d.tw AS w_total,
+       |  CAST(it$Iterations.r AS BIGINT) AS rank_fp,
+       |  CAST(it$Iterations.r AS DOUBLE) / $RScale.0 AS rank
+       |FROM it$Iterations
+       |JOIN (SELECT DISTINCT src, tw FROM ep) d ON d.src = it$Iterations.tok
+       |ORDER BY rank_fp DESC, tok
+       |LIMIT $TopK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ta_keyphrase — TextRank's phrase-collapse step.
+  // ---------------------------------------------------------------------
+
+  /** A phrase must recur this often to be reported (one-off adjacencies
+    * are noise, not collocations).
+    */
+  val MinPhraseCount = 2L
+
+  /** Keyphrases reported by the gated query. */
+  val PhraseTopK = 20
+
+  /** TextRank keyphrase extraction: adjacent token pairs that recur at
+    * least [[MinPhraseCount]] times, scored by the SUM of their member
+    * tokens' fixed-point ranks — the collapse step of the TextRank
+    * paper (top unigrams that appear adjacent in the text merge into
+    * multi-word keyphrases). Scoring stays in exact integer space
+    * (two longs added), so the oracle hash-matches by construction.
+    *
+    * Scale shape: the phrase relation is the directed pair rollup
+    * (vocabulary²-bounded, wordcount-shaped with map-side partials);
+    * the two rank lookups are hash equi-joins of that tiny relation
+    * against the vocabulary-sized rank table. Nothing rescans the
+    * corpus — the graph AND the ranks come from the session-cached
+    * fixed-point PageRank.
+    */
+  def taKeyphrase(s: SparkSession, d: String): DataFrame = {
+    val ranks = cachedRanks(s, d)
+    val stop = TextAnalysis.stopwordList
+    val phrases = TextAnalysis.bigramPairRel(documents(s, d))
+      .filter(col("w1") =!= col("w2") &&
+        !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinPhraseCount)
+    val r1 = ranks.select(col("tok").as("w1"), col("rank_fp").as("r1"))
+    val r2 = ranks.select(col("tok").as("w2"), col("rank_fp").as("r2"))
+    phrases.join(r1, "w1").join(r2, "w2")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"), col("n"),
+        (col("r1") + col("r2")).as("score_fp"),
+        // score_fp <= 2*RScale < 2^53: exact int->double, one exact
+        // division — identical in both engines
+        ((col("r1") + col("r2"))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          lit(RScale.toDouble)).as("score"))
+      .orderBy(col("score_fp").desc, col("phrase"))
+      .limit(PhraseTopK)
+  }
+
+  /** DuckDB mirror: the shared rank CTE chain, a HAVING-gated directed
+    * pair rollup, and two joins back onto the final iteration.
+    */
+  val taKeyphraseSql: String =
+    s"""WITH $rankCtesSql,
+       |ph AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM fpr GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinPhraseCount)
+       |SELECT ph.w1 || ' ' || ph.w2 AS phrase, ph.n AS n,
+       |  CAST(a.r + b.r AS BIGINT) AS score_fp,
+       |  CAST(a.r + b.r AS DOUBLE) / $RScale.0 AS score
+       |FROM ph
+       |JOIN it$Iterations a ON a.tok = ph.w1
+       |JOIN it$Iterations b ON b.tok = ph.w2
+       |ORDER BY score_fp DESC, phrase
+       |LIMIT $PhraseTopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_textrank"  -> taTextrank _,
+    "ta_keyphrase" -> taKeyphrase _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_textrank"  -> taTextrankSql,
+    "ta_keyphrase" -> taKeyphraseSql,
+  )
+}

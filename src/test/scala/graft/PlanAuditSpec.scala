@@ -413,6 +413,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"the (user, day) dedup must map-side partial:\n$p")
   }
 
+  test("textrank: iterations run over the checkpointed graph, never the corpus; top-k is a bounded take") {
+    val p = plan("ta_textrank")
+    // the co-occurrence graph is built once and localCheckpointed; ten
+    // rank iterations re-reading parquet would be a 10x corpus-scan
+    // regression
+    assert(!p.contains("FileScan"),
+      s"the rank loop must touch only the checkpointed graph:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as a bounded take, not a global sort:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("data card: broadcast-only joins over partial-aggregated summaries") {
     val p = plan("cp_datacard")
     // every sub-aggregate unifies on a ≤|sources| relation: the joins

@@ -256,6 +256,18 @@ class EventAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("stickiness HLL arm: estimates in bounds, exact columns identical to the exact arm") {
+    val exact = EventAnalytics.evStickiness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hll = EventAnalytics.evStickinessHll(spark, sf0001).collect()
+    assert(hll.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      === exact.toSeq,
+      "the sketch arm must carry the exact ledger unchanged")
+    hll.foreach(r => assert(r.getBoolean(4),
+      s"day ${r.getLong(0)}: HLL estimate outside the certified bound"))
+  }
+
   test("scd2 on the corpus: intervals tile each user's history exactly") {
     val rows = EventAnalytics.evScd2(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2),

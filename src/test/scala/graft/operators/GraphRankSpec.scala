@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Semantics pins for the fixed-point PageRank: the distributed
+  * iteration must agree EXACTLY (not approximately) with a sequential
+  * reference implementation of the same integer arithmetic — that
+  * exactness is the whole design (it is what lets the DuckDB oracle
+  * hash-match ten iterations of a graph computation).
+  */
+class GraphRankSpec extends SparkTestBase {
+  import spark.implicits._
+  import GraphRank.{DampingNum, Iterations, PScale, RScale}
+
+  /** Sequential fixed-point PageRank over an undirected edge list —
+    * the same formulas as [[GraphRank.pageRank]], one vertex at a
+    * time.
+    */
+  private def refRank(pairs: Seq[(String, String)],
+      iters: Int = Iterations): Map[String, Long] = {
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val w = und.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tw = w.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val p = w.map { case ((s, t), cw) => (s, t) -> (cw * PScale) / tw(s) }
+    val verts = tw.keySet
+    val n = verts.size.toLong
+    val r0 = RScale / n
+    val base = ((100 - DampingNum) * r0) / 100
+    var r = verts.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      r = verts.map { v =>
+        val sc = p.collect {
+          case ((s, t), pp) if t == v => (r(s) * pp) / PScale
+        }.sum
+        v -> (base + (DampingNum * sc) / 100)
+      }.toMap
+    }
+    r
+  }
+
+  /** Build the `(src, dst, w, tw, p)` edge frame the way
+    * [[GraphRank.cooccurrenceGraph]] does, from raw pairs.
+    */
+  private def edgeFrame(pairs: Seq[(String, String)]) = {
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val w = und.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tw = w.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    w.toSeq.map { case ((s, t), cw) =>
+      (s, t, cw, tw(s), (cw * PScale) / tw(s))
+    }.toDF("src", "dst", "w", "tw", "p")
+  }
+
+  test("pageRank matches the sequential fixed-point reference bit-for-bit") {
+    // triangle a-b-c with a pendant d on c, plus a doubled (weighted)
+    // a-b edge — c should outrank the rest (most connections), and
+    // every fixed-point unit must agree with the reference
+    val pairs = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toDF("tok")
+    val got = GraphRank.pageRank(edgeFrame(pairs), verts).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val want = refRank(pairs)
+    assert(got === want)
+    assert(got("c") > got("a") && got("c") > got("d"),
+      "the best-connected vertex must rank highest")
+    assert(got("d") < got("b"), "the pendant vertex must rank lowest")
+  }
+
+  test("rank mass is conserved up to integer-division dust") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "a"))
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toDF("tok")
+    val total = GraphRank.pageRank(edgeFrame(pairs), verts).collect()
+      .map(_.getLong(2)).sum
+    // each DIV sheds < 1 unit per vertex/edge per iteration — with
+    // RScale = 1e12 the dust is parts-per-billion, never growth
+    assert(total <= RScale)
+    assert(total > RScale * 999L / 1000L, s"mass collapsed to $total")
+  }
+
+  test("textrank on the corpus: stopword-free top-k, exact fixed-point doubles") {
+    val rows = GraphRank.taTextrank(spark, sf0001).collect()
+    val nVerts = GraphRank.cooccurrenceGraph(spark, sf0001)._2.count()
+    assert(rows.length === math.min(GraphRank.TopK.toLong, nVerts))
+    val ranks = rows.map(_.getLong(2))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b },
+      "presented in descending rank order")
+    assert(rows.forall(r => r.getLong(2) > 0L && r.getLong(1) > 0L))
+    val toks = rows.map(_.getString(0))
+    assert(toks.distinct.length === toks.length)
+    assert(toks.forall(t => !TextAnalysis.stopwordList.contains(t)),
+      "stopwords are excluded from the graph")
+    // the double rank is EXACTLY rank_fp / 1e12 (both factors exact)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === r.getLong(2).toDouble / RScale.toDouble)
+    }
+  }
+
+  test("keyphrase scores are exactly the sum of member ranks; one-offs are gated") {
+    // at sf0.001 the vocabulary (29) fits inside taTextrank's top-50,
+    // so that view IS the full rank table
+    val rank = GraphRank.taTextrank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = GraphRank.taKeyphrase(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= GraphRank.PhraseTopK)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getString(0).split(" ", 2)
+      assert(r.getLong(1) >= GraphRank.MinPhraseCount)
+      assert(r.getLong(2) === rank(w1) + rank(w2),
+        s"phrase '${r.getString(0)}' must score r($w1) + r($w2)")
+      assert(!TextAnalysis.stopwordList.contains(w1) &&
+        !TextAnalysis.stopwordList.contains(w2))
+    }
+  }
+}
