@@ -75,26 +75,41 @@ object GraphRank {
       pageRank(edges, verts).localCheckpoint())
   }
 
+  /** Directed adjacent-pair counts `(w1, w2, n)` over non-stop,
+    * non-self token pairs — the ONE corpus-sized pass of the whole
+    * family, session-cached at its vocabulary²-bounded (model-sized)
+    * output. Both the undirected graph and the keyphrase relation
+    * derive from it without touching the corpus again.
+    */
+  private def directedPairCounts(s: SparkSession, d: String): DataFrame =
+    grCache.getOrBuild((s, d, "dpc")) {
+      val stop = TextAnalysis.stopwordList
+      TextAnalysis.bigramPairRel(documents(s, d))
+        .filter(col("w1") =!= col("w2") &&
+          !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    }
+
   /** The undirected weighted co-occurrence graph, session-cached:
-    * `edges(src, dst, w, tw, p)` — w = co-occurrence count, tw = the
-    * source vertex's total edge weight, p = (w·PScale) DIV tw — and
-    * `verts(tok)`. Self-pairs and the suite's stopwords are excluded
-    * (TextRank's content-word window, reference taxonomy
-    * [[TextAnalysis.stopwordList]]).
+    * `edges(src, dst, w, tw, p)` — w = co-occurrence count (both
+    * directions summed), tw = the source vertex's total edge weight,
+    * p = (w·PScale) DIV tw — and `verts(tok)`. Self-pairs and the
+    * suite's stopwords are excluded (TextRank's content-word window,
+    * reference taxonomy [[TextAnalysis.stopwordList]]). Built entirely
+    * from [[directedPairCounts]] — vocabulary-bounded work.
     */
   private[operators] def cooccurrenceGraph(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val edges = grCache.getOrBuild((s, d, "edges")) {
-      val stop = TextAnalysis.stopwordList
-      val pr = TextAnalysis.bigramPairRel(documents(s, d))
-        .filter(col("w1") =!= col("w2") &&
-          !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
-      val und = pr.select(col("w1").as("src"), col("w2").as("dst"))
-        .unionAll(pr.select(col("w2").as("src"), col("w1").as("dst")))
+      val dpc = directedPairCounts(s, d)
+      val und = dpc.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
+        .unionAll(
+          dpc.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
       // tw via a window OVER THE EDGE COUNTS (vocabulary-bounded), the
       // same posture as ev_markov's n_from — never a counts self-join
       val bySrc = Window.partitionBy(col("src"))
-      und.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      und.groupBy(col("src"), col("dst")).agg(sum(col("n")).as("w"))
         .withColumn("tw", sum(col("w")).over(bySrc))
         .withColumn("p", expr(s"(w * $PScale) DIV tw"))
         .localCheckpoint()
@@ -123,7 +138,7 @@ object GraphRank {
     val r0 = RScale / n
     val base = ((100 - DampingNum) * r0) / 100
     var ranks = verts.select(col("tok"), lit(r0).as("r"))
-    for (_ <- 1 to Iterations) {
+    for (i <- 1 to Iterations) {
       ranks = ranks
         .join(edges, ranks("tok") === edges("src"))
         .select(col("dst").as("tok"), expr(s"(r * p) DIV $PScale").as("c"))
@@ -131,7 +146,10 @@ object GraphRank {
         .agg(sum(col("c")).as("sc"))
         .select(col("tok"),
           (lit(base) + expr(s"($DampingNum * sc) DIV 100")).as("r"))
-        .localCheckpoint()
+      // checkpoint every third round (and last): enough to keep the
+      // plan iteration-sized, without paying a materialization job per
+      // round — a 2-3-join lineage is well inside planner comfort
+      if (i % 3 == 0 || i == Iterations) ranks = ranks.localCheckpoint()
     }
     ranks
       .join(edges.select(col("src").as("tok"), col("tw")).distinct(), "tok")
@@ -232,11 +250,7 @@ object GraphRank {
     */
   def taKeyphrase(s: SparkSession, d: String): DataFrame = {
     val ranks = cachedRanks(s, d)
-    val stop = TextAnalysis.stopwordList
-    val phrases = TextAnalysis.bigramPairRel(documents(s, d))
-      .filter(col("w1") =!= col("w2") &&
-        !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val phrases = directedPairCounts(s, d)
       .filter(col("n") >= MinPhraseCount)
     val r1 = ranks.select(col("tok").as("w1"), col("rank_fp").as("r1"))
     val r2 = ranks.select(col("tok").as("w2"), col("rank_fp").as("r2"))
