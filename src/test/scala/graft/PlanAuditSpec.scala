@@ -425,6 +425,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("summarize: per-doc sentence pairs come from the posting equi-join, never a cross-join") {
+    val p = plan("ta_summarize")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the sentence-pair join must stay an equi-join on (doc_id, tok):\n$p")
+    // the per-doc argmax plans through WindowGroupLimit (top-1 pruned
+    // map-side), not a full per-doc sort materialization
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-doc winner must plan as a group limit:\n$p")
+  }
+
   test("data card: broadcast-only joins over partial-aggregated summaries") {
     val p = plan("cp_datacard")
     // every sub-aggregate unifies on a ≤|sources| relation: the joins

@@ -95,6 +95,44 @@ class GraphRankSpec extends SparkTestBase {
     }
   }
 
+  test("summarize: per-doc sentence rank matches the reference; fallback covers pairless docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // doc 1: s0 and s1 share nothing with each other, but each
+      // shares one token with s2 — s2 is the hub and must win
+      (1L, "alpha one. beta two. alpha beta three"),
+      // doc 2: two sentences, no shared non-stop token → fallback to s0
+      (2L, "red green. blue yellow"),
+      // doc 3: single content sentence → fallback
+      (3L, "solo sentence here"),
+      // doc 4: stopword-only sentence is not content; the two real
+      // sentences share {delta} → ranked, tie broken by sent_id
+      (4L, "the a an. delta one. delta two"))
+      .toDF("doc_id", "text")
+    val out = GraphRank.summarize(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._4 && out(1L)._1 === 2L &&
+      out(1L)._2 === "alpha beta three",
+      s"doc 1's hub sentence must win: ${out(1L)}")
+    assert(out(2L) === ((0L, "red green", 0L, false)))
+    assert(out(3L) === ((0L, "solo sentence here", 0L, false)))
+    // doc 4: s1/s2 are symmetric (one shared token each way) — equal
+    // ranks, sent_id 1 wins the tie; rank is the converged fixed point
+    assert(out(4L)._4 && out(4L)._1 === 1L && out(4L)._2 === "delta one")
+
+    // symmetric two-vertex graph: p = PScale each way, so the rank
+    // fixed point is r = base + 85*r/100 from r0 = RScale/2 — replay
+    // the ten rounds sequentially and demand bit equality
+    var r = GraphRank.RScale / 2
+    val base = ((100 - GraphRank.DampingNum) * r) / 100
+    for (_ <- 1 to GraphRank.Iterations)
+      r = base + (GraphRank.DampingNum * r) / 100
+    assert(out(4L)._3 === r, "doc 4 rank must equal the sequential replay")
+  }
+
   test("keyphrase scores are exactly the sum of member ranks; one-offs are gated") {
     // at sf0.001 the vocabulary (29) fits inside taTextrank's top-50,
     // so that view IS the full rank table
