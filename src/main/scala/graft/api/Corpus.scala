@@ -971,7 +971,7 @@ object Corpus {
     * families (columns are matched BY NAME — a schema reorder cannot
     * silently re-target an arm).
     */
-  private def vacuumPinnedArms(storage: graft.sources.Storage,
+  private[api] def vacuumPinnedArms(storage: graft.sources.Storage,
       pointerTable: String, arms: Seq[(String, String)]): (Int, Int) = {
     // vacuum is DESTRUCTIVE: pointerRow's one-row guard refuses to
     // derive a keep set from a malformed (multi-row) pointer version
@@ -983,7 +983,7 @@ object Corpus {
     })
   }
 
-  private def sumCounts(cs: Seq[(Int, Int)]): (Int, Int) =
+  private[api] def sumCounts(cs: Seq[(Int, Int)]): (Int, Int) =
     (cs.map(_._1).sum, cs.map(_._2).sum)
 
   /** The one-row pointer read every load/refresh/vacuum/describe path
@@ -992,7 +992,7 @@ object Corpus {
     * it (for the destructive paths, acting on an arbitrary row of a
     * torn pointer is the silent failure this guard exists to prevent).
     */
-  private def pointerRow(storage: graft.sources.Storage, table: String,
+  private[api] def pointerRow(storage: graft.sources.Storage, table: String,
       version: Long = -1L): org.apache.spark.sql.Row = {
     val rs = storage.readVersioned(table, version).collect()
     require(rs.length == 1,
@@ -1933,6 +1933,19 @@ object Corpus {
           r.getAs[Long]("merges_version"))
         arm(base, "tok", pv, "vocab", s"${base}__vocab",
           r.getAs[Long]("vocab_version"))
+      } else if (p.endsWith("__gl")) {
+        // the persisted growth ledger (graft.api.Events) reports like
+        // any index family: map `base -> events table` in corpusTables
+        // for the consumed-vs-head lag column
+        val base = p.stripSuffix("__gl")
+        val pv = storage.versions(p).last
+        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+        arm(base, "ledger", pv, "activity", s"${base}__act",
+          r.getAs[Long]("act_version"))
+        arm(base, "ledger", pv, "ledger", s"${base}__ledger",
+          r.getAs[Long]("ledger_version"))
+        corpus(base, "ledger", pv, "events",
+          r.getAs[Long]("events_version"), base)
       }
     }
     val spark = org.apache.spark.sql.SparkSession.active

@@ -203,4 +203,159 @@ object Events {
       stages: Seq[String], horizonNs: Long)
       : Dataset[EventStreams.FunnelOut] =
     EventStreams.funnelStream(events, stages, horizonNs)
+
+  // ── Persisted growth ledger ─────────────────────────────────────────
+  //
+  // The `ev_lifecycle` growth-accounting ledger as a MAINTAINED
+  // artifact: the same versioned-tables + atomic-one-row-pointer
+  // lifecycle every index family uses (`<name>__act` = the deduped
+  // (user_id, day) activity relation, `<name>__ledger` = the per-day
+  // ledger, `<name>__gl` = the pointer pinning both plus the consumed
+  // events version). The refresh is CDC-composable and O(delta ·
+  // affected-user history), NOT O(all events): growth accounting is
+  // per-user decomposable (a user's classification depends only on
+  // their own day set), so the nightly pass re-derives ONLY the
+  // delta's users — subtract their old per-day contribution, add the
+  // new one, rewrite the per-day ledger (O(#days), tiny at any corpus
+  // size) and append only the genuinely new (user, day) rows to the
+  // activity table, base-pinned so a crashed or double-fired refresh
+  // can never double-count.
+
+  private def activityOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    ev.select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV ${EventAnalytics.UsPerDay}").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      .drop("n")
+  }
+
+  private val LedgerCols =
+    Seq("n_active", "n_new", "n_retained", "n_resurrected", "n_churned")
+
+  /** Build and persist the growth ledger over a versioned events table
+    * (rows must expose `user_id` and `ts_ns`). Returns the pointer
+    * version. Re-running replaces the artifact (new versions of both
+    * tables, one new pointer) — the from-scratch arm
+    * [[refreshGrowthLedger]] is certified against.
+    */
+  def buildGrowthLedger(storage: graft.sources.Storage,
+      eventsTable: String, name: String): Long = {
+    val vcs = storage.versions(eventsTable)
+    require(vcs.nonEmpty, s"no versioned events table '$eventsTable'")
+    val curV = vcs.last
+    val act = activityOf(storage.readVersioned(eventsTable, curV))
+    val ledger = EventAnalytics.growthAccounting(act)
+    val va = storage.putVersioned(s"${name}__act", act)
+    val vl = storage.putVersioned(s"${name}__ledger", ledger)
+    commitLedgerPointer(storage, name, va, vl, curV)(act.sparkSession)
+  }
+
+  private def commitLedgerPointer(storage: graft.sources.Storage,
+      name: String, actV: Long, ledgerV: Long, eventsV: Long)(
+      implicit spark: org.apache.spark.sql.SparkSession): Long = {
+    import spark.implicits._
+    storage.putVersioned(s"${name}__gl",
+      Seq((actV, ledgerV, eventsV))
+        .toDF("act_version", "ledger_version", "events_version"))
+  }
+
+  /** The ledger at the pointer's pinned version (time-travel with
+    * `pointerVersion`), ordered by day.
+    */
+  def readGrowthLedger(storage: graft.sources.Storage, name: String,
+      pointerVersion: Long = -1L): DataFrame = {
+    val ptr = Corpus.pointerRow(storage, s"${name}__gl", pointerVersion)
+    storage.readVersioned(s"${name}__ledger",
+        ptr.getAs[Long]("ledger_version"))
+      .orderBy("day")
+  }
+
+  /** CDC-driven incremental maintenance of a persisted growth ledger —
+    * the nightly loop: consume the events appended since the pointer's
+    * pinned events version ([[graft.sources.Storage.readVersionedSince]],
+    * zero base scans), re-derive the per-day contribution of ONLY the
+    * delta's users (old activity ∪ delta vs old activity — per-user
+    * decomposability makes the difference exact), fold it into the
+    * per-day ledger, append the genuinely new (user, day) rows onto
+    * the PINNED activity version
+    * ([[graft.sources.Storage.appendVersionedOnto]] — a refresh that
+    * died between its appends and its pointer commit, or a double-fired
+    * cron, rebuilds from the same base and can never double-count),
+    * and publish one atomic pointer. Returns the new pointer version;
+    * a no-op (events unchanged) returns the current one. The refreshed
+    * ledger is row-identical to a from-scratch rebuild — spec-pinned.
+    */
+  def refreshGrowthLedger(storage: graft.sources.Storage,
+      eventsTable: String, name: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val ptr = Corpus.pointerRow(storage, s"${name}__gl")
+    val sinceV = ptr.getAs[Long]("events_version")
+    val va = ptr.getAs[Long]("act_version")
+    val vl = ptr.getAs[Long]("ledger_version")
+    val vcs = storage.versions(eventsTable)
+    require(vcs.nonEmpty, s"no versioned events table '$eventsTable'")
+    val curV = vcs.last
+    if (curV == sinceV) return storage.versions(s"${name}__gl").last
+    val free = graft.operators.RelCache.freeLocalCheckpoint _
+    // pinned to curV — the version the pointer records as consumed
+    // (resolving "latest" twice races a concurrent ingest append)
+    val deltaAct = activityOf(
+      storage.readVersionedSince(eventsTable, sinceV, toVersion = curV))
+      .localCheckpoint()
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      deltaAct.sparkSession
+    try {
+      if (deltaAct.isEmpty)
+        // maintenance-only advance (compaction, empty batches): re-pin
+        // so future refreshes diff from here
+        return commitLedgerPointer(storage, name, va, vl, curV)
+      val affected = deltaAct.select(col("user_id")).distinct()
+      val oldActAff = storage.readVersioned(s"${name}__act", va)
+        .join(affected, Seq("user_id"), "left_semi")
+        .localCheckpoint()
+      try {
+        val newRows =
+          deltaAct.join(oldActAff, Seq("user_id", "day"), "left_anti")
+        if (newRows.isEmpty)
+          // the delta only re-asserted known (user, day) activity: the
+          // ledger cannot have changed — re-pin, write nothing
+          return commitLedgerPointer(storage, name, va, vl, curV)
+        val newActAff = oldActAff.unionAll(deltaAct)
+          .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+          .drop("n")
+        val oldC = EventAnalytics.growthAccounting(oldActAff)
+        val newC = EventAnalytics.growthAccounting(newActAff)
+        def tag(side: DataFrame, t: String) = side.select(
+          col("day") +: LedgerCols.map(c => col(c).as(c + t)): _*)
+        val diff = tag(newC, "_n").join(tag(oldC, "_o"), Seq("day"),
+            "full_outer")
+          .select(col("day") +: LedgerCols.map(c =>
+            (coalesce(col(c + "_n"), lit(0L)) -
+              coalesce(col(c + "_o"), lit(0L))).as(c + "_d")): _*)
+        val merged = storage.readVersioned(s"${name}__ledger", vl)
+          .join(diff, Seq("day"), "full_outer")
+          .select(col("day") +: LedgerCols.map(c =>
+            (coalesce(col(c), lit(0L)) +
+              coalesce(col(c + "_d"), lit(0L))).as(c)): _*)
+          // a fully-cancelled day (its only contributors reclassified
+          // away) must vanish, as it would in a from-scratch ledger
+          .filter(LedgerCols.map(col(_) =!= 0L).reduce(_ || _))
+        val vl2 = storage.putVersioned(s"${name}__ledger", merged)
+        val va2 = storage.appendVersionedOnto(s"${name}__act", newRows, va)
+        commitLedgerPointer(storage, name, va2, vl2, curV)
+      } finally free(oldActAff)
+    } finally free(deltaAct)
+  }
+
+  /** Pointer-aware retention for a ledger family: retain the last
+    * `keepLastPointers` pointers, vacuum the activity and ledger tables
+    * keeping exactly the versions those pointers pin — same rule as
+    * every index family ([[Corpus.vacuumAnnIndex]]).
+    */
+  def vacuumGrowthLedger(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = Corpus.sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__gl", keepLastPointers),
+    Corpus.vacuumPinnedArms(storage, s"${name}__gl",
+      Seq(s"${name}__act" -> "act_version",
+        s"${name}__ledger" -> "ledger_version"))))
 }

@@ -108,7 +108,7 @@ object EventAnalytics {
        |SELECT funnel_depth, COUNT(*) AS n_users
        |FROM per_user GROUP BY funnel_depth ORDER BY funnel_depth""".stripMargin
 
-  private val UsPerDay = 86400L * 1000000
+  private[graft] val UsPerDay = 86400L * 1000000
 
   /** Daily cohort retention: users grouped by their first-activity day,
     * counted on each later day they were active. The classic triangle
