@@ -138,6 +138,11 @@ object GraphRank {
     val r0 = RScale / n
     val base = ((100 - DampingNum) * r0) / 100
     var ranks = verts.select(col("tok"), lit(r0).as("r"))
+    // superseded iteration checkpoints are freed as soon as the next
+    // one is materialized (localCheckpoint is eager): only the FINAL
+    // rank table may outlive this call — leaked intermediates showed
+    // up as GC pressure on every query benched after this family
+    var prevCk: DataFrame = null
     for (i <- 1 to Iterations) {
       ranks = ranks
         .join(edges, ranks("tok") === edges("src"))
@@ -149,7 +154,11 @@ object GraphRank {
       // checkpoint every third round (and last): enough to keep the
       // plan iteration-sized, without paying a materialization job per
       // round — a 2-3-join lineage is well inside planner comfort
-      if (i % 3 == 0 || i == Iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == Iterations) {
+        ranks = ranks.localCheckpoint()
+        if (prevCk != null) RelCache.freeLocalCheckpoint(prevCk)
+        prevCk = ranks
+      }
     }
     ranks
       .join(edges.select(col("src").as("tok"), col("tw")).distinct(), "tok")
@@ -302,9 +311,9 @@ object GraphRank {
     * quadratic term, never the corpus), and each rank iteration is one
     * hash join + rollup on doc-qualified keys, so per-document graphs
     * never interact. The per-document vertex count N (and thus r0 and
-    * the teleport base) varies per document — carried as a per-doc
-    * relation joined each iteration, the only structural difference
-    * from the corpus-wide [[pageRank]].
+    * the teleport base) varies per document — folded onto the edge
+    * rows at build time so the iterations stay join-light, the only
+    * structural difference from the corpus-wide [[pageRank]].
     *
     * Vertices are sentences sharing at least one non-stop token with
     * another sentence of the SAME document; documents with no such
@@ -363,9 +372,14 @@ object GraphRank {
       .withColumn("p", expr(s"(w * $PScale) DIV tw"))
       .join(db, "doc_id")
       .localCheckpoint()
+    // edges is materialized — the pair join's blocks can go now
+    RelCache.freeLocalCheckpoint(pairs)
     var ranks = edges
       .groupBy(col("doc_id"), col("src").as("sent_id"))
       .agg(min(col("r0")).as("r"))
+    // free superseded checkpoints eagerly — only the final rank table
+    // may outlive this call (see [[pageRank]])
+    var prevCk: DataFrame = null
     for (i <- 1 to Iterations) {
       ranks = ranks
         .withColumnRenamed("sent_id", "src")
@@ -376,8 +390,15 @@ object GraphRank {
         .agg(sum(col("c")).as("sc"), min(col("base")).as("base"))
         .select(col("doc_id"), col("sent_id"),
           (col("base") + expr(s"($DampingNum * sc) DIV 100")).as("r"))
-      if (i % 3 == 0 || i == Iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == Iterations) {
+        ranks = ranks.localCheckpoint()
+        if (prevCk != null) RelCache.freeLocalCheckpoint(prevCk)
+        prevCk = ranks
+      }
     }
+    // the serve below references only the final rank checkpoint and
+    // the (re-derived) sentence relation
+    RelCache.freeLocalCheckpoint(edges)
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("r").desc, col("sent_id"))
     val ranked = ranks
