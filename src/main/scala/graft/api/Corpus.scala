@@ -1816,8 +1816,9 @@ object Corpus {
   /** The operator-facing staleness observable over EVERY persisted
     * index family in a warehouse — the one frame that answers "is my
     * nightly loop keeping up, and when do I compact?". Scans
-    * [[graft.sources.Storage.lsVersioned]] for the five pointer
-    * suffixes (`__ann`, `__hybrid`, `__ivfpq`, `__pmb`, `__tok` —
+    * [[graft.sources.Storage.lsVersioned]] for the six pointer
+    * suffixes (`__ann`, `__hybrid`, `__ivfpq`, `__pmb`, `__tok`,
+    * `__gl` —
     * nested arms like `<x>__dense__ann` report under their parent, not
     * as their own family) and emits one row per (family, component):
     *
@@ -1836,7 +1837,13 @@ object Corpus {
     *    the corpus's own dir count at head.
     *
     * Metadata-only (pointer reads + manifest listings, zero data
-    * scans) — safe to poll from a dashboard at any cadence.
+    * scans) — safe to poll from a dashboard at any cadence. That
+    * contract extends to BROKEN families: a torn or malformed pointer
+    * table (wrong row count, missing columns — e.g. a half-migrated
+    * save or a foreign table that happens to share the suffix) emits
+    * one degraded `role = "malformed"` row with null metadata instead
+    * of crashing the whole frame — the dashboard shows the damage, the
+    * healthy families still report.
     */
   def describeIndexes(storage: graft.sources.Storage,
       corpusTables: Map[String, String] = Map.empty): DataFrame = {
@@ -1876,13 +1883,24 @@ object Corpus {
     def nestedUnder(base: String, suffix: String, parent: String): Boolean =
       base.endsWith(suffix) &&
         names.contains(base.stripSuffix(suffix) + parent)
+    // one family's torn/malformed pointer must not take down the whole
+    // poll: roll back its partial arm rows and emit ONE degraded row
+    def guarded(idx: String, fam: String, p: String)(body: => Unit): Unit =
+      try body catch {
+        case scala.util.control.NonFatal(_) =>
+          val keep = rows.filterNot(r => r._1 == idx && r._2 == fam)
+          rows.clear(); rows ++= keep
+          rows += ((idx, fam,
+            storage.versions(p).lastOption.getOrElse(-1L),
+            "malformed", Some(p), None, None, None, None))
+      }
     for (p <- names.toSeq.sorted) {
       if (p.endsWith("__ann")) {
         val base = p.stripSuffix("__ann")
         val nested = nestedUnder(base, "__dense", "__hybrid") ||
           nestedUnder(base, "__coarse", "__ivfpq") ||
           nestedUnder(base, "__index", "__pmb")
-        if (!nested) {
+        if (!nested) guarded(base, "ann", p) {
           val pv = storage.versions(p).last
           val r = annArms(base, "ann", pv, "", base, pv)
           corpus(base, "ann", pv, "corpus",
@@ -1890,62 +1908,72 @@ object Corpus {
         }
       } else if (p.endsWith("__hybrid")) {
         val base = p.stripSuffix("__hybrid")
-        val pv = storage.versions(p).last
-        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
-        arm(base, "hybrid", pv, "postings", s"${base}__postings",
-          r.getAs[Long]("postings_version"))
-        val dv = r.getAs[Long]("dense_version")
-        arm(base, "hybrid", pv, "dense", s"${base}__dense__ann", dv)
-        val d = annArms(base, "hybrid", pv, "dense.", s"${base}__dense", dv)
-        corpus(base, "hybrid", pv, "corpus",
-          d.getAs[Long]("corpus_version"), base)
+        guarded(base, "hybrid", p) {
+          val pv = storage.versions(p).last
+          val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+          arm(base, "hybrid", pv, "postings", s"${base}__postings",
+            r.getAs[Long]("postings_version"))
+          val dv = r.getAs[Long]("dense_version")
+          arm(base, "hybrid", pv, "dense", s"${base}__dense__ann", dv)
+          val d = annArms(base, "hybrid", pv, "dense.", s"${base}__dense", dv)
+          corpus(base, "hybrid", pv, "corpus",
+            d.getAs[Long]("corpus_version"), base)
+        }
       } else if (p.endsWith("__ivfpq")) {
         val base = p.stripSuffix("__ivfpq")
-        val pv = storage.versions(p).last
-        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
-        arm(base, "ivfpq", pv, "codebooks", s"${base}__codebooks",
-          r.getAs[Long]("codebooks_version"))
-        arm(base, "ivfpq", pv, "codes", s"${base}__codes",
-          r.getAs[Long]("codes_version"))
-        val cv = r.getAs[Long]("coarse_version")
-        arm(base, "ivfpq", pv, "coarse", s"${base}__coarse__ann", cv)
-        annArms(base, "ivfpq", pv, "coarse.", s"${base}__coarse", cv)
-        corpus(base, "ivfpq", pv, "corpus",
-          r.getAs[Long]("corpus_version"), base)
+        guarded(base, "ivfpq", p) {
+          val pv = storage.versions(p).last
+          val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+          arm(base, "ivfpq", pv, "codebooks", s"${base}__codebooks",
+            r.getAs[Long]("codebooks_version"))
+          arm(base, "ivfpq", pv, "codes", s"${base}__codes",
+            r.getAs[Long]("codes_version"))
+          val cv = r.getAs[Long]("coarse_version")
+          arm(base, "ivfpq", pv, "coarse", s"${base}__coarse__ann", cv)
+          annArms(base, "ivfpq", pv, "coarse.", s"${base}__coarse", cv)
+          corpus(base, "ivfpq", pv, "corpus",
+            r.getAs[Long]("corpus_version"), base)
+        }
       } else if (p.endsWith("__pmb")) {
         val base = p.stripSuffix("__pmb")
-        val pv = storage.versions(p).last
-        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
-        arm(base, "pmb", pv, "fps", s"${base}__fps",
-          r.getAs[Long]("fps_version"))
-        val iv = r.getAs[Long]("index_version")
-        arm(base, "pmb", pv, "index", s"${base}__index__ann", iv)
-        annArms(base, "pmb", pv, "index.", s"${base}__index", iv)
-        corpus(base, "pmb", pv, "docs",
-          r.getAs[Long]("docs_version"), s"$base/docs")
-        corpus(base, "pmb", pv, "vectors",
-          r.getAs[Long]("vectors_version"), s"$base/vectors")
+        guarded(base, "pmb", p) {
+          val pv = storage.versions(p).last
+          val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+          arm(base, "pmb", pv, "fps", s"${base}__fps",
+            r.getAs[Long]("fps_version"))
+          val iv = r.getAs[Long]("index_version")
+          arm(base, "pmb", pv, "index", s"${base}__index__ann", iv)
+          annArms(base, "pmb", pv, "index.", s"${base}__index", iv)
+          corpus(base, "pmb", pv, "docs",
+            r.getAs[Long]("docs_version"), s"$base/docs")
+          corpus(base, "pmb", pv, "vectors",
+            r.getAs[Long]("vectors_version"), s"$base/vectors")
+        }
       } else if (p.endsWith("__tok")) {
         val base = p.stripSuffix("__tok")
-        val pv = storage.versions(p).last
-        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
-        arm(base, "tok", pv, "merges", s"${base}__merges",
-          r.getAs[Long]("merges_version"))
-        arm(base, "tok", pv, "vocab", s"${base}__vocab",
-          r.getAs[Long]("vocab_version"))
+        guarded(base, "tok", p) {
+          val pv = storage.versions(p).last
+          val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+          arm(base, "tok", pv, "merges", s"${base}__merges",
+            r.getAs[Long]("merges_version"))
+          arm(base, "tok", pv, "vocab", s"${base}__vocab",
+            r.getAs[Long]("vocab_version"))
+        }
       } else if (p.endsWith("__gl")) {
         // the persisted growth ledger (graft.api.Events) reports like
         // any index family: map `base -> events table` in corpusTables
         // for the consumed-vs-head lag column
         val base = p.stripSuffix("__gl")
-        val pv = storage.versions(p).last
-        val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
-        arm(base, "ledger", pv, "activity", s"${base}__act",
-          r.getAs[Long]("act_version"))
-        arm(base, "ledger", pv, "ledger", s"${base}__ledger",
-          r.getAs[Long]("ledger_version"))
-        corpus(base, "ledger", pv, "events",
-          r.getAs[Long]("events_version"), base)
+        guarded(base, "ledger", p) {
+          val pv = storage.versions(p).last
+          val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+          arm(base, "ledger", pv, "activity", s"${base}__act",
+            r.getAs[Long]("act_version"))
+          arm(base, "ledger", pv, "ledger", s"${base}__ledger",
+            r.getAs[Long]("ledger_version"))
+          corpus(base, "ledger", pv, "events",
+            r.getAs[Long]("events_version"), base)
+        }
       }
     }
     val spark = org.apache.spark.sql.SparkSession.active

@@ -67,12 +67,14 @@ object GraphRank {
 
   /** The session-cached full rank table `(tok, w_total, rank_fp,
     * rank)` — built once per (session, dir), served by both gated
-    * queries.
+    * queries. [[pageRank]] already returns a materialized checkpoint
+    * (its own loop internals freed), so the cache wraps it directly —
+    * a second checkpoint here would orphan the inner one for the
+    * session lifetime.
     */
   private def cachedRanks(s: SparkSession, d: String): DataFrame = {
     val (edges, verts) = cooccurrenceGraph(s, d)
-    grCache.getOrBuild((s, d, "ranks"))(
-      pageRank(edges, verts).localCheckpoint())
+    grCache.getOrBuild((s, d, "ranks"))(pageRank(edges, verts))
   }
 
   /** Directed adjacent-pair counts `(w1, w2, n)` over non-stop,
@@ -131,6 +133,11 @@ object GraphRank {
     * Per iteration: r'(v) = base + (85 · Σ_{u~v} (r(u)·p(u→v)) DIV
     * PScale) DIV 100, with base = (15 · (RScale DIV N)) DIV 100 — all
     * longs, all floor divisions of non-negative values.
+    *
+    * Returns a MATERIALIZED local checkpoint: the loop's final internal
+    * checkpoint is freed before returning, so no caller-invisible block
+    * set outlives the call (callers that cache the result free it via
+    * their own eviction path).
     */
   def pageRank(edges: DataFrame, verts: DataFrame): DataFrame = {
     val n = verts.count()
@@ -160,7 +167,7 @@ object GraphRank {
         prevCk = ranks
       }
     }
-    ranks
+    val out = ranks
       .join(edges.select(col("src").as("tok"), col("tw")).distinct(), "tok")
       .select(col("tok"), col("tw").as("w_total"), col("r").as("rank_fp"),
         // rank_fp <= RScale = 1e12 < 2^53: the int->double is exact and
@@ -168,6 +175,11 @@ object GraphRank {
         // IEEE-identical in both engines
         (col("r").cast(org.apache.spark.sql.types.DoubleType) /
           lit(RScale.toDouble)).as("rank"))
+      .localCheckpoint()
+    // the consumer's checkpoint is materialized — the loop's final
+    // internal one (prevCk == ranks) can go now
+    RelCache.freeLocalCheckpoint(prevCk)
+    out
   }
 
   /** The shared DuckDB CTE chain through `it{Iterations}(tok, r)` —
@@ -319,14 +331,52 @@ object GraphRank {
     * another sentence of the SAME document; documents with no such
     * pair (single-sentence docs, all-disjoint sentences) fall back to
     * their first content sentence, flagged `ranked = false`.
+    *
+    * The per-document relations are BOUNDED by [[MaxSummarySentences]]
+    * (only the first N '.'-split positions participate): the posting
+    * self-join forms pairs per (doc_id, token) group, so without a cap
+    * ONE pathological 10k-sentence document sharing a recurring token
+    * would generate ~5·10⁷ pairs inside a single task — and the join
+    * key is (doc_id, tok), which AQE skew splitting cannot split. The
+    * cap is deterministic (a position filter, mirrored exactly in the
+    * oracle SQL) and summary-faithful for real documents: a summary
+    * extracted from a document's first 64 sentences is the documented
+    * contract, the same lead-bias every extractive baseline carries.
     */
   def taSummarize(s: SparkSession, d: String): DataFrame =
-    summarize(documents(s, d)).orderBy(col("doc_id"))
+    grCache.getOrBuild((s, d, "summ"))(summarize(documents(s, d)))
+      .orderBy(col("doc_id"))
+
+  /** Hard per-document sentence bound — the quadratic-task guard (see
+    * [[taSummarize]]). C(64, 2) ≈ 2k pairs is the worst single
+    * (doc, tok) group, at ANY corpus size.
+    */
+  val MaxSummarySentences = 64L
 
   /** Frame-parametric core of [[taSummarize]] over ANY
-    * `(doc_id, text)` frame.
+    * `(doc_id, text)` frame. Returns a MATERIALIZED local checkpoint
+    * (one row per document — the same size class as every other cached
+    * artifact); the rank loop's internal checkpoints are freed before
+    * returning.
     */
   def summarize(docs: DataFrame): DataFrame = {
+    val (lazyOut, finalCk) = summarizeBuild(docs)
+    val out = lazyOut.localCheckpoint()
+    // out is materialized — the loop's final rank checkpoint can go;
+    // leaving it would pin a sentence-count-sized block set per
+    // invocation for the session lifetime
+    RelCache.freeLocalCheckpoint(finalCk)
+    out
+  }
+
+  /** The un-materialized build of [[summarize]]: the serve plan plus
+    * the final rank checkpoint it references (the caller materializes
+    * the serve, then frees the checkpoint). Split out so the plan-audit
+    * suite can inspect the REAL serve plan — [[summarize]]'s returned
+    * checkpoint scan would audit vacuously.
+    */
+  private[graft] def summarizeBuild(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val stop = TextAnalysis.stopwordList
     // content sentences: raw '.'-split position (stable id), ≥1
     // non-stop token
@@ -334,6 +384,9 @@ object GraphRank {
       .select(col("doc_id"), posexplode(split(col("text"), "\\.")))
       .select(col("doc_id"), col("pos").cast("long").as("sent_id"),
         trim(col("col")).as("sent"))
+      // the pathological-document guard: positions past the cap never
+      // enter the graph (or the fallback) — see taSummarize's scaladoc
+      .filter(col("sent_id") < MaxSummarySentences)
       .withColumn("toks", array_distinct(filter(
         graft.functions.tokens(col("sent")),
         t => !t.isInCollection(stop))))
@@ -418,7 +471,7 @@ object GraphRank {
       .select(col("doc_id"), col("sent_id").as("best_sent"),
         col("sent").as("summary"), lit(0L).as("rank_fp"),
         lit(false).as("ranked"))
-    ranked.unionAll(fallback)
+    (ranked.unionAll(fallback), prevCk)
   }
 
   /** DuckDB mirror: the same sentence split (raw position ids), the
@@ -450,7 +503,8 @@ object GraphRank {
        |  FROM (SELECT doc_id,
        |          unnest(list_transform(range(1, len(a) + 1),
        |            i -> struct_pack(i := i, s := a[i]))) AS e
-       |        FROM raw) q),
+       |        FROM raw) q
+       |  WHERE e.i - 1 < $MaxSummarySentences),
        |sents AS (
        |  SELECT doc_id, sent_id, sent,
        |    list_distinct(list_filter(

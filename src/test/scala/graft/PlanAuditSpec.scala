@@ -426,7 +426,12 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("summarize: per-doc sentence pairs come from the posting equi-join, never a cross-join") {
-    val p = plan("ta_summarize")
+    // the gated query serves a session-cached checkpoint (its plan is
+    // a scan) — audit the REAL build/serve plan underneath
+    val (lazyOut, finalCk) = graft.operators.GraphRank.summarizeBuild(
+      graft.sources.Tables.documents(spark, sf0001))
+    val p = lazyOut.queryExecution.explainString(SimpleMode)
+    graft.operators.RelCache.freeLocalCheckpoint(finalCk)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"the sentence-pair join must stay an equi-join on (doc_id, tok):\n$p")

@@ -1230,6 +1230,20 @@ class CorpusSpec extends SparkTestBase {
     assert(missing.length == 1 && missing(0).isNullAt(6) &&
       missing(0).isNullAt(7) && missing(0).isNullAt(8),
       s"missing corpus table must yield null head/lag/dir_count: ${missing.toSeq}")
+    // a TORN/MALFORMED pointer (wrong row count here; missing columns
+    // behave the same) degrades to ONE role="malformed" row for that
+    // family — the healthy families still report in the same frame
+    storage.putVersioned("broken__hybrid",
+      Seq((1L, 2L), (3L, 4L)).toDF("postings_version", "dense_version"))
+    val withBroken = Corpus.describeIndexes(storage, corpusMap).collect()
+    val brokenRows = withBroken.filter(_.getString(0) == "broken")
+    assert(brokenRows.length == 1 &&
+      brokenRows(0).getString(3) == "malformed" &&
+      brokenRows(0).isNullAt(5) && brokenRows(0).isNullAt(7),
+      s"torn pointer must yield one degraded row: ${brokenRows.toSeq}")
+    assert(withBroken.exists(r =>
+      r.getString(0) == "dann" && r.getString(3) == "lists"),
+      "healthy families must survive a neighbor's torn pointer")
     ann.close(); hyb.close(); pq.close(); pmb.close(); tok.close()
   }
 }

@@ -266,6 +266,25 @@ class EventAnalyticsSpec extends SparkTestBase {
       "the sketch arm must carry the exact ledger unchanged")
     hll.foreach(r => assert(r.getBoolean(4),
       s"day ${r.getLong(0)}: HLL estimate outside the certified bound"))
+    // estimate QUALITY is pinned here, at the FIXED corpus, to the
+    // tighter 3-sigma bound the gated row used to certify in-plan
+    // (the gate itself now asserts ~6 sigma so it cannot flake on new
+    // corpora — a fixed dataset either passes 3 sigma forever or not)
+    import org.apache.spark.sql.functions._
+    val est = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "(ts_ns DIV 1000) DIV 86400000000 AS day")
+      .distinct()
+      .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("sk"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (d, _, wau, _) =>
+      val e = est(d)
+      assert(math.abs(e - wau) * 100 <= 5 * wau + 100,
+        s"day $d: estimate $e drifted past 3 sigma of exact $wau")
+    }
   }
 
   test("scd2 on the corpus: intervals tile each user's history exactly") {

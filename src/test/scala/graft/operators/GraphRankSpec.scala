@@ -133,6 +133,39 @@ class GraphRankSpec extends SparkTestBase {
     assert(out(4L)._3 === r, "doc 4 rank must equal the sequential replay")
   }
 
+  test("summarize: the sentence cap bounds a pathological document's quadratic") {
+    val cap = GraphRank.MaxSummarySentences
+    // one recurring content token in EVERY sentence: uncapped, this doc
+    // alone would form C(10000, 2) ≈ 5·10⁷ pairs inside ONE (doc, tok)
+    // task — the single-key blowup AQE cannot split
+    val monster = (0 until 10000)
+      .map(i => s"alpha filler$i").mkString(". ")
+    // a healthy multi-sentence doc rides along to prove normal ranking
+    // is untouched by the guard
+    val docs = Seq(
+      (1L, monster),
+      (2L, "alpha one. beta two. alpha beta three"))
+      .toDF("doc_id", "text")
+    val out = GraphRank.summarize(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    // the monster is summarized from its first `cap` sentences only
+    assert(out(1L)._2 && out(1L)._1 < cap,
+      s"best sentence must come from the capped prefix: ${out(1L)}")
+    assert(out(2L) === ((2L, true)), "healthy docs rank as before")
+    // structural proof of the bound: the capped posting relation can
+    // never exceed C(cap, 2) pairs per (doc, tok) group
+    assert(cap * (cap - 1) / 2 < 3000L)
+    // a doc whose content sentences all sit PAST the cap contributes
+    // nothing (mirrored exactly in the oracle SQL's position filter)
+    val lateDoc = ((0 until cap.toInt).map(_ => "the a an") ++
+      Seq("omega real content", "omega again")).mkString(". ")
+    val late = GraphRank.summarize(
+      Seq((9L, lateDoc)).toDF("doc_id", "text")).collect()
+    assert(late.isEmpty,
+      "content past the sentence cap must not resurrect a document")
+  }
+
   test("keyphrase scores are exactly the sum of member ranks; one-offs are gated") {
     // at sf0.001 the vocabulary (29) fits inside taTextrank's top-50,
     // so that view IS the full rank table
