@@ -863,24 +863,25 @@ object Corpus {
   }
 
   /** [[compactAnnIndex]] for a persisted hybrid family: the dense
-    * arm's lists compact (postings are already one snapshot per
-    * [[refreshHybridIndex]] rebuild), and the hybrid pointer re-pins
-    * (unchanged postings version, new dense pointer version).
+    * arm's lists compact, the postings table re-snapshots at its
+    * pinned version (each O(delta) [[refreshHybridIndex]] lexical
+    * append accretes one delta directory, exactly like the lists),
+    * and the hybrid pointer re-pins both — frozen lexical stats and
+    * staleness carry over unchanged.
     */
   def compactHybridIndex(storage: graft.sources.Storage,
       name: String): Long = {
-    val ptrDf = storage.readVersioned(s"${name}__hybrid")
-    val spark = ptrDf.sparkSession
-    val ptr = ptrDf.collect()
-    require(ptr.length == 1,
-      s"index pointer '${name}__hybrid' must hold exactly one row, " +
-        s"got ${ptr.length}")
+    val ptr = pointerRow(storage, s"${name}__hybrid")
+    val pinnedPost = ptr.getAs[Long]("postings_version")
+    val vp = storage.putVersioned(s"${name}__postings",
+      storage.readVersioned(s"${name}__postings", pinnedPost),
+      contentEqualTo = Some(pinnedPost))
     val vd = compactAnnIndex(storage, s"${name}__dense",
-      ptr(0).getAs[Long]("dense_version"))
-    import spark.implicits._
-    storage.putVersioned(s"${name}__hybrid",
-      Seq((ptr(0).getAs[Long]("postings_version"), vd))
-        .toDF("postings_version", "dense_version"))
+      ptr.getAs[Long]("dense_version"))
+    hybridPtrCommit(storage, name, vp, vd,
+      ptrLong(ptr, "lexdf_version"), ptrLong(ptr, "docs_version"),
+      ptrLong(ptr, "n_docs"), ptrLong(ptr, "sum_dl"),
+      ptrLong(ptr, "stale_docs", 0L))
   }
 
   /** [[compactAnnIndex]] for a persisted pair-mining family: the
@@ -957,7 +958,11 @@ object Corpus {
     storage.vacuumVersions(s"${name}__hybrid", keepLastPointers),
     vacuumPinnedArms(storage, s"${name}__hybrid",
       Seq(s"${name}__postings" -> "postings_version",
-        s"${name}__dense__ann" -> "dense_version")),
+        s"${name}__dense__ann" -> "dense_version") ++
+        // the frozen-stats arm exists only once the family has frozen
+        // stats (full save or first exact refresh)
+        (if (storage.versions(s"${name}__lexdf").nonEmpty)
+          Seq(s"${name}__lexdf" -> "lexdf_version") else Seq.empty)),
     vacuumPinnedArms(storage, s"${name}__dense__ann",
       Seq(s"${name}__dense__centroids" -> "centroids_version",
         s"${name}__dense__lists" -> "lists_version"))))
@@ -978,8 +983,11 @@ object Corpus {
     val rows = storage.versions(pointerTable)
       .map(v => pointerRow(storage, pointerTable, v))
     sumCounts(arms.map { case (table, column) =>
+      // retained pointer versions predating a schema upgrade may lack
+      // the column, and -1 sentinels pin nothing — neither contributes
+      // to the keep set (keep-latest safety still applies underneath)
       storage.vacuumVersionsKeeping(table,
-        rows.map(_.getAs[Long](column)).toSet)
+        rows.map(ptrLong(_, column)).filter(_ >= 0L).toSet)
     })
   }
 
@@ -1127,6 +1135,11 @@ object Corpus {
     * pins (postings version, dense pointer version) in a single
     * commit — so lexical and dense arms can never disagree about
     * which corpus snapshot they index. Returns the saved version.
+    *
+    * This form records NO consumed-corpus checkpoints: the first
+    * [[refreshHybridIndex]] pays one exact postings rebuild and
+    * upgrades the pointer; save with the docs-version form to start
+    * O(delta) from the first night.
     */
   def saveHybridIndex(index: HybridIndex, storage: graft.sources.Storage,
       name: String): Long = saveHybridIndex(index, storage, name, -1L)
@@ -1141,41 +1154,189 @@ object Corpus {
     val vp = storage.putVersioned(s"${name}__postings", index.postings)
     val va = saveAnnIndex(index.ann, storage, s"${name}__dense",
       vectorsCorpusVersion)
-    val spark = index.postings.sparkSession
-    import spark.implicits._
-    storage.putVersioned(s"${name}__hybrid",
-      Seq((vp, va)).toDF("postings_version", "dense_version"))
+    hybridPtrCommit(storage, name, vp, va, -1L, -1L, -1L, -1L, 0L)
   }
 
-  /** Maintenance pass over a persisted hybrid index, honest about the
-    * asymmetry between its arms:
+  /** The FULL [[saveHybridIndex]]: additionally freeze the lexical
+    * arm's corpus-global statistics — the per-term document
+    * frequencies (as versioned table `<name>__lexdf`, derived from
+    * the postings themselves: one row per (doc, term) makes the
+    * per-term row count exactly the df the build scored with) and the
+    * global (n_docs, sum_dl) pair (computed from `docs`, one
+    * tokenize-and-count scan, carried in the pointer row) — and
+    * checkpoint the DOCS corpus version consumed. This is what arms
+    * [[refreshHybridIndex]]'s O(delta) lexical path: delta docs score
+    * under these frozen stats, the same frozen-quantizer pattern the
+    * vector arms use (centroids, PQ codebooks).
+    */
+  def saveHybridIndex(index: HybridIndex, storage: graft.sources.Storage,
+      name: String, vectorsCorpusVersion: Long, docs: DataFrame,
+      docsCorpusVersion: Long): Long = {
+    val vp = storage.putVersioned(s"${name}__postings", index.postings)
+    val va = saveAnnIndex(index.ann, storage, s"${name}__dense",
+      vectorsCorpusVersion)
+    val vdf = storage.putVersioned(s"${name}__lexdf",
+      storage.readVersioned(s"${name}__postings", vp)
+        .groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val (nDocs, sumDl) = lexGlobals(docs)
+    hybridPtrCommit(storage, name, vp, va, vdf, docsCorpusVersion,
+      nDocs, sumDl, 0L)
+  }
+
+  /** The frozen global pair of the lexical arm: (n_docs, sum_dl) over
+    * a docs snapshot — one scan, no explode (dl is `size(tokens)`).
+    */
+  private def lexGlobals(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(graft.functions.tokens(col("text")))
+        .cast("long")), lit(0L)).as("sum_dl")).collect()(0)
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
+  }
+
+  /** The ONE hybrid-pointer writer (save/refresh/rebuild/compact all
+    * commit through it, so the schema cannot drift between verbs):
+    * pins the postings and dense-arm pointer versions, the frozen
+    * lexical stats (`lexdf_version`, `n_docs`, `sum_dl` — all -1
+    * when the family has never frozen stats), the consumed docs
+    * corpus version, and `stale_docs` — the count of docs appended
+    * under the frozen stats since the last exact recalc, the
+    * rebuild-cadence observable [[describeIndexes]] surfaces.
+    */
+  private def hybridPtrCommit(storage: graft.sources.Storage,
+      name: String, postingsV: Long, denseV: Long, lexdfV: Long,
+      docsV: Long, nDocs: Long, sumDl: Long, staleDocs: Long): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    storage.putVersioned(s"${name}__hybrid",
+      Seq((postingsV, denseV, lexdfV, docsV, nDocs, sumDl, staleDocs))
+        .toDF("postings_version", "dense_version", "lexdf_version",
+          "docs_version", "n_docs", "sum_dl", "stale_docs"))
+  }
+
+  /** Read a pointer column that older pointer schemas may not carry
+    * (the hybrid pointer grew frozen-stats columns): absent → `dflt`.
+    */
+  private def ptrLong(r: org.apache.spark.sql.Row, c: String,
+      dflt: Long = -1L): Long =
+    if (r.schema.fieldNames.contains(c)) r.getAs[Long](c) else dflt
+
+  /** Nightly maintenance pass over a persisted hybrid index — O(delta)
+    * on BOTH arms:
     *
-    *  - the DENSE arm refreshes incrementally via [[refreshAnnIndex]]
-    *    — O(vector delta) assignment under the frozen centroids, zero
-    *    retraining;
-    *  - the LEXICAL arm REBUILDS its postings from the docs table's
-    *    current snapshot: BM25 bakes corpus-GLOBAL statistics
-    *    (document frequencies, average length) into every posting, so
-    *    appending only the new docs' postings would serve old rows
-    *    with stale idf/avgdl — silently skewed scores, the dishonest
-    *    alternative. The rebuild is one scan + aggregate (no training);
-    *    at 100 TB the operational dial is running this verb at a lower
-    *    cadence than the dense refresh, which stays nightly.
+    *  - the DENSE arm refreshes via [[refreshAnnIndex]] — O(vector
+    *    delta) assignment under the frozen centroids, zero retraining;
+    *  - the LEXICAL arm APPENDS the delta docs' postings scored under
+    *    the FROZEN corpus statistics the pointer pins (per-term df
+    *    from `<name>__lexdf`, global n_docs/sum_dl from the pointer
+    *    row — see [[graft.streaming.DocStreams.bm25PostingsFrozen]]
+    *    for the drift contract: unchanged docs keep EXACT scores,
+    *    delta docs score as of the last recalc). `stale_docs` in the
+    *    pointer accumulates the drift; [[rebuildHybridPostings]] is
+    *    the slow-cadence verb that restores exactness and resets it.
+    *    The postings append is base-pinned ([[graft.sources.Storage
+    *    .appendVersionedOnto]]) so crashed/double-fired refreshes are
+    *    idempotent, exactly like the dense arm's lists append.
     *
-    * One atomic `<name>__hybrid` pointer commit then re-pins (new
-    * postings version, new dense pointer version) — readers never see
-    * a half-refreshed pair. Returns the new pointer version.
+    * A pointer saved without frozen stats (the plain
+    * [[saveHybridIndex]] forms) takes the exact path once — full
+    * postings rebuild from the current docs snapshot — and upgrades
+    * itself, so every later refresh is O(delta).
+    *
+    * One atomic `<name>__hybrid` pointer commit then re-pins both
+    * arms — readers never see a half-refreshed pair. Returns the new
+    * pointer version.
     */
   def refreshHybridIndex(storage: graft.sources.Storage, name: String,
       docsTable: String, vectorsTable: String): Long = {
     val vd = refreshAnnIndex(storage, s"${name}__dense", vectorsTable)
-    val docs = storage.readVersioned(docsTable)
+    val ptr = pointerRow(storage, s"${name}__hybrid")
+    val sinceV = ptrLong(ptr, "docs_version")
+    if (sinceV < 0L || ptrLong(ptr, "lexdf_version") < 0L)
+      // no frozen stats to append under: pay the exact rebuild once
+      // and upgrade the pointer — the next refresh goes O(delta)
+      return exactPostingsCommit(storage, name, docsTable, vd)
+    val dvs = storage.versions(docsTable)
+    require(dvs.nonEmpty, s"no versioned docs table '$docsTable'")
+    // resolve the docs head ONCE and pin reads + checkpoint to it —
+    // re-resolving "latest" races a concurrent docs append (rows in
+    // tonight's postings but not in the checkpoint → re-consumed
+    // forever; see refreshAnnIndex)
+    val curV = dvs.last
+    if (curV == sinceV)
+      // docs unchanged: carry the lexical arm forward, re-pin dense
+      return hybridPtrCommit(storage, name,
+        ptr.getAs[Long]("postings_version"), vd,
+        ptrLong(ptr, "lexdf_version"), sinceV, ptrLong(ptr, "n_docs"),
+        ptrLong(ptr, "sum_dl"), ptrLong(ptr, "stale_docs", 0L))
+    val delta = storage.readVersionedSince(docsTable, sinceV,
+        toVersion = curV)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    // free the delta checkpoint on every exit (thrown ones included) —
+    // the continuous loop must not pin O(delta) blocks per boundary
+    try {
+      val nDelta = delta.count()
+      if (nDelta == 0L)
+        // maintenance-only advance (compaction, empty batches):
+        // nothing to score — re-pin the consumed version so future
+        // refreshes diff from here
+        return hybridPtrCommit(storage, name,
+          ptr.getAs[Long]("postings_version"), vd,
+          ptrLong(ptr, "lexdf_version"), curV, ptrLong(ptr, "n_docs"),
+          ptrLong(ptr, "sum_dl"), ptrLong(ptr, "stale_docs", 0L))
+      val dfRel = storage.readVersioned(s"${name}__lexdf",
+        ptrLong(ptr, "lexdf_version"))
+      val deltaPost = graft.streaming.DocStreams.bm25PostingsFrozen(
+        delta, dfRel, ptrLong(ptr, "n_docs"), ptrLong(ptr, "sum_dl"))
+      // append ONTO the pointer's pinned postings version, never
+      // "latest" — a crashed earlier refresh's orphan postings version
+      // must not be stacked on (see refreshAnnIndex's lists append)
+      val vp = storage.appendVersionedOnto(s"${name}__postings",
+        deltaPost, ptr.getAs[Long]("postings_version"))
+      hybridPtrCommit(storage, name, vp, vd,
+        ptrLong(ptr, "lexdf_version"), curV, ptrLong(ptr, "n_docs"),
+        ptrLong(ptr, "sum_dl"), ptrLong(ptr, "stale_docs", 0L) + nDelta)
+    } finally graft.operators.RelCache.freeLocalCheckpoint(delta)
+  }
+
+  /** The slow-cadence EXACT lexical recalc — the second half of the
+    * frozen-stats split ([[refreshHybridIndex]] appends O(delta)
+    * nightly under stale idf/avgdl; this verb re-scans the docs
+    * snapshot, recomputes every posting under the TRUE corpus-global
+    * statistics, re-freezes df/n_docs/sum_dl at the new snapshot, and
+    * resets `stale_docs` to 0). The dense arm is untouched (its
+    * pinned pointer version carries over). Run it when
+    * [[describeIndexes]]'s `stale_rows` crosses the drift budget —
+    * weekly where the refresh is nightly, the same cadence dial as
+    * IVF retraining. Returns the new hybrid pointer version.
+    */
+  def rebuildHybridPostings(storage: graft.sources.Storage, name: String,
+      docsTable: String): Long = {
+    val ptr = pointerRow(storage, s"${name}__hybrid")
+    exactPostingsCommit(storage, name, docsTable,
+      ptr.getAs[Long]("dense_version"))
+  }
+
+  /** Shared exact-postings commit: rebuild postings + frozen stats
+    * from `docsTable`'s head snapshot (pinned once) and commit the
+    * upgraded pointer with `stale_docs = 0`, keeping dense arm `vd`.
+    */
+  private def exactPostingsCommit(storage: graft.sources.Storage,
+      name: String, docsTable: String, vd: Long): Long = {
+    val dvs = storage.versions(docsTable)
+    require(dvs.nonEmpty, s"no versioned docs table '$docsTable'")
+    val curV = dvs.last
+    val docs = storage.readVersioned(docsTable, curV)
     val vp = storage.putVersioned(s"${name}__postings",
       graft.streaming.DocStreams.bm25Postings(docs))
-    val spark = docs.sparkSession
-    import spark.implicits._
-    storage.putVersioned(s"${name}__hybrid",
-      Seq((vp, vd)).toDF("postings_version", "dense_version"))
+    // df derives from the COMMITTED postings (one row per (doc, term)
+    // — the per-term count IS the df the build scored with): an
+    // O(postings) read instead of a second corpus tokenize
+    val vdf = storage.putVersioned(s"${name}__lexdf",
+      storage.readVersioned(s"${name}__postings", vp)
+        .groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val (nDocs, sumDl) = lexGlobals(docs)
+    hybridPtrCommit(storage, name, vp, vd, vdf, curV, nDocs, sumDl, 0L)
   }
 
   /** Rehydrate a persisted [[HybridIndex]] at `version` (default:
@@ -1828,6 +1989,11 @@ object Corpus {
     *    stranded orphans from crashed refreshes — vacuum fodder), and
     *    `dir_count` = directories composing the pinned version (the
     *    compaction-cadence observable: each refresh adds one).
+    *    A hybrid family with frozen lexical stats adds a `lexstats`
+    *    arm row whose `stale_rows` column counts the docs appended
+    *    under the frozen idf/avgdl since the last exact recalc — the
+    *    [[rebuildHybridPostings]] cadence observable (`stale_rows` is
+    *    null on every other row).
     *  - CORPUS rows (`role` = corpus/docs/vectors): the consumed
     *    corpus version the pointer checkpointed, and — when
     *    `corpusTables` names the corpus table (key = index name; a pmb
@@ -1850,13 +2016,14 @@ object Corpus {
     val names = storage.lsVersioned().toSet
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String,
       Long, String, Option[String], Option[Long], Option[Long],
-      Option[Long], Option[Long])]
+      Option[Long], Option[Long], Option[Long])]
     def arm(idx: String, fam: String, pv: Long, role: String,
-        table: String, pinned: Long): Unit = {
+        table: String, pinned: Long,
+        stale: Option[Long] = None): Unit = {
       val vs = storage.versions(table)
       rows += ((idx, fam, pv, role, Some(table), Some(pinned),
         vs.lastOption, Some(vs.count(_ > pinned).toLong),
-        Some(storage.versionDirCount(table, pinned).toLong)))
+        Some(storage.versionDirCount(table, pinned).toLong), stale))
     }
     def corpus(idx: String, fam: String, pv: Long, role: String,
         consumed: Long, key: String): Unit = {
@@ -1869,7 +2036,7 @@ object Corpus {
       rows += ((idx, fam, pv, role, tbl, c, vs.lastOption,
         c.filter(_ => vs.nonEmpty).map(cv => vs.count(_ > cv).toLong),
         tbl.filter(_ => vs.nonEmpty)
-          .map(t => storage.versionDirCount(t).toLong)))
+          .map(t => storage.versionDirCount(t).toLong), None))
     }
     def annArms(idx: String, fam: String, pv: Long, prefix: String,
         annBase: String, annPtrV: Long): org.apache.spark.sql.Row = {
@@ -1892,7 +2059,7 @@ object Corpus {
           rows.clear(); rows ++= keep
           rows += ((idx, fam,
             storage.versions(p).lastOption.getOrElse(-1L),
-            "malformed", Some(p), None, None, None, None))
+            "malformed", Some(p), None, None, None, None, None))
       }
     for (p <- names.toSeq.sorted) {
       if (p.endsWith("__ann")) {
@@ -1918,6 +2085,17 @@ object Corpus {
           val d = annArms(base, "hybrid", pv, "dense.", s"${base}__dense", dv)
           corpus(base, "hybrid", pv, "corpus",
             d.getAs[Long]("corpus_version"), base)
+          // frozen-stats lexical arm (absent until the family freezes
+          // stats): `stale_rows` = docs appended under the frozen
+          // idf/avgdl since the last exact recalc — the
+          // rebuildHybridPostings cadence observable
+          val vdf = ptrLong(r, "lexdf_version")
+          if (vdf >= 0L)
+            arm(base, "hybrid", pv, "lexstats", s"${base}__lexdf", vdf,
+              stale = Some(ptrLong(r, "stale_docs", 0L)))
+          val dcv = ptrLong(r, "docs_version")
+          if (dcv >= 0L)
+            corpus(base, "hybrid", pv, "docs", dcv, s"$base/docs")
         }
       } else if (p.endsWith("__ivfpq")) {
         val base = p.stripSuffix("__ivfpq")
@@ -1979,7 +2157,8 @@ object Corpus {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     rows.toSeq.toDF("index_name", "family", "pointer_version", "role",
-      "ref_table", "pinned_version", "head_version", "lag", "dir_count")
+      "ref_table", "pinned_version", "head_version", "lag", "dir_count",
+      "stale_rows")
   }
 
   /** Retire a corpus directory's session-cached index artifacts: every

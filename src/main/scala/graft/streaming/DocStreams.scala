@@ -402,6 +402,38 @@ object DocStreams {
           col("n_docs"), col("sum_dl")).as("sc"))
   }
 
+  /** The O(delta) append form of [[bm25Postings]]: postings for
+    * `newDocs` ONLY, scored under FROZEN corpus statistics — the
+    * per-term document frequencies `dfRel` (`(term, df)`) and global
+    * `(nDocs, sumDl)` captured at the last exact recalc. Appending
+    * under stale idf/avgdl bounds the nightly lexical refresh to the
+    * delta (where the honest alternative, a full postings rebuild, is
+    * O(corpus) forever); the drift is bounded — unchanged docs keep
+    * their EXACT scores (their postings are untouched), delta docs
+    * score as if the corpus had not grown since the recalc, and a
+    * term the frozen snapshot never saw takes df = 0 (the highest
+    * idf the formula admits — the honest reading of "the frozen
+    * corpus contained no such doc"). The slow-cadence exact rebuild
+    * ([[graft.api.Corpus.rebuildHybridPostings]]) restores exactness
+    * and re-freezes the stats. The df join is left to the optimizer:
+    * the delta side is O(batch) and the frozen df side vocabulary-
+    * sized, so AQE broadcasts it at any realistic scale.
+    */
+  def bm25PostingsFrozen(newDocs: DataFrame, dfRel: DataFrame,
+      nDocs: Long, sumDl: Long): DataFrame = {
+    val toksC = tokens(col("text"))
+    val tf = newDocs
+      .select(col("doc_id"), size(toksC).as("dl"), toksC.as("t"))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    tf.join(dfRel.select(col("term"), col("df")), Seq("term"), "left")
+      .select(col("term"), col("doc_id"),
+        TextAnalysis.bm25TermScore(col("tf"),
+          coalesce(col("df"), lit(0L)), col("dl"),
+          lit(nDocs), lit(sumDl)).as("sc"))
+  }
+
   /** Session cache of [[bm25Postings]] per corpus dir — the
     * build-once/serve-many split every other served index here gets
     * (IVF lists, PQ codes): without it the gated serve re-paid the

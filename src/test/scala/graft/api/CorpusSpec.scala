@@ -615,7 +615,8 @@ class CorpusSpec extends SparkTestBase {
     Seq(built, built2, loaded, old, latest).foreach(_.close())
   }
 
-  test("refreshHybridIndex: dense arm upserts O(delta), lexical arm rebuilds, zero training passes") {
+  test("refreshHybridIndex: O(delta) on BOTH arms — frozen-stats postings append, exact recalc verb restores exactness") {
+    import org.apache.spark.sql.functions.{col, count, lit, size, sum}
     val storage = new graft.sources.Storage(spark,
       java.nio.file.Files.createTempDirectory("graft-hybrefresh-").toString)
     val docs = graft.sources.Tables.documents(spark, sf0001)
@@ -625,40 +626,74 @@ class CorpusSpec extends SparkTestBase {
     storage.putVersioned("hvecs", e.filter($"vec_id" < cut))
     val built = Corpus.buildHybridIndex(
       storage.readVersioned("hdocs"), storage.readVersioned("hvecs"))
+    // the FULL save freezes the lexical stats (df + n_docs/sum_dl) and
+    // checkpoints the consumed docs version — arming the O(delta) path
     Corpus.saveHybridIndex(built, storage, "hyb2",
-      vectorsCorpusVersion = storage.versions("hvecs").last)
+      vectorsCorpusVersion = storage.versions("hvecs").last,
+      docs = storage.readVersioned("hdocs"),
+      docsCorpusVersion = storage.versions("hdocs").last)
+    def postKey(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val beforePost = built.postings.collect().map(postKey).toSet
     storage.appendVersioned("hdocs", docs.filter($"doc_id" >= cut))
     storage.appendVersioned("hvecs", e.filter($"vec_id" >= cut))
+    val nDelta = docs.filter($"doc_id" >= cut).count()
     val passesBefore = graft.operators.Similarity.trainingPasses.get()
     Corpus.refreshHybridIndex(storage, "hyb2", "hdocs", "hvecs")
     assert(graft.operators.Similarity.trainingPasses.get() == passesBefore,
-      "a hybrid refresh must never run a training pass (the postings " +
-        "rebuild is a scan, the dense arm assigns under frozen centroids)")
+      "a hybrid refresh must never run a training pass (both arms " +
+        "append under frozen artifacts: centroids and idf/avgdl)")
     val loaded = Corpus.loadHybridIndex(storage, "hyb2")
-    // the refreshed serve equals a hand-built twin: postings rebuilt
-    // over the GROWN docs, dense lists rebuilt from scratch under the
-    // SAME frozen centroids (assignment is per-vector)
-    val twin = HybridIndex(
-      graft.streaming.DocStreams.bm25Postings(docs).localCheckpoint(),
-      AnnIndex(loaded.ann.centroids,
-        graft.operators.Similarity.kernelProbeCells(
-          e.select($"vec_id", $"embedding"), loaded.ann.centroids, 1,
-          "c_id", "cv_c", "cn_c").localCheckpoint()))
-    val ids = (0L until 4L)
-    def key(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getLong(1), r.getLong(2),
-        math.round(r.getDouble(5) * 1e9))
-    val got = Corpus.hybridTopK(docs, e, ids, index = Some(loaded))
-      .collect().map(key).toSet
-    assert(got == Corpus.hybridTopK(docs, e, ids, index = Some(twin))
-      .collect().map(key).toSet && got.nonEmpty)
-    // the lexical arm really rebuilt: a post-refresh doc's terms are
-    // served (its postings exist), which stale-postings serving misses
-    val newDocTerm = loaded.postings
-      .join(docs.filter($"doc_id" >= cut).select($"doc_id"), "doc_id")
-    assert(newDocTerm.count() > 0,
-      "rebuilt postings must cover the appended docs")
-    Seq(built, loaded, twin).foreach(_.close())
+    val afterPost = loaded.postings.collect().map(postKey).toSet
+    // UNCHANGED docs keep their EXACT scores: the refreshed postings
+    // restricted to the pre-append corpus are byte-identical to the
+    // build's — the frozen-stats contract's load-bearing half
+    assert(afterPost.filter(_._2 < cut) == beforePost,
+      "stale-stats refresh must not touch unchanged docs' postings")
+    // DELTA docs score under the FROZEN stats: equal to the
+    // bm25PostingsFrozen twin fed the build-time df/n_docs/sum_dl
+    val docsOld = docs.filter($"doc_id" < cut)
+    val g = docsOld.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(graft.functions.tokens(col("text")))).cast("long").as("s"))
+      .collect()(0)
+    val twinDelta = graft.streaming.DocStreams.bm25PostingsFrozen(
+      docs.filter($"doc_id" >= cut),
+      built.postings.groupBy($"term").agg(count(lit(1)).as("df")),
+      g.getLong(0), g.getLong(1)).collect().map(postKey).toSet
+    assert(afterPost.filter(_._2 >= cut) == twinDelta && twinDelta.nonEmpty,
+      "delta docs must score under the frozen idf/avgdl")
+    // the dense arm consumed its delta too
+    assert(loaded.ann.lists.count() == e.count())
+    // staleness is observable: the pointer accumulates the delta doc
+    // count, and describeIndexes surfaces it on the lexstats row
+    val ptr1 = storage.readVersioned("hyb2__hybrid").collect()(0)
+    assert(ptr1.getAs[Long]("stale_docs") == nDelta)
+    val lexRow = Corpus.describeIndexes(storage).collect()
+      .filter(r => r.getString(0) == "hyb2" && r.getString(3) == "lexstats")
+    assert(lexRow.length == 1 &&
+      lexRow(0).getAs[Long]("stale_rows") == nDelta,
+      s"describeIndexes must surface the frozen-stats drift: " +
+        s"${lexRow.toSeq}")
+    // the slow-cadence EXACT recalc: postings equal a from-scratch
+    // bm25Postings over the grown corpus, staleness resets, the dense
+    // arm's pinned pointer version carries over untouched
+    val denseBefore = ptr1.getAs[Long]("dense_version")
+    Corpus.rebuildHybridPostings(storage, "hyb2", "hdocs")
+    val rebuilt = Corpus.loadHybridIndex(storage, "hyb2")
+    val exact = graft.streaming.DocStreams.bm25Postings(docs)
+      .collect().map(postKey).toSet
+    assert(rebuilt.postings.collect().map(postKey).toSet == exact,
+      "the exact recalc must equal a from-scratch postings build")
+    val ptr2 = storage.readVersioned("hyb2__hybrid").collect()(0)
+    assert(ptr2.getAs[Long]("stale_docs") == 0L &&
+      ptr2.getAs[Long]("dense_version") == denseBefore)
+    // a refresh with no new docs is a no-op re-pin: the postings
+    // version is carried, not rewritten
+    val postV = ptr2.getAs[Long]("postings_version")
+    Corpus.refreshHybridIndex(storage, "hyb2", "hdocs", "hvecs")
+    assert(storage.readVersioned("hyb2__hybrid").collect()(0)
+      .getAs[Long]("postings_version") == postV)
+    Seq(built, loaded, rebuilt).foreach(_.close())
   }
 
   test("refreshAnnIndex: CDC delta upsert equals a lists rebuild under the frozen centroids, zero retraining") {
@@ -1170,6 +1205,7 @@ class CorpusSpec extends SparkTestBase {
     val tok = Corpus.buildTokenizer(storage.readVersioned("ddocs"), n = 10)
     Corpus.saveTokenizer(tok, storage, "dtok")
     val corpusMap = Map("dann" -> "dvecs", "dhyb" -> "dvecs",
+      "dhyb/docs" -> "ddocs",
       "dpq" -> "dvecs", "dpmb/docs" -> "ddocs", "dpmb/vectors" -> "dvecs")
     def describe() = Corpus.describeIndexes(storage, corpusMap).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(3)) ->
