@@ -10,13 +10,13 @@ import graft.sources.{Storage, Tables}
   * pair-mining — at the 100× corpus, plus the cost of the
   * staleness observable itself:
   *
-  *  - HYBRID: the refresh is asymmetric by design (the dense arm
-  *    consumes the vector delta under frozen centroids, O(delta);
-  *    the lexical arm rebuilds its BM25 postings from the docs
-  *    snapshot, O(corpus scan) — corpus-global idf/avgdl cannot be
-  *    appended honestly). The probe times the dense arm alone and
-  *    the full hybrid refresh, so the split — the number behind
-  *    "run the lexical arm at a lower cadence" — is measured, not
+  *  - HYBRID: BOTH arms refresh O(delta) — the dense arm assigns
+  *    the vector delta under frozen centroids, the lexical arm
+  *    appends the delta docs' postings under the frozen idf/avgdl
+  *    the save pinned. The probe times the dense arm alone, the
+  *    full O(delta) refresh night, AND the slow-cadence exact
+  *    postings recalc (`rebuildHybridPostings`) — the split that
+  *    sets the weekly-vs-nightly cadence dial is measured, not
   *    asserted. Sanity: a post-refresh delta doc is served by BOTH
   *    arms (its postings exist; its vector unit-hits itself).
   *  - PAIR-MINING: nightly fold (QA + first-arrival fps + frozen-
@@ -70,8 +70,12 @@ object LoopProbe {
         storage.readVersioned("hdocs"), storage.readVersioned("hvecs"))
       idx.postings.count(); idx.ann.lists.count(); idx
     }
+    // the FULL save: freezes idf/avgdl so the nightly lexical refresh
+    // can append O(delta) instead of rebuilding O(corpus)
     Corpus.saveHybridIndex(built, storage, "hyb",
-      vectorsCorpusVersion = storage.versions("hvecs").last)
+      vectorsCorpusVersion = storage.versions("hvecs").last,
+      docs = storage.readVersioned("hdocs"),
+      docsCorpusVersion = storage.versions("hdocs").last)
     println(f"corpus $sfDir docs=$nd vecs=$nv hybrid build+save=$tBuild%6.1fs")
     // one night: 20% more docs and vectors arrive
     storage.appendVersioned("hdocs", docs.filter(dPct >= 80))
@@ -82,10 +86,16 @@ object LoopProbe {
       Corpus.refreshAnnIndex(storage, "hyb__dense", "hvecs")
     }
     // the full hybrid refresh: the dense arm is now a no-op re-pin, so
-    // this duration is the LEXICAL rebuild (postings scan over the
-    // grown docs) + two pointer commits — the cadence-dial split
+    // this duration is the LEXICAL delta append under the frozen
+    // stats + two pointer commits — O(delta), the round-14 fix for
+    // the measured 138s O(corpus) rebuild
     val (_, tHybrid) = time {
       Corpus.refreshHybridIndex(storage, "hyb", "hdocs", "hvecs")
+    }
+    // the slow-cadence EXACT recalc (run weekly where the refresh is
+    // nightly): the O(corpus) cost the nightly path no longer pays
+    val (_, tExact) = time {
+      Corpus.rebuildHybridPostings(storage, "hyb", "hdocs")
     }
     val loaded = Corpus.loadHybridIndex(storage, "hyb")
     // a delta doc that HAS an embedding (the corpus may carry more
@@ -103,8 +113,9 @@ object LoopProbe {
     require(loaded.ann.lists.count() == nv,
       "every vector must be indexed after the refresh")
     println(f"hybrid night (20%% delta): dense arm=$tDense%6.1fs " +
-      f"lexical rebuild+pins=$tHybrid%6.1fs — run the lexical arm at " +
-      "a lower cadence; both arms serve the delta doc")
+      f"lexical frozen-stats append+pins=$tHybrid%6.1fs vs exact " +
+      f"recalc=$tExact%6.1fs (the weekly verb) — both arms serve the " +
+      "delta doc")
 
     // ---- pair-mining loop ----
     storage.putVersioned("pdocs", docs.filter(dPct < 80))
@@ -139,7 +150,7 @@ object LoopProbe {
       s"fps=$expectFps")
 
     // ---- the observable's own cost, warehouse fully populated ----
-    val corpusMap = Map("hyb" -> "hvecs",
+    val corpusMap = Map("hyb" -> "hvecs", "hyb/docs" -> "hdocs",
       "pmb/docs" -> "pdocs", "pmb/vectors" -> "pvecs")
     val (rows, tDescribe) = time {
       Corpus.describeIndexes(storage, corpusMap).collect()
