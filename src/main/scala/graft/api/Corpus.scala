@@ -1091,6 +1091,142 @@ object Corpus {
         .localCheckpoint())
   }
 
+  // ------------------------------------------------- TextRank model
+
+  /** Build a [[RankModel]] over a `(doc_id, text)` corpus: the ONE
+    * corpus pass producing the directed pair rollup, then the
+    * vocabulary-bounded graph + ten fixed-point PageRank iterations
+    * (see [[graft.operators.GraphRank]]). Both artifacts materialize;
+    * persist with [[saveRankModel]] so corpus-level keywords and
+    * keyphrases serve across sessions with ZERO corpus scans.
+    */
+  def buildRankModel(docs: DataFrame): RankModel = {
+    val GR = graft.operators.GraphRank
+    val pairs = GR.pairCounts(docs).localCheckpoint()
+    rankModelFromPairs(pairs)
+  }
+
+  /** The vocabulary-bounded half of [[buildRankModel]]: graph + ranks
+    * from an already-materialized pair rollup — what the CDC refresh
+    * re-runs after folding a delta (never a corpus scan).
+    */
+  private def rankModelFromPairs(pairs: DataFrame): RankModel = {
+    val GR = graft.operators.GraphRank
+    val edges = GR.graphEdges(pairs).localCheckpoint()
+    val verts = edges.select(col("src").as("tok")).distinct()
+      .localCheckpoint()
+    // pageRank returns a materialized checkpoint with its loop
+    // internals freed; the graph scaffolding can go once it returns
+    try RankModel(pairs, GR.pageRank(edges, verts))
+    finally {
+      graft.operators.RelCache.freeLocalCheckpoint(edges)
+      graft.operators.RelCache.freeLocalCheckpoint(verts)
+    }
+  }
+
+  /** Persist a [[RankModel]] (the [[saveAnnIndex]] pattern): pair
+    * rollup and rank table land as versioned tables, and the one-row
+    * `<name>__tr` pointer pins (pairs version, ranks version, consumed
+    * docs corpus version) in a single commit. Pass the docs table's
+    * version to arm [[refreshRankModel]]'s O(delta) fold; -1 records
+    * a snapshot-only save (refresh will refuse, naming the fix).
+    * Returns the saved pointer version.
+    */
+  def saveRankModel(model: RankModel, storage: graft.sources.Storage,
+      name: String, docsCorpusVersion: Long = -1L): Long = {
+    val vp = storage.putVersioned(s"${name}__pairs", model.pairs)
+    val vr = storage.putVersioned(s"${name}__ranks", model.ranks)
+    rankPtrCommit(storage, name, vp, vr, docsCorpusVersion)
+  }
+
+  private def rankPtrCommit(storage: graft.sources.Storage, name: String,
+      pairsV: Long, ranksV: Long, docsV: Long): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    storage.putVersioned(s"${name}__tr",
+      Seq((pairsV, ranksV, docsV))
+        .toDF("pairs_version", "ranks_version", "docs_version"))
+  }
+
+  /** Rehydrate a persisted [[RankModel]] at `version` (default: latest
+    * save) — zero corpus scans, zero iterations (spec-pinned): both
+    * artifact tables read back at their pinned versions as
+    * session-local checkpoints, and
+    * [[graft.operators.GraphRank.keywords]] /
+    * [[graft.operators.GraphRank.keyphrases]] over them are
+    * byte-identical to the gated `ta_textrank` / `ta_keyphrase` rows.
+    */
+  def loadRankModel(storage: graft.sources.Storage, name: String,
+      version: Long = -1L): RankModel = {
+    val ptr = pointerRow(storage, s"${name}__tr", version)
+    RankModel(
+      storage.readVersioned(s"${name}__pairs",
+        ptr.getAs[Long]("pairs_version")).localCheckpoint(),
+      storage.readVersioned(s"${name}__ranks",
+        ptr.getAs[Long]("ranks_version")).localCheckpoint())
+  }
+
+  /** CDC refresh of a persisted [[RankModel]] — O(delta + vocabulary),
+    * never a corpus rescan: the pair rollup is ADDITIVE under corpus
+    * appends (each document contributes its own adjacent pairs), so
+    * the refresh scans ONLY the docs delta, folds its pair counts into
+    * the PINNED rollup by summed union (model-sized aggregate), and
+    * re-runs the vocabulary-bounded iterations. The fold base is the
+    * pointer's pinned pairs version — never "latest" — so a crashed
+    * earlier refresh's orphan versions are ignored and re-runs are
+    * idempotent by construction (the [[refreshAnnIndex]] posture).
+    * Refresh ≡ rebuild bit-for-bit (integer arithmetic end to end;
+    * spec-pinned). Returns the new pointer version.
+    */
+  def refreshRankModel(storage: graft.sources.Storage, name: String,
+      docsTable: String): Long = {
+    val GR = graft.operators.GraphRank
+    val ptr = pointerRow(storage, s"${name}__tr")
+    val sinceV = ptr.getAs[Long]("docs_version")
+    require(sinceV >= 0L,
+      s"rank model '$name' was saved without a docs corpus version; " +
+        "re-save with saveRankModel(model, storage, name, docsVersion) " +
+        "to enable incremental refresh")
+    val dvs = storage.versions(docsTable)
+    require(dvs.nonEmpty, s"no versioned docs table '$docsTable'")
+    // pin the head ONCE (the refreshAnnIndex race comment applies)
+    val curV = dvs.last
+    if (curV == sinceV) return storage.versions(s"${name}__tr").last
+    val delta = storage.readVersionedSince(docsTable, sinceV,
+        toVersion = curV)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    try {
+      if (delta.isEmpty)
+        // maintenance-only advance: re-pin so future diffs start here
+        return rankPtrCommit(storage, name,
+          ptr.getAs[Long]("pairs_version"),
+          ptr.getAs[Long]("ranks_version"), curV)
+      val base = storage.readVersioned(s"${name}__pairs",
+        ptr.getAs[Long]("pairs_version"))
+      val folded = base.unionAll(GR.pairCounts(delta))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
+        .localCheckpoint()
+      val model = rankModelFromPairs(folded)
+      try {
+        val vp = storage.putVersioned(s"${name}__pairs", model.pairs)
+        val vr = storage.putVersioned(s"${name}__ranks", model.ranks)
+        rankPtrCommit(storage, name, vp, vr, curV)
+      } finally model.close()
+    } finally graft.operators.RelCache.freeLocalCheckpoint(delta)
+  }
+
+  /** [[vacuumAnnIndex]] for a persisted rank-model family: retain the
+    * last `keepLastPointers` pointers, vacuum pairs/ranks keeping the
+    * pinned versions.
+    */
+  def vacuumRankModel(storage: graft.sources.Storage, name: String,
+      keepLastPointers: Int): (Int, Int) = sumCounts(Seq(
+    storage.vacuumVersions(s"${name}__tr", keepLastPointers),
+    vacuumPinnedArms(storage, s"${name}__tr",
+      Seq(s"${name}__pairs" -> "pairs_version",
+        s"${name}__ranks" -> "ranks_version"))))
+
   /** Cross-modal pair mining over YOUR frames (the gated `mm_pair_mine`
     * pass): top-`k` `texts` neighbors for every `images` vector via a
     * flat-IVF index over the text side, keeping pairs at or above the
@@ -1977,9 +2113,9 @@ object Corpus {
   /** The operator-facing staleness observable over EVERY persisted
     * index family in a warehouse — the one frame that answers "is my
     * nightly loop keeping up, and when do I compact?". Scans
-    * [[graft.sources.Storage.lsVersioned]] for the six pointer
+    * [[graft.sources.Storage.lsVersioned]] for the seven pointer
     * suffixes (`__ann`, `__hybrid`, `__ivfpq`, `__pmb`, `__tok`,
-    * `__gl` —
+    * `__tr`, `__gl` —
     * nested arms like `<x>__dense__ann` report under their parent, not
     * as their own family) and emits one row per (family, component):
     *
@@ -2136,6 +2272,20 @@ object Corpus {
             r.getAs[Long]("merges_version"))
           arm(base, "tok", pv, "vocab", s"${base}__vocab",
             r.getAs[Long]("vocab_version"))
+        }
+      } else if (p.endsWith("__tr")) {
+        // the persisted TextRank model (pairs + ranks; the pairs fold
+        // is the CDC observable — map `base -> docs table` for lag)
+        val base = p.stripSuffix("__tr")
+        guarded(base, "textrank", p) {
+          val pv = storage.versions(p).last
+          val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
+          arm(base, "textrank", pv, "pairs", s"${base}__pairs",
+            r.getAs[Long]("pairs_version"))
+          arm(base, "textrank", pv, "ranks", s"${base}__ranks",
+            r.getAs[Long]("ranks_version"))
+          corpus(base, "textrank", pv, "docs",
+            r.getAs[Long]("docs_version"), base)
         }
       } else if (p.endsWith("__gl")) {
         // the persisted growth ledger (graft.api.Events) reports like

@@ -106,6 +106,24 @@ final case class HybridIndex private[api] (
   }
 }
 
+/** A built TextRank model: the directed token-pair rollup (the ONE
+  * corpus-derived relation of the family, vocabulary²-bounded and
+  * ADDITIVE under corpus appends) and the fixed-point rank table the
+  * ten PageRank iterations produce from it. Build once with
+  * [[Corpus.buildRankModel]]; serve keywords/keyphrases via
+  * [[graft.operators.GraphRank.keywords]] /
+  * [[graft.operators.GraphRank.keyphrases]] with zero corpus scans.
+  */
+final case class RankModel private[api] (
+    pairs: DataFrame, ranks: DataFrame) {
+
+  /** Release the model's checkpoint blocks (see [[AnnIndex.close]]). */
+  def close(): Unit = {
+    graft.operators.RelCache.freeLocalCheckpoint(pairs)
+    graft.operators.RelCache.freeLocalCheckpoint(ranks)
+  }
+}
+
 /** The persisted base of an incremental pair-mining pipeline (the
   * gated `pipe_pairs_upsert` posture): the IVF index trained on the
   * QA-kept base corpus, its inverted lists, and the base survivor

@@ -61,9 +61,15 @@ object GraphRank {
     * tokens that co-occur with many OTHER well-connected tokens.
     */
   def taTextrank(s: SparkSession, d: String): DataFrame =
-    cachedRanks(s, d)
-      .orderBy(col("rank_fp").desc, col("tok"))
-      .limit(TopK)
+    keywords(cachedRanks(s, d))
+
+  /** Serve the top-[[TopK]] keywords from ANY rank table (the
+    * session-cached one, or a [[graft.api.Corpus.loadRankModel]]'d
+    * persisted one — the persisted-model serve path runs zero corpus
+    * scans by construction).
+    */
+  def keywords(ranks: DataFrame): DataFrame =
+    ranks.orderBy(col("rank_fp").desc, col("tok")).limit(TopK)
 
   /** The session-cached full rank table `(tok, w_total, rank_fp,
     * rank)` — built once per (session, dir), served by both gated
@@ -84,14 +90,24 @@ object GraphRank {
     * derive from it without touching the corpus again.
     */
   private def directedPairCounts(s: SparkSession, d: String): DataFrame =
-    grCache.getOrBuild((s, d, "dpc")) {
-      val stop = TextAnalysis.stopwordList
-      TextAnalysis.bigramPairRel(documents(s, d))
-        .filter(col("w1") =!= col("w2") &&
-          !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-    }
+    grCache.getOrBuild((s, d, "dpc"))(
+      pairCounts(documents(s, d)).localCheckpoint())
+
+  /** Frame-parametric form of the pair rollup over ANY `(doc_id,
+    * text)` frame — the relation the persisted rank model stores,
+    * because it is ADDITIVE under corpus appends (each document
+    * contributes its own adjacent pairs): fold `pairCounts(delta)`
+    * into the stored rollup by summed union and the result equals a
+    * from-scratch pass over the grown corpus, count for count — the
+    * cleanest CDC refresh in the library.
+    */
+  def pairCounts(docs: DataFrame): DataFrame = {
+    val stop = TextAnalysis.stopwordList
+    TextAnalysis.bigramPairRel(docs)
+      .filter(col("w1") =!= col("w2") &&
+        !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+  }
 
   /** The undirected weighted co-occurrence graph, session-cached:
     * `edges(src, dst, w, tw, p)` — w = co-occurrence count (both
@@ -103,22 +119,26 @@ object GraphRank {
     */
   private[operators] def cooccurrenceGraph(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
-    val edges = grCache.getOrBuild((s, d, "edges")) {
-      val dpc = directedPairCounts(s, d)
-      val und = dpc.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
-        .unionAll(
-          dpc.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
-      // tw via a window OVER THE EDGE COUNTS (vocabulary-bounded), the
-      // same posture as ev_markov's n_from — never a counts self-join
-      val bySrc = Window.partitionBy(col("src"))
-      und.groupBy(col("src"), col("dst")).agg(sum(col("n")).as("w"))
-        .withColumn("tw", sum(col("w")).over(bySrc))
-        .withColumn("p", expr(s"(w * $PScale) DIV tw"))
-        .localCheckpoint()
-    }
+    val edges = grCache.getOrBuild((s, d, "edges"))(
+      graphEdges(directedPairCounts(s, d)).localCheckpoint())
     val verts = grCache.getOrBuild((s, d, "verts"))(
       edges.select(col("src").as("tok")).distinct().localCheckpoint())
     (edges, verts)
+  }
+
+  /** The undirected edge relation from ANY directed pair rollup
+    * (lazy — callers materialize before iterating). tw via a window
+    * OVER THE EDGE COUNTS (vocabulary-bounded), the same posture as
+    * ev_markov's n_from — never a counts self-join.
+    */
+  def graphEdges(dpc: DataFrame): DataFrame = {
+    val und = dpc.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
+      .unionAll(
+        dpc.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
+    val bySrc = Window.partitionBy(col("src"))
+    und.groupBy(col("src"), col("dst")).agg(sum(col("n")).as("w"))
+      .withColumn("tw", sum(col("w")).over(bySrc))
+      .withColumn("p", expr(s"(w * $PScale) DIV tw"))
   }
 
   private val grCache =
@@ -269,10 +289,15 @@ object GraphRank {
     * corpus — the graph AND the ranks come from the session-cached
     * fixed-point PageRank.
     */
-  def taKeyphrase(s: SparkSession, d: String): DataFrame = {
-    val ranks = cachedRanks(s, d)
-    val phrases = directedPairCounts(s, d)
-      .filter(col("n") >= MinPhraseCount)
+  def taKeyphrase(s: SparkSession, d: String): DataFrame =
+    keyphrases(directedPairCounts(s, d), cachedRanks(s, d))
+
+  /** Serve keyphrases from ANY (pair rollup, rank table) pair — the
+    * gated query's session-cached relations or a persisted rank
+    * model's loaded ones (see [[keywords]]).
+    */
+  def keyphrases(pairs: DataFrame, ranks: DataFrame): DataFrame = {
+    val phrases = pairs.filter(col("n") >= MinPhraseCount)
     val r1 = ranks.select(col("tok").as("w1"), col("rank_fp").as("r1"))
     val r2 = ranks.select(col("tok").as("w2"), col("rank_fp").as("r2"))
     phrases.join(r1, "w1").join(r2, "w2")
