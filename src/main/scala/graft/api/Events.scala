@@ -229,6 +229,53 @@ object Events {
       .drop("n")
   }
 
+  /** Bucket count of the activity table's physical layout. The table
+    * is written with an explicit `bucket = pmod(hash(user_id), B)`
+    * column, range-repartitioned and sorted by (bucket, user_id) — so
+    * every file carries tight min/max statistics on both columns, and
+    * the refresh's affected-user read pushes `bucket IN (…)` down to
+    * the parquet scan, skipping the files of untouched buckets. The
+    * prune bites when a delta's users concentrate in few buckets (the
+    * high-cadence / backfill case); a delta spanning every bucket
+    * degrades gracefully to the full scan it replaced. The sorted
+    * user_id within each file adds row-group skipping on top.
+    */
+  val ActivityBuckets = 32
+
+  /** The activity frame in its bucketed physical layout (see
+    * [[ActivityBuckets]]) — every writer of `<name>__act` goes through
+    * this so base snapshots and appended deltas prune identically.
+    */
+  private[api] def bucketedAct(act: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    act.withColumn("bucket",
+        pmod(hash(col("user_id")), lit(ActivityBuckets)))
+      .repartitionByRange(ActivityBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "user_id", "day")
+  }
+
+  /** The pinned activity snapshot restricted to `affected` users —
+    * the refresh's only read of history, bucket-pruned: only the
+    * parquet files whose bucket range intersects the affected users'
+    * buckets are scanned (an unbucketed legacy table degrades to the
+    * full-scan semi-join). The bucket set is at most
+    * [[ActivityBuckets]] values — a model-sized driver collect.
+    */
+  private[graft] def affectedActivity(storage: graft.sources.Storage,
+      name: String, actVersion: Long, affected: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val snap = storage.readVersioned(s"${name}__act", actVersion)
+    val pruned =
+      if (!snap.columns.contains("bucket")) snap
+      else {
+        val buckets = affected
+          .select(pmod(hash(col("user_id")), lit(ActivityBuckets)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        snap.filter(col("bucket").isInCollection(buckets)).drop("bucket")
+      }
+    pruned.join(affected, Seq("user_id"), "left_semi")
+  }
+
   private val LedgerCols =
     Seq("n_active", "n_new", "n_retained", "n_resurrected", "n_churned")
 
@@ -245,7 +292,7 @@ object Events {
     val curV = vcs.last
     val act = activityOf(storage.readVersioned(eventsTable, curV))
     val ledger = EventAnalytics.growthAccounting(act)
-    val va = storage.putVersioned(s"${name}__act", act)
+    val va = storage.putVersioned(s"${name}__act", bucketedAct(act))
     val vl = storage.putVersioned(s"${name}__ledger", ledger)
     commitLedgerPointer(storage, name, va, vl, curV)(act.sparkSession)
   }
@@ -275,7 +322,10 @@ object Events {
     * pinned events version ([[graft.sources.Storage.readVersionedSince]],
     * zero base scans), re-derive the per-day contribution of ONLY the
     * delta's users (old activity ∪ delta vs old activity — per-user
-    * decomposability makes the difference exact), fold it into the
+    * decomposability makes the difference exact; the affected-user
+    * read of the activity table is BUCKET-PRUNED, see
+    * [[affectedActivity]], so it reads the touched buckets' files,
+    * not all history), fold it into the
     * per-day ledger, append the genuinely new (user, day) rows onto
     * the PINNED activity version
     * ([[graft.sources.Storage.appendVersionedOnto]] — a refresh that
@@ -310,8 +360,10 @@ object Events {
         // so future refreshes diff from here
         return commitLedgerPointer(storage, name, va, vl, curV)
       val affected = deltaAct.select(col("user_id")).distinct()
-      val oldActAff = storage.readVersioned(s"${name}__act", va)
-        .join(affected, Seq("user_id"), "left_semi")
+      // bucket-pruned: only the files of touched buckets are read —
+      // see [[affectedActivity]]; the prune is plan-audited in
+      // EventsLedgerSpec
+      val oldActAff = affectedActivity(storage, name, va, affected)
         .localCheckpoint()
       try {
         val newRows =
@@ -341,7 +393,10 @@ object Events {
           // away) must vanish, as it would in a from-scratch ledger
           .filter(LedgerCols.map(col(_) =!= 0L).reduce(_ || _))
         val vl2 = storage.putVersioned(s"${name}__ledger", merged)
-        val va2 = storage.appendVersionedOnto(s"${name}__act", newRows, va)
+        // the appended delta dirs carry the same bucketed layout as the
+        // base snapshot, so future refreshes prune them identically
+        val va2 = storage.appendVersionedOnto(s"${name}__act",
+          bucketedAct(newRows), va)
         commitLedgerPointer(storage, name, va2, vl2, curV)
       } finally free(oldActAff)
     } finally free(deltaAct)

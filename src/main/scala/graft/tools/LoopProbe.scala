@@ -149,6 +149,47 @@ object LoopProbe {
       f"(20%% delta)=$tFold%6.1fs vs full rebuild=$tRebuild%6.1fs; " +
       s"fps=$expectFps")
 
+    // ---- growth-ledger loop: the bucket-pruned history read ----
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ns")).localCheckpoint()
+    val ne = ev.count()
+    storage.putVersioned("gev", ev)
+    val (_, tLedger) = time {
+      graft.api.Events.buildGrowthLedger(storage, "gev", "gl")
+    }
+    val vaPtr = storage.readVersioned("gl__gl").collect()(0)
+      .getAs[Long]("act_version")
+    // the concentrated-delta case the bucket prune exists for: ONE
+    // affected user (a correction, a single-tenant backfill) against
+    // the full activity history
+    val oneUser = ev.select(col("user_id")).limit(1).collect()(0).getLong(0)
+    val affected1 = {
+      import spark.implicits._
+      Seq(oneUser).toDF("user_id")
+    }
+    val (prunedN, tPruned) = time {
+      graft.api.Events.affectedActivity(storage, "gl", vaPtr, affected1)
+        .count()
+    }
+    val (fullN, tFull) = time {
+      storage.readVersioned("gl__act", vaPtr).drop("bucket")
+        .join(affected1, Seq("user_id"), "left_semi").count()
+    }
+    require(prunedN == fullN,
+      s"the prune must never change the rows ($prunedN vs $fullN)")
+    // the bulk-delta case degrades gracefully: 20% of users bring a
+    // genuinely new day (every bucket touched — the prune steps aside,
+    // the per-user decomposable fold carries the night)
+    storage.appendVersioned("gev",
+      ev.filter(col("user_id") % 100 >= 80)
+        .withColumn("ts_ns", col("ts_ns") + lit(30L * 86400L * 1000000000L)))
+    val (_, tBulk) = time {
+      graft.api.Events.refreshGrowthLedger(storage, "gev", "gl")
+    }
+    println(f"growth ledger: events=$ne build=$tLedger%6.1fs; " +
+      f"1-user history read pruned=$tPruned%5.2fs vs full-scan=" +
+      f"$tFull%5.2fs; bulk 20%%-user night=$tBulk%6.1fs")
+
     // ---- the observable's own cost, warehouse fully populated ----
     val corpusMap = Map("hyb" -> "hvecs", "hyb/docs" -> "hdocs",
       "pmb/docs" -> "pdocs", "pmb/vectors" -> "pvecs")

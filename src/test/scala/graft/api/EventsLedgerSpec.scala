@@ -83,7 +83,8 @@ class EventsLedgerSpec extends SparkTestBase {
     // run died before its ledger write and pointer commit
     val ptr = st.readVersioned("gl__gl").collect()(0)
     val va = ptr.getAs[Long]("act_version")
-    st.appendVersionedOnto("gl__act", delta.toDF("user_id", "day"), va)
+    st.appendVersionedOnto("gl__act",
+      Events.bucketedAct(delta.toDF("user_id", "day")), va)
     // the re-run must rebuild from the PINNED base — the orphan append
     // above must not be double-counted
     Events.refreshGrowthLedger(st, "events", "gl")
@@ -95,6 +96,34 @@ class EventsLedgerSpec extends SparkTestBase {
     assert(act.length === act.distinct.length,
       "the orphan append must not leak duplicate rows into the served version")
     assert(act.toSet === (base ++ delta).toSet)
+  }
+
+  test("the affected-user history read is bucket-pruned: bucket IN (…) reaches the parquet scan") {
+    val st = freshStorage()
+    // users spread across the bucket space, one day each
+    val base = (1L to 200L).map(u => (u, 10L))
+    st.putVersioned("events", evFrame(base))
+    Events.buildGrowthLedger(st, "events", "gl")
+    val va = st.readVersioned("gl__gl").collect()(0)
+      .getAs[Long]("act_version")
+    // a concentrated delta (one user) touches exactly one bucket
+    val affected = Seq(7L).toDF("user_id")
+    val read = Events.affectedActivity(st, "gl", va, affected)
+    val p = read.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    // a single-bucket set collapses In(bucket, …) to EqualTo(bucket, b)
+    assert(p.contains("In(bucket") || p.contains("EqualTo(bucket"),
+      "the bucket prune must reach the parquet scan as a pushed " +
+        "filter:\n" + p)
+    assert(read.columns.toSeq === Seq("user_id", "day"),
+      "the layout column must not leak into the relational surface")
+    // the prune is an optimization, never a semantics change: rows
+    // equal the unpruned semi-join
+    val full = st.readVersioned("gl__act", va).drop("bucket")
+      .join(affected, Seq("user_id"), "left_semi")
+    assert(read.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(read.count() === 1L)
   }
 
   test("describeIndexes reports the ledger family with consumed-vs-head lag") {
