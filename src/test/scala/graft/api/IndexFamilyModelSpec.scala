@@ -1,0 +1,163 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** Model-based fuzz of an index FAMILY's pointer protocol — the
+  * Corpus-layer composition above the storage commit protocol
+  * (`StorageModelSpec` fuzzes the latter; until now the layer above —
+  * build/refresh/compact/vacuum/load-at-version interleavings, plus
+  * the crash-between-artifact-append-and-pointer-commit window — was
+  * pinned only by hand-written fixtures).
+  *
+  * A random program over the ANN family (the base pattern every other
+  * family nests) runs against an in-memory model of
+  * {pointer generation → (indexed id set, consumed corpus version)}:
+  *
+  *  - `versions(<fam>__ann)` equals the model's retained generations;
+  *  - loading ANY retained generation serves exactly that generation's
+  *    indexed ids — no duplicates (the double-indexing failure class),
+  *    no leakage from later corpus appends (time-travel isolation);
+  *  - every pointer's `corpus_version` equals what the model says that
+  *    generation consumed;
+  *  - a refresh never trains; a no-op refresh (corpus unchanged)
+  *    commits nothing;
+  *  - an ORPHAN lists version (a refresh that died between its lists
+  *    append and its pointer commit, injected directly) is invisible:
+  *    later refreshes base on the PIN and the duplicate rows can never
+  *    be served;
+  *  - vacuum keeps exactly what retained pointers pin; loading a
+  *    vacuumed generation refuses.
+  *
+  * Seeded, so a failure replays deterministically; the soak asserts
+  * COVERAGE — each structural path (orphan injection, no-op refresh,
+  * compaction, re-save, vacuumed-load refusal) must fire at least
+  * once, or the soak is not exercising what it claims.
+  */
+class IndexFamilyModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // coverage across the whole soak
+  private var orphanInjections = 0
+  private var noopRefreshes = 0
+  private var compactions = 0
+  private var resaves = 0
+  private var vacuumedLoadRefusals = 0
+
+  test("ann-family fuzz: random build/refresh/compact/vacuum/crash programs match the pointer model or refuse honestly") {
+    Seq(5L, 20260816L, 77L, 4242L, 31337L, 11L).foreach(fuzz)
+    assert(orphanInjections > 0, "no crashed-refresh orphan was exercised")
+    assert(noopRefreshes > 0, "no no-op refresh was exercised")
+    assert(compactions > 0, "no compaction was exercised")
+    assert(resaves > 0, "no re-save generation was exercised")
+    assert(vacuumedLoadRefusals > 0,
+      "no vacuumed-generation load refusal was exercised")
+  }
+
+  private def fuzz(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val st = new graft.sources.Storage(spark,
+      Files.createTempDirectory(s"graft-famfuzz$seed-").toString)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val n = e.count()
+
+    // the corpus grows by contiguous id slices, so "content at corpus
+    // version v" is just an id bound — the model stays trivial
+    var bound = n * 2 / 5
+    st.putVersioned("vecs", e.filter($"vec_id" < bound))
+    def corpusHead = st.versions("vecs").last
+
+    // model: one entry per RETAINED pointer generation
+    var gens = Vector.empty[(Long, Long, Long)] // (pv, idBound, consumedV)
+
+    val built = Corpus.buildAnnIndex(st.readVersioned("vecs"))
+    gens :+= ((Corpus.saveAnnIndex(built, st, "fam",
+      corpusVersion = corpusHead), bound, corpusHead))
+    built.close()
+
+    for (op <- 1 to 16) {
+      rnd.nextInt(8) match {
+        case 0 | 1 => // corpus append: a fresh id slice lands
+          if (bound < n) {
+            val hi = math.min(n, bound + 1 + rnd.nextInt((n / 8).toInt))
+            st.appendVersioned("vecs",
+              e.filter($"vec_id" >= bound && $"vec_id" < hi))
+            bound = hi
+          }
+        case 2 | 3 => // nightly refresh: O(delta), zero training; a
+          // caught-up refresh commits nothing
+          val passes = graft.operators.Similarity.trainingPasses.get()
+          val head = corpusHead
+          val pv = Corpus.refreshAnnIndex(st, "fam", "vecs")
+          assert(graft.operators.Similarity.trainingPasses.get() == passes,
+            s"seed=$seed op=$op: refresh must never train")
+          if (head == gens.last._3) {
+            assert(pv == gens.last._1,
+              s"seed=$seed op=$op: caught-up refresh must be a no-op")
+            noopRefreshes += 1
+          } else gens :+= ((pv, bound, head))
+        case 4 => // compaction: content-equal, new pointer generation
+          val pv = Corpus.compactAnnIndex(st, "fam")
+          gens :+= ((pv, gens.last._2, gens.last._3))
+          assert(st.versionDirCount("fam__lists") == 1,
+            s"seed=$seed op=$op: compaction must re-pack to one dir")
+          compactions += 1
+        case 5 => // crashed refresh: the lists append landed, the
+          // pointer commit did not — inject the orphan (duplicate
+          // rows: exactly what a replayed crashed night would stack)
+          val pinned = Corpus.pointerRow(st, "fam__ann")
+            .getAs[Long]("lists_version")
+          st.appendVersionedOnto("fam__lists",
+            st.readVersioned("fam__lists", pinned).limit(2), pinned)
+          orphanInjections += 1
+        case 6 => // re-save: a fresh generation trained from the
+          // current snapshot (the weekly retrain posture)
+          val b2 = Corpus.buildAnnIndex(st.readVersioned("vecs"))
+          val head = corpusHead
+          gens :+= ((Corpus.saveAnnIndex(b2, st, "fam",
+            corpusVersion = head), bound, head))
+          b2.close()
+          resaves += 1
+        case 7 => // vacuum: retain a random pointer tail; loading a
+          // dropped generation must refuse
+          val keep = 1 + rnd.nextInt(gens.size)
+          val dropped = gens.dropRight(keep).map(_._1)
+          Corpus.vacuumAnnIndex(st, "fam", keepLastPointers = keep)
+          gens = gens.takeRight(keep)
+          dropped.lastOption.foreach { v =>
+            intercept[IllegalArgumentException] {
+              Corpus.loadAnnIndex(st, "fam", version = v)
+            }
+            vacuumedLoadRefusals += 1
+          }
+      }
+
+      // ---- invariants after every op ----
+      assert(st.versions("fam__ann") == gens.map(_._1),
+        s"seed=$seed op=$op: retained pointer generations diverged")
+      // load a RANDOM retained generation: exactly its ids, no
+      // duplicates (orphan rows surfacing would show up here), no
+      // leakage from later appends
+      val (pv, idBound, consumed) = gens(rnd.nextInt(gens.size))
+      val idx = Corpus.loadAnnIndex(st, "fam", version = pv)
+      val served = idx.lists.select($"c_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      idx.close()
+      assert(served == (0L until idBound),
+        s"seed=$seed op=$op: generation $pv must serve ids [0, $idBound) " +
+          s"exactly, got ${served.length} rows")
+      assert(Corpus.pointerRow(st, "fam__ann", pv)
+        .getAs[Long]("corpus_version") == consumed,
+        s"seed=$seed op=$op: generation $pv consumed-version diverged")
+    }
+
+    // the loop ends caught up: one final refresh serves the whole
+    // corpus at its head
+    val pvF = Corpus.refreshAnnIndex(st, "fam", "vecs")
+    val idxF = Corpus.loadAnnIndex(st, "fam", version = pvF)
+    assert(idxF.lists.count() == bound)
+    idxF.close()
+  }
+}
