@@ -1599,6 +1599,35 @@ object Corpus {
         docsTable, vectorsTable); () },
       consumedVersion = () => hybridConsumedVersion(storage, indexName))
 
+  /** [[sinkWithAnnRefresh]] for a persisted [[RankModel]] — the
+    * TextRank family's continuous loop as one verb: the DOCS stream
+    * lands in versioned table `docsTable` through the exactly-once
+    * sink, and every `refreshEvery` committed batches
+    * [[refreshRankModel]] folds the accumulated delta's pair counts
+    * into the pinned rollup and re-runs the vocabulary-bounded
+    * iterations — O(delta + vocab), bit-identical to a rebuild.
+    *
+    * Bootstrap once before the first start: [[buildRankModel]] over
+    * the initial snapshot and [[saveRankModel]] with its docs corpus
+    * version. Catch-up-at-start and refresh-aware retention are the
+    * shared loop's (see [[sinkWithAnnRefresh]]): `vacuumKeep` keeps
+    * the last K docs versions plus everything at or after the
+    * pointer's consumed version, so the version the next fold diffs
+    * from is structurally un-vacuumable.
+    */
+  def sinkWithRankRefresh(ds: DataFrame, storage: graft.sources.Storage,
+      docsTable: String, checkpointDir: String, modelName: String,
+      refreshEvery: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery: Int = 0, vacuumKeep: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkRefreshLoop(ds, storage, docsTable, checkpointDir,
+      refreshEvery, trigger, compactEvery, vacuumKeep,
+      refresh = () => { refreshRankModel(storage, modelName, docsTable); () },
+      consumedVersion = () => pointerRow(storage, s"${modelName}__tr")
+        .getAs[Long]("docs_version"))
+
   /** The vectors-corpus version a persisted hybrid family has consumed:
     * the hybrid pointer pins a dense-arm POINTER version, and THAT
     * pointer (at its pinned version, never "latest" — a crashed refresh

@@ -460,6 +460,78 @@ class SinksSpec extends SparkTestBase {
     Seq(built, idx).foreach(_.close())
   }
 
+  test("sinkWithRankRefresh: the TextRank family's continuous loop — fold refresh across a kill equals a rebuild bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-trloop-src-")
+    val cp = Files.createTempDirectory("graft-trloop-cp-")
+    val storage = new Storage(spark,
+      Files.createTempDirectory("graft-trloop-wh-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    def writeDocs(name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createTempDirectory("graft-trloop-stage-")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(name))
+      Thread.sleep(1100)
+    }
+    def docStream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // bootstrap: the initial snapshot streams in, the model builds +
+    // saves with its consumed docs version
+    writeDocs("001.parquet", 0L, n * 2 / 5)
+    Sinks.sinkVersionedExactlyOnce(docStream(), storage, "trdocs",
+      cp.toString).awaitTermination(180000)
+    val m0 = graft.api.Corpus.buildRankModel(storage.readVersioned("trdocs"))
+    graft.api.Corpus.saveRankModel(m0, storage, "trm",
+      docsCorpusVersion = storage.versions("trdocs").last)
+    // three more batches; a kill lands AFTER batch 1's table commit
+    // (the classic duplicate window) — the loop must resume exactly-once
+    writeDocs("002.parquet", n * 2 / 5, n * 3 / 5)
+    writeDocs("003.parquet", n * 3 / 5, n * 4 / 5)
+    writeDocs("004.parquet", n * 4 / 5, n)
+    val q1 = docStream().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (storage.appendBatchIdempotent("trdocs", b, id,
+            writer = cp.toString).isEmpty)
+          b.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+        if (id == 1) throw new RuntimeException("injected post-commit kill")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // the ONE verb resumes: batch 1 replays as a skip, 2..3 land, the
+    // fold fires at the boundaries plus the catch-up at start
+    graft.api.Corpus.sinkWithRankRefresh(docStream(), storage, "trdocs",
+      cp.toString, "trm", refreshEvery = 2, vacuumKeep = 2)
+      .awaitTermination(180000)
+    assert(storage.readVersioned("trdocs").count() == n,
+      "the kill-replayed ingest must land every doc exactly once")
+    // the folded model equals a from-scratch build over the full
+    // corpus, bit-for-bit (integer fixed-point end to end)
+    val loaded = graft.api.Corpus.loadRankModel(storage, "trm")
+    val rebuilt = graft.api.Corpus.buildRankModel(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(loaded.ranks) == rows(rebuilt.ranks) &&
+      rows(loaded.ranks).nonEmpty,
+      "the continuous fold must equal a rebuild over the full corpus")
+    // the pointer consumed exactly the docs version the stream left
+    assert(storage.readVersioned("trm__tr").collect()(0)
+      .getAs[Long]("docs_version") == storage.versions("trdocs").last)
+    // refresh-aware vacuum bounded history but never the consumed
+    // version: the table still reads in full
+    assert(storage.readVersioned("trdocs").count() == n)
+    Seq(m0, loaded, rebuilt).foreach(_.close())
+  }
+
   test("sinkWithPairMiningRefresh: aligned two-table ingest + base fold as one verb, kill between the paired appends included") {
     import org.apache.spark.sql.functions.col
     val src = Files.createTempDirectory("graft-pmloop-src-")
