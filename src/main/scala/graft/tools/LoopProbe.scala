@@ -149,6 +149,25 @@ object LoopProbe {
       f"(20%% delta)=$tFold%6.1fs vs full rebuild=$tRebuild%6.1fs; " +
       s"fps=$expectFps")
 
+    // ---- TextRank model loop: fold-the-delta vs full rebuild ----
+    storage.putVersioned("tdocs", docs.filter(dPct < 80))
+    val (rm, tRankBuild) = time {
+      Corpus.buildRankModel(storage.readVersioned("tdocs"))
+    }
+    Corpus.saveRankModel(rm, storage, "trm",
+      docsCorpusVersion = storage.versions("tdocs").last)
+    storage.appendVersioned("tdocs", docs.filter(dPct >= 80))
+    val (_, tRankFold) = time {
+      Corpus.refreshRankModel(storage, "trm", "tdocs")
+    }
+    val (_, tRankRebuild) = time {
+      Corpus.buildRankModel(storage.readVersioned("tdocs")).close()
+    }
+    println(f"textrank model: build(80%%)=$tRankBuild%6.1fs; nightly " +
+      f"fold (20%% delta)=$tRankFold%6.1fs vs full rebuild=" +
+      f"$tRankRebuild%6.1fs")
+    rm.close()
+
     // ---- growth-ledger loop: the bucket-pruned history read ----
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts_ns")).localCheckpoint()
@@ -192,6 +211,7 @@ object LoopProbe {
 
     // ---- the observable's own cost, warehouse fully populated ----
     val corpusMap = Map("hyb" -> "hvecs", "hyb/docs" -> "hdocs",
+      "trm" -> "tdocs", "gl" -> "gev",
       "pmb/docs" -> "pdocs", "pmb/vectors" -> "pvecs")
     val (rows, tDescribe) = time {
       Corpus.describeIndexes(storage, corpusMap).collect()
@@ -200,7 +220,7 @@ object LoopProbe {
       r.isNullAt(7) || r.getLong(7) == 0L),
       "every family must report caught-up after its refresh")
     println(f"describeIndexes over ${rows.length} rows " +
-      f"(2 families + arms): $tDescribe%5.2fs — metadata-only")
+      f"(4 families + arms): $tDescribe%5.2fs — metadata-only")
 
     built.close(); loaded.close(); base.close(); folded.close()
     spark.stop()
