@@ -1398,12 +1398,19 @@ object Corpus {
     // tonight's postings but not in the checkpoint → re-consumed
     // forever; see refreshAnnIndex)
     val curV = dvs.last
-    if (curV == sinceV)
-      // docs unchanged: carry the lexical arm forward, re-pin dense
+    if (curV == sinceV) {
+      // docs unchanged. BOTH arms unchanged → true no-op: commit
+      // nothing (a nightly loop over a quiet corpus must not grow the
+      // pointer table one content-identical version per night —
+      // refreshAnnIndex's no-op posture). Dense advanced → carry the
+      // lexical arm forward and re-pin.
+      if (vd == ptr.getAs[Long]("dense_version"))
+        return storage.versions(s"${name}__hybrid").last
       return hybridPtrCommit(storage, name,
         ptr.getAs[Long]("postings_version"), vd,
         ptrLong(ptr, "lexdf_version"), sinceV, ptrLong(ptr, "n_docs"),
         ptrLong(ptr, "sum_dl"), ptrLong(ptr, "stale_docs", 0L))
+    }
     val delta = storage.readVersionedSince(docsTable, sinceV,
         toVersion = curV)
       .select(col("doc_id"), col("text"))

@@ -687,10 +687,14 @@ class CorpusSpec extends SparkTestBase {
     val ptr2 = storage.readVersioned("hyb2__hybrid").collect()(0)
     assert(ptr2.getAs[Long]("stale_docs") == 0L &&
       ptr2.getAs[Long]("dense_version") == denseBefore)
-    // a refresh with no new docs is a no-op re-pin: the postings
-    // version is carried, not rewritten
+    // a refresh with no new docs AND no new vectors is a true no-op:
+    // nothing commits (a quiet nightly loop must not grow the pointer
+    // table one content-identical version per night)
     val postV = ptr2.getAs[Long]("postings_version")
+    val ptrVersions = storage.versions("hyb2__hybrid")
     Corpus.refreshHybridIndex(storage, "hyb2", "hdocs", "hvecs")
+    assert(storage.versions("hyb2__hybrid") == ptrVersions,
+      "a fully-caught-up refresh must commit nothing")
     assert(storage.readVersioned("hyb2__hybrid").collect()(0)
       .getAs[Long]("postings_version") == postV)
     Seq(built, loaded, rebuilt).foreach(_.close())

@@ -55,6 +55,163 @@ class IndexFamilyModelSpec extends SparkTestBase {
       "no vacuumed-generation load refusal was exercised")
   }
 
+  // hybrid-family coverage across its soak
+  private var hybridNoops = 0
+  private var exactUpgrades = 0
+  private var hybridOrphans = 0
+  private var hybridRebuilds = 0
+  private var hybridCompactions = 0
+  private var hybridVacuumRefusals = 0
+
+  test("hybrid-family fuzz: frozen-stats incremental/exact/upgrade/no-op interleavings match the staleness model") {
+    Seq(3L, 20260817L, 88L, 424242L).foreach(fuzzHybrid)
+    assert(hybridNoops > 0, "no fully-caught-up no-op was exercised")
+    assert(exactUpgrades > 0, "no legacy-pointer exact upgrade was exercised")
+    assert(hybridOrphans > 0, "no crashed-refresh postings orphan was exercised")
+    assert(hybridRebuilds > 0, "no explicit exact recalc was exercised")
+    assert(hybridCompactions > 0, "no hybrid compaction was exercised")
+    assert(hybridVacuumRefusals > 0,
+      "no vacuumed-generation load refusal was exercised")
+  }
+
+  private def fuzzHybrid(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val st = new graft.sources.Storage(spark,
+      Files.createTempDirectory(s"graft-hybfuzz$seed-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").localCheckpoint()
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val nd = docs.count()
+    val nv = e.count()
+    // ids of docs that produce at least one posting (non-empty text)
+    val tokIds = docs
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.tokens($"text")) > 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    var dBound = nd * 2 / 5
+    var vBound = nv * 2 / 5
+    st.putVersioned("hdocs", docs.filter($"doc_id" < dBound))
+    st.putVersioned("hvecs", e.filter($"vec_id" < vBound))
+
+    // model: one entry per retained pointer generation —
+    // (pv, postings doc bound, indexed vec bound, stale_docs or -1
+    // for a legacy generation without frozen stats)
+    var gens = Vector.empty[(Long, Long, Long, Long)]
+    var frozen = rnd.nextBoolean() // half the seeds start legacy
+
+    val built = Corpus.buildHybridIndex(
+      st.readVersioned("hdocs"), st.readVersioned("hvecs"))
+    val pv0 =
+      if (frozen)
+        Corpus.saveHybridIndex(built, st, "hf",
+          vectorsCorpusVersion = st.versions("hvecs").last,
+          docs = st.readVersioned("hdocs"),
+          docsCorpusVersion = st.versions("hdocs").last)
+      else Corpus.saveHybridIndex(built, st, "hf",
+        vectorsCorpusVersion = st.versions("hvecs").last)
+    gens :+= ((pv0, dBound, vBound, if (frozen) 0L else -1L))
+    built.close()
+
+    for (op <- 1 to 14) {
+      rnd.nextInt(8) match {
+        case 0 => // docs append
+          if (dBound < nd) {
+            val hi = math.min(nd, dBound + 1 + rnd.nextInt((nd / 8).toInt))
+            st.appendVersioned("hdocs",
+              docs.filter($"doc_id" >= dBound && $"doc_id" < hi))
+            dBound = hi
+          }
+        case 1 => // vectors append
+          if (vBound < nv) {
+            val hi = math.min(nv, vBound + 1 + rnd.nextInt((nv / 8).toInt))
+            st.appendVersioned("hvecs",
+              e.filter($"vec_id" >= vBound && $"vec_id" < hi))
+            vBound = hi
+          }
+        case 2 | 3 => // nightly refresh: no-op / incremental / exact
+          // upgrade depending on the pointer's state
+          val last = gens.last
+          val passes = graft.operators.Similarity.trainingPasses.get()
+          val pv = Corpus.refreshHybridIndex(st, "hf", "hdocs", "hvecs")
+          assert(graft.operators.Similarity.trainingPasses.get() == passes,
+            s"seed=$seed op=$op: a hybrid refresh must never train")
+          if (!frozen) {
+            // legacy pointer: the exact path runs once and upgrades
+            gens :+= ((pv, dBound, vBound, 0L))
+            frozen = true
+            exactUpgrades += 1
+          } else if (dBound == last._2 && vBound == last._3) {
+            assert(pv == last._1,
+              s"seed=$seed op=$op: caught-up refresh must commit nothing")
+            hybridNoops += 1
+          } else if (dBound == last._2) // dense-only advance: re-pin
+            gens :+= ((pv, last._2, vBound, last._4))
+          else // frozen-stats append accumulates drift
+            gens :+= ((pv, dBound, vBound, last._4 + (dBound - last._2)))
+        case 4 => // explicit exact recalc: drift resets, dense arm kept
+          val last = gens.last
+          val pv = Corpus.rebuildHybridPostings(st, "hf", "hdocs")
+          gens :+= ((pv, dBound, last._3, 0L))
+          frozen = true
+          hybridRebuilds += 1
+        case 5 => // compaction: content-equal, dir counts re-pack
+          val last = gens.last
+          val pv = Corpus.compactHybridIndex(st, "hf")
+          gens :+= ((pv, last._2, last._3, last._4))
+          assert(st.versionDirCount("hf__postings") == 1,
+            s"seed=$seed op=$op: compaction must re-pack the postings")
+          hybridCompactions += 1
+        case 6 => // crashed refresh: postings append landed, pointer
+          // commit did not — the duplicate rows must never serve
+          val pinned = st.readVersioned("hf__hybrid").collect()(0)
+            .getAs[Long]("postings_version")
+          st.appendVersionedOnto("hf__postings",
+            st.readVersioned("hf__postings", pinned).limit(3), pinned)
+          hybridOrphans += 1
+        case 7 => // vacuum a pointer tail; dropped generations refuse
+          val keep = 1 + rnd.nextInt(gens.size)
+          val dropped = gens.dropRight(keep).map(_._1)
+          Corpus.vacuumHybridIndex(st, "hf", keepLastPointers = keep)
+          gens = gens.takeRight(keep)
+          dropped.lastOption.foreach { v =>
+            intercept[IllegalArgumentException] {
+              Corpus.loadHybridIndex(st, "hf", version = v)
+            }
+            hybridVacuumRefusals += 1
+          }
+      }
+
+      // ---- invariants after every op ----
+      assert(st.versions("hf__hybrid") == gens.map(_._1),
+        s"seed=$seed op=$op: retained pointer generations diverged")
+      val (pv, pd, pvv, stale) = gens(rnd.nextInt(gens.size))
+      val idx = Corpus.loadHybridIndex(st, "hf", version = pv)
+      val post = idx.postings.select($"doc_id", $"term").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      idx.close()
+      // postings cover exactly the consumed docs (with tokens), once:
+      // an orphan surfacing would show as duplicate (doc, term) pairs
+      assert(post.length == post.distinct.length,
+        s"seed=$seed op=$op: generation $pv serves duplicate postings")
+      assert(post.map(_._1).toSet == tokIds.filter(_ < pd),
+        s"seed=$seed op=$op: generation $pv postings must cover docs " +
+          s"[0, $pd) exactly")
+      val ptr = st.readVersioned("hf__hybrid", pv).collect()(0)
+      if (stale >= 0L)
+        assert(ptr.getAs[Long]("stale_docs") == stale,
+          s"seed=$seed op=$op: generation $pv staleness diverged " +
+            s"(${ptr.getAs[Long]("stale_docs")} vs $stale)")
+      val lists = st.readVersioned("hf__dense__lists",
+        st.readVersioned("hf__dense__ann",
+            ptr.getAs[Long]("dense_version")).collect()(0)
+          .getAs[Long]("lists_version"))
+      assert(lists.count() == pvv,
+        s"seed=$seed op=$op: generation $pv dense arm must index $pvv vectors")
+    }
+  }
+
   private def fuzz(seed: Long): Unit = {
     val rnd = new scala.util.Random(seed)
     val st = new graft.sources.Storage(spark,
