@@ -155,7 +155,11 @@ object Bench {
         s"[bench] $name reps: ${times.map(t => (math.round(t * 1000) / 1000.0)).mkString(", ")}")
       val good = times.filter(_ >= 0)
       val med = if (good.isEmpty) -1.0 else median(good)
-      if (isFamilyFirst && good.nonEmpty && times.head >= 0)
+      // first boundary per family only: explicit-args runs can
+      // interleave families, and duplicate keys would corrupt the
+      // JSON objects below (parsers keep the last silently)
+      if (isFamilyFirst && good.nonEmpty && times.head >= 0 &&
+          !famFirst.exists(_._1 == familyOf(name)))
         famFirst += ((familyOf(name), name,
           math.max(0.0, times.head - med)))
       name -> med

@@ -1103,7 +1103,13 @@ object Corpus {
   def buildRankModel(docs: DataFrame): RankModel = {
     val GR = graft.operators.GraphRank
     val pairs = GR.pairCounts(docs).localCheckpoint()
-    rankModelFromPairs(pairs)
+    // on success the pairs checkpoint is owned by the returned model
+    // (freed by its close()); a failed rank stage must not strand it
+    // in the block manager for the session lifetime
+    try rankModelFromPairs(pairs)
+    catch { case t: Throwable =>
+      graft.operators.RelCache.freeLocalCheckpoint(pairs); throw t
+    }
   }
 
   /** The vocabulary-bounded half of [[buildRankModel]]: graph + ranks
@@ -1207,7 +1213,14 @@ object Corpus {
       val folded = base.unionAll(GR.pairCounts(delta))
         .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
         .localCheckpoint()
-      val model = rankModelFromPairs(folded)
+      // a failed rank stage (the continuous loop's crash window) must
+      // free the folded rollup's blocks — on success the model's
+      // close() below owns them
+      val model =
+        try rankModelFromPairs(folded)
+        catch { case t: Throwable =>
+          graft.operators.RelCache.freeLocalCheckpoint(folded); throw t
+        }
       try {
         val vp = storage.putVersioned(s"${name}__pairs", model.pairs)
         val vr = storage.putVersioned(s"${name}__ranks", model.ranks)
@@ -1311,22 +1324,30 @@ object Corpus {
     val vp = storage.putVersioned(s"${name}__postings", index.postings)
     val va = saveAnnIndex(index.ann, storage, s"${name}__dense",
       vectorsCorpusVersion)
-    val vdf = storage.putVersioned(s"${name}__lexdf",
-      storage.readVersioned(s"${name}__postings", vp)
-        .groupBy(col("term")).agg(count(lit(1)).as("df")))
-    val (nDocs, sumDl) = lexGlobals(docs)
+    val (vdf, nDocs, sumDl) = freezeLexStats(storage, name, vp, docs)
     hybridPtrCommit(storage, name, vp, va, vdf, docsCorpusVersion,
       nDocs, sumDl, 0L)
   }
 
-  /** The frozen global pair of the lexical arm: (n_docs, sum_dl) over
-    * a docs snapshot — one scan, no explode (dl is `size(tokens)`).
+  /** Freeze the lexical stats from a COMMITTED postings snapshot plus
+    * the docs frame, with ZERO re-tokenization (the postings build's
+    * own scan was the one tokenize pass): df per term is the per-term
+    * posting-row count (one row per (doc, term)), sum_dl sums the
+    * per-doc `dl` the postings carry (a zero-token doc has no
+    * postings and contributes 0, exactly as the formula's stats do),
+    * and n_docs is a metadata-cheap row count of `docs`. Returns
+    * (lexdf version, n_docs, sum_dl).
     */
-  private def lexGlobals(docs: DataFrame): (Long, Long) = {
-    val r = docs.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(size(graft.functions.tokens(col("text")))
-        .cast("long")), lit(0L)).as("sum_dl")).collect()(0)
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
+  private def freezeLexStats(storage: graft.sources.Storage,
+      name: String, postingsV: Long, docs: DataFrame)
+      : (Long, Long, Long) = {
+    val committed = storage.readVersioned(s"${name}__postings", postingsV)
+    val vdf = storage.putVersioned(s"${name}__lexdf",
+      committed.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val sumDl = committed.select(col("doc_id"), col("dl")).distinct()
+      .agg(coalesce(sum(col("dl").cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    (vdf, docs.count(), sumDl)
   }
 
   /** The ONE hybrid-pointer writer (save/refresh/rebuild/compact all
@@ -1387,12 +1408,23 @@ object Corpus {
     val vd = refreshAnnIndex(storage, s"${name}__dense", vectorsTable)
     val ptr = pointerRow(storage, s"${name}__hybrid")
     val sinceV = ptrLong(ptr, "docs_version")
-    if (sinceV < 0L || ptrLong(ptr, "lexdf_version") < 0L)
-      // no frozen stats to append under: pay the exact rebuild once
-      // and upgrade the pointer — the next refresh goes O(delta)
-      return exactPostingsCommit(storage, name, docsTable, vd)
     val dvs = storage.versions(docsTable)
     require(dvs.nonEmpty, s"no versioned docs table '$docsTable'")
+    if (sinceV < 0L || ptrLong(ptr, "lexdf_version") < 0L ||
+        !dvs.contains(sinceV) ||
+        !storage.readVersioned(s"${name}__postings",
+          ptr.getAs[Long]("postings_version")).columns.contains("dl"))
+      // exact path: no frozen stats to append under (legacy save), OR
+      // the docs table's own retention reclaimed the pinned consumed
+      // version (the docs side is fed by its OWN pipeline, whose
+      // vacuum does not know this family's checkpoint — see
+      // sinkWithHybridRefresh's scaladoc), OR the pinned postings
+      // predate the dl-carrying schema (a cross-release warehouse —
+      // appending the new schema would trip the append gate). Either
+      // way the refresh must not wedge: pay one O(corpus) rebuild,
+      // re-freeze stats at the current snapshot, and the next refresh
+      // goes O(delta)
+      return exactPostingsCommit(storage, name, docsTable, vd)
     // resolve the docs head ONCE and pin reads + checkpoint to it —
     // re-resolving "latest" races a concurrent docs append (rows in
     // tonight's postings but not in the checkpoint → re-consumed
@@ -1472,13 +1504,9 @@ object Corpus {
     val docs = storage.readVersioned(docsTable, curV)
     val vp = storage.putVersioned(s"${name}__postings",
       graft.streaming.DocStreams.bm25Postings(docs))
-    // df derives from the COMMITTED postings (one row per (doc, term)
-    // — the per-term count IS the df the build scored with): an
-    // O(postings) read instead of a second corpus tokenize
-    val vdf = storage.putVersioned(s"${name}__lexdf",
-      storage.readVersioned(s"${name}__postings", vp)
-        .groupBy(col("term")).agg(count(lit(1)).as("df")))
-    val (nDocs, sumDl) = lexGlobals(docs)
+    // ONE tokenize pass total: df and sum_dl derive from the
+    // committed postings, n_docs from a metadata-cheap count
+    val (vdf, nDocs, sumDl) = freezeLexStats(storage, name, vp, docs)
     hybridPtrCommit(storage, name, vp, vd, vdf, curV, nDocs, sumDl, 0L)
   }
 
@@ -1575,14 +1603,20 @@ object Corpus {
     * verb: the VECTOR stream lands in `vectorsTable` through the
     * exactly-once sink, and every `refreshEvery` committed batches
     * [[refreshHybridIndex]] runs — the dense arm consumes the vector
-    * delta under frozen centroids (O(delta)), the lexical arm rebuilds
-    * its BM25 postings from `docsTable`'s CURRENT snapshot (corpus-
-    * global idf/avgdl cannot be appended honestly — see
-    * [[refreshHybridIndex]]), and one atomic hybrid-pointer commit
-    * re-pins both so lexical and dense arms always serve the same
-    * generation. `docsTable` is read-only here: feed it with its own
-    * exactly-once sink (or batch puts) at whatever cadence the docs
-    * arrive; each refresh folds in whatever that table holds.
+    * delta under frozen centroids (O(delta)), the lexical arm appends
+    * the docs delta's postings under the frozen idf/avgdl the save
+    * pinned (O(delta); bounded drift — schedule
+    * [[rebuildHybridPostings]] on a slow cadence and watch the
+    * `stale_rows` observable in [[describeIndexes]]), and one atomic
+    * hybrid-pointer commit re-pins both so lexical and dense arms
+    * always serve the same generation. `docsTable` is read-only here:
+    * feed it with its own exactly-once sink (or batch puts) at
+    * whatever cadence the docs arrive; each refresh folds in whatever
+    * that table holds. If the docs side's OWN retention reclaims the
+    * consumed docs version this family pinned, the next refresh
+    * self-heals with one exact rebuild instead of wedging — but keep
+    * the docs vacuum keeping at least this family's consumed version
+    * to stay O(delta).
     *
     * Bootstrap once before the first start: [[buildHybridIndex]] over
     * the initial snapshots and [[saveHybridIndex]] with the vectors

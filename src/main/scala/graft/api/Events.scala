@@ -393,10 +393,17 @@ object Events {
           // away) must vanish, as it would in a from-scratch ledger
           .filter(LedgerCols.map(col(_) =!= 0L).reduce(_ || _))
         val vl2 = storage.putVersioned(s"${name}__ledger", merged)
-        // the appended delta dirs carry the same bucketed layout as the
-        // base snapshot, so future refreshes prune them identically
+        // the appended delta dirs carry the SAME layout as the base
+        // snapshot: bucketed onto a bucketed base (so future refreshes
+        // prune them identically), raw onto a legacy unbucketed base
+        // (appending a bucket column there would trip the append
+        // schema gate and wedge every nightly refresh)
+        val newActRows =
+          if (storage.readVersioned(s"${name}__act", va)
+              .columns.contains("bucket")) bucketedAct(newRows)
+          else newRows
         val va2 = storage.appendVersionedOnto(s"${name}__act",
-          bucketedAct(newRows), va)
+          newActRows, va)
         commitLedgerPointer(storage, name, va2, vl2, curV)
       } finally free(oldActAff)
     } finally free(deltaAct)

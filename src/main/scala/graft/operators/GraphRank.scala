@@ -358,12 +358,14 @@ object GraphRank {
     * their first content sentence, flagged `ranked = false`.
     *
     * The per-document relations are BOUNDED by [[MaxSummarySentences]]
-    * (only the first N '.'-split positions participate): the posting
-    * self-join forms pairs per (doc_id, token) group, so without a cap
-    * ONE pathological 10k-sentence document sharing a recurring token
-    * would generate ~5·10⁷ pairs inside a single task — and the join
-    * key is (doc_id, tok), which AQE skew splitting cannot split. The
-    * cap is deterministic (a position filter, mirrored exactly in the
+    * (only the first N NON-EMPTY sentences participate — empty
+    * fragments from ellipses/abbreviation runs do not burn the
+    * budget): the posting self-join forms pairs per (doc_id, token)
+    * group, so without a cap ONE pathological 10k-sentence document
+    * sharing a recurring token would generate ~5·10⁷ pairs inside a
+    * single task — and the join key is (doc_id, tok), which AQE skew
+    * splitting cannot split. The cap is deterministic (a per-doc
+    * row_number over non-empty fragments, mirrored exactly in the
     * oracle SQL) and summary-faithful for real documents: a summary
     * extracted from a document's first 64 sentences is the documented
     * contract, the same lead-bias every extractive baseline carries.
@@ -405,13 +407,23 @@ object GraphRank {
     val stop = TextAnalysis.stopwordList
     // content sentences: raw '.'-split position (stable id), ≥1
     // non-stop token
+    // the pathological-document guard caps NON-EMPTY sentences, not
+    // raw split positions: ellipsis/abbreviation runs produce empty
+    // fragments that must not burn the budget (a 22-real-sentence doc
+    // full of '...' would otherwise exhaust 64 positions); sent_id
+    // stays the raw position (the stable id), the cap counts via a
+    // per-doc row_number over the non-empty fragments — see
+    // taSummarize's scaladoc
+    val byDocPos = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sent_id"))
     val sents = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\\.")))
       .select(col("doc_id"), col("pos").cast("long").as("sent_id"),
         trim(col("col")).as("sent"))
-      // the pathological-document guard: positions past the cap never
-      // enter the graph (or the fallback) — see taSummarize's scaladoc
-      .filter(col("sent_id") < MaxSummarySentences)
+      .filter(col("sent") =!= "")
+      .withColumn("cidx", row_number().over(byDocPos))
+      .filter(col("cidx") <= MaxSummarySentences)
+      .drop("cidx")
       .withColumn("toks", array_distinct(filter(
         graft.functions.tokens(col("sent")),
         t => !t.isInCollection(stop))))
@@ -523,13 +535,17 @@ object GraphRank {
     s"""WITH raw AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\.') AS a
        |  FROM documents),
-       |se AS (
-       |  SELECT doc_id, e.i - 1 AS sent_id, trim(e.s) AS sent
+       |se0 AS (
+       |  SELECT doc_id, e.i - 1 AS sent_id, trim(e.s) AS sent,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e.i) AS cidx
        |  FROM (SELECT doc_id,
        |          unnest(list_transform(range(1, len(a) + 1),
        |            i -> struct_pack(i := i, s := a[i]))) AS e
        |        FROM raw) q
-       |  WHERE e.i - 1 < $MaxSummarySentences),
+       |  WHERE trim(e.s) <> ''),
+       |se AS (
+       |  SELECT doc_id, sent_id, sent FROM se0
+       |  WHERE cidx <= $MaxSummarySentences),
        |sents AS (
        |  SELECT doc_id, sent_id, sent,
        |    list_distinct(list_filter(

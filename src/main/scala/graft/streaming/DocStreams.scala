@@ -396,10 +396,13 @@ object DocStreams {
       .groupBy(col("doc_id"), col("term"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // dl rides along (4th column, after the serve triple): the
+    // persisted-hybrid save derives its frozen sum_dl from the
+    // committed postings instead of re-tokenizing the corpus
     tf.join(df, "term").crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"),
         TextAnalysis.bm25TermScore(col("tf"), col("df"), col("dl"),
-          col("n_docs"), col("sum_dl")).as("sc"))
+          col("n_docs"), col("sum_dl")).as("sc"), col("dl"))
   }
 
   /** The O(delta) append form of [[bm25Postings]]: postings for
@@ -431,7 +434,7 @@ object DocStreams {
       .select(col("term"), col("doc_id"),
         TextAnalysis.bm25TermScore(col("tf"),
           coalesce(col("df"), lit(0L)), col("dl"),
-          lit(nDocs), lit(sumDl)).as("sc"))
+          lit(nDocs), lit(sumDl)).as("sc"), col("dl"))
   }
 
   /** Session cache of [[bm25Postings]] per corpus dir — the

@@ -700,6 +700,45 @@ class CorpusSpec extends SparkTestBase {
     Seq(built, loaded, rebuilt).foreach(_.close())
   }
 
+  test("refreshHybridIndex self-heals when docs retention reclaimed the consumed version") {
+    import org.apache.spark.sql.functions.col
+    val storage = new graft.sources.Storage(spark,
+      java.nio.file.Files.createTempDirectory("graft-hybheal-").toString)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val cut = docs.count() * 3 / 5
+    storage.putVersioned("sdocs", docs.filter($"doc_id" < cut))
+    storage.putVersioned("svecs", e)
+    val built = Corpus.buildHybridIndex(
+      storage.readVersioned("sdocs"), storage.readVersioned("svecs"))
+    Corpus.saveHybridIndex(built, storage, "shy",
+      vectorsCorpusVersion = storage.versions("svecs").last,
+      docs = storage.readVersioned("sdocs"),
+      docsCorpusVersion = storage.versions("sdocs").last)
+    // the docs side's OWN pipeline appends twice and vacuums by its
+    // own keep-last policy, reclaiming the version this family pinned
+    storage.appendVersioned("sdocs",
+      docs.filter($"doc_id" >= cut && $"doc_id" < cut + 100))
+    storage.appendVersioned("sdocs", docs.filter($"doc_id" >= cut + 100))
+    storage.vacuumVersions("sdocs", keepLast = 1)
+    assert(!storage.versions("sdocs").contains(1L),
+      "fixture must actually reclaim the pinned docs version")
+    // the refresh must NOT wedge: it self-heals with one exact
+    // rebuild, re-freezing the stats at the current snapshot
+    Corpus.refreshHybridIndex(storage, "shy", "sdocs", "svecs")
+    val healed = Corpus.loadHybridIndex(storage, "shy")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    assert(healed.postings.collect().map(key).toSet ==
+      graft.streaming.DocStreams.bm25Postings(docs).collect()
+        .map(key).toSet,
+      "the self-heal must serve exact postings over the grown corpus")
+    val ptr = storage.readVersioned("shy__hybrid").collect()(0)
+    assert(ptr.getAs[Long]("stale_docs") == 0L &&
+      ptr.getAs[Long]("docs_version") == storage.versions("sdocs").last)
+    Seq(built, healed).foreach(_.close())
+  }
+
   test("refreshAnnIndex: CDC delta upsert equals a lists rebuild under the frozen centroids, zero retraining") {
     val storage = new graft.sources.Storage(spark,
       java.nio.file.Files.createTempDirectory("graft-annrefresh-").toString)

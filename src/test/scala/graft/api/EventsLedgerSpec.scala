@@ -98,6 +98,33 @@ class EventsLedgerSpec extends SparkTestBase {
     assert(act.toSet === (base ++ delta).toSet)
   }
 
+  test("a legacy unbucketed activity table refreshes without schema drift, staying legacy") {
+    val st = freshStorage()
+    val base = Seq((1L, 10L), (2L, 11L))
+    st.putVersioned("events", evFrame(base))
+    // hand-build the PRE-BUCKETING layout: 2-column activity table,
+    // ledger, pointer — what a warehouse written by the previous
+    // release holds
+    val act = base.toDF("user_id", "day")
+    val va = st.putVersioned("gl__act", act)
+    val vl = st.putVersioned("gl__ledger",
+      graft.operators.EventAnalytics.growthAccounting(act))
+    st.putVersioned("gl__gl",
+      Seq((va, vl, st.versions("events").last))
+        .toDF("act_version", "ledger_version", "events_version"))
+    val delta = Seq((1L, 12L), (3L, 13L))
+    st.appendVersioned("events", evFrame(delta))
+    // the refresh must read the legacy layout (no bucket prune) AND
+    // append in the legacy layout (a bucket column would trip the
+    // append schema gate and wedge every nightly refresh)
+    Events.refreshGrowthLedger(st, "events", "gl")
+    assert(ledgerRows(Events.readGrowthLedger(st, "gl"))
+      === fromScratch(base ++ delta))
+    assert(st.readVersioned("gl__act").columns.toSeq
+      === Seq("user_id", "day"),
+      "appends onto a legacy table must keep its layout")
+  }
+
   test("the affected-user history read is bucket-pruned: bucket IN (…) reaches the parquet scan") {
     val st = freshStorage()
     // users spread across the bucket space, one day each

@@ -156,14 +156,25 @@ class GraphRankSpec extends SparkTestBase {
     // structural proof of the bound: the capped posting relation can
     // never exceed C(cap, 2) pairs per (doc, tok) group
     assert(cap * (cap - 1) / 2 < 3000L)
-    // a doc whose content sentences all sit PAST the cap contributes
-    // nothing (mirrored exactly in the oracle SQL's position filter)
+    // a doc whose content all sits PAST the cap of NON-EMPTY
+    // sentences contributes nothing ("the a an" fragments are
+    // non-empty, so they consume budget — mirrored exactly in the
+    // oracle SQL's row_number filter)
     val lateDoc = ((0 until cap.toInt).map(_ => "the a an") ++
       Seq("omega real content", "omega again")).mkString(". ")
     val late = GraphRank.summarize(
       Seq((9L, lateDoc)).toDF("doc_id", "text")).collect()
     assert(late.isEmpty,
       "content past the sentence cap must not resurrect a document")
+    // EMPTY fragments must NOT consume budget: a doc opening with 70
+    // ellipsis dots still summarizes from its real sentences (the cap
+    // counts non-empty sentences, not raw split positions)
+    val dotty = ("." * 70) + "omega real content. omega again"
+    val dottyOut = GraphRank.summarize(
+      Seq((8L, dotty)).toDF("doc_id", "text")).collect()
+    assert(dottyOut.length == 1 && dottyOut(0).getBoolean(4),
+      s"ellipsis runs must not exhaust the sentence budget: " +
+        s"${dottyOut.toSeq}")
   }
 
   test("keyphrase scores are exactly the sum of member ranks; one-offs are gated") {
