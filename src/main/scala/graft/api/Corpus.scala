@@ -719,11 +719,25 @@ object Corpus {
       name: String, corpusVersion: Long): Long = {
     val vc = storage.putVersioned(s"${name}__centroids", index.centroids)
     val vl = storage.putVersioned(s"${name}__lists", index.lists)
-    val spark = index.centroids.sparkSession
+    annPtrCommit(storage, name, vc, vl, corpusVersion, 0L)
+  }
+
+  /** The ONE ann-pointer writer (save/refresh/compact and the nested
+    * ivfpq-coarse path all commit through it): pins the centroids and
+    * lists versions, the consumed corpus version, and `stale_rows` —
+    * the count of vectors assigned under the FROZEN centroids since
+    * the last full train (0 at save, accumulating per refresh) — the
+    * retrain-cadence observable [[describeIndexes]] surfaces, the
+    * quantizer twin of the hybrid family's `stale_docs`.
+    */
+  private def annPtrCommit(storage: graft.sources.Storage, name: String,
+      centV: Long, listsV: Long, corpusV: Long, staleRows: Long): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     storage.putVersioned(s"${name}__ann",
-      Seq((vc, vl, corpusVersion))
-        .toDF("centroids_version", "lists_version", "corpus_version"))
+      Seq((centV, listsV, corpusV, staleRows))
+        .toDF("centroids_version", "lists_version", "corpus_version",
+          "stale_rows"))
   }
 
   /** CDC-driven INCREMENTAL maintenance of a persisted ANN index — the
@@ -791,14 +805,15 @@ object Corpus {
     // otherwise pin the O(delta) blocks for the session lifetime, once
     // per failed boundary in the continuous loop
     try {
-      if (delta.isEmpty)
+      val nDelta = delta.count()
+      val stale = ptrLong(ptr(0), "stale_rows", 0L)
+      if (nDelta == 0L)
         // the corpus advanced by maintenance only (compaction, rollback
         // forward, empty batches): nothing to index — re-pin the consumed
         // version so future refreshes diff from here instead of re-walking
         // the content-equal chain, and never commit a junk empty data dir
-        return storage.putVersioned(s"${name}__ann",
-          Seq((centV, ptr(0).getAs[Long]("lists_version"), curV))
-            .toDF("centroids_version", "lists_version", "corpus_version"))
+        return annPtrCommit(storage, name, centV,
+          ptr(0).getAs[Long]("lists_version"), curV, stale)
       val cent = storage.readVersioned(s"${name}__centroids", centV)
         .localCheckpoint()
       try {
@@ -813,9 +828,7 @@ object Corpus {
         // construction (each produces a version with the delta exactly once)
         val vl = storage.appendVersionedOnto(s"${name}__lists", deltaLists,
           ptr(0).getAs[Long]("lists_version"))
-        storage.putVersioned(s"${name}__ann",
-          Seq((centV, vl, curV))
-            .toDF("centroids_version", "lists_version", "corpus_version"))
+        annPtrCommit(storage, name, centV, vl, curV, stale + nDelta)
       } finally graft.operators.RelCache.freeLocalCheckpoint(cent)
     } finally graft.operators.RelCache.freeLocalCheckpoint(delta)
   }
@@ -854,12 +867,9 @@ object Corpus {
     // the artifact table keep their diffability across the re-pack
     val vl = storage.putVersioned(s"${name}__lists", snap,
       contentEqualTo = Some(pinnedLists))
-    val spark = snap.sparkSession
-    import spark.implicits._
-    storage.putVersioned(s"${name}__ann",
-      Seq((ptr(0).getAs[Long]("centroids_version"), vl,
-        ptr(0).getAs[Long]("corpus_version")))
-        .toDF("centroids_version", "lists_version", "corpus_version"))
+    annPtrCommit(storage, name, ptr(0).getAs[Long]("centroids_version"),
+      vl, ptr(0).getAs[Long]("corpus_version"),
+      ptrLong(ptr(0), "stale_rows", 0L))
   }
 
   /** [[compactAnnIndex]] for a persisted hybrid family: the dense
@@ -1755,12 +1765,23 @@ object Corpus {
     val vc = saveAnnIndex(index.ann, storage, s"${name}__coarse")
     val vb = storage.putVersioned(s"${name}__codebooks", index.codebooks)
     val vk = storage.putVersioned(s"${name}__codes", index.codes)
-    val spark = index.codebooks.sparkSession
+    ivfpqPtrCommit(storage, name, vc, vb, vk, corpusVersion, 0L)
+  }
+
+  /** The ONE ivfpq-pointer writer (see [[annPtrCommit]]):
+    * `stale_rows` counts vectors assigned + encoded under BOTH frozen
+    * quantizers (coarse centroids, PQ codebooks) since the last full
+    * train — the retrain-cadence observable.
+    */
+  private def ivfpqPtrCommit(storage: graft.sources.Storage,
+      name: String, coarseV: Long, cbV: Long, codesV: Long,
+      corpusV: Long, staleRows: Long): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     storage.putVersioned(s"${name}__ivfpq",
-      Seq((vc, vb, vk, corpusVersion))
+      Seq((coarseV, cbV, codesV, corpusV, staleRows))
         .toDF("coarse_version", "codebooks_version", "codes_version",
-          "corpus_version"))
+          "corpus_version", "stale_rows"))
   }
 
   /** Rehydrate a persisted [[IvfPqIndex]] at `version` (default:
@@ -1822,11 +1843,10 @@ object Corpus {
     // free the eager checkpoints on EVERY exit, thrown ones included
     // (see refreshAnnIndex)
     try {
-      if (delta.isEmpty)
-        return storage.putVersioned(s"${name}__ivfpq",
-          Seq((vCoarse, vb, vk, curV))
-            .toDF("coarse_version", "codebooks_version", "codes_version",
-              "corpus_version"))
+      val nDelta = delta.count()
+      val stale = ptrLong(ptr(0), "stale_rows", 0L)
+      if (nDelta == 0L)
+        return ivfpqPtrCommit(storage, name, vCoarse, vb, vk, curV, stale)
       // coarse arm: frozen-centroid assignment onto the pinned lists
       val coarsePtr = pointerRow(storage, s"${name}__coarse__ann", vCoarse)
       val cent = storage.readVersioned(s"${name}__coarse__centroids",
@@ -1836,17 +1856,17 @@ object Corpus {
           graft.operators.Similarity.kernelProbeCells(delta, cent, 1,
             "c_id", "cv_c", "cn_c"),
           coarsePtr.getAs[Long]("lists_version"))
-        val vCoarseNew = storage.putVersioned(s"${name}__coarse__ann",
-          Seq((coarsePtr.getAs[Long]("centroids_version"), vl, -1L))
-            .toDF("centroids_version", "lists_version", "corpus_version"))
+        // the nested coarse pointer mirrors the family's drift count —
+        // its corpus checkpoint stays -1 (a direct refresh must refuse)
+        val vCoarseNew = annPtrCommit(storage, s"${name}__coarse",
+          coarsePtr.getAs[Long]("centroids_version"), vl, -1L,
+          ptrLong(coarsePtr, "stale_rows", 0L) + nDelta)
         // pq arm: frozen-codebook kernel encode onto the pinned codes
         val cb = storage.readVersioned(s"${name}__codebooks", vb)
         val vkNew = storage.appendVersionedOnto(s"${name}__codes",
           graft.operators.Similarity.kernelEncodePq(delta, cb), vk)
-        storage.putVersioned(s"${name}__ivfpq",
-          Seq((vCoarseNew, vb, vkNew, curV))
-            .toDF("coarse_version", "codebooks_version", "codes_version",
-              "corpus_version"))
+        ivfpqPtrCommit(storage, name, vCoarseNew, vb, vkNew, curV,
+          stale + nDelta)
       } finally graft.operators.RelCache.freeLocalCheckpoint(cent)
     } finally graft.operators.RelCache.freeLocalCheckpoint(delta)
   }
@@ -1871,11 +1891,10 @@ object Corpus {
     val vkNew = storage.putVersioned(s"${name}__codes",
       storage.readVersioned(s"${name}__codes", pinnedCodes),
       contentEqualTo = Some(pinnedCodes))
-    storage.putVersioned(s"${name}__ivfpq",
-      Seq((vCoarseNew, ptr(0).getAs[Long]("codebooks_version"), vkNew,
-        ptr(0).getAs[Long]("corpus_version")))
-        .toDF("coarse_version", "codebooks_version", "codes_version",
-          "corpus_version"))
+    ivfpqPtrCommit(storage, name, vCoarseNew,
+      ptr(0).getAs[Long]("codebooks_version"), vkNew,
+      ptr(0).getAs[Long]("corpus_version"),
+      ptrLong(ptr(0), "stale_rows", 0L))
   }
 
   /** [[vacuumAnnIndex]] for a persisted IVF×PQ family: retained ivfpq
@@ -2195,11 +2214,16 @@ object Corpus {
     *    stranded orphans from crashed refreshes — vacuum fodder), and
     *    `dir_count` = directories composing the pinned version (the
     *    compaction-cadence observable: each refresh adds one).
-    *    A hybrid family with frozen lexical stats adds a `lexstats`
-    *    arm row whose `stale_rows` column counts the docs appended
-    *    under the frozen idf/avgdl since the last exact recalc — the
-    *    [[rebuildHybridPostings]] cadence observable (`stale_rows` is
-    *    null on every other row).
+    *    The `stale_rows` column carries each family's FROZEN-ARTIFACT
+    *    drift — the "when do I retrain/recalc" dial next to lag's
+    *    "is the loop keeping up": on an ann/hybrid-dense `lists` row,
+    *    vectors assigned under the frozen centroids since the last
+    *    train; on an ivfpq `codes` row, vectors encoded under the
+    *    frozen codebooks; on a hybrid `lexstats` row, docs appended
+    *    under the frozen idf/avgdl since the last
+    *    [[rebuildHybridPostings]]. Null elsewhere, and null on
+    *    pointers saved before the column existed (never a false
+    *    "fresh" zero).
     *  - CORPUS rows (`role` = corpus/docs/vectors): the consumed
     *    corpus version the pointer checkpointed, and — when
     *    `corpusTables` names the corpus table (key = index name; a pmb
@@ -2244,13 +2268,21 @@ object Corpus {
         tbl.filter(_ => vs.nonEmpty)
           .map(t => storage.versionDirCount(t).toLong), None))
     }
+    // legacy pointers predate the drift column — report null, not a
+    // false "fresh" zero
+    def staleOf(r: org.apache.spark.sql.Row): Option[Long] =
+      if (r.schema.fieldNames.contains("stale_rows"))
+        Some(r.getAs[Long]("stale_rows"))
+      else None
     def annArms(idx: String, fam: String, pv: Long, prefix: String,
         annBase: String, annPtrV: Long): org.apache.spark.sql.Row = {
       val r = pointerRow(storage, s"${annBase}__ann", annPtrV)
       arm(idx, fam, pv, s"${prefix}centroids", s"${annBase}__centroids",
         r.getAs[Long]("centroids_version"))
+      // stale_rows on the lists row = vectors assigned under the
+      // frozen centroids since the last train (the retrain dial)
       arm(idx, fam, pv, s"${prefix}lists", s"${annBase}__lists",
-        r.getAs[Long]("lists_version"))
+        r.getAs[Long]("lists_version"), stale = staleOf(r))
       r
     }
     def nestedUnder(base: String, suffix: String, parent: String): Boolean =
@@ -2310,8 +2342,10 @@ object Corpus {
           val r = pointerRow(storage, p, pv) // pinned: never torn vs pv
           arm(base, "ivfpq", pv, "codebooks", s"${base}__codebooks",
             r.getAs[Long]("codebooks_version"))
+          // stale_rows = vectors encoded under the frozen codebooks
+          // (and coarse centroids) since the last train
           arm(base, "ivfpq", pv, "codes", s"${base}__codes",
-            r.getAs[Long]("codes_version"))
+            r.getAs[Long]("codes_version"), stale = staleOf(r))
           val cv = r.getAs[Long]("coarse_version")
           arm(base, "ivfpq", pv, "coarse", s"${base}__coarse__ann", cv)
           annArms(base, "ivfpq", pv, "coarse.", s"${base}__coarse", cv)

@@ -763,6 +763,12 @@ class CorpusSpec extends SparkTestBase {
     assert(ptr.getAs[Long]("centroids_version") ==
       storage.readVersioned("ridx__ann", pv1).collect()(0)
         .getAs[Long]("centroids_version"))
+    // quantizer-drift observable: the save starts at 0, the refresh
+    // accumulates the rows assigned under the frozen centroids
+    assert(storage.readVersioned("ridx__ann", pv1).collect()(0)
+      .getAs[Long]("stale_rows") == 0L)
+    assert(ptr.getAs[Long]("stale_rows") == n - n * 4 / 5,
+      "stale_rows must count the delta assigned under frozen centroids")
     // serve equality: the refreshed index answers exactly like lists
     // REBUILT from scratch over the grown corpus under the same frozen
     // centroids (assignment is per-vector, so upsert == rebuild)
@@ -890,6 +896,11 @@ class CorpusSpec extends SparkTestBase {
         refreshed.codebooks).localCheckpoint())
     val expect2 = serve(twin)
     assert(serve(refreshed) == expect2 && expect2.nonEmpty)
+    // both nightly deltas accumulated in the drift observable (the
+    // nested coarse pointer mirrors it)
+    assert(storage.readVersioned("qidx__ivfpq").collect()(0)
+      .getAs[Long]("stale_rows") == n - n * 3 / 5,
+      "stale_rows must count vectors encoded under the frozen quantizers")
     // every corpus vector is present EXACTLY once in both artifacts
     assert(refreshed.ann.lists.count() == n)
     assert(refreshed.codes.count() ==

@@ -227,11 +227,12 @@ class IndexFamilyModelSpec extends SparkTestBase {
     def corpusHead = st.versions("vecs").last
 
     // model: one entry per RETAINED pointer generation
-    var gens = Vector.empty[(Long, Long, Long)] // (pv, idBound, consumedV)
+    // (pv, idBound, consumedV, stale rows under the frozen centroids)
+    var gens = Vector.empty[(Long, Long, Long, Long)]
 
     val built = Corpus.buildAnnIndex(st.readVersioned("vecs"))
     gens :+= ((Corpus.saveAnnIndex(built, st, "fam",
-      corpusVersion = corpusHead), bound, corpusHead))
+      corpusVersion = corpusHead), bound, corpusHead, 0L))
     built.close()
 
     for (op <- 1 to 16) {
@@ -254,10 +255,11 @@ class IndexFamilyModelSpec extends SparkTestBase {
             assert(pv == gens.last._1,
               s"seed=$seed op=$op: caught-up refresh must be a no-op")
             noopRefreshes += 1
-          } else gens :+= ((pv, bound, head))
+          } else gens :+= ((pv, bound, head,
+            gens.last._4 + (bound - gens.last._2)))
         case 4 => // compaction: content-equal, new pointer generation
           val pv = Corpus.compactAnnIndex(st, "fam")
-          gens :+= ((pv, gens.last._2, gens.last._3))
+          gens :+= ((pv, gens.last._2, gens.last._3, gens.last._4))
           assert(st.versionDirCount("fam__lists") == 1,
             s"seed=$seed op=$op: compaction must re-pack to one dir")
           compactions += 1
@@ -274,7 +276,7 @@ class IndexFamilyModelSpec extends SparkTestBase {
           val b2 = Corpus.buildAnnIndex(st.readVersioned("vecs"))
           val head = corpusHead
           gens :+= ((Corpus.saveAnnIndex(b2, st, "fam",
-            corpusVersion = head), bound, head))
+            corpusVersion = head), bound, head, 0L))
           b2.close()
           resaves += 1
         case 7 => // vacuum: retain a random pointer tail; loading a
@@ -297,7 +299,7 @@ class IndexFamilyModelSpec extends SparkTestBase {
       // load a RANDOM retained generation: exactly its ids, no
       // duplicates (orphan rows surfacing would show up here), no
       // leakage from later appends
-      val (pv, idBound, consumed) = gens(rnd.nextInt(gens.size))
+      val (pv, idBound, consumed, stale) = gens(rnd.nextInt(gens.size))
       val idx = Corpus.loadAnnIndex(st, "fam", version = pv)
       val served = idx.lists.select($"c_id").collect()
         .map(_.getLong(0)).sorted.toSeq
@@ -305,9 +307,12 @@ class IndexFamilyModelSpec extends SparkTestBase {
       assert(served == (0L until idBound),
         s"seed=$seed op=$op: generation $pv must serve ids [0, $idBound) " +
           s"exactly, got ${served.length} rows")
-      assert(Corpus.pointerRow(st, "fam__ann", pv)
-        .getAs[Long]("corpus_version") == consumed,
+      val pRow = Corpus.pointerRow(st, "fam__ann", pv)
+      assert(pRow.getAs[Long]("corpus_version") == consumed,
         s"seed=$seed op=$op: generation $pv consumed-version diverged")
+      assert(pRow.getAs[Long]("stale_rows") == stale,
+        s"seed=$seed op=$op: generation $pv frozen-centroid drift " +
+          s"diverged (${pRow.getAs[Long]("stale_rows")} vs $stale)")
     }
 
     // the loop ends caught up: one final refresh serves the whole
