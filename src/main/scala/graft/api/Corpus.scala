@@ -2061,21 +2061,30 @@ object Corpus {
       val cent = storage.readVersioned(s"${name}__index__centroids",
         annPtr.getAs[Long]("centroids_version")).localCheckpoint()
       try {
+        // checkpointed ONCE: the drift count below and the assignment
+        // kernel would otherwise each re-run the since-read + join
         val newVecs = storage.readVersionedSince(vectorsTable, vv,
             toVersion = vCur)
           .select(col("vec_id"), col("embedding"))
           .join(deltaKept.select(col("vec_id")), "vec_id")
-        val vlNew = storage.appendVersionedOnto(s"${name}__index__lists",
-          graft.operators.Similarity.kernelProbeCells(newVecs, cent, 1,
-            "c_id", "cv_c", "cn_c"),
-          annPtr.getAs[Long]("lists_version"))
-        val viNew = storage.putVersioned(s"${name}__index__ann",
-          Seq((annPtr.getAs[Long]("centroids_version"), vlNew, -1L))
-            .toDF("centroids_version", "lists_version", "corpus_version"))
-        storage.putVersioned(s"${name}__pmb",
-          Seq((vfNew, viNew, dCur, vCur))
-            .toDF("fps_version", "index_version",
-              "docs_version", "vectors_version"))
+          .localCheckpoint()
+        try {
+          val nNew = newVecs.count()
+          val vlNew = storage.appendVersionedOnto(s"${name}__index__lists",
+            graft.operators.Similarity.kernelProbeCells(newVecs, cent, 1,
+              "c_id", "cv_c", "cn_c"),
+            annPtr.getAs[Long]("lists_version"))
+          // nested pointer through the ONE ann writer: corpus stays -1
+          // (a direct refresh must refuse), stale_rows mirrors the
+          // vectors assigned under the frozen base centroids
+          val viNew = annPtrCommit(storage, s"${name}__index",
+            annPtr.getAs[Long]("centroids_version"), vlNew, -1L,
+            ptrLong(annPtr, "stale_rows", 0L) + nNew)
+          storage.putVersioned(s"${name}__pmb",
+            Seq((vfNew, viNew, dCur, vCur))
+              .toDF("fps_version", "index_version",
+                "docs_version", "vectors_version"))
+        } finally graft.operators.RelCache.freeLocalCheckpoint(newVecs)
       } finally graft.operators.RelCache.freeLocalCheckpoint(cent)
     } finally graft.operators.RelCache.freeLocalCheckpoint(deltaKept)
   }
