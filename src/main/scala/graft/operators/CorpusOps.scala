@@ -213,9 +213,23 @@ object CorpusOps {
     * and `graft.api.Corpus.tokenBudget`.
     */
   def tokenBudget(df: DataFrame, budgetTokens: org.apache.spark.sql.Column,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    tokenBudgetCounted(
+      df.withColumn("n_tokens", size(tokens(col(text))).cast(LongType)),
+      budgetTokens, id)
+
+  /** [[tokenBudget]] over a frame that ALREADY carries `n_tokens` —
+    * the narrow-decision form (guide §8: decide with small rows). The
+    * gated callers project to `(id, n_tokens)` and materialize that
+    * once BEFORE calling, so the corpus tokenize runs a single time
+    * and the bucket window's exchange carries 16-byte rows instead of
+    * documents; the generic [[tokenBudget]] wrapper keeps the
+    * append-columns contract for API callers.
+    */
+  def tokenBudgetCounted(df: DataFrame,
+      budgetTokens: org.apache.spark.sql.Column,
+      id: String = "doc_id"): DataFrame = {
     val ranked = df
-      .withColumn("n_tokens", size(tokens(col(text))).cast(LongType))
       .withColumn("__k", saltedKey("budget", col(id)))
       .withColumn("__b", substring(col("__k"), 1, 2))
       .withColumn("__cum", sum(col("n_tokens")).over(
@@ -243,11 +257,17 @@ object CorpusOps {
     * discriminating at every scale factor).
     */
   def cpTokenBudget(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val budget = docs
-      .agg(floor(lit(BudgetFrac) *
-        sum(size(tokens(col("text"))).cast(LongType))).as("__budget"))
-    tokenBudget(docs.crossJoin(broadcast(budget)), col("__budget"))
+    // narrow-decision form: ONE corpus tokenize materialized at
+    // (doc_id, n_tokens) — the budget aggregate, the per-bucket offsets
+    // branch and the final cut all read the 16-byte-row checkpoint
+    // instead of each re-tokenizing the corpus (three passes before)
+    val t = documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .localCheckpoint()
+    val budget = t
+      .agg(floor(lit(BudgetFrac) * sum(col("n_tokens"))).as("__budget"))
+    tokenBudgetCounted(t.crossJoin(broadcast(budget)), col("__budget"))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
   }
