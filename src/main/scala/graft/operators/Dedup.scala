@@ -601,21 +601,29 @@ object Dedup {
     * signature path cannot see.
     */
   def nearDupEdgesExactFirst(docs: DataFrame,
-      minJaccard: Double = 0.3): DataFrame = {
-    val eligible = docs.filter(size(graft.functions.WordShinglesExpr
-      .wordShinglesNative(col("text"), 3)) > 0)
-    val fp = eligible.select(col("doc_id"), md5(col("text")).as("fp"))
+      minJaccard: Double = 0.3, sigs: Option[DataFrame] = None): DataFrame = {
+    // signatures are PER-DOC (independent of the surrounding corpus),
+    // so a caller holding the session-cached signature table passes it
+    // and the survivor pipeline semi-joins it instead of re-running
+    // the shingle + minhash kernel over the survivor texts — the
+    // persisted-artifact reuse a production dedup runs with
+    val sigRel = sigs.getOrElse(minhashSignatures(docs))
+    // eligibility = "has a signature": identical to filtering on
+    // size(shingles) > 0, which is exactly the signature pipeline's
+    // own keep condition
+    val fp = docs
+      .join(sigRel.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
     // one hash-aggregate absorbs the k² skew map-side; canonical = min id
     val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id"))
     val members = fp.join(canon, "fp")
     val star = members.filter(col("doc_id") =!= col("canon_id"))
       .select(col("canon_id").as("a_id"), col("doc_id").as("b_id"),
         lit(1.0).as("est_jaccard"))
-    val survivors = docs.join(
+    val survivorSigs = sigRel.join(
       members.filter(col("doc_id") === col("canon_id")).select(col("doc_id")),
-      "doc_id")
-      .select(col("doc_id"), col("text"))
-    nearDupCandidates(survivors, minJaccard).unionByName(star)
+      Seq("doc_id"), "left_semi")
+    nearDupCandidatesFromSigs(survivorSigs, minJaccard).unionByName(star)
   }
 
   /** Shared DuckDB CTE chain for the minhash+LSH pipeline (through the

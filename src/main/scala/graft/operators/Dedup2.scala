@@ -603,7 +603,8 @@ object Dedup2 {
     * paths' components IS the claim that the collapse loses nothing.
     */
   def ddClusterXf(s: SparkSession, d: String): DataFrame =
-    clusterize(Dedup.nearDupEdgesExactFirst(documents(s, d))
+    clusterize(Dedup.nearDupEdgesExactFirst(documents(s, d),
+        sigs = Some(Dedup.cachedSignatures(s, d)))
       .filter(col("est_jaccard") >= ClusterThreshold)
       .select(col("a_id"), col("b_id")))
 
