@@ -595,6 +595,28 @@ object Pipeline {
     * corpus never sorts globally.
     */
   def pipeQa(s: SparkSession, d: String): DataFrame = {
+    // narrow-decision form (same as [[CorpusOps.cpTokenBudget]]): the
+    // fence join + fingerprint-dedup shuffle + corpus tokenize run
+    // ONCE, materialized at (doc_id, n_tokens); the budget aggregate,
+    // the offsets branch and the final cut replay the 16-byte-row
+    // checkpoint instead of re-running the whole QA chain (three full
+    // evaluations before)
+    val t = qaCountedRel(s, d).localCheckpoint()
+    val budget = t.agg(
+      floor(lit(QaBudgetFrac) * sum(col("n_tokens"))).as("__budget"))
+    CorpusOps.tokenBudgetCounted(t.crossJoin(broadcast(budget)),
+        col("__budget"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The un-materialized trim + dedup + token-count relation of
+    * [[pipeQa]] — split out (the [[graft.operators.GraphRank]]
+    * `summarizeBuild` pattern) so the plan-audit suite can pin the
+    * survivor selection's partial aggregation, which the gated
+    * query's serve plan hides behind its checkpoint scan.
+    */
+  private[graft] def qaCountedRel(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val fences = Percentiles.exact(docs, "source", "n_chars",
       Seq(("p10", TextAnalysis.TailLo), ("p90", TextAnalysis.TailHi)))
@@ -604,28 +626,13 @@ object Pipeline {
     // 10⁷-copy boilerplate group to one row per task before the
     // exchange, where the window form would sort the whole group in
     // one AQE-unsplittable partition
-    val deduped = docs
+    docs
       .join(broadcast(fences), Seq("source"))
       .filter(col("n_chars") >= col("p10") && col("n_chars") <= col("p90"))
       .groupBy(fingerprintMd5(col("text")).as("fp"))
       .agg(min(struct(col("doc_id"), col("text"))).as("keep"))
-      .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
-    // narrow-decision form (same as [[CorpusOps.cpTokenBudget]]): the
-    // fence join + fingerprint-dedup shuffle + corpus tokenize run
-    // ONCE, materialized at (doc_id, n_tokens); the budget aggregate,
-    // the offsets branch and the final cut replay the 16-byte-row
-    // checkpoint instead of re-running the whole QA chain (three full
-    // evaluations before)
-    val t = deduped
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .localCheckpoint()
-    val budget = t.agg(
-      floor(lit(QaBudgetFrac) * sum(col("n_tokens"))).as("__budget"))
-    CorpusOps.tokenBudgetCounted(t.crossJoin(broadcast(budget)),
-        col("__budget"))
-      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("doc_id"))
+      .select(col("keep.doc_id").as("doc_id"),
+        size(tokens(col("keep.text"))).cast("long").as("n_tokens"))
   }
 
   val pipeQaSql: String =
@@ -742,12 +749,20 @@ object Pipeline {
     * the ONE definition of the mine-positives pass, shared by the gated
     * query and `graft.api.Corpus.minedPairs`.
     */
-  def minedPairs(docs: DataFrame, vectors: DataFrame,
-      k: Int = PairsK): DataFrame = {
-    val kept = qualityFp(docs)
+  /** The QA-survivor id relation of [[minedPairs]] (quality floor +
+    * partial-aggregated min per fingerprint) — split out so the
+    * plan-audit suite can pin the skew-safe aggregation shape, which
+    * the gated query's serve plan hides behind its checkpoint scan.
+    */
+  private[graft] def keptVecIds(docs: DataFrame): DataFrame =
+    qualityFp(docs)
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("vec_id"))
       .select(col("vec_id"))
+
+  def minedPairs(docs: DataFrame, vectors: DataFrame,
+      k: Int = PairsK): DataFrame = {
+    val kept = keptVecIds(docs)
     // one materialization of the kept corpus — the same posture as
     // [[minedPairsUpsert]]'s eBatch: without it the QA chain (corpus
     // tokenize + quality score + fingerprint dedup + vector join)

@@ -198,11 +198,23 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("partial_min"),
         s"$q canonical must partial-aggregate:\n$p")
     }
-    Seq("pipe_qa", "pipe_e2e").foreach { q =>
+    Seq("pipe_e2e").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_min"),
         s"$q survivor selection must partial-aggregate:\n$p")
     }
+    // pipe_qa's serve plan reads its (doc_id, n_tokens) checkpoint, so
+    // the survivor selection is pinned on the BUILD relation (the
+    // sim_ivf train/serve split pattern)
+    val build = graft.operators.Pipeline.qaCountedRel(spark, sf0001)
+      .queryExecution.explainString(SimpleMode)
+    assert(build.contains("partial_min"),
+      s"pipe_qa survivor selection must partial-aggregate:\n$build")
+    assert(!build.contains("windowspecdefinition(fp"),
+      s"pipe_qa must not window over fp:\n$build")
+    val serve = plan("pipe_qa")
+    assert(serve.contains("ExistingRDD") || serve.contains("LogicalRDD"),
+      s"pipe_qa's serve plan must replay the counted checkpoint:\n$serve")
   }
 
   test("trained-IVF probing: kernel assignment/probing, rank top-k prunes map-side, no cartesian") {
@@ -277,11 +289,21 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("pair mining: QA survivors partial-aggregate, index joins never cartesian") {
+    // the QA-survivor selection runs once into the kept-corpus
+    // checkpoint, so its skew-safe partial-aggregated min is pinned on
+    // the BUILD relation (the sim_ivf train/serve split pattern) …
+    val build = graft.operators.Pipeline
+      .keptVecIds(graft.sources.Tables.documents(spark, sf0001))
+      .queryExecution.explainString(SimpleMode)
+    assert(build.contains("partial_min"),
+      s"survivor selection must partial-aggregate:\n$build")
+    assert(!build.contains("Window"),
+      s"survivor selection must not window over fp:\n$build")
+    // … while the serve plan probes the materialized kept corpus: no
+    // cartesian, native kernels, map-side-pruned rank windows
     val p = plan("pipe_pairs")
-    // the dedup survivor is a partial-aggregated min (skew-safe), the
-    // kept-id link and the cell join are hash joins, and the trained
-    // index's rank windows prune map-side
-    assert(p.contains("partial_min"), p)
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"the mining join must read the kept-corpus checkpoint:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("nearest_cell") && p.contains("probe_cells"),
       s"index assignment/probing must run the native kernels:\n$p")
