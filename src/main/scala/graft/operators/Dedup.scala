@@ -175,6 +175,14 @@ object Dedup {
     * gates' median total dropped 8.5 s → 2.0 s, with the one-time
     * 2.3 s build carried by the family-first rep like every other
     * cached artifact).
+    *
+    * SIZE NOTE: this is the CERTIFICATION arm's artifact — O(candidate
+    * pairs), i.e. exactly the rows each exact gate already streamed
+    * through its own shuffle, now spilled once to MEMORY_AND_DISK
+    * blocks instead of five times to shuffle files. A boilerplate-
+    * heavy corpus that blows up the pair space blows up the exact
+    * gates themselves first; the scale path stays the banded-LSH /
+    * exact-first forms, which never consume this relation.
     */
   private def jaccardPairsBuild(s: SparkSession, d: String): DataFrame = {
     val sh = cachedShingleRel(s, d)
@@ -606,23 +614,36 @@ object Dedup {
     // so a caller holding the session-cached signature table passes it
     // and the survivor pipeline semi-joins it instead of re-running
     // the shingle + minhash kernel over the survivor texts — the
-    // persisted-artifact reuse a production dedup runs with
-    val sigRel = sigs.getOrElse(minhashSignatures(docs))
-    // eligibility = "has a signature": identical to filtering on
-    // size(shingles) > 0, which is exactly the signature pipeline's
-    // own keep condition
-    val fp = docs
-      .join(sigRel.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), md5(col("text")).as("fp"))
+    // persisted-artifact reuse a production dedup runs with.
+    // WITHOUT a pre-built table the old shape is kept exactly: a
+    // map-side shingle-count eligibility filter and the minhash kernel
+    // over the SURVIVORS only — building signatures for all docs just
+    // to semi-join them away would re-pay the k² replica kernel work
+    // this exact-first ordering exists to avoid
+    val eligible = sigs match {
+      case Some(sg) =>
+        // "has a signature" ≡ the signature pipeline's own keep
+        // condition, size(shingles) > 0
+        docs.join(sg.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None =>
+        docs.filter(size(graft.functions.WordShinglesExpr
+          .wordShinglesNative(col("text"), 3)) > 0)
+    }
+    val fp = eligible.select(col("doc_id"), md5(col("text")).as("fp"))
     // one hash-aggregate absorbs the k² skew map-side; canonical = min id
     val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id"))
     val members = fp.join(canon, "fp")
     val star = members.filter(col("doc_id") =!= col("canon_id"))
       .select(col("canon_id").as("a_id"), col("doc_id").as("b_id"),
         lit(1.0).as("est_jaccard"))
-    val survivorSigs = sigRel.join(
-      members.filter(col("doc_id") === col("canon_id")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    val survivorIds =
+      members.filter(col("doc_id") === col("canon_id")).select(col("doc_id"))
+    val survivorSigs = sigs match {
+      case Some(sg) => sg.join(survivorIds, Seq("doc_id"), "left_semi")
+      case None => minhashSignatures(
+        docs.join(survivorIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
+    }
     nearDupCandidatesFromSigs(survivorSigs, minJaccard).unionByName(star)
   }
 

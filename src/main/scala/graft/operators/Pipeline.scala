@@ -768,7 +768,12 @@ object Pipeline {
     // tokenize + quality score + fingerprint dedup + vector join)
     // re-runs for the count, the Lloyd training sample, the assignment
     // pass AND the probe pass — four corpus passes for one relation
-    // (measured 2.87 s -> 2.04 s isolated median at sf0.1)
+    // (measured 2.87 s -> 2.04 s isolated median at sf0.1).
+    // Lifetime: per-call and UNREGISTERED by design (eBatch precedent)
+    // — nothing retains the frame after the mined result is consumed,
+    // so the ContextCleaner frees the blocks on the next GC; only
+    // session-cached frames (which stay strongly referenced) need the
+    // RelCache eviction machinery
     val eKept = vectors.join(kept, "vec_id")
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
