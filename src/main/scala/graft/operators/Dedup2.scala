@@ -47,7 +47,7 @@ object Dedup2 {
     * case and PlanAuditSpec.
     */
   def ddSpans(s: SparkSession, d: String): DataFrame =
-    duplicatedSpans(documents(s, d))
+    duplicatedSpansFromWin(cachedWinRel(s, d), SpanWindow)
       .orderBy(col("span_len").desc, col("doc_id"), col("span_start"))
       .limit(100)
 
@@ -68,9 +68,33 @@ object Dedup2 {
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("h"))
 
+  /** Session-scoped cache of the full-corpus positional window-hash
+    * relation `(doc_id, pos, h)` at [[SpanWindow]] — the substring-dedup
+    * INDEX both span gates derive from ([[ddSpans]] marks duplicated
+    * positions over it; [[ddSpansApply]] picks kept occurrences over
+    * it), and which each gate's own plan reads TWICE (once for the
+    * per-hash aggregate, once for the join-back probe). Before this
+    * memo the suite ran the corpus tokenize + rolling window-hash
+    * kernel four times for one relation; a production substring-dedup
+    * pass materializes these positional hashes once (Lee et al.'s
+    * suffix-array stand-in) and runs both the report and the removal
+    * from them. Values are `localCheckpoint`ed and identical by
+    * construction (same kernel over the same scan), so both oracles
+    * are unchanged. Lifetime guards live in [[RelCache]].
+    */
+  private[operators] def cachedWinRel(s: SparkSession, d: String): DataFrame =
+    semCache.getOrBuild((s, d, "spanwin"))(
+      winRel(documents(s, d), SpanWindow).localCheckpoint())
+
   def duplicatedSpans(docs: DataFrame,
-      window: Int = SpanWindow): DataFrame = {
-    val win = winRel(docs, window)
+      window: Int = SpanWindow): DataFrame =
+    duplicatedSpansFromWin(winRel(docs, window), window)
+
+  /** [[duplicatedSpans]] from an already-built positional window-hash
+    * relation — lets the gated query serve from [[cachedWinRel]].
+    */
+  private def duplicatedSpansFromWin(win: DataFrame,
+      window: Int): DataFrame = {
     // duplicated-window marking as a partial-aggregated groupBy joined
     // back on the hash, NOT `count over (partition by h)`: a boilerplate
     // window repeated 10⁷× would land in ONE AQE-unsplittable window
@@ -196,7 +220,8 @@ object Dedup2 {
     * quadratic; linear in corpus bytes end to end.
     */
   def ddSpansApply(s: SparkSession, d: String): DataFrame =
-    spansRemoved(documents(s, d)).orderBy(col("doc_id"))
+    spansRemovedFromWin(documents(s, d), cachedWinRel(s, d), SpanWindow)
+      .orderBy(col("doc_id"))
 
   /** Frame-parametric core of [[ddSpansApply]] over ANY `(doc_id,
     * text)` frame — the form `graft.api.Corpus` exposes.
@@ -213,8 +238,16 @@ object Dedup2 {
     * note).
     */
   def spansRemoved(docs: DataFrame,
-      window: Int = SpanWindow): DataFrame = {
-    val win = winRel(docs, window)
+      window: Int = SpanWindow): DataFrame =
+    spansRemovedFromWin(docs, winRel(docs, window), window)
+
+  /** [[spansRemoved]] from an already-built positional window-hash
+    * relation of the SAME `docs` frame — the gated query passes
+    * [[cachedWinRel]]; the frame-parametric form above builds it
+    * in-plan.
+    */
+  private def spansRemovedFromWin(docs: DataFrame, win: DataFrame,
+      window: Int): DataFrame = {
     // first occurrence of each duplicated window, as an order-free
     // struct argmin (same discipline as ddCanonical's argmax)
     val keep = win.groupBy(col("h"))
