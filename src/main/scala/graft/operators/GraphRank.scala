@@ -91,7 +91,11 @@ object GraphRank {
     */
   private def directedPairCounts(s: SparkSession, d: String): DataFrame =
     grCache.getOrBuild((s, d, "dpc"))(
-      pairCounts(documents(s, d)).localCheckpoint())
+      // the one corpus-sized pass reads the session's tokenized-corpus
+      // checkpoint (TextAnalysis.cachedTokRel) instead of re-tokenizing
+      // the raw text — same pairs by construction
+      pairCountsFromPairs(TextAnalysis.bigramPairRelFromToks(
+        TextAnalysis.cachedTokRel(s, d))).localCheckpoint())
 
   /** Frame-parametric form of the pair rollup over ANY `(doc_id,
     * text)` frame — the relation the persisted rank model stores,
@@ -101,9 +105,13 @@ object GraphRank {
     * from-scratch pass over the grown corpus, count for count — the
     * cleanest CDC refresh in the library.
     */
-  def pairCounts(docs: DataFrame): DataFrame = {
+  def pairCounts(docs: DataFrame): DataFrame =
+    pairCountsFromPairs(TextAnalysis.bigramPairRel(docs))
+
+  /** [[pairCounts]] from an already-built adjacent-pair relation. */
+  private def pairCountsFromPairs(pairRel: DataFrame): DataFrame = {
     val stop = TextAnalysis.stopwordList
-    TextAnalysis.bigramPairRel(docs)
+    pairRel
       .filter(col("w1") =!= col("w2") &&
         !col("w1").isInCollection(stop) && !col("w2").isInCollection(stop))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))

@@ -27,6 +27,25 @@ object TextAnalysis {
 
   private def toks = tokens(col("text"))
 
+  /** Session-scoped cache of the tokenized corpus `(doc_id, t)` — ONE
+    * row per document (zero-token docs keep an empty array), `t` the
+    * whitespace token array every corpus-statistics gate re-derived
+    * from `text` per run. This is the pipeline's tokenized-corpus
+    * artifact (the relation `pipe_tokenize` exists to produce, here in
+    * raw-whitespace form): tf-idf, unigram/bigram scoring, Simpson
+    * diversity, BM25 and the TextRank pair rollup all start from
+    * exactly this relation, and before this memo each paid its own
+    * corpus-wide regex tokenize — BM25 twice (corpus stats + postings
+    * passes). Values are identical by construction (the same `tokens`
+    * expression over the same scan, checkpointed once), so every
+    * oracle mirror is unchanged; row count equals the documents row
+    * count, so `n_docs` aggregates read the cache too. Lifetime
+    * guards live in [[RelCache]].
+    */
+  private[operators] def cachedTokRel(s: SparkSession, d: String): DataFrame =
+    taRelCache.getOrBuild((s, d, "tokrel"))(
+      documents(s, d).select(col("doc_id"), toks.as("t")).localCheckpoint())
+
   /** Per-document token counts: whitespace tokens, non-space chars,
     * average token length.
     */
@@ -306,18 +325,27 @@ object TextAnalysis {
     * key, so the fallback shuffle join reuses tf's partitioning.
     */
   def taTfidf(s: SparkSession, d: String): DataFrame =
-    tfidfTopTerms(documents(s, d)).orderBy(col("doc_id"), col("rnk"))
+    tfidfTopTermsFromToks(cachedTokRel(s, d))
+      .orderBy(col("doc_id"), col("rnk"))
 
   /** Frame-parametric core of [[taTfidf]]: per-doc top-`topK` terms by
     * tf-idf over ANY `(doc_id, text)` frame — shared by the gated query
     * and the `graft.api.Corpus.tfidfTopTerms` facade.
     */
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(toks).as("term"))
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame =
+    tfidfTopTermsFromToks(docs.select(col("doc_id"), toks.as("t")), topK)
+
+  /** [[tfidfTopTerms]] from an already-tokenized `(doc_id, t)` frame —
+    * the gated query passes [[cachedTokRel]] (one row per doc, so the
+    * `n_docs` count is unchanged).
+    */
+  private def tfidfTopTermsFromToks(tokRel: DataFrame,
+      topK: Int = 5): DataFrame = {
+    val tf = tokRel
+      .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = tokRel.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(broadcast(df), "term")
       .crossJoin(broadcast(nDocs))
@@ -365,13 +393,19 @@ object TextAnalysis {
     * to score).
     */
   def taUnigramScore(s: SparkSession, d: String): DataFrame =
-    unigramScored(documents(s, d)).orderBy(col("doc_id"))
+    unigramScoredFromToks(cachedTokRel(s, d)).orderBy(col("doc_id"))
 
   /** Frame-parametric core of [[taUnigramScore]] over ANY
     * `(doc_id, text)` frame.
     */
-  def unigramScored(docs: DataFrame): DataFrame = {
-    val tokRel = docs.select(col("doc_id"), explode(toks).as("term"))
+  def unigramScored(docs: DataFrame): DataFrame =
+    unigramScoredFromToks(docs.select(col("doc_id"), toks.as("t")))
+
+  /** [[unigramScored]] from an already-tokenized `(doc_id, t)` frame —
+    * the gated query passes [[cachedTokRel]].
+    */
+  private def unigramScoredFromToks(toksRel: DataFrame): DataFrame = {
+    val tokRel = toksRel.select(col("doc_id"), explode(col("t")).as("term"))
     val cnt = tokRel.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     tokRel.join(cnt, "term")
       .groupBy(col("doc_id"))
@@ -432,14 +466,15 @@ object TextAnalysis {
     */
   def taBigramScore(s: SparkSession, d: String): DataFrame = {
     val big = taRelCache.getOrBuild((s, d, "bigram_c2"))(
-      bigramPairRel(documents(s, d))
+      bigramPairRelFromToks(cachedTokRel(s, d))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         .localCheckpoint())
     val ctx = taRelCache.getOrBuild((s, d, "bigram_c1"))(
-      bigramPairRel(documents(s, d))
+      bigramPairRelFromToks(cachedTokRel(s, d))
         .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
         .localCheckpoint())
-    bigramScoredWith(documents(s, d), big, ctx).orderBy(col("doc_id"))
+    bigramScoredFromPairs(bigramPairRelFromToks(cachedTokRel(s, d)),
+      big, ctx).orderBy(col("doc_id"))
   }
 
   private val taRelCache =
@@ -448,8 +483,15 @@ object TextAnalysis {
   /** The exploded `(doc_id, w1, w2)` adjacent-pair relation (shared
     * with [[GraphRank]]'s co-occurrence graph).
     */
-  private[operators] def bigramPairRel(docs: DataFrame): DataFrame = docs
-    .withColumn("__t", toks)
+  private[operators] def bigramPairRel(docs: DataFrame): DataFrame =
+    bigramPairRelFromToks(docs.select(col("doc_id"), toks.as("t")))
+
+  /** [[bigramPairRel]] from an already-tokenized `(doc_id, t)` frame —
+    * the gated bigram/TextRank builds pass [[cachedTokRel]].
+    */
+  private[operators] def bigramPairRelFromToks(toksRel: DataFrame): DataFrame =
+    toksRel
+    .withColumn("__t", col("t"))
     .withColumn("__p", expr(
       """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
         |         slice(__t, 2, greatest(size(__t) - 1, 0)),
@@ -469,8 +511,13 @@ object TextAnalysis {
 
   /** Score a corpus against a given transition model. */
   def bigramScoredWith(docs: DataFrame, big: DataFrame,
+      ctx: DataFrame): DataFrame =
+    bigramScoredFromPairs(bigramPairRel(docs), big, ctx)
+
+  /** [[bigramScoredWith]] from an already-built pair relation. */
+  private def bigramScoredFromPairs(pairRel: DataFrame, big: DataFrame,
       ctx: DataFrame): DataFrame = {
-    bigramPairRel(docs)
+    pairRel
       .join(big, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
       .groupBy(col("doc_id"))
@@ -1075,8 +1122,8 @@ object TextAnalysis {
     * nothing per-pair, nothing driver-side.
     */
   def taDiversity(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), explode(toks).as("w"))
+    cachedTokRel(s, d)
+      .select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1262,7 +1309,7 @@ object TextAnalysis {
     */
   def taBm25(s: SparkSession, d: String): DataFrame = {
     val q = s.createDataFrame(bm25Queries).toDF("query_id", "term")
-    bm25TopDocs(documents(s, d), q, Bm25TopDocs)
+    bm25TopDocsFromToks(cachedTokRel(s, d), q, Bm25TopDocs)
   }
 
   /** Frame-parametric core of [[taBm25]]: top-`topK` docs per query over
@@ -1288,9 +1335,18 @@ object TextAnalysis {
       (tf.cast(DoubleType) + lenNorm))
   }
 
-  def bm25TopDocs(docs: DataFrame, q: DataFrame, topK: Int): DataFrame = {
-    val withDl = docs.select(col("doc_id"), size(toks).as("dl"),
-      toks.as("t"))
+  def bm25TopDocs(docs: DataFrame, q: DataFrame, topK: Int): DataFrame =
+    bm25TopDocsFromToks(docs.select(col("doc_id"), toks.as("t")), q, topK)
+
+  /** [[bm25TopDocs]] from an already-tokenized `(doc_id, t)` frame —
+    * the gated query passes [[cachedTokRel]], so neither the corpus
+    * stats pass nor the postings pass re-pays the tokenize (one row
+    * per doc, so `n_docs`/`sum_dl` are unchanged).
+    */
+  private def bm25TopDocsFromToks(tokRel: DataFrame, q: DataFrame,
+      topK: Int): DataFrame = {
+    val withDl = tokRel.select(col("doc_id"), size(col("t")).as("dl"),
+      col("t"))
     val stats = withDl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val tf = withDl
