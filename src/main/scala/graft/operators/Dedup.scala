@@ -978,9 +978,10 @@ object Dedup {
     // norms once per vector (O(n)), not once per pair (O(n²)): the norm
     // of a given vector is bit-identical wherever it's computed, so
     // dot/(na*nb) equals cosineSim(ea, eb) exactly — at a third of the
-    // flops over the quadratic pair space
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      VectorExpressions.l2NormF(col("embedding")).as("nrm"))
+    // flops over the quadratic pair space. The normalized frame itself
+    // is the session-cached artifact the semantic-dedup arms already
+    // serve from (same expressions, same scan — identical values).
+    val e = Dedup2.cachedNormEmbeddings(s, d)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),

@@ -198,11 +198,19 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("partial_min"),
         s"$q canonical must partial-aggregate:\n$p")
     }
-    Seq("pipe_e2e").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("partial_min"),
-        s"$q survivor selection must partial-aggregate:\n$p")
-    }
+    // pipe_e2e's serve plan reads the session-cached QA-survivor
+    // checkpoint, so the survivor selection is pinned on the BUILD
+    // relation (the same split as pipe_qa below)
+    val keptBuild = graft.operators.Pipeline
+      .qaKeptBuildRel(graft.sources.Tables.documents(spark, sf0001))
+      .queryExecution.explainString(SimpleMode)
+    assert(keptBuild.contains("partial_min"),
+      s"QA-survivor selection must partial-aggregate:\n$keptBuild")
+    assert(!keptBuild.contains("windowspecdefinition(fp"),
+      s"QA-survivor selection must not window over fp:\n$keptBuild")
+    val e2eServe = plan("pipe_e2e")
+    assert(e2eServe.contains("ExistingRDD") || e2eServe.contains("LogicalRDD"),
+      s"pipe_e2e's serve plan must replay the survivor checkpoint:\n$e2eServe")
     // pipe_qa's serve plan reads its (doc_id, n_tokens) checkpoint, so
     // the survivor selection is pinned on the BUILD relation (the
     // sim_ivf train/serve split pattern)
