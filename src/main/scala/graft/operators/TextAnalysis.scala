@@ -42,7 +42,7 @@ object TextAnalysis {
     * count, so `n_docs` aggregates read the cache too. Lifetime
     * guards live in [[RelCache]].
     */
-  private[operators] def cachedTokRel(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedTokRel(s: SparkSession, d: String): DataFrame =
     taRelCache.getOrBuild((s, d, "tokrel"))(
       documents(s, d).select(col("doc_id"), toks.as("t")).localCheckpoint())
 

@@ -579,12 +579,24 @@ object DocStreams {
     * index-build-time constant, never a per-batch action).
     */
   def driftMonitor(docs: DataFrame, baseline: DataFrame,
-      windowSec: Long = DriftWindowSec): DataFrame = {
-    val bTok = baseline.select(explode(tokens(col("text"))).as("term"))
+      windowSec: Long = DriftWindowSec): DataFrame =
+    driftMonitorFromToks(
+      docs.withWatermark("ts", "1 hour")
+        .select(col("ts"), explode(tokens(col("text"))).as("term")),
+      baseline.select(explode(tokens(col("text"))).as("term")),
+      windowSec)
+
+  /** [[driftMonitor]] from pre-exploded `(ts, term)` stream-side and
+    * `(term)` baseline token relations — the gated batch twin passes
+    * both views of the session-cached tokenized corpus, so the corpus
+    * is tokenized once instead of three times (baseline counts,
+    * baseline total, stream side).
+    */
+  private def driftMonitorFromToks(stTok: DataFrame, bTok: DataFrame,
+      windowSec: Long): DataFrame = {
     val bRel = bTok.groupBy(col("term")).agg(count(lit(1)).as("b0"))
     val nB = bTok.count()
-    val st = docs.withWatermark("ts", "1 hour")
-      .select(col("ts"), explode(tokens(col("text"))).as("term"))
+    val st = stTok
       .join(bRel, Seq("term"), "left")
       .select(col("ts"), col("term"), coalesce(col("b0"), lit(0L)).as("b"))
     // per-term window counts come from a FIRST windowed aggregation
@@ -627,12 +639,17 @@ object DocStreams {
     * execution of the SAME plan is verified in `DriftSpec`.
     */
   def stDrift(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.sources.Tables.documents(s, d)
-    val stream = docs.select(
+    // both sides read the session-cached tokenized corpus (same token
+    // expression over the same scan — identical term rows), so the
+    // gate's plan tokenizes the corpus zero times instead of three
+    val tokRel = graft.operators.TextAnalysis.cachedTokRel(s, d)
+    val stTok = tokRel.select(
       expr(s"timestamp_seconds($DriftT0 + (doc_id % $DriftWindows) * $DriftWindowSec)")
         .as("ts"),
-      col("text"))
-    driftMonitor(stream, docs).orderBy(col("win_start_s"))
+      explode(col("t")).as("term"))
+      .withWatermark("ts", "1 hour")
+    driftMonitorFromToks(stTok, tokRel.select(explode(col("t")).as("term")),
+      DriftWindowSec).orderBy(col("win_start_s"))
   }
 
   val stDriftSql: String =
