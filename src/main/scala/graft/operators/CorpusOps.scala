@@ -320,9 +320,17 @@ object CorpusOps {
     * partials. The vocabulary shuffles; documents never do.
     */
   def importanceScored(docs: DataFrame,
-      isTarget: org.apache.spark.sql.Column): DataFrame = {
-    val tokRel = docs.select(col("doc_id"), isTarget.as("is_t"),
-      explode(tokens(col("text"))).as("term"))
+      isTarget: org.apache.spark.sql.Column): DataFrame =
+    importanceScoredFromTok(docs.select(col("doc_id"), isTarget.as("is_t"),
+      explode(tokens(col("text"))).as("term")))
+
+  /** [[importanceScored]] from a pre-exploded `(doc_id, is_t, term)`
+    * token relation — the gated query passes a view of the
+    * session-cached tokenized corpus, so the three passes this relation
+    * feeds (term stats, totals, per-doc fold) stop re-paying the
+    * corpus tokenize.
+    */
+  private def importanceScoredFromTok(tokRel: DataFrame): DataFrame = {
     val stats = tokRel.groupBy(col("term")).agg(
       count(lit(1)).as("cs"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
@@ -346,7 +354,9 @@ object CorpusOps {
 
   /** Gated form: target slice = the `$TargetLang` documents. */
   def cpImportance(s: SparkSession, d: String): DataFrame =
-    importanceScored(documents(s, d), col("lang") === TargetLang)
+    importanceScoredFromTok(TextAnalysis.cachedTokRel(s, d)
+      .select(col("doc_id"), (col("lang") === TargetLang).as("is_t"),
+        explode(col("t")).as("term")))
       .orderBy(col("doc_id"))
 
   val cpImportanceSql: String =

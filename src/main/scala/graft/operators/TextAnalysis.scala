@@ -44,7 +44,10 @@ object TextAnalysis {
     */
   private[graft] def cachedTokRel(s: SparkSession, d: String): DataFrame =
     taRelCache.getOrBuild((s, d, "tokrel"))(
-      documents(s, d).select(col("doc_id"), toks.as("t")).localCheckpoint())
+      // lang rides along (one small string per doc) so slice-conditioned
+      // consumers (cp_importance's target flag) need no join back
+      documents(s, d).select(col("doc_id"), col("lang"), toks.as("t"))
+        .localCheckpoint())
 
   /** Per-document token counts: whitespace tokens, non-space chars,
     * average token length.
